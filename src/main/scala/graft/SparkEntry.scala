@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allDefs: Seq[QueryDef] = operators.Relational.defs
+  def allDefs: Seq[QueryDef] =
+    operators.Relational.defs ++ operators.TextOps.defs ++
+      operators.Dedup.defs ++ operators.Similarity.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star LLM pipeline).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on a 128-bit content hash, never on the full text
+  *    (shuffle carries 16-byte keys, not documents);
+  *  - MinHash-LSH turns the quadratic all-pairs problem into an equi-join
+  *    on (band, band_signature) — candidates only, verified afterwards;
+  *  - the all-pairs n-gram Jaccard join is shingle-partitioned: a document
+  *    pair meets only on shingles it shares, so the shuffle is bounded by
+  *    the postings list, not |docs|².
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on md5(text). Emits one row per distinct
+    * content hash with its representative (min doc_id) and multiplicity. */
+  val qDedupExact = QueryDef.sql(
+    "q_dedup_exact",
+    """SELECT md5(text) AS content_hash,
+      |       count(*)  AS n_copies,
+      |       min(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY content_hash
+      |ORDER BY content_hash""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
+      .orderBy($"content_hash")
+  }
+
+  private val duckShingles =
+    """(SELECT doc_id,
+      |        string_split_regex(trim(text), ' +') AS w
+      | FROM documents)""".stripMargin
+
+  /** N-gram Jaccard near-dedup: 3-word shingles, distinct per doc,
+    * inverted-index self-join on shingle, Jaccard >= 0.8. */
+  val qNgramJaccard = QueryDef.sql(
+    "q_dedup_ngram_jaccard",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+       |FROM pairs
+       |  JOIN cnt ca ON d1 = ca.doc_id
+       |  JOIN cnt cb ON d2 = cb.doc_id
+       |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
+      .distinct()
+    val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = ds
+      .as("a")
+      .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(cnt.as("ca"), $"d1" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"d2" === $"cb.doc_id")
+      .withColumn("jac", $"common" * lit(1.0) / ($"ca.n" + $"cb.n" - $"common"))
+      .filter($"jac" >= 0.8)
+      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** MinHash + LSH candidate generation: 16 permutations over md5-derived
+    * shingle hashes, 4 bands x 4 rows; pairs sharing >= 1 band. This is
+    * the shuffle-light path that replaces the quadratic join at scale —
+    * validated here against the same computation in DuckDB. */
+  val qMinhashLsh = QueryDef.sql(
+    "q_dedup_minhash_lsh", {
+      val permSql = MinhashPerms.zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min((h * $a + $b) % $MinhashP) AS sig_$i"
+        }
+        .mkString(",\n         ")
+      val bandSql = (0 until 4)
+        .map { bnd =>
+          val cols = (0 until 4).map(r => s"sig_${bnd * 4 + r}").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws('-', $cols) AS bkey FROM sigs"
+        }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH ds AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         |  FROM $duckShingles
+         |  WHERE len(w) >= 3),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+         |           % $MinhashP AS h
+         |  FROM ds),
+         |sigs AS (
+         |  SELECT doc_id,
+         |         $permSql
+         |  FROM hashed GROUP BY doc_id),
+         |bands AS (
+         |  $bandSql)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY d1, d2""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
+      .distinct()
+    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
+    val sigCols =
+      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
+    val sigs = hashed
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(
+      $"doc_id",
+      posexplode(
+        array((0 until 4).map { bnd =>
+          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  /** SimHash document signatures: 16-bit sign-aggregated fingerprint over
+    * shingle hashes. Near-dups collide (or differ in few bits); emitted
+    * per-doc so the oracle can bit-compare every signature. */
+  val qSimhash = QueryDef.sql(
+    "q_dedup_simhash", {
+      val bitSql = (0 until 16)
+        .map { j =>
+          s"sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        }
+        .zipWithIndex
+        .map { case (e, j) => s"CASE WHEN $e > 0 THEN ${1L << j} ELSE 0 END" }
+        .mkString(" +\n         ")
+      s"""WITH ds AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         |  FROM $duckShingles
+         |  WHERE len(w) >= 3),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |  FROM ds)
+         |SELECT doc_id,
+         |       $bitSql AS simhash
+         |FROM hashed GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
+      .distinct()
+    val hashed = ds.select($"doc_id", stableHash60($"s").as("h"))
+    val simhash = (0 until 16)
+      .map { j =>
+        val bitSum = sum(
+          when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
+        when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    hashed
+      .groupBy($"doc_id")
+      .agg(simhash.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash)
+}

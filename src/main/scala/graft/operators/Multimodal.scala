@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star): opaque `binary` payloads with
+  * typed metadata, chunked transfer, and partition-local feature
+  * extraction.
+  *
+  * The reference streams objects as fixed-size chunks
+  * (/root/reference/worker/src/h2_service.rs:89-126, 128-byte demo chunks;
+  * /root/reference/common/src/settings/local_kv_options.rs:24, 128 KiB
+  * configured) and reassembles on the client
+  * (/root/reference/client/src/main.rs:92-94). Here that becomes: binary
+  * column → posexploded chunk rows → order-preserving reassembly — all
+  * inside Spark expressions, no driver round-trip.
+  *
+  * Real image/audio decode libraries are absent from this container, so
+  * [[MultimodalExtract]] stubs the decode behind a deterministic fake
+  * while keeping the Spark-side plumbing (schema, batching, partition
+  * mapping) real and tested.
+  */
+object Multimodal {
+  val ChunkSize = 128 // bytes — the reference's demo chunk size
+
+  /** Chunk → reassemble round-trip: encode text to binary, split into
+    * 128-byte chunks (chunk rows, as a streaming transfer would produce),
+    * reassemble in chunk order, and emit the md5 of the rebuilt payload.
+    * The oracle computes md5(text) directly — equal digests prove the
+    * chunk plumbing is lossless and order-correct. */
+  val qBinaryRoundtrip = QueryDef.sql(
+    "q_binary_chunk_roundtrip",
+    """SELECT doc_id, md5(text) AS digest
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bin = encode($"text", "UTF-8")
+    val nChunks = ceil(length(bin) / lit(ChunkSize.toDouble)).cast("int")
+    val chunks = Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        posexplode(
+          transform(
+            sequence(lit(0), nChunks - 1),
+            i => bin.substr(i * ChunkSize + 1, lit(ChunkSize))))
+          .as(Seq("chunk_id", "chunk")))
+    // reassemble: collect chunks per doc, sort by chunk_id, binary-concat
+    chunks
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"chunk_id", $"chunk"))).as("parts"))
+      .select(
+        $"doc_id",
+        md5(
+          aggregate(
+            transform($"parts", p => p.getField("chunk")),
+            lit(Array.emptyByteArray),
+            (acc, c) => concat(acc, c))).as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** Typed multimodal record after "decode". */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      n_frames: Int,
+      checksum: Long,
+      features: Array[Float])
+
+  /** Partition-local feature extraction over binary payloads via
+    * mapPartitions (the Scala analog of mapInPandas batch UDFs): each
+    * partition iterates its rows once, "decodes" the payload, and emits a
+    * fixed-width feature row.
+    *
+    * STUB: `decodeStub` stands in for a real image/audio decoder (libs not
+    * in this container) — deterministic so tests can assert on it. The
+    * schema, batch iteration, and partitioning are the real scale path. */
+  val qMediaFeatures = QueryDef.rowsOnly("q_media_features") { (s, d) =>
+    import s.implicits._
+    val frame = 32 // pretend frame size in bytes (frame-sampling analog)
+    Tables
+      .documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val nFrames = (bytes.length + frame - 1) / frame
+          // deterministic fake decode: per-frame mean byte value
+          val feats = Array.tabulate(nFrames.min(8)) { f =>
+            val sl = bytes.slice(f * frame, (f + 1) * frame)
+            if (sl.isEmpty) 0f else sl.map(_ & 0xff).sum.toFloat / sl.length
+          }
+          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
+          MediaFeatures(id, bytes.length, nFrames, checksum, feats)
+        }
+      }
+      .toDF()
+      .select($"doc_id", $"n_bytes", $"n_frames", $"checksum", $"features")
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qBinaryRoundtrip, qMediaFeatures)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star ANN).
+  *
+  * Scale design (100 TB): the brute-force paths here broadcast the *query*
+  * side (small) against the corpus (large), so the corpus is never
+  * shuffled — each scan partition computes its candidates independently
+  * and only top-k rows move. The LSH variant buckets the corpus once
+  * (narrow map) and joins on bucket id, replacing the all-pairs product
+  * with per-bucket products; recall is validated in ScalaTest against the
+  * brute-force baseline.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 3), the 10
+    * nearest corpus vectors. Query side broadcast; ranking via window. */
+  val qCosineKnn = QueryDef.sql(
+    "q_cosine_knn",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT qid, e.vec_id AS nid,
+      |         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM q JOIN embeddings e ON e.vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, nid, round(c, 4) AS cos_sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+      |  FROM scored)
+      |SELECT qid, nid, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val scored = emb
+      .select($"vec_id".as("nid"), $"embedding".as("nv"))
+      .join(broadcast(q), $"nid" =!= $"qid")
+      .select($"qid", $"nid", cosine($"qv", $"nv").as("c"))
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    scored
+      .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
+        row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 10)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45). The oracle
+    * covers the exact all-pairs semantics at verify scale; the production
+    * scale path is [[annLshCandidates]]. */
+  val qEmbedNearDup = QueryDef.sql(
+    "q_embed_neardup",
+    """SELECT v1, v2, round(c, 4) AS cos_sim FROM (
+      |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                CAST(b.embedding AS DOUBLE[])) AS c
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE c > 0.45
+      |ORDER BY v1, v2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val a = Tables.embeddings(s, d).select($"vec_id".as("v1"), $"embedding".as("e1"))
+    val b = Tables.embeddings(s, d).select($"vec_id".as("v2"), $"embedding".as("e2"))
+    a.join(b, $"v1" < $"v2")
+      .withColumn("c", cosine($"e1", $"e2"))
+      .filter($"c" > 0.45)
+      .select($"v1", $"v2", round($"c", 4).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
+  /** Deterministic random hyperplanes for the LSH signature (seeded — the
+    * whole engine must be replay-stable, mirroring the reference's
+    * deterministic bucket placement, local_file_kv_store.rs:62-70). */
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id for an embedding column. */
+  private[graft] def lshBucket(v: org.apache.spark.sql.Column, nBits: Int,
+      dim: Int): org.apache.spark.sql.Column = {
+    val hp = hyperplanes(nBits, dim)
+    (0 until nBits)
+      .map { j =>
+        val h = array(hp(j).map(lit): _*)
+        when(dot(v, h) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Multi-table LSH bucket ids: `nTables` independent signatures of
+    * `bitsPerTable` random-hyperplane bits each. A pair is a candidate if
+    * it collides in ANY table — the standard recall/cost dial (more
+    * tables → higher recall, more candidates). */
+  private[graft] def lshBuckets(v: org.apache.spark.sql.Column, nTables: Int,
+      bitsPerTable: Int, dim: Int): org.apache.spark.sql.Column = {
+    val hp = hyperplanes(nTables * bitsPerTable, dim)
+    array((0 until nTables).map { t =>
+      (0 until bitsPerTable)
+        .map { j =>
+          val h = array(hp(t * bitsPerTable + j).map(lit): _*)
+          when(dot(v, h) > 0.0, lit(1L << j)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** ANN via multi-table LSH: corpus vectors sharing any of 4 4-bit
+    * buckets with a query vector are candidates; top-k by true cosine
+    * among candidates only. At 100 TB this replaces the broadcast
+    * brute-force scan with an equi-join on (table, bucket) — the corpus
+    * explodes x4 (table replicas) but never pairs outside a bucket.
+    * Rows-only gate (hyperplane constants aren't SQL-portable); recall vs
+    * brute force is asserted in SimilaritySpec. */
+  val qAnnLsh = QueryDef.rowsOnly("q_ann_lsh") { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dim = 64
+    val bucketed = emb.select(
+      $"vec_id",
+      $"embedding",
+      posexplode(lshBuckets($"embedding", 4, 4, dim)).as(Seq("tbl", "bucket")))
+    val q = bucketed
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"tbl".as("qt"),
+        $"bucket".as("qb"))
+    val cands = bucketed
+      .join(broadcast(q),
+        $"tbl" === $"qt" && $"bucket" === $"qb" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"qv", $"embedding".as("nv"))
+      .distinct()
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    cands
+      .select($"qid", $"nid", cosine($"qv", $"nv").as("c"))
+      .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
+        row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 10)
+      .orderBy($"qid", $"rnk")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qCosineKnn, qEmbedNearDup, qAnnLsh)
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star LLM
+  * pipeline: language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * All per-document computations are narrow (no shuffle): they run inside
+  * the parquet scan's whole-stage-codegen span, so at 100 TB these scale
+  * linearly with input splits. Only the final ORDER BY / aggregations
+  * exchange data.
+  */
+object TextOps {
+
+  /** Per-document token statistics: whitespace words, regex tokens
+    * (word-or-punct, a BPE-ish pre-tokenizer), char length check. */
+  val qTextStats = QueryDef.sql(
+    "q_text_stats",
+    """SELECT doc_id,
+      |       len(string_split_regex(trim(text), ' +'))            AS n_words,
+      |       len(regexp_extract_all(text, '\w+|[^\w\s]'))         AS n_tokens,
+      |       length(text)                                          AS n_chars_measured,
+      |       round(length(replace(text, ' ', '')) * 1.0 /
+      |             len(string_split_regex(trim(text), ' +')), 4)   AS avg_word_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = words($"text")
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        size(w).as("n_words"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .as("n_tokens"),
+        length($"text").as("n_chars_measured"),
+        round(
+          length(regexp_replace($"text", " ", "")) * lit(1.0) / size(w),
+          4).as("avg_word_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val stopEn =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Quality scoring: stopword ratio, type-token ratio (vocab diversity),
+    * punctuation density, and a banded quality label. */
+  val qTextQuality = QueryDef.sql(
+    "q_text_quality",
+    s"""SELECT doc_id,
+       |  round(len(list_filter(string_split_regex(trim(text), ' +'),
+       |        x -> x IN (${stopEn.map("'" + _ + "'").mkString(",")}))) * 1.0
+       |        / len(string_split_regex(trim(text), ' +')), 4) AS stopword_ratio,
+       |  round(len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
+       |        / len(string_split_regex(trim(text), ' +')), 4) AS type_token_ratio,
+       |  round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+       |        / length(text), 4)                               AS punct_density,
+       |  CASE WHEN len(string_split_regex(trim(text), ' +')) >= 40
+       |        AND len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
+       |            / len(string_split_regex(trim(text), ' +')) > 0.4
+       |       THEN 'good' ELSE 'short_or_repetitive' END        AS quality_band
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = words($"text")
+    val stopArr = array(stopEn.map(lit): _*)
+    val stopRatio = round(
+      size(filter(w, x => array_contains(stopArr, x))) * lit(1.0) / size(w),
+      4)
+    val ttr = round(size(array_distinct(w)) * lit(1.0) / size(w), 4)
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        round(
+          size(expr("regexp_extract_all(text, '[^\\\\w\\\\s]', 0)")) * lit(1.0) /
+            length($"text"),
+          4).as("punct_density"),
+        when(
+          size(w) >= 40 &&
+            size(array_distinct(w)) * lit(1.0) / size(w) > 0.4,
+          "good").otherwise("short_or_repetitive").as("quality_band"))
+      .orderBy($"doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "de", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu"))
+
+  /** N-gram/stopword language-ID heuristic: score each language by distinct
+    * stopword overlap; argmax with fixed tie order (en,fr,es,de,unknown).
+    * Aggregated into a (actual, predicted) confusion table. */
+  val qTextLangid = QueryDef.sql(
+    "q_text_langid", {
+      val scoresSql = langStops
+        .map { case (l, ws) =>
+          s"len(list_intersect(list_distinct(string_split_regex(trim(text), ' +')), [${ws
+              .map("'" + _ + "'").mkString(",")}])) AS s_$l"
+        }
+        .mkString(",\n         ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         $scoresSql
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+         |              WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |              WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |              WHEN s_es >= s_de THEN 'es'
+         |              ELSE 'de' END AS predicted
+         |  FROM scored)
+         |SELECT lang, predicted, count(*) AS n
+         |FROM pred GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val distinctW = array_distinct(words($"text"))
+    val scores = langStops.map { case (l, ws) =>
+      l -> size(array_intersect(distinctW, array(ws.map(lit): _*)))
+    }
+    val m = scores.toMap
+    val predicted = when(
+      m("en") === 0 && m("fr") === 0 && m("es") === 0 && m("de") === 0,
+      "unknown")
+      .when(m("en") >= m("fr") && m("en") >= m("es") && m("en") >= m("de"), "en")
+      .when(m("fr") >= m("es") && m("fr") >= m("de"), "fr")
+      .when(m("es") >= m("de"), "es")
+      .otherwise("de")
+    Tables
+      .documents(s, d)
+      .select($"lang", predicted.as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Document fingerprinting: md5 over the normalized (lowercased,
+    * whitespace-collapsed) text — the batch-friendly stand-in for a
+    * rolling-hash content fingerprint. */
+  val qFingerprint = QueryDef.sql(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select($"doc_id", md5(normText($"text")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus token histogram: explode words, count, top 50 — the classic
+    * map-side-combinable wordcount (partial agg before the shuffle). */
+  val qTokenHistogram = QueryDef.sql(
+    "q_token_histogram",
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+      |      FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 50""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(50)
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram)
+}

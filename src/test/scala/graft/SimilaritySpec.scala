@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val got = df.select(round(cosine($"a", $"b"), 6)).collect().map(_.getDouble(0))
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+  }
+
+  test("LSH ANN recall@10 vs brute force is useful (>= 0.4)") {
+    val brute = Similarity.qCosineKnn
+      .fn(spark, sf)
+      .select($"qid", $"nid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val lsh = Similarity.qAnnLsh
+      .fn(spark, sf)
+      .select($"qid", $"nid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"recall@10 = $recall (|brute|=${brute.size}, |lsh|=${lsh.size})")
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("LSH candidates are a strict subset of all pairs (no fabrication)") {
+    val lsh = Similarity.qAnnLsh.fn(spark, sf)
+    assert(lsh.filter($"qid" === $"nid").count() === 0)
+    assert(lsh.groupBy($"qid").count().collect().forall(_.getLong(1) <= 10))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stableHash60 is stable across sessions (golden value)") {
+    // md5('abc') = 900150983cd24fb0... → first 15 hex digits as decimal.
+    val got = Seq("abc").toDF("s").select(stableHash60($"s")).head().getLong(0)
+    assert(got === java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(got === 648541476951500027L)
+  }
+
+  test("minhashBase stays within [0, P)") {
+    val vals = Seq("a", "b", "c", "longer string here")
+      .toDF("s")
+      .select(minhashBase($"s").as("h"))
+      .collect()
+      .map(_.getLong(0))
+    assert(vals.forall(h => h >= 0 && h < MinhashP))
+  }
+
+  test("shingles produce n-gram windows; short docs produce none") {
+    val got = Seq("a b c d", "a b")
+      .toDF("t")
+      .select(shingles(words($"t"), 3).as("sh"))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("normText collapses whitespace and lowercases") {
+    val got = Seq("  Hello   WORLD  ")
+      .toDF("t")
+      .select(normText($"t"))
+      .head()
+      .getString(0)
+    assert(got === "hello world")
+  }
+}
