@@ -72,6 +72,10 @@ def main():
         if len(a) != len(b):
             bad.append((name, f"rowcount: spark={len(a)} duck={len(b)}"))
             continue
+        dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if str(a[c].dtype) != str(b[c].dtype)]
+        if dt:
+            print(f"DTYPE-WARN {name}: {dt}")
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             ok.append(name)

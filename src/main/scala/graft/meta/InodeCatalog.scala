@@ -1,0 +1,252 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** POSIX-style metadata catalog — the reference's FUSE semantic core
+  * (SURVEY §2 P2-P9, J1-J3, O1-O2) re-expressed as snapshot DataFrames.
+  *
+  * Reference model (/root/reference):
+  *  - inode maps: `inodes: HashMap<InodeNo, Inode>` +
+  *    `path_index: HashMap<String, InodeNo>`,
+  *    fuse/src/uring_fuse/uring_fs/inode.rs:64-69 — here both lookup
+  *    directions are columns (`ino`, `full_path`) of ONE table;
+  *  - lookup(parent, name) resolves via parent path + name join,
+  *    inode.rs:83-110 (J1);
+  *  - readdir enrichment + offset pagination, uring_fs/mod.rs:116-166
+  *    (J2/O2);
+  *  - rename moves an edge between parents (two-sided update),
+  *    fuse/src/filesystem.rs:1086-1291 (J3);
+  *  - unlink keeps the inode alive until `forget`,
+  *    fuse/src/async_fuse/inode_table.rs:159-228;
+  *  - attrs: FileAttr fields, fuse/src/uring_fuse/file_meta.rs:4-35;
+  *    xattrs as a byte-keyed map, filesystem.rs:199-214;
+  *  - access checks: mode-bit arithmetic, filesystem.rs:1870-1904 (P6);
+  *    fh permission bits in the top 2 bits, filesystem.rs:39-41 (P8).
+  *
+  * Batch semantics (SURVEY §1.3): every mutation returns a NEW snapshot
+  * (persistent-data-structure style) — the Spark analog of the reference's
+  * `RwLock<HashMap>` mutation. Divergences, both documented in SURVEY §7:
+  * ino numbers are never reused (no free-list; allocation is max+1 and
+  * `generation` bumps on path reuse), and the snapshot is immutable
+  * between ops.
+  */
+final case class InodeCatalog(df: DataFrame) {
+  import InodeCatalog._
+
+  private def spark: SparkSession = df.sparkSession
+
+  /** P2: point lookup by ino. */
+  def getattr(ino: Long): Option[Row] =
+    df.filter(col("ino") === ino && col("nlink") > 0).collect().headOption
+
+  /** J1: lookup by (parent ino, name). */
+  def lookup(parent: Long, name: String): Option[Row] =
+    df.filter(col("parent") === parent && col("name") === name && col("nlink") > 0)
+      .collect()
+      .headOption
+
+  /** Path-index probe (the `path_index: HashMap<String, ino>` direction). */
+  def resolve(path: String): Option[Row] =
+    df.filter(col("full_path") === path && col("nlink") > 0).collect().headOption
+
+  /** O1+O2: name-sorted directory listing with offset pagination
+    * (skip/limit resume, uring_fs/mod.rs:126-152). */
+  def readdir(parent: Long, offset: Int = 0, limit: Int = Int.MaxValue): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent"))
+      .orderBy(col("name"))
+    df.filter(col("parent") === parent && col("nlink") > 0)
+      .withColumn("off", row_number().over(w))
+      .filter(col("off") > offset && col("off") <= offset + limit)
+      .select(col("off"), col("ino"), col("name"), col("kind"))
+      .orderBy(col("off"))
+  }
+
+  private def nextIno: Long =
+    df.agg(max(col("ino"))).head().getLong(0) + 1
+
+  /** Create a child node (file or dir). Recreating a previously seen path
+    * bumps `generation` — the reference bumps generation when an ino slot
+    * is reused (inode_table.rs:92-101); we key the bump on path reuse
+    * since inos are never reused here. */
+  def create(
+      parent: Long,
+      name: String,
+      kind: String,
+      mode: Int = 0x1a4, // 0644
+      uid: Int = 0,
+      gid: Int = 0): InodeCatalog = {
+    require(name.length <= MaxNameLength, s"name too long: $name") // P9
+    require(lookup(parent, name).isEmpty, s"exists: $name")
+    val parentPath = getattr(parent)
+      .map(_.getAs[String]("full_path"))
+      .getOrElse(sys.error(s"no such parent ino $parent"))
+    val fullPath =
+      if (parentPath == "/") s"/$name" else s"$parentPath/$name"
+    val gen = df
+      .filter(col("full_path") === fullPath)
+      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
+      .head()
+      .getLong(0)
+    val row = spark.createDataFrame(
+      java.util.List.of(
+        Row(nextIno, parent, name, fullPath, kind, 0L, mode, uid, gid, gen,
+          1L, Map.empty[String, Array[Byte]])),
+      schema)
+    InodeCatalog(df.unionByName(row))
+  }
+
+  def mkdir(parent: Long, name: String, mode: Int = 0x1ed): InodeCatalog =
+    create(parent, name, "dir", mode) // 0755
+
+  /** J3: two-sided rename — the node moves to (newParent, newName) and
+    * every descendant's full_path is rewritten (subtree prefix swap). */
+  def rename(
+      oldParent: Long,
+      oldName: String,
+      newParent: Long,
+      newName: String): InodeCatalog = {
+    val node = lookup(oldParent, oldName)
+      .getOrElse(sys.error(s"no such entry $oldName"))
+    val oldPath = node.getAs[String]("full_path")
+    val newParentPath = getattr(newParent)
+      .map(_.getAs[String]("full_path"))
+      .getOrElse(sys.error(s"no such parent ino $newParent"))
+    val newPath =
+      if (newParentPath == "/") s"/$newName" else s"$newParentPath/$newName"
+    val moved = df
+      .withColumn(
+        "parent",
+        when(col("full_path") === oldPath, lit(newParent)).otherwise(col("parent")))
+      .withColumn(
+        "name",
+        when(col("full_path") === oldPath, lit(newName)).otherwise(col("name")))
+      .withColumn(
+        "full_path",
+        when(col("full_path") === oldPath, lit(newPath))
+          .when(
+            col("full_path").startsWith(oldPath + "/"),
+            concat(lit(newPath), expr(s"substring(full_path, ${oldPath.length + 1})")))
+          .otherwise(col("full_path")))
+    InodeCatalog(moved)
+  }
+
+  /** Unlink: nlink drops to 0 but the row survives until [[forget]] —
+    * mirrors inode_table.rs:159-186 (unlink keeps ino until forget). */
+  def unlink(parent: Long, name: String): InodeCatalog =
+    InodeCatalog(
+      df.withColumn(
+        "nlink",
+        when(col("parent") === parent && col("name") === name, lit(0L))
+          .otherwise(col("nlink"))))
+
+  /** Forget: the unlinked inode becomes a tombstone (nlink = -1) —
+    * invisible to every lookup (which all require nlink > 0) but
+    * retaining the (full_path → generation) history that [[create]]
+    * consults for its generation bump, the way the reference's slot
+    * allocator retains per-slot generations (inode_table.rs:188-228). */
+  def forget(ino: Long): InodeCatalog =
+    InodeCatalog(
+      df.withColumn(
+        "nlink",
+        when(col("ino") === ino && col("nlink") === 0, lit(-1L))
+          .otherwise(col("nlink"))))
+
+  /** Write-path size accounting: size = max(size, offset + len)
+    * (filesystem.rs:1429-1432, A7). */
+  def recordWrite(ino: Long, offset: Long, len: Long): InodeCatalog =
+    InodeCatalog(
+      df.withColumn(
+        "size",
+        when(col("ino") === ino, greatest(col("size"), lit(offset + len)))
+          .otherwise(col("size"))))
+
+  // -- xattrs (filesystem.rs xattr surface, string-keyed MapType) --------
+  def setxattr(ino: Long, key: String, value: Array[Byte]): InodeCatalog =
+    InodeCatalog(
+      df.withColumn(
+        "xattrs",
+        when(
+          col("ino") === ino,
+          map_concat(
+            map_filter(col("xattrs"), (k, _) => k =!= key),
+            map(lit(key), lit(value)))).otherwise(col("xattrs"))))
+
+  def getxattr(ino: Long, key: String): Option[Array[Byte]] =
+    getattr(ino).flatMap(r =>
+      r.getAs[Map[String, Array[Byte]]]("xattrs").get(key))
+
+  def listxattr(ino: Long): Seq[String] =
+    getattr(ino)
+      .map(_.getAs[Map[String, Array[Byte]]]("xattrs").keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+
+  def removexattr(ino: Long, key: String): InodeCatalog =
+    InodeCatalog(
+      df.withColumn(
+        "xattrs",
+        when(col("ino") === ino, map_filter(col("xattrs"), (k, _) => k =!= key))
+          .otherwise(col("xattrs"))))
+
+  /** Force computation of the snapshot (long op chains otherwise build
+    * ever-deeper plans — the batch analog of flushing the write log). */
+  def checkpointed(): InodeCatalog = {
+    val mat = df.localCheckpoint(true)
+    InodeCatalog(mat)
+  }
+}
+
+object InodeCatalog {
+  val MaxNameLength = 255 // filesystem.rs:34 (P9)
+
+  val schema: StructType = StructType(Seq(
+    StructField("ino", LongType, nullable = false),
+    StructField("parent", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("full_path", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("mode", IntegerType, nullable = false),
+    StructField("uid", IntegerType, nullable = false),
+    StructField("gid", IntegerType, nullable = false),
+    StructField("generation", LongType, nullable = false),
+    StructField("nlink", LongType, nullable = false),
+    StructField("xattrs", MapType(StringType, BinaryType), nullable = false)))
+
+  /** Fresh catalog containing only the root directory (ino 1). */
+  def empty(spark: SparkSession): InodeCatalog =
+    InodeCatalog(
+      spark.createDataFrame(
+        java.util.List.of(
+          Row(1L, 0L, "", "/", "dir", 0L, 0x1ed, 0, 0, 0L, 1L,
+            Map.empty[String, Array[Byte]])),
+        schema))
+
+  /** P6: POSIX access predicate — mode-bit arithmetic over (uid, gid,
+    * mask), mirroring filesystem.rs:1870-1904: root passes everything,
+    * owner bits shift 6, group bits shift 3, other bits shift 0. */
+  def accessAllowed(uid: Column, gid: Column, mode: Column,
+      reqUid: Int, reqGid: Int, mask: Int): Column = {
+    if (reqUid == 0) lit(true)
+    else {
+      val eff = when(uid === reqUid, shiftright(mode, 6))
+        .when(gid === reqGid, shiftright(mode, 3))
+        .otherwise(mode)
+      (eff.bitwiseAND(lit(7)).bitwiseAND(lit(mask))) === mask
+    }
+  }
+
+  // P8/F10: file-handle permission bits in the top 2 bits of the fh
+  // (filesystem.rs:39-41,304-324).
+  private val FhRead = 1L << 63
+  private val FhWrite = 1L << 62
+  def fhEncode(fh: Long, read: Boolean, write: Boolean): Long =
+    fh | (if (read) FhRead else 0L) | (if (write) FhWrite else 0L)
+  def fhAllowsRead(fh: Column): Column = fh.bitwiseAND(lit(FhRead)) =!= 0
+  def fhAllowsWrite(fh: Column): Column = fh.bitwiseAND(lit(FhWrite)) =!= 0
+
+  /** F9: block accounting, (size + 511) / 512 (filesystem.rs:221,33). */
+  def blocksOf(size: Column): Column = ceil(size / lit(512.0)).cast("long")
+}

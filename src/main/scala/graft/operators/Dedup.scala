@@ -175,7 +175,7 @@ object Dedup {
          |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
          |  FROM ds)
          |SELECT doc_id,
-         |       $bitSql AS simhash
+         |       CAST($bitSql AS BIGINT) AS simhash
          |FROM hashed GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.stableHash60
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-gated (oracle-checked) queries exercising the reference's
+  * metadata/KV semantics over a filesystem DERIVED deterministically from
+  * the `documents` table: root(ino 1) → one dir per `source`
+  * (ino = 2 + srcnum) → one file per doc (ino = 100 + doc_id,
+  * name = 'doc_<id>.txt', size = n_chars, mode/uid/gid derived from
+  * doc_id). Both dialects derive the identical tree, so J1/J2/O2/P6/F2-F4
+  * semantics are hash-checked end-to-end; the imperative engine API lives
+  * in [[graft.meta.InodeCatalog]] with its own specs.
+  */
+object FsQueries {
+
+  /** Shared Spark-side derivation of the inode table. */
+  private def inodes(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dirs = docs
+      .select(substring($"source", 4, 10).cast("int").as("srcnum"), $"source")
+      .distinct()
+      .select(
+        ($"srcnum" + 2).cast("long").as("ino"),
+        lit(1L).as("parent"),
+        $"source".as("name"),
+        concat(lit("/"), $"source").as("full_path"),
+        lit("dir").as("kind"),
+        lit(0L).as("size"),
+        lit(0x1ed).as("mode"), // 0755
+        lit(0).as("uid"),
+        lit(0).as("gid"))
+    val files = docs.select(
+      ($"doc_id" + 100).as("ino"),
+      (substring($"source", 4, 10).cast("int") + 2).cast("long").as("parent"),
+      concat(lit("doc_"), $"doc_id", lit(".txt")).as("name"),
+      concat(lit("/"), $"source", lit("/doc_"), $"doc_id", lit(".txt"))
+        .as("full_path"),
+      lit("file").as("kind"),
+      $"n_chars".as("size"),
+      // mode: even docs 0644, odd docs 0600
+      when($"doc_id" % 2 === 0, 0x1a4).otherwise(0x180).as("mode"),
+      ($"doc_id" % 3).cast("int").as("uid"),
+      ($"doc_id" % 2).cast("int").as("gid"))
+    dirs.unionByName(files)
+  }
+
+  /** The same derivation in DuckDB SQL. */
+  private val duckInodes =
+    """(SELECT CAST(CAST(substr(source, 4, 10) AS INT) + 2 AS BIGINT) AS ino,
+      |        CAST(1 AS BIGINT) AS parent, source AS name,
+      |        '/' || source AS full_path, 'dir' AS kind,
+      |        CAST(0 AS BIGINT) AS size, 493 AS mode, 0 AS uid, 0 AS gid
+      | FROM (SELECT DISTINCT source FROM documents)
+      | UNION ALL
+      | SELECT doc_id + 100 AS ino,
+      |        CAST(CAST(substr(source, 4, 10) AS INT) + 2 AS BIGINT) AS parent,
+      |        'doc_' || doc_id || '.txt' AS name,
+      |        '/' || source || '/doc_' || doc_id || '.txt' AS full_path,
+      |        'file' AS kind, n_chars AS size,
+      |        CASE WHEN doc_id % 2 = 0 THEN 420 ELSE 384 END AS mode,
+      |        CAST(doc_id % 3 AS INT) AS uid, CAST(doc_id % 2 AS INT) AS gid
+      | FROM documents)""".stripMargin
+
+  /** J1: (parent, name) lookup — resolve every '/srcN/doc_*.txt' through
+    * the two-step parent join exactly as the FUSE lookup does
+    * (uring_fs/inode.rs:83-110), for a sample of names. */
+  val qFsLookup = QueryDef.sql(
+    "q_fs_lookup",
+    s"""WITH ino AS $duckInodes
+       |SELECT f.full_path, f.ino, f.size, p.name AS parent_name
+       |FROM ino f JOIN ino p ON f.parent = p.ino
+       |WHERE f.kind = 'file' AND f.ino % 37 = 0
+       |ORDER BY f.full_path""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ino = inodes(s, d)
+    ino
+      .as("f")
+      .join(ino.as("p"), $"f.parent" === $"p.ino")
+      .filter($"f.kind" === "file" && $"f.ino" % 37 === 0)
+      .select($"f.full_path", $"f.ino", $"f.size", $"p.name".as("parent_name"))
+      .orderBy($"full_path")
+  }
+
+  /** O1+O2: name-sorted readdir with offset pagination — page 2
+    * (entries 6..10) of every directory (uring_fs/mod.rs:126-152). */
+  val qFsReaddirPage = QueryDef.sql(
+    "q_fs_readdir_page",
+    s"""WITH ino AS $duckInodes,
+       |listing AS (
+       |  SELECT parent, name, ino, kind,
+       |         CAST(row_number() OVER (PARTITION BY parent ORDER BY name) AS INT) AS off
+       |  FROM ino)
+       |SELECT parent, off, name, ino, kind
+       |FROM listing
+       |WHERE off > 5 AND off <= 10
+       |ORDER BY parent, off""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"parent").orderBy($"name")
+    inodes(s, d)
+      .withColumn("off", row_number().over(w))
+      .filter($"off" > 5 && $"off" <= 10)
+      .select($"parent", $"off", $"name", $"ino", $"kind")
+      .orderBy($"parent", $"off")
+  }
+
+  /** A5/A7/F9 rollup: per-directory entry count, total size, and block
+    * accounting ((size+511)/512, filesystem.rs:221). */
+  val qFsDu = QueryDef.sql(
+    "q_fs_du",
+    s"""WITH ino AS $duckInodes
+       |SELECT p.name AS dir_name,
+       |       count(*) AS n_entries,
+       |       CAST(sum(f.size) AS BIGINT) AS total_size,
+       |       CAST(sum((f.size + 511) // 512) AS BIGINT) AS total_blocks
+       |FROM ino f JOIN ino p ON f.parent = p.ino
+       |WHERE f.kind = 'file'
+       |GROUP BY p.name
+       |ORDER BY dir_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ino = inodes(s, d)
+    ino
+      .as("f")
+      .join(ino.as("p"), $"f.parent" === $"p.ino")
+      .filter($"f.kind" === "file")
+      .groupBy($"p.name".as("dir_name"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        sum($"f.size").as("total_size"),
+        sum(floor(($"f.size" + 511) / 512)).as("total_blocks"))
+      .orderBy($"dir_name")
+  }
+
+  /** P6: POSIX access-bit filter — which files can (uid=1, gid=1) read?
+    * Owner bits >> 6, group bits >> 3, other bits >> 0, mask 4
+    * (filesystem.rs:1870-1904). */
+  val qFsAccess = QueryDef.sql(
+    "q_fs_access",
+    s"""WITH ino AS $duckInodes
+       |SELECT ino, full_path,
+       |       CASE WHEN uid = 1 THEN (mode // 64) % 8
+       |            WHEN gid = 1 THEN (mode // 8) % 8
+       |            ELSE mode % 8 END AS eff_bits
+       |FROM ino
+       |WHERE kind = 'file'
+       |  AND (CASE WHEN uid = 1 THEN (mode // 64) % 8
+       |            WHEN gid = 1 THEN (mode // 8) % 8
+       |            ELSE mode % 8 END & 4) = 4
+       |ORDER BY ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val effBits = when($"uid" === 1, expr("(mode div 64) % 8"))
+      .when($"gid" === 1, expr("(mode div 8) % 8"))
+      .otherwise($"mode" % 8)
+      .cast("int")
+    inodes(s, d)
+      .filter($"kind" === "file")
+      .withColumn("eff_bits", effBits)
+      .filter($"eff_bits".bitwiseAND(lit(4)) === 4)
+      .select($"ino", $"full_path", $"eff_bits")
+      .orderBy($"ino")
+  }
+
+  /** F1-F4 + P1 + S3: stable-hash bucket placement, data_path formatting,
+    * and URI route dispatch — the KV layout surface as one query.
+    * bucket = stableHash60(key) % 1024 mirrors
+    * local_file_kv_store.rs:62-70 with the documented stable-hash
+    * divergence (SURVEY §2.8 F1). */
+  val qKvLayout = QueryDef.sql(
+    "q_kv_bucket_layout",
+    """WITH kv AS (
+      |  SELECT 'doc/' || doc_id AS key,
+      |         CAST(concat('0x', substr(md5('doc/' || doc_id), 1, 15)) AS BIGINT)
+      |           % 1024 AS bucket
+      |  FROM documents),
+      |routed AS (
+      |  SELECT key, bucket,
+      |         '/store/' || bucket || '/' || replace(key, '/', '_') AS data_path,
+      |         string_split('/get/' || key, '/')[3] AS routed_op
+      |  FROM kv)
+      |SELECT bucket, count(*) AS n_keys,
+      |       min(data_path) AS first_path
+      |FROM routed
+      |WHERE routed_op = 'doc'
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val kv = Tables
+      .documents(s, d)
+      .select(concat(lit("doc/"), $"doc_id").as("key"))
+      .withColumn("bucket", pmod(stableHash60($"key"), lit(1024)))
+    val routed = kv
+      .withColumn(
+        "data_path",
+        concat(lit("/store/"), $"bucket", lit("/"),
+          regexp_replace($"key", "/", "_")))
+      // URI split dispatch (h2_service.rs:74-87): '/get/doc/<id>' → parts
+      .withColumn("routed_op", element_at(split(concat(lit("/get/"), $"key"), "/"), 3))
+    routed
+      .filter($"routed_op" === "doc")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_keys"), min($"data_path").as("first_path"))
+      .orderBy($"bucket")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout)
+}

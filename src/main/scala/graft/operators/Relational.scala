@@ -225,8 +225,8 @@ object Relational {
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey,
       |         round(o_totalprice, 2) AS totalprice,
-      |         row_number() OVER (PARTITION BY o_custkey
-      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       |  FROM orders)
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
@@ -279,10 +279,10 @@ object Relational {
   val qWindowLag = QueryDef.sql(
     "q_window_lag",
     """SELECT o_custkey, o_orderkey,
-      |       coalesce(datediff('day',
+      |       CAST(coalesce(datediff('day',
       |         lag(o_orderdate) OVER (PARTITION BY o_custkey
       |                                ORDER BY o_orderdate, o_orderkey),
-      |         o_orderdate), -1) AS days_since_prev
+      |         o_orderdate), -1) AS INT) AS days_since_prev
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
   ) { (s, d) =>
@@ -415,7 +415,7 @@ object Relational {
       |       upper(p_brand)                         AS brand_u,
       |       substr(p_type, 1, 4)                   AS type4,
       |       concat(p_brand, '/', p_type)           AS brand_type,
-      |       length(p_name)                         AS name_len,
+      |       CAST(length(p_name) AS INT)            AS name_len,
       |       split_part(p_brand, '#', 2)            AS brand_num
       |FROM part
       |WHERE p_size >= 40
@@ -489,7 +489,7 @@ object Relational {
     "q_json_extract",
     """SELECT event_type,
       |       count(*) AS n,
-      |       sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k
+      |       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin

@@ -29,7 +29,7 @@ object Similarity {
       |  FROM q JOIN embeddings e ON e.vec_id <> qid),
       |ranked AS (
       |  SELECT qid, nid, round(c, 4) AS cos_sim,
-      |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INT) AS rnk
       |  FROM scored)
       |SELECT qid, nid, cos_sim, rnk FROM ranked
       |WHERE rnk <= 10

@@ -19,9 +19,9 @@ object TextOps {
   val qTextStats = QueryDef.sql(
     "q_text_stats",
     """SELECT doc_id,
-      |       len(string_split_regex(trim(text), ' +'))            AS n_words,
-      |       len(regexp_extract_all(text, '\w+|[^\w\s]'))         AS n_tokens,
-      |       length(text)                                          AS n_chars_measured,
+      |       CAST(len(string_split_regex(trim(text), ' +')) AS INT)    AS n_words,
+      |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_tokens,
+      |       CAST(length(text) AS INT)                                 AS n_chars_measured,
       |       round(length(replace(text, ' ', '')) * 1.0 /
       |             len(string_split_regex(trim(text), ' +')), 4)   AS avg_word_len
       |FROM documents

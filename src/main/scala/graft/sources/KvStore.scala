@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.functions.TextFunctions.stableHash60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed key-value object store — the reference's primary data
+  * plane re-expressed as a partitioned parquet table.
+  *
+  * Reference semantics (/root/reference, cited file:line):
+  *  - placement: `{root}/{short_hash(key) % num_bucket}/{filename}`,
+  *    common/src/kv_store/local_kv_store/local_file_kv_store.rs:62-70;
+  *  - bucket count 1024, common/src/settings/local_kv_options.rs:23;
+  *  - get = whole-object read, local_file_kv_store.rs:49-60 (S1);
+  *  - put = create-or-overwrite, local_file_kv_store.rs:19-47 (S2);
+  *  - key hash, common/src/kv_store/mod.rs:26-30 — Rust `DefaultHasher`,
+  *    unstable across releases, replaced here by the md5-derived
+  *    [[stableHash60]] (documented divergence, SURVEY §2.8 F1).
+  *
+  * Spark design: the bucket id is a physical partition column, so the
+  * directory layout IS the reference's `{root}/{bucket}/` layout, and a
+  * point `get` prunes to a single directory (partition pruning) before
+  * any row is read. At 100 TB / 1024 buckets each partition stays
+  * ~100 GB — splittable further by parquet row groups; writes scale out
+  * because `put` only shuffles by bucket id.
+  *
+  * The reference's h2 PUT handler persists only the FIRST body chunk
+  * (worker bug, common/src/h2/h2_service.rs:98-104 — `if let` instead of
+  * a loop). We implement the correct semantics: a multi-chunk put
+  * reassembles all chunks (see [[putChunked]]).
+  */
+class KvStore(spark: SparkSession, root: String, numBuckets: Int = 1024) {
+  import spark.implicits._
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(stableHash60(col("key")), lit(numBuckets)))
+
+  /** S2: persist (key STRING, value BINARY) rows into the bucketed layout.
+    * `mode=append` mirrors create-or-add; last-write-wins resolution
+    * happens at read time via the max-version rule in [[read]]. The
+    * version is a per-batch driver timestamp (monotonically_increasing_id
+    * would NOT order across separate puts — its values restart per job). */
+  def put(kv: DataFrame): Unit =
+    withBucket(kv.withColumn("put_seq", lit(System.nanoTime())))
+      .write
+      .partitionBy("bucket")
+      .mode("append")
+      .parquet(root)
+
+  /** Chunked put (S8, done correctly): reassembles (key, chunk_id, chunk)
+    * rows into whole values before storing — ALL chunks, unlike the
+    * reference's first-chunk-only bug. */
+  def putChunked(chunks: DataFrame): Unit = {
+    val whole = chunks
+      .groupBy($"key")
+      .agg(
+        sort_array(collect_list(struct($"chunk_id", $"chunk"))).as("parts"))
+      .select(
+        $"key",
+        aggregate(
+          transform($"parts", p => p.getField("chunk")),
+          lit(Array.emptyByteArray),
+          (acc, c) => concat(acc, c)).as("value"))
+    put(whole)
+  }
+
+  /** Last-write-wins dedup over a (possibly pre-filtered) raw snapshot
+    * (single map-side combinable aggregation — no self-join). */
+  private def latest(raw: DataFrame): DataFrame =
+    raw
+      .groupBy($"key")
+      .agg(max_by($"value", $"put_seq").as("value"), max($"bucket").as("bucket"))
+
+  /** Full table view with last-write-wins per key. */
+  def read(): DataFrame = latest(spark.read.parquet(root))
+
+  /** S1: whole-object point read. The bucket predicate is applied to the
+    * RAW scan (before the dedup aggregate) so it lands in the scan's
+    * PartitionFilters and prunes (numBuckets-1)/numBuckets of the table —
+    * filtering read() instead would sit above the groupBy and prune
+    * nothing. */
+  def get(key: String): Option[Array[Byte]] = {
+    val bucket = math.floorMod(KvStore.hashOf(key), numBuckets.toLong).toInt
+    latest(
+      spark.read
+        .parquet(root)
+        .filter($"bucket" === bucket && $"key" === key))
+      .select($"value")
+      .collect()
+      .headOption
+      .map(_.getAs[Array[Byte]](0))
+  }
+
+  /** S11: prefix scan (the etcd `get("services/", prefix)` analog,
+    * /root/reference/worker/src/service_registry/etcd.rs:83-107) —
+    * returns keys with the prefix stripped, like the registry does. */
+  def scanPrefix(prefix: String): DataFrame =
+    read()
+      .filter($"key".startsWith(prefix))
+      .select(
+        expr(s"substring(key, ${prefix.length + 1})").as("id"),
+        $"value")
+}
+
+object KvStore {
+  /** Driver-side mirror of [[stableHash60]] for bucket computation. */
+  def hashOf(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+}

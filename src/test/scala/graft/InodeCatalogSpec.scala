@@ -1,0 +1,131 @@
+package graft
+
+import graft.meta.InodeCatalog
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's inode-table unit tests
+  * (/root/reference/fuse/src/async_fuse/inode_table.rs:263-352): rename
+  * remap, unlink-keeps-ino-until-forget, plus the pagination and
+  * xattr/access surfaces the FUSE impls exercise.
+  */
+class InodeCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tree(): InodeCatalog = {
+    // / ── a/ ── x, y ; b/
+    InodeCatalog
+      .empty(spark)
+      .mkdir(1, "a")          // ino 2
+      .create(2, "x", "file") // ino 3
+      .create(2, "y", "file") // ino 4
+      .mkdir(1, "b")          // ino 5
+      .checkpointed()
+  }
+
+  test("lookup and path resolution agree (J1 both directions)") {
+    val cat = tree()
+    val viaLookup = cat.lookup(2, "x").get
+    val viaPath = cat.resolve("/a/x").get
+    assert(viaLookup.getAs[Long]("ino") === viaPath.getAs[Long]("ino"))
+    assert(cat.resolve("/a/z").isEmpty)
+  }
+
+  test("readdir is name-sorted and pages concatenate to the full listing (O1/O2)") {
+    var cat = InodeCatalog.empty(spark)
+    val names = Seq("delta", "alpha", "echo", "bravo", "charlie")
+    names.foreach(n => cat = cat.create(1, n, "file"))
+    cat = cat.checkpointed()
+    val full = cat.readdir(1).select($"name").as[String].collect().toSeq
+    assert(full === names.sorted)
+    val paged = (0 until names.length by 2).flatMap(off =>
+      cat.readdir(1, off, 2).select($"name").as[String].collect())
+    assert(paged === full)
+  }
+
+  test("rename remaps the node and rewrites descendant paths (J3, test_rename analog)") {
+    val cat = tree().rename(1, "a", 5, "a2") // /a → /b/a2
+    assert(cat.resolve("/a").isEmpty)
+    assert(cat.resolve("/b/a2").isDefined)
+    assert(cat.resolve("/b/a2/x").isDefined, "descendant path must follow")
+    assert(cat.resolve("/a/x").isEmpty)
+    // ino is unchanged by rename (inode_table.rs test_rename)
+    assert(cat.resolve("/b/a2/x").get.getAs[Long]("ino") === 3L)
+  }
+
+  test("unlink keeps the ino until forget (test_unlink_and_forget analog)") {
+    val cat = tree()
+    val ino = cat.lookup(2, "x").get.getAs[Long]("ino")
+    val unlinked = cat.unlink(2, "x")
+    assert(unlinked.lookup(2, "x").isEmpty, "entry invisible after unlink")
+    assert(
+      unlinked.df.filter($"ino" === ino && $"nlink" === 0).count() === 1,
+      "row survives until forget")
+    val forgotten = unlinked.forget(ino)
+    assert(forgotten.getattr(ino).isEmpty, "gone for good after forget")
+    assert(
+      forgotten.df.filter($"ino" === ino && $"nlink" === -1).count() === 1,
+      "tombstone retains generation history")
+  }
+
+  test("recreating a previously used path bumps generation") {
+    val cat = tree()
+    val gen0 = cat.resolve("/a/x").get.getAs[Long]("generation")
+    val recreated = cat
+      .unlink(2, "x")
+      .forget(3)
+      .create(2, "x", "file")
+    val r = recreated.resolve("/a/x").get
+    assert(r.getAs[Long]("generation") === gen0 + 1)
+    assert(r.getAs[Long]("ino") > 5, "inos are never reused (divergence)")
+  }
+
+  test("write extends size monotonically: size = max(size, offset+len) (A7)") {
+    val cat = tree()
+      .recordWrite(3, 0, 100)
+      .recordWrite(3, 50, 20) // inside current size — no change
+      .recordWrite(3, 200, 56)
+    assert(cat.getattr(3).get.getAs[Long]("size") === 256)
+  }
+
+  test("xattr set/get/list/remove round-trip") {
+    var cat = tree()
+      .setxattr(3, "user.tag", "hello".getBytes)
+      .setxattr(3, "user.other", Array[Byte](1, 2))
+    assert(new String(cat.getxattr(3, "user.tag").get) === "hello")
+    assert(cat.listxattr(3) === Seq("user.other", "user.tag"))
+    cat = cat.setxattr(3, "user.tag", "replaced".getBytes)
+    assert(new String(cat.getxattr(3, "user.tag").get) === "replaced")
+    cat = cat.removexattr(3, "user.tag")
+    assert(cat.getxattr(3, "user.tag").isEmpty)
+    assert(cat.listxattr(3) === Seq("user.other"))
+  }
+
+  test("POSIX access bits: owner/group/other shift logic (P6)") {
+    // mode 0640: owner rw, group r, other none
+    val df = Seq((1L, 10, 20, 0x1a0)).toDF("ino", "uid", "gid", "mode")
+    def allowed(reqUid: Int, reqGid: Int, mask: Int): Boolean =
+      df.filter(
+        InodeCatalog.accessAllowed($"uid", $"gid", $"mode", reqUid, reqGid, mask))
+        .count() == 1
+    assert(allowed(10, 99, 4), "owner can read")
+    assert(allowed(10, 99, 6), "owner can read+write")
+    assert(allowed(99, 20, 4), "group can read")
+    assert(!allowed(99, 20, 2), "group cannot write")
+    assert(!allowed(99, 99, 4), "other cannot read")
+    assert(allowed(0, 0, 7), "root passes everything")
+  }
+
+  test("fh permission bits live in the top 2 bits (P8/F10)") {
+    val fh = InodeCatalog.fhEncode(42L, read = true, write = false)
+    val df = Seq(fh).toDF("fh")
+    assert(df.filter(InodeCatalog.fhAllowsRead($"fh")).count() === 1)
+    assert(df.filter(InodeCatalog.fhAllowsWrite($"fh")).count() === 0)
+    assert((fh & 0x3fffffffffffffffL) === 42L, "payload bits intact")
+  }
+
+  test("name length guard rejects >255 (P9)") {
+    intercept[IllegalArgumentException] {
+      tree().create(1, "x" * 256, "file")
+    }
+  }
+}
