@@ -11,7 +11,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.TextOps.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
-      operators.Multimodal.defs ++ operators.FsQueries.defs
+      operators.Multimodal.defs ++ operators.FsQueries.defs ++
+      operators.Events.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,7 +33,9 @@ object Tables {
     if (tsType == "long" || tsType == "bigint")
       raw
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+        // integer DIV, not `/ 1000`: double division of epoch-nanos loses
+        // ulps and can shift the µs by one
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
   }
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table — the batch mirror of the
+  * reference's metrics surface (SURVEY §2.4 A1-A4, §2.9 T5): request
+  * rates, latency quantiles, histogram buckets, gauges, sessionization.
+  * The streaming versions of the same semantics live in
+  * [[graft.streaming.EventPipelines]]; these batch forms are the
+  * oracle-checkable ground truth.
+  *
+  * events.ts is nanosecond-precision; Spark reads it as epoch-nanos
+  * (Tables.events exposes µs-truncated `ts`), DuckDB reads TIMESTAMP_NS
+  * natively — so every oracle goes through epoch_ns / date_trunc to stay
+  * precision-agnostic.
+  */
+object Events {
+
+  /** A1/A2 + §2.5 analog: per-minute event rate by type
+    * (`rate(incoming_requests[1m])`, metrics.rs:16-17 + the Grafana
+    * "Incoming Request Rate" panel). */
+  val qRate1m = QueryDef.sql(
+    "q_events_rate_1m",
+    """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+      |       event_type,
+      |       count(*) AS n,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY minute, event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy(
+        date_format(date_trunc("minute", $"ts"), "yyyy-MM-dd HH:mm")
+          .as("minute"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"minute", $"event_type")
+  }
+
+  /** A4: latency quantiles per event type — exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  val qPercentiles = QueryDef.sql(
+    "q_events_percentiles",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.50), 2) AS p50,
+      |       round(quantile_cont(value, 0.95), 2) AS p95,
+      |       round(quantile_cont(value, 0.99), 2) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.50)"), 2).as("p50"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95"),
+        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  /** A4 histogram: fixed-width value buckets (the Prometheus
+    * `response_time_bucket` analog, metrics.rs:25-26). */
+  val qHistogram = QueryDef.sql(
+    "q_events_histogram",
+    """SELECT event_type,
+      |       CAST(floor(value / 50) AS INT) AS bucket,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy($"event_type", floor($"value" / 50).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** A3 gauge analog: running connected-clients level — cumulative
+    * (+1 for signup, -1 for error) in event order over time. */
+  val qGauge = QueryDef.sql(
+    "q_events_gauge",
+    """SELECT event_id,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END)
+      |         OVER (ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS gauge_level
+      |FROM events
+      |WHERE event_type IN ('signup', 'error')
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, d)
+      .filter($"event_type".isin("signup", "error"))
+      .select(
+        $"event_id",
+        sum(when($"event_type" === "signup", 1L).otherwise(-1L))
+          .over(w)
+          .as("gauge_level"))
+      .orderBy($"event_id")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (lag + cumulative
+    * boundary sum — the batch form of a session window). */
+  val qSessionize = QueryDef.sql(
+    "q_events_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1, epoch_ns(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 1800000000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val cum = Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_ns")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(s, d)
+      .withColumn(
+        "new_session",
+        when(
+          $"ts_ns" - lag($"ts_ns", 1, null).over(byUser) > 1800000000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(cum))
+      .groupBy($"user_id")
+      .agg(
+        countDistinct($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** F5 analog: epoch ↔ timestamp conversions round-trip
+    * (filesystem.rs:176-197 time conversions, incl. sub-second parts).
+    * µs granularity: Spark keeps the parquet file's full nanos (via
+    * nanosAsLong) but DuckDB truncates TIMESTAMP_NS to µs on read, so µs
+    * is the finest oracle-comparable unit. */
+  val qTimeConv = QueryDef.sql(
+    "q_events_time_conv",
+    """SELECT event_id,
+      |       epoch_us(ts) AS ts_us,
+      |       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_sec,
+      |       CAST(epoch_us(ts) % 1000000 AS BIGINT)  AS subsec_micros,
+      |       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS iso_sec
+      |FROM events
+      |WHERE event_id < 100
+      |ORDER BY event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .filter($"event_id" < 100)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(
+        $"event_id",
+        $"ts_us",
+        expr("ts_us div 1000000").as("epoch_sec"),
+        ($"ts_us" % 1000000L).cast("long").as("subsec_micros"),
+        date_format(date_trunc("second", $"ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("iso_sec"))
+      .orderBy($"event_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv)
+}

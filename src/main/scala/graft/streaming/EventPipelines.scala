@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming pipelines — the reference's periodic/streaming
+  * dataflow (SURVEY §2.9) on event time with watermarks.
+  *
+  * Reference patterns (/root/reference):
+  *  - T5/A1-A2: per-request counters with env/status labels,
+  *    common/src/metrics.rs:16-24, incremented per TCP message
+  *    (worker/src/main.rs:76-82) → windowed streaming counts;
+  *  - A4: response-time histogram + Grafana p50/p95/p99 panels →
+  *    windowed approx quantiles;
+  *  - T2: etcd lease keep-alive — lease TTL 40 s, refresh every 30 s
+  *    (worker/src/service_registry/etcd.rs:118,66) → keyed state with a
+  *    40 s timeout: a service whose heartbeats stop is declared down
+  *    when the watermark passes its lease expiry;
+  *  - T4/S12: metrics pushed to a gateway every 30 s
+  *    (common/src/metrics.rs:36-52) → foreachBatch sink on a 30 s
+  *    processing-time trigger.
+  *
+  * Everything is event-time + watermark driven (the reference has no
+  * event-time notion — wall clock only — so this is the Spark-native
+  * upgrade SURVEY §2.9 calls for).
+  */
+object EventPipelines {
+
+  /** Streaming source over an events directory (same schema the batch
+    * Tables.events exposes: ns-epoch long + derived µs timestamp). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source monitors a DIRECTORY; select just the events table
+    // from the sf dir via a glob filter
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** A1/A2/T5: tumbling 1-minute request rate by event type. */
+  def requestRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("minute_start"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** A4: per-window latency quantiles (approx — streaming-mergeable
+    * sketch, the percentile_approx analog of histogram_quantile). */
+  def latencyQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("p50"), col("p95"), col("p99"))
+
+  /** Session windows per user with a 30-minute gap — the streaming form
+    * of Events.qSessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("user_id"),
+        col("n_events"))
+
+  // ---- T2: lease liveness via keyed state -------------------------------
+
+  case class Heartbeat(service: String, ts: java.sql.Timestamp)
+  case class LeaseState(lastSeen: Long)
+  case class LivenessEvent(service: String, status: String, atMs: Long)
+
+  val LeaseTtlMs: Long = 40000L // etcd.rs:118 lease_grant(40)
+
+  /** T2: flatMapGroupsWithState lease monitor. A service is UP while
+    * heartbeats arrive; when the event-time watermark passes
+    * lastSeen + 40 s with no heartbeat, the state times out and a DOWN
+    * event is emitted — exactly the etcd lease-expiry semantics. */
+  def livenessMonitor(heartbeats: Dataset[Heartbeat]): Dataset[LivenessEvent] = {
+    val spark = heartbeats.sparkSession
+    import spark.implicits._
+    heartbeats
+      .withWatermark("ts", "5 seconds")
+      .groupByKey(_.service)
+      .flatMapGroupsWithState[LeaseState, LivenessEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (service, beats, state: GroupState[LeaseState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get.lastSeen
+            state.remove()
+            Iterator(LivenessEvent(service, "down", last + LeaseTtlMs))
+          } else {
+            val latest = beats.map(_.ts.getTime).max
+            val first = !state.exists
+            val newLast = state.getOption.map(_.lastSeen.max(latest)).getOrElse(latest)
+            state.update(LeaseState(newLast))
+            state.setTimeoutTimestamp(newLast + LeaseTtlMs)
+            if (first) Iterator(LivenessEvent(service, "up", latest))
+            else Iterator.empty
+          }
+      }
+  }
+
+  /** T4/S12: 30-second metrics push — windowed counts delivered to a
+    * pluggable sink via foreachBatch (the push-gateway analog). Returns
+    * the started query; caller owns its lifecycle. */
+  def metricsPush(
+      events: DataFrame,
+      pushSink: (DataFrame, Long) => Unit,
+      checkpoint: String) = {
+    requestRate(events).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("30 seconds")) // metrics.rs:46
+      .foreachBatch(pushSink)
+      .start()
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.streaming.EventPipelines
+import graft.streaming.EventPipelines.{Heartbeat, LivenessEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming request rate matches the batch ground truth") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    runToMemory(EventPipelines.requestRate(stream), "rate_out")
+    val streamed = spark
+      .table("rate_out")
+      .select(
+        date_format($"minute_start", "yyyy-MM-dd HH:mm").as("minute"),
+        $"event_type", $"n")
+    val batch = operators.Events.qRate1m
+      .fn(spark, sf)
+      .select($"minute", $"event_type", $"n")
+    // append mode emits only watermark-closed windows: streamed must be a
+    // strict subset of batch, and anything missing must sit inside the
+    // final watermark horizon (maxTs - 10 min)
+    assert(streamed.except(batch).count() === 0, "no fabricated windows")
+    val horizon = Tables
+      .events(spark, sf)
+      .agg(date_format(
+        date_trunc("minute", max($"ts") - expr("INTERVAL 10 MINUTES")),
+        "yyyy-MM-dd HH:mm"))
+      .head().getString(0)
+    val missing = batch.except(streamed)
+    assert(
+      missing.filter($"minute" < horizon).count() === 0,
+      "only windows beyond the watermark horizon may be unemitted")
+  }
+
+  test("streaming session windows agree with batch sessionization totals") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    runToMemory(EventPipelines.sessionCounts(stream), "sess_out")
+    val streamed = spark
+      .table("sess_out")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val batch = operators.Events.qSessionize.fn(spark, sf)
+    // the final session per user may be unclosed at end-of-stream (append
+    // + watermark): totals must agree for every user whose sessions all
+    // closed, and no user may have MORE streamed than batch sessions
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), $"s.user_id" === $"b.user_id")
+    assert(
+      joined.filter($"s.n_sessions" > $"b.n_sessions").count() === 0,
+      "stream must not fabricate sessions")
+    val agree = joined
+      .filter($"s.n_sessions" === $"b.n_sessions" && $"s.n_events" === $"b.n_events")
+      .count()
+    assert(agree > 0, "at least some users fully closed and must agree")
+  }
+
+  test("latency quantile stream produces per-window sketches") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    runToMemory(EventPipelines.latencyQuantiles(stream), "quant_out")
+    val out = spark.table("quant_out")
+    assert(out.count() > 0)
+    assert(
+      out.filter($"p50" > $"p95" || $"p95" > $"p99").count() === 0,
+      "quantiles must be monotone")
+  }
+
+  test("lease liveness: silent service goes down after 40s (T2 etcd analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Heartbeat]
+    val q = EventPipelines
+      .livenessMonitor(input.toDS())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("live_out")
+      .start()
+    val t0 = 1700000000000L
+    // both services register
+    input.addData(Heartbeat("a", new Timestamp(t0)), Heartbeat("b", new Timestamp(t0)))
+    q.processAllAvailable()
+    // only 'a' keeps heartbeating; watermark advances past b's lease expiry
+    input.addData(Heartbeat("a", new Timestamp(t0 + 30000)))
+    q.processAllAvailable()
+    input.addData(Heartbeat("a", new Timestamp(t0 + 120000)))
+    q.processAllAvailable()
+    input.addData(Heartbeat("a", new Timestamp(t0 + 200000)))
+    q.processAllAvailable()
+    q.stop()
+    val events = spark.table("live_out").as[LivenessEvent].collect()
+    val ups = events.filter(_.status == "up").map(_.service).sorted
+    assert(ups.toSeq === Seq("a", "b"), s"both must register up: ${events.toSeq}")
+    val downs = events.filter(_.status == "down")
+    assert(downs.map(_.service).toSeq === Seq("b"), s"only b times out: ${events.toSeq}")
+    assert(downs.head.atMs === t0 + EventPipelines.LeaseTtlMs)
+  }
+
+  test("metrics push sink receives batches on the 30s trigger path") {
+    val received = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = EventPipelines.eventStream(spark, sf)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = EventPipelines.metricsPush(
+      stream,
+      (batch, _) => { received.addAndGet(batch.count()) },
+      ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(received.get() > 0, "push sink must observe aggregated rows")
+  }
+}
