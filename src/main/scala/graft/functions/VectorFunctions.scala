@@ -3,25 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ARRAY<FLOAT> embedding columns, built from Spark's
-  * higher-order functions (`zip_with`/`aggregate`/`transform`) — codegen'd,
-  * no UDFs, executes inside the scan stage.
+/** Vector math over ARRAY<FLOAT> embedding columns, backed by the native
+  * codegen'd [[graft.plans.FloatVectorDot]] expression (the higher-order
+  * `zip_with`/`aggregate` formulation evaluates interpreted and allocates
+  * an intermediate array per row — 10x+ slower in all-pairs joins).
   */
 object VectorFunctions {
 
   /** Dot product in double precision, index order (matches the oracle's
     * sequential accumulation). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.plans.VectorExpressions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe for zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = {

@@ -37,13 +37,16 @@ object Similarity {
   ) { (s, d) =>
     import s.implicits._
     val emb = Tables.embeddings(s, d)
+    // norms precomputed per side: the join then does ONE dot per pair
     val q = emb
       .filter($"vec_id" < 3)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        norm($"embedding").as("qn"))
     val scored = emb
-      .select($"vec_id".as("nid"), $"embedding".as("nv"))
+      .select($"vec_id".as("nid"), $"embedding".as("nv"),
+        norm($"embedding").as("nn"))
       .join(broadcast(q), $"nid" =!= $"qid")
-      .select($"qid", $"nid", cosine($"qv", $"nv").as("c"))
+      .select($"qid", $"nid", (dot($"qv", $"nv") / ($"qn" * $"nn")).as("c"))
     val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
     scored
       .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
@@ -66,10 +69,12 @@ object Similarity {
       |ORDER BY v1, v2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val a = Tables.embeddings(s, d).select($"vec_id".as("v1"), $"embedding".as("e1"))
-    val b = Tables.embeddings(s, d).select($"vec_id".as("v2"), $"embedding".as("e2"))
+    val a = Tables.embeddings(s, d).select($"vec_id".as("v1"),
+      $"embedding".as("e1"), norm($"embedding").as("n1"))
+    val b = Tables.embeddings(s, d).select($"vec_id".as("v2"),
+      $"embedding".as("e2"), norm($"embedding").as("n2"))
     a.join(b, $"v1" < $"v2")
-      .withColumn("c", cosine($"e1", $"e2"))
+      .withColumn("c", dot($"e1", $"e2") / ($"n1" * $"n2"))
       .filter($"c" > 0.45)
       .select($"v1", $"v2", round($"c", 4).as("cos_sim"))
       .orderBy($"v1", $"v2")

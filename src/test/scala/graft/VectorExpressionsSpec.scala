@@ -1,0 +1,51 @@
+package graft
+
+import graft.plans.VectorExpressions.vecDot
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot matches the higher-order-function formulation exactly") {
+    val df = Tables.embeddings(spark, sf).limit(200)
+    val hof = df.select(
+      $"vec_id",
+      aggregate(
+        zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v).as("d"))
+    val native = df.select($"vec_id", vecDot($"embedding", $"embedding").as("d"))
+    // bit-exact: both accumulate double in index order
+    assert(native.except(hof).count() === 0)
+    assert(hof.except(native).count() === 0)
+  }
+
+  test("mixed float/double array sides work (LSH hyperplane case)") {
+    val got = Seq((Array(1f, 2f, 3f), Array(0.5, 0.25, 2.0)))
+      .toDF("a", "b")
+      .select(vecDot($"a", $"b"))
+      .head()
+      .getDouble(0)
+    assert(got === 1 * 0.5 + 2 * 0.25 + 3 * 2.0)
+  }
+
+  test("null array yields null; empty arrays yield 0") {
+    val df = Seq(
+      (Some(Array(1f)), None: Option[Array[Float]]),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+      .select(vecDot($"a", $"b").as("d"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) === 0.0)
+  }
+
+  test("expression survives both codegen and interpreted paths") {
+    val df = Tables.embeddings(spark, sf).limit(10)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = df.select(vecDot($"embedding", $"embedding").as("d")).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val codegen = df.select(vecDot($"embedding", $"embedding").as("d")).collect()
+    assert(interp.map(_.getDouble(0)).toSeq === codegen.map(_.getDouble(0)).toSeq)
+  }
+}
