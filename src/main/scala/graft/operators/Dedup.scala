@@ -65,10 +65,18 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
+    // per-doc distinct via array_distinct BEFORE exploding (the shingle
+    // set is per-document — no cross-doc distinct shuffle needed); the
+    // words array is staged as a column so split() runs once per row,
+    // and the postings list is explicitly hash-partitioned on the
+    // shingle so BOTH self-join sides and the doc-count branch reuse
+    // ONE exchange (ReusedExchange) instead of re-exploding per branch
     val ds = Tables
       .documents(s, d)
-      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
-      .distinct()
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition(col("s"))
     val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = ds
       .as("a")
@@ -127,8 +135,9 @@ object Dedup {
     import s.implicits._
     val ds = Tables
       .documents(s, d)
-      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
-      .distinct()
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("s"))
     val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
     val sigCols =
       MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
@@ -183,8 +192,9 @@ object Dedup {
     import s.implicits._
     val ds = Tables
       .documents(s, d)
-      .select($"doc_id", explode(shingles(words($"text"), 3)).as("s"))
-      .distinct()
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("s"))
     val hashed = ds.select($"doc_id", stableHash60($"s").as("h"))
     val simhash = (0 until 16)
       .map { j =>

@@ -186,6 +186,29 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** A4 via the custom [[graft.plans.HistogramAgg]] typed imperative
+    * aggregate — must produce exactly the rows of the plain GROUP BY
+    * histogram (the oracle), proving the sketch's update/merge/eval
+    * path under real partitioned execution. */
+  val qHistogramSketch = QueryDef.sql(
+    "q_events_histogram_sketch",
+    """SELECT event_type,
+      |       CAST(floor(value / 50) AS INT) AS bucket,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy($"event_type")
+      .agg(graft.plans.HistogramAgg.histogramAgg($"value", 50.0).as("hist"))
+      .select($"event_type", explode($"hist").as(Seq("bucket", "n")))
+      .orderBy($"event_type", $"bucket")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv)
+    Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
+      qHistogramSketch)
 }

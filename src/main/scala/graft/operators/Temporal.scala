@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in for — as-of join and
+  * range join — composed from windows and range predicates (SURVEY §2.3
+  * "ABSENT" list; preference order (a): compose existing ops).
+  *
+  * Scale design: the as-of join is the union+window formulation — both
+  * inputs shuffle ONCE on the join key and a single ordered window pass
+  * resolves every probe row, instead of a per-row backward scan. This is
+  * the standard distributed as-of pattern (a sort-merge within key
+  * partitions); at 100 TB it is one exchange of each side, same as any
+  * equi-join. The range join stays an equi-join on the key with the time
+  * band as a post-join predicate, so Catalyst still plans a hash join —
+  * never a cartesian product.
+  */
+object Temporal {
+
+  /** As-of join: for each purchase, the most recent strictly-earlier
+    * click by the same user. Spark: union both streams, one window pass;
+    * oracle: DuckDB's native ASOF JOIN. */
+  val qAsofJoin = QueryDef.sql(
+    "q_asof_join",
+    """SELECT p.event_id,
+      |       p.user_id,
+      |       c.event_id AS prior_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d).filter($"event_type".isin("purchase", "click"))
+    // clicks sort before purchases at identical ts (ts are ns-unique in
+    // this data, but keep the tag in the order for determinism)
+    // compare at µs like the oracle (DuckDB truncates TIMESTAMP_NS to µs)
+    val tagged = ev.select(
+      $"event_id",
+      $"user_id",
+      expr("ts_ns div 1000").as("ts_us"),
+      when($"event_type" === "click", $"event_id").as("click_id"),
+      ($"event_type" === "purchase").cast("int").as("is_purchase"))
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_us", $"is_purchase")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("prior_click", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"is_purchase" === 1)
+      .select($"event_id", $"user_id", $"prior_click")
+      .orderBy($"event_id")
+  }
+
+  /** Range join: events by the same user inside (t, t+5min] after each
+    * purchase — equi-join on user_id with a time-band predicate. */
+  val qRangeJoin = QueryDef.sql(
+    "q_range_join",
+    """SELECT p.event_id,
+      |       count(e.event_id) AS n_follow
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND epoch_us(e.ts) > epoch_us(p.ts)
+      | AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        expr("ts_ns div 1000").as("p_ts"))
+    val follows = ev.select($"event_id".as("e_id"), $"user_id".as("e_user"),
+      expr("ts_ns div 1000").as("e_ts"))
+    purchases
+      .join(
+        follows,
+        $"p_user" === $"e_user" && $"e_ts" > $"p_ts" &&
+          $"e_ts" <= $"p_ts" + 300000000L,
+        "left")
+      .groupBy($"p_id")
+      .agg(count($"e_id").as("n_follow"))
+      .select($"p_id".as("event_id"), $"n_follow")
+      .orderBy($"event_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin)
+}

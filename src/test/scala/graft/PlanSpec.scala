@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan guardrails: the properties that make these queries
+  * viable at 100 TB — pushdown, pruning, broadcast choice, top-k
+  * plans — asserted on the actual executed plans so a refactor cannot
+  * silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q6: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan(q("q6_selective_filter"))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    // non-empty PushedFilters (the node string truncates the full list)
+    assert(scanLine.contains("PushedFilters: [IsNotNull"), scanLine)
+    // column pruning: the scan's projected column list is the first
+    // bracket — only the 4 referenced columns may appear
+    assert(
+      !scanLine.contains("l_orderkey") && !scanLine.contains("l_tax") &&
+        !scanLine.contains("l_returnflag"),
+      s"scan must prune unused columns: $scanLine")
+    assert(scanLine.contains("l_shipdate") && scanLine.contains("l_discount"))
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val p = plan(q("q5_star_join"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"supplier/nation/region must broadcast, got $broadcasts:\n$p")
+  }
+
+  test("q3: small filtered dimension is broadcast, not shuffled") {
+    val p = plan(q("q3_join_topk"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregation is partial (map-side combine before the exchange)") {
+    val p = plan(q("q1_agg"))
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expect partial+final HashAggregate, got $aggs")
+  }
+
+  test("top-k sorts plan as TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("q_sort_limit"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("similarity scoring stays inside whole-stage codegen") {
+    // in the adaptive final-plan string codegen spans print as `*(n)`;
+    // the projection computing the native dot product must carry one
+    val p = plan(q("q_cosine_knn"))
+    val dotLine = p.linesIterator.find(_.contains("floatvectordot"))
+    assert(dotLine.isDefined, s"native dot expected in plan:\n$p")
+    assert(dotLine.get.trim.contains("*("), s"dot projection not codegen'd: ${dotLine.get}")
+  }
+
+  test("shingle dedup has no distinct exchange before the postings join") {
+    // array_distinct replaced the (doc_id, shingle) distinct shuffle;
+    // the only exchanges should be for the join/groupBys themselves
+    val p = plan(q("q_dedup_simhash"))
+    // the old shape was HashAggregate(keys=[doc_id, s]) — a full
+    // (doc_id, shingle) distinct; only the keys=[doc_id] signature
+    // aggregation should remain
+    assert(
+      !("HashAggregate\\(keys=\\[doc_id#\\d+L?, s#".r.findFirstIn(p).isDefined),
+      "distinct on (doc_id, shingle) must not reappear")
+  }
+}
