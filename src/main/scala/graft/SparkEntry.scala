@@ -12,7 +12,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.TextOps.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Multimodal.defs ++ operators.FsQueries.defs ++
-      operators.Events.defs ++ operators.Temporal.defs
+      operators.Events.defs ++ operators.Temporal.defs ++
+      operators.Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
