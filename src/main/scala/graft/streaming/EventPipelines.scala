@@ -116,6 +116,28 @@ object EventPipelines {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding 5 minutes. Both sides are
+    * watermarked so Spark can bound the join state — the streaming form
+    * of Temporal.qRangeJoin. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+  }
+
   /** T4/S12: 30-second metrics push — windowed counts delivered to a
     * pluggable sink via foreachBatch (the push-gateway analog). Returns
     * the started query; caller owns its lifecycle. */

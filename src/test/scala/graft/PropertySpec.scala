@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.KvStore
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5) using ScalaCheck generators with
+  * a fixed seed (the scalatest-scalacheck bridge isn't on the offline
+  * classpath, so cases are sampled explicitly): put∘get identity over
+  * arbitrary byte arrays, bucket-placement stability, pagination∘concat =
+  * full listing. Spark jobs per case are expensive → few, larger cases.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("hashOf is stable, non-negative, and spreads keys (200 cases)") {
+    samples(Gen.alphaNumStr, 200).foreach { s =>
+      val h1 = KvStore.hashOf(s)
+      assert(h1 === KvStore.hashOf(s))
+      assert(h1 >= 0)
+    }
+    val buckets = (0 until 1000).map(i => math.floorMod(KvStore.hashOf(s"k$i"), 64L))
+    assert(buckets.distinct.length > 32, "1000 keys must hit most of 64 buckets")
+  }
+
+  test("put then get is identity for arbitrary byte payloads") {
+    val store = new KvStore(
+      spark, java.nio.file.Files.createTempDirectory("kvprop").toString, 16)
+    val payloadGen = Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    val cases = samples(payloadGen, 8).zipWithIndex
+    store.put(cases.map { case (p, i) => (s"key$i", p) }.toDF("key", "value"))
+    cases.foreach { case (p, i) =>
+      assert(store.get(s"key$i").get.toSeq === p.toSeq, s"payload $i mismatch")
+    }
+  }
+
+  test("readdir pagination concatenates to the full listing for any page size") {
+    var cat = graft.meta.InodeCatalog.empty(spark)
+    val names = samples(Gen.identifier.suchThat(_.nonEmpty), 12).distinct.take(9)
+    names.foreach(n => cat = cat.create(1, n, "file"))
+    cat = cat.checkpointed()
+    val full = cat.readdir(1).select($"name").as[String].collect().toSeq
+    assert(full === names.sorted)
+    Seq(1, 2, 4, 7).foreach { pageSize =>
+      val paged = (0 until names.length by pageSize).flatMap(off =>
+        cat.readdir(1, off, pageSize).select($"name").as[String].collect())
+      assert(paged === full, s"pageSize=$pageSize must tile the listing")
+    }
+  }
+}

@@ -106,6 +106,28 @@ class StreamingSpec extends SparkSpec {
     assert(downs.head.atMs === t0 + EventPipelines.LeaseTtlMs)
   }
 
+  test("stream-stream interval join matches the batch range-join semantics") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    runToMemory(EventPipelines.purchaseClickJoin(stream), "ssj_out")
+    val streamed = spark
+      .table("ssj_out")
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    // batch ground truth with identical semantics
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("pu"), $"ts".as("pt"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("ct"))
+    val batch = p
+      .join(c, $"pu" === $"cu" && $"ct" < $"pt" &&
+        $"ct" >= $"pt" - expr("INTERVAL 5 MINUTES"))
+      .groupBy($"p_id")
+      .agg(count(lit(1)).as("n_clicks"))
+    assert(streamed.except(batch).count() === 0, "no fabricated matches")
+    assert(batch.except(streamed).count() === 0, "no dropped matches")
+  }
+
   test("metrics push sink receives batches on the 30s trigger path") {
     val received = new java.util.concurrent.atomic.AtomicLong(0)
     val stream = EventPipelines.eventStream(spark, sf)
