@@ -150,5 +150,53 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  def defs: Seq[QueryDef] = Seq(qCosineKnn, qEmbedNearDup, qAnnLsh)
+  /** ANN via IVF (inverted-file) coarse quantization: the first
+    * `nCentroids` corpus vectors act as deterministic centroids (a
+    * k-means-free quantizer — replay-stable, no training job); every
+    * vector is assigned to its nearest centroid cell, queries probe the
+    * `nProbe` nearest cells and rank candidates by true cosine. At scale
+    * the cell id becomes the table's partition/bucket key, so a query
+    * touches nProbe/nCentroids of the corpus. Rows-only gate; recall vs
+    * brute force asserted in SimilaritySpec.
+    */
+  val qAnnIvf = QueryDef.rowsOnly("q_ann_ivf") { (s, d) =>
+    import s.implicits._
+    val nCentroids = 16
+    val nProbe = 4
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .filter($"vec_id" < nCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+    // assign every vector to its nearest centroid (cell)
+    val scoredCells = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .join(broadcast(centroids), $"vn" * $"cn" =!= 0.0)
+      .select($"vec_id", $"embedding", $"vn", $"cid",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    val assigned = scoredCells
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"vn", $"cid")
+    // queries probe their nProbe nearest cells
+    val probes = scoredCells
+      .filter($"vec_id" < 3)
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= nProbe)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"vn".as("qn"),
+        $"cid".as("probe_cid"))
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    assigned
+      .join(broadcast(probes), $"cid" === $"probe_cid" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (dot($"qv", $"embedding") / ($"qn" * $"vn")).as("c"))
+      .distinct()
+      .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
+        row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 10)
+      .orderBy($"qid", $"rnk")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qCosineKnn, qEmbedNearDup, qAnnLsh, qAnnIvf)
 }

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration for graft's custom Catalyst
+  * pieces, so SQL users get them as first-class functions:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT vec_dot(a, b) FROM t")
+  * spark.sql("SELECT type, hist_buckets(value, 50.0) FROM t GROUP BY type")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", null, name, null, "", "", "", "", "", "", "built-in"),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args =>
+      require(args.length == 2, "vec_dot expects 2 arguments")
+      FloatVectorDot(args(0), args(1))
+    },
+    "hist_buckets" -> { args =>
+      require(args.length == 2, "hist_buckets expects 2 arguments")
+      val width = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(w, _) =>
+          w.toString.toDouble
+        case other =>
+          throw new IllegalArgumentException(
+            s"hist_buckets width must be a literal, got $other")
+      }
+      HistogramAgg(args(0), width).toAggregateExpression()
+    })
+
+  /** Register on an already-built session (withExtensions only applies
+    * at build time; getOrCreate silently reuses existing sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -34,6 +34,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN recall@10 vs brute force is useful (>= 0.4)") {
+    val brute = Similarity.qCosineKnn
+      .fn(spark, sf)
+      .select($"qid", $"nid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val ivf = Similarity.qAnnIvf
+      .fn(spark, sf)
+      .select($"qid", $"nid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@10 = $recall (|brute|=${brute.size}, |ivf|=${ivf.size})")
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("SQL extension functions work end-to-end (vec_dot, hist_buckets)") {
+    graft.plans.GraftExtensions.register(spark)
+    val dotv = spark
+      .sql("SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dotv === 11.0)
+    val hist = spark
+      .sql("""SELECT hist_buckets(v, 10.0) AS h FROM VALUES (5.0), (15.0), (17.0) AS t(v)""")
+      .head().getMap[Int, Long](0)
+    assert(hist === Map(0 -> 1L, 1 -> 2L))
+  }
+
   test("LSH candidates are a strict subset of all pairs (no fabrication)") {
     val lsh = Similarity.qAnnLsh.fn(spark, sf)
     assert(lsh.filter($"qid" === $"nid").count() === 0)
