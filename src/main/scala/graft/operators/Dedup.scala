@@ -196,16 +196,11 @@ object Dedup {
       .select($"doc_id",
         explode(array_distinct(shingles($"w", 3))).as("s"))
     val hashed = ds.select($"doc_id", stableHash60($"s").as("h"))
-    val simhash = (0 until 16)
-      .map { j =>
-        val bitSum = sum(
-          when(expr(s"(h div ${1L << j}) % 2") === 1, 1).otherwise(-1))
-        when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    // one custom aggregate instead of 16 sum(CASE...) trees — same
+    // result (the oracle still computes the expanded form)
     hashed
       .groupBy($"doc_id")
-      .agg(simhash.as("simhash"))
+      .agg(graft.plans.SimhashAgg.simhashAgg($"h", 16).as("simhash"))
       .orderBy($"doc_id")
   }
 
