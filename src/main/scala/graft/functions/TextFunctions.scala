@@ -41,7 +41,9 @@ object TextFunctions {
 
   /** Stable 60-bit hash of a string via md5 — identical in Spark
     * (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
-    * (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`).
+    * (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`). Backed by the
+    * native [[graft.plans.StableHash60]] expression (bytes→long, no
+    * hex-string roundtrip; codegen'd).
     *
     * Replaces the reference's `DefaultHasher` short_hash
     * (/root/reference/common/src/kv_store/mod.rs:26-30), which is
@@ -49,7 +51,7 @@ object TextFunctions {
     * per SURVEY §2.8 F1.
     */
   def stableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.plans.StableHash60.stableHash60(c)
 
   /** stableHash60 reduced into the MinHash field. */
   def minhashBase(c: Column): Column = stableHash60(c) % MinhashP

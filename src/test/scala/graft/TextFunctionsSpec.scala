@@ -13,6 +13,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === 648541476951500027L)
   }
 
+  test("native stableHash60 equals the composable conv(md5) form on real data") {
+    val composable =
+      conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+    val diff = graft.Tables
+      .documents(spark, sf)
+      .select(stableHash60($"text").as("a"), composable.as("b"))
+      .filter($"a" =!= $"b")
+      .count()
+    assert(diff === 0)
+  }
+
   test("minhashBase stays within [0, P)") {
     val vals = Seq("a", "b", "c", "longer string here")
       .toDF("s")
