@@ -134,6 +134,32 @@ object Subqueries {
       .orderBy($"key")
   }
 
+  /** TPC-H Q17-style correlated aggregate: lineitems below 20% of their
+    * part's average quantity (decorrelated as a join against the
+    * per-part average — the standard rewrite, one shuffle per side). */
+  val qCorrelatedAgg = QueryDef.sql(
+    "q_correlated_agg",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val avgPerPart = li
+      .groupBy($"l_partkey".as("pk"))
+      .agg((avg($"l_quantity") * 0.2).as("qty_cap"))
+    li.join(
+        broadcast(Tables.part(s, d).filter($"p_brand" === "Brand#23")),
+        $"p_partkey" === $"l_partkey")
+      .join(avgPerPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"qty_cap")
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qInSubquery, qNotInSubquery, qNullSemantics, qStructCols)
+    Seq(qInSubquery, qNotInSubquery, qNullSemantics, qStructCols,
+      qCorrelatedAgg)
 }

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * a loop). We implement the correct semantics: a multi-chunk put
   * reassembles all chunks (see [[putChunked]]).
   */
-class KvStore(spark: SparkSession, root: String, numBuckets: Int = 1024) {
+class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   import spark.implicits._
 
   private def withBucket(df: DataFrame): DataFrame =
@@ -89,6 +89,33 @@ class KvStore(spark: SparkSession, root: String, numBuckets: Int = 1024) {
       .collect()
       .headOption
       .map(_.getAs[Array[Byte]](0))
+  }
+
+  /** Compaction: rewrite the store keeping only the latest version of
+    * each key — the table-retention policy standing in for the
+    * reference README's aspirational eviction (README.md:9-12 promises
+    * "lock-free eviction"; no such code exists in the reference — see
+    * SURVEY §0). Old put versions are dropped; the bucketed layout is
+    * preserved. Write-temp-then-swap keeps readers consistent. */
+  def compact(): Unit = {
+    val tmp = root + ".compacting"
+    read()
+      .withColumn("put_seq", lit(System.nanoTime()))
+      .select($"key", $"value", $"put_seq", $"bucket")
+      .write
+      .partitionBy("bucket")
+      .mode("overwrite")
+      .parquet(tmp)
+    val rootDir = new java.io.File(root)
+    val old = new java.io.File(root + ".old")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete()
+    }
+    if (old.exists()) rmrf(old)
+    rootDir.renameTo(old)
+    new java.io.File(tmp).renameTo(rootDir)
+    rmrf(old)
   }
 
   /** S11: prefix scan (the etcd `get("services/", prefix)` analog,

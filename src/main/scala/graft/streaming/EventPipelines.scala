@@ -116,6 +116,15 @@ object EventPipelines {
       }
   }
 
+  /** Streaming exact deduplication: drop repeated (user_id, event_type,
+    * value) observations, keeping state only within the watermark window
+    * (dropDuplicatesWithinWatermark bounds state growth — the streaming
+    * form of the exact-dedup batch operator). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks from the preceding 5 minutes. Both sides are
     * watermarked so Spark can bound the join state — the streaming form

@@ -52,6 +52,20 @@ class KvStoreSpec extends SparkSpec {
     assert(new String(store.get("big").get) === "AAABBBCCC")
   }
 
+  test("compaction drops superseded versions but keeps latest values") {
+    val store = freshStore()
+    store.put(Seq(("a", "v1".getBytes), ("b", "b1".getBytes)).toDF("key", "value"))
+    store.put(Seq(("a", "v2".getBytes)).toDF("key", "value"))
+    store.put(Seq(("a", "v3".getBytes)).toDF("key", "value"))
+    val rawBefore = spark.read.parquet(store.root).count()
+    assert(rawBefore === 4, "3 versions of a + 1 of b before compaction")
+    store.compact()
+    val rawAfter = spark.read.parquet(store.root).count()
+    assert(rawAfter === 2, "one row per live key after compaction")
+    assert(new String(store.get("a").get) === "v3")
+    assert(new String(store.get("b").get) === "b1")
+  }
+
   test("prefix scan strips the prefix like the etcd registry") {
     val store = freshStore()
     store.put(Seq(

@@ -106,6 +106,22 @@ class StreamingSpec extends SparkSpec {
     assert(downs.head.atMs === t0 + EventPipelines.LeaseTtlMs)
   }
 
+  test("streaming dedup drops exact repeats and matches batch dropDuplicates") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    runToMemory(EventPipelines.dedupedEvents(stream), "dedup_out")
+    val streamed = spark.table("dedup_out")
+    val batch = Tables
+      .events(spark, sf)
+      .dropDuplicates("user_id", "event_type", "value")
+    // same watermark window covers the whole (single-batch) file read,
+    // so streamed dedup must equal batch dedup in count
+    assert(streamed.count() === batch.count())
+    assert(
+      streamed.groupBy($"user_id", $"event_type", $"value").count()
+        .filter($"count" > 1).count() === 0,
+      "no duplicates may survive")
+  }
+
   test("stream-stream interval join matches the batch range-join semantics") {
     val stream = EventPipelines.eventStream(spark, sf)
     runToMemory(EventPipelines.purchaseClickJoin(stream), "ssj_out")
