@@ -17,13 +17,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       e.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", null, name, null, "", "", "", "", "", "", "built-in"),
           builder))
     }
+    e.injectOptimizerRule(_ => HashRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -46,9 +48,13 @@ object GraftExtensions {
 
   /** Register on an already-built session (withExtensions only applies
     * at build time; getOrCreate silently reuses existing sessions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(HashRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HashRewriteRule
+  }
 }

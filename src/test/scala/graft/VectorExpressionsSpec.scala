@@ -40,6 +40,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(1).getDouble(0) === 0.0)
   }
 
+  test("HashRewriteRule rewrites the composable md5 idiom to the native hash") {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_hrr")
+    val df = spark.sql(
+      "SELECT doc_id, CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS h FROM docs_hrr")
+    assert(
+      df.queryExecution.optimizedPlan.toString.toLowerCase.contains("stablehash60"),
+      df.queryExecution.optimizedPlan.toString)
+    val native = Tables
+      .documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.stableHash60($"text").as("h"))
+    assert(df.except(native).count() === 0)
+    assert(native.except(df).count() === 0)
+  }
+
   test("expression survives both codegen and interpreted paths") {
     val df = Tables.embeddings(spark, sf).limit(10)
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
