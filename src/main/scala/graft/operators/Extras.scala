@@ -117,6 +117,60 @@ object Extras {
       .limit(50)
   }
 
+  /** Pivot (wide conditional aggregation): order counts per month x
+    * status. Spark's groupBy().pivot() with explicit values; the oracle
+    * uses conditional aggregation (identical semantics, stable columns). */
+  val qPivot = QueryDef.sql(
+    "q_pivot",
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+      |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+      |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+      |FROM orders
+      |GROUP BY y
+      |ORDER BY y""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupBy(year($"o_orderdate").as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"y",
+        coalesce($"F", lit(0L)).as("st_f"),
+        coalesce($"O", lit(0L)).as("st_o"),
+        coalesce($"P", lit(0L)).as("st_p"))
+      .orderBy($"y")
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist
+    * over customers by balance within segment. */
+  val qWindowNtile = QueryDef.sql(
+    "q_window_ntile",
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(ntile(4) OVER w AS INT)           AS quartile,
+      |       round(percent_rank() OVER w, 6)        AS pct_rank,
+      |       round(cume_dist() OVER w, 6)           AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    Tables
+      .customer(s, d)
+      .select(
+        $"c_custkey",
+        $"c_mktsegment",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram)
+    Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
+      qPivot, qWindowNtile)
 }
