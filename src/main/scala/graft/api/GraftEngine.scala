@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.meta.InodeCatalog
+import graft.sources.KvStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The user-facing engine facade — what a user of the reference would
+  * switch to. One object exposes fairy's three surfaces (SURVEY §3):
+  *
+  *  - the KV data plane (`get`/`put`/`putChunked`/`scanPrefix`/`compact`,
+  *    mirroring GET /get/{id} and PUT /put/{id},
+  *    /root/reference/common/src/h2/h2_service.rs:57-123);
+  *  - the POSIX metadata plane (`fs`: lookup/readdir/rename/xattr…,
+  *    mirroring the FUSE impls under /root/reference/fuse/src/);
+  *  - the analytics plane (`query`/`sql`: the declared operator registry
+  *    plus free-form SQL with graft's functions and optimizer rule
+  *    registered).
+  *
+  * The reference's etcd service registry (worker/src/service_registry/
+  * etcd.rs) has no analog here by design: Spark's cluster manager owns
+  * membership (SURVEY §1.1 "Service list").
+  */
+class GraftEngine(
+    val spark: SparkSession,
+    storeRoot: String,
+    numBuckets: Int = 1024) {
+
+  graft.plans.GraftExtensions.register(spark)
+
+  /** Hash-bucketed KV object store (the data plane). */
+  val kv: KvStore = new KvStore(spark, storeRoot, numBuckets)
+
+  /** Mutable handle on the metadata catalog (the FUSE-semantics plane).
+    * Ops are snapshot-in/snapshot-out; this handle just tracks the
+    * latest snapshot the way the reference's worker owns its inode maps. */
+  @volatile private var catalog: InodeCatalog = InodeCatalog.empty(spark)
+  def fs: InodeCatalog = catalog
+  def updateFs(f: InodeCatalog => InodeCatalog): InodeCatalog = {
+    catalog = f(catalog)
+    catalog
+  }
+
+  /** Run a declared operator from the registry against a data dir. */
+  def query(name: String, sfDir: String): DataFrame =
+    graft.SparkEntry.queries
+      .getOrElse(name, sys.error(s"unknown query '$name'; known: ${
+          graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      .apply(spark, sfDir)
+
+  /** Free-form SQL with graft functions (vec_dot, hist_buckets) and the
+    * hash-rewrite optimizer rule active. */
+  def sql(text: String): DataFrame = spark.sql(text)
+}
