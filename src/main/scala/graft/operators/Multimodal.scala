@@ -100,5 +100,105 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qBinaryRoundtrip, qMediaFeatures)
+  /** Frame sampling: treat the payload as fixed 32-byte frames, keep
+    * every 3rd frame, digest the sampled stream. The documents are
+    * ASCII, so byte frames == char frames and DuckDB can replicate the
+    * exact sampling with substr arithmetic — the frame-selection
+    * plumbing (offsets, stride, tail handling) is oracle-checked. */
+  val qFrameSample = QueryDef.sql(
+    "q_media_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |         (n_chars + 31) // 32 AS n_frames,
+      |         list_aggregate(
+      |           [substr(text, CAST(i * 32 + 1 AS INT), 32)
+      |            for i in range(0, CAST((n_chars + 31) // 32 AS INT))
+      |            if i % 3 = 0],
+      |           'string_agg', '') AS sampled
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n_frames AS INT)                          AS n_frames,
+      |       CAST((n_frames + 2) // 3 AS INT)               AS n_sampled,
+      |       md5(sampled)                                   AS sample_digest
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val nFrames = ceil(length($"text") / lit(32.0)).cast("int")
+    Tables
+      .documents(s, d)
+      .withColumn("n_frames", nFrames)
+      .withColumn(
+        "sampled",
+        array_join(
+          transform(
+            filter(sequence(lit(0), $"n_frames" - 1), i => i % 3 === 0),
+            i => $"text".substr(i * 32 + 1, lit(32))),
+          ""))
+      .select($"doc_id", $"n_frames",
+        (($"n_frames" + 2) / 3).cast("int").as("n_sampled"),
+        md5($"sampled").as("sample_digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** Typed media metadata: binary payload + a metadata struct (format,
+    * byte count, frame count), filtered and projected by nested field —
+    * the "opaque binary with typed metadata" column pattern. */
+  val qMediaMeta = QueryDef.sql(
+    "q_media_meta",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         struct_pack(
+      |           format := CASE doc_id % 3 WHEN 0 THEN 'png'
+      |                     WHEN 1 THEN 'wav' ELSE 'mp4' END,
+      |           n_bytes := n_chars,
+      |           n_frames := (n_chars + 31) // 32) AS meta
+      |  FROM documents)
+      |SELECT doc_id, m.meta.format AS format,
+      |       CAST(m.meta.n_bytes AS BIGINT)  AS n_bytes,
+      |       CAST(m.meta.n_frames AS BIGINT) AS n_frames
+      |FROM m
+      |WHERE m.meta.format <> 'mp4' AND m.meta.n_frames > 10
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        struct(
+          when($"doc_id" % 3 === 0, "png")
+            .when($"doc_id" % 3 === 1, "wav")
+            .otherwise("mp4").as("format"),
+          $"n_chars".as("n_bytes"),
+          floor(($"n_chars" + 31) / 32).cast("long").as("n_frames"))
+          .as("meta"))
+      .filter($"meta.format" =!= "mp4" && $"meta.n_frames" > 10)
+      .select($"doc_id", $"meta.format".as("format"),
+        $"meta.n_bytes".as("n_bytes"), $"meta.n_frames".as("n_frames"))
+      .orderBy($"doc_id")
+  }
+
+  /** Resize stub: partition-local "downsample" keeping every 4th byte —
+    * the mapPartitions plumbing for a real resize kernel (schema in/out,
+    * byte budget shrink), decoder stubbed per the container limits. */
+  val qMediaResize = QueryDef.rowsOnly("q_media_resize") { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val resized = bytes.grouped(4).map(_.head).toArray // stub kernel
+          (id, bytes.length, resized.length, resized)
+        }
+      }
+      .toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qBinaryRoundtrip, qMediaFeatures, qFrameSample, qMediaMeta,
+      qMediaResize)
 }
