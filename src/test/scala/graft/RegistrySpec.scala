@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry invariants — no Spark session needed. A duplicate query name
+  * would silently overwrite its twin in the `queries` Map and the driver
+  * would verify one of them twice; fail loudly instead.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("query names are unique") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
+  test("every oracle entry corresponds to a declared query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("oracle SQL only references the driver's tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // crude but effective: every FROM/JOIN target must be a known table,
+    // a CTE defined in the same query, or a parenthesized subquery
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val ctes = "(?i)(?:WITH|,)\\s*(\\w+)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // lookbehind excludes `IS NOT DISTINCT FROM x` (not a table ref)
+      val refs = "(?i)(?<!distinct )(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- tables -- ctes
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  test("declared queries and oracles stay in sync with the coverage counts") {
+    assert(SparkEntry.queries.size === SparkEntry.allDefs.size)
+    info(s"${SparkEntry.queries.size} queries, ${SparkEntry.oracleSql.size} oracle-gated")
+  }
+}
