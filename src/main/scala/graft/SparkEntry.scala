@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Multimodal.defs ++ operators.FsQueries.defs ++
       operators.Events.defs ++ operators.Temporal.defs ++
-      operators.Extras.defs ++ operators.Subqueries.defs
+      operators.Extras.defs ++ operators.Subqueries.defs ++
+      operators.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed LLM-data-pipeline: what a training-data job actually runs
+  * over 100 TB of raw documents — quality gate → exact-dup removal →
+  * near-dup clustering → canonical document selection — as ONE dataflow,
+  * oracle-checked end-to-end (each stage is individually gated elsewhere;
+  * this guards the composition).
+  *
+  * Scale shape: stages 1-2 are narrow or single-shuffle; near-dup
+  * clustering reuses the inverted-index join from Dedup (bounded by the
+  * postings lists); canonical selection is a window over candidate
+  * clusters only — documents that never collide take the narrow path.
+  */
+object Pipeline {
+
+  val qCleanCorpus = QueryDef.sql(
+    "q_pipeline_clean_corpus",
+    """WITH quality AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |         string_split_regex(trim(text), ' +') AS w
+      |  FROM documents
+      |  WHERE n_chars >= 100
+      |    AND len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
+      |        / len(string_split_regex(trim(text), ' +')) > 0.3),
+      |exact AS (
+      |  -- exact-dup removal: keep min doc_id per content hash
+      |  SELECT * FROM quality
+      |  WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+      |ds AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM exact WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |neardups AS (
+      |  -- near-dup edges at jaccard >= 0.8; loser = the larger doc_id
+      |  SELECT DISTINCT d2 AS loser
+      |  FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8)
+      |SELECT e.doc_id, e.lang, CAST(e.n_chars AS BIGINT) AS n_chars
+      |FROM exact e LEFT JOIN neardups nd ON e.doc_id = nd.loser
+      |WHERE nd.loser IS NULL
+      |ORDER BY e.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // stage 1: quality gate (narrow)
+    val w = words($"text")
+    val quality = docs
+      .withColumn("w", w)
+      .filter($"n_chars" >= 100 &&
+        size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
+    // stage 2: exact-dup removal — min doc per content hash
+    val keepers = quality
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"))
+      .select($"keep_id")
+    val exact = quality.join(keepers, $"doc_id" === $"keep_id", "left_semi")
+    // stage 3: near-dup edges via the inverted shingle index
+    val ds = exact
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition(col("s"))
+    val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val losers = ds
+      .as("a")
+      .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.as("ca"), $"d1" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"d2" === $"cb.doc_id")
+      .filter($"common" * lit(1.0) / ($"ca.n" + $"cb.n" - $"common") >= 0.8)
+      .select($"d2".as("loser"))
+      .distinct()
+    // stage 4: canonical selection — drop near-dup losers
+    exact
+      .join(losers, $"doc_id" === $"loser", "left_anti")
+      .select($"doc_id", $"lang", $"n_chars".cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qCleanCorpus)
+}

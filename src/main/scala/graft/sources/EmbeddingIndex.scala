@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.functions.VectorFunctions.{dot, norm}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF embedding index — ANN as a stored artifact, not a
+  * query. The corpus is assigned once to coarse cells (deterministic
+  * centroids: the first `nCells` vectors — replay-stable, no training
+  * job) and written partitioned by cell id with unit-normalized vectors.
+  *
+  * Search ranks centroids DRIVER-side (nCells is tiny), then reads only
+  * the `nProbe` matching cell partitions — partition pruning does the
+  * fan-out reduction, exactly like the KV store's bucket pruning. Scoring
+  * is one codegen'd dot per candidate (vectors pre-normalized at build).
+  *
+  * At 100 TB: the build is one pass + one shuffle on cell id; each cell
+  * partition is independently splittable; search I/O is nProbe/nCells of
+  * the index.
+  */
+class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
+  import spark.implicits._
+
+  /** One-pass index build from an (vec_id, embedding) DataFrame. */
+  def build(embeddings: DataFrame): Unit = {
+    val centroids = broadcast(
+      embeddings
+        .orderBy($"vec_id")
+        .limit(nCells)
+        .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"),
+          norm($"embedding").as("cn")))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
+    embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .join(centroids, lit(true))
+      .select($"vec_id", $"embedding", $"vn", $"cell",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      // store unit vectors so search is one dot per candidate
+      .select(
+        $"vec_id",
+        transform($"embedding", x => x / $"vn").as("unit_vec"),
+        $"cell")
+      .write
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  private lazy val centroidRows: Array[(Int, Array[Double])] = {
+    val idx = spark.read.parquet(indexDir)
+    idx
+      .orderBy($"vec_id")
+      .limit(nCells)
+      .select($"cell", $"unit_vec")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Top-k cosine search probing the `nProbe` nearest cells only. */
+  def search(query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    require(qNorm > 0, "zero query vector")
+    val qUnit = query.map(_ / qNorm)
+    // driver-side centroid ranking (nCells entries — trivially small)
+    val probes = centroidRows
+      .map { case (cell, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        (cell, cv.zip(qUnit).map { case (a, b) => a * b }.sum / cn)
+      }
+      .sortBy { case (cell, cs) => (-cs, cell) }
+      .take(nProbe)
+      .map(_._1)
+    val qCol = array(qUnit.map(v => lit(v)): _*)
+    spark.read
+      .parquet(indexDir)
+      .filter($"cell".isin(probes.toIndexedSeq: _*)) // partition pruning
+      .select($"vec_id", dot($"unit_vec", qCol).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+}
