@@ -529,9 +529,67 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** TPC-H Q2-style min-cost selection: the supplier(s) achieving the
+    * minimum account balance per nation — scalar-min decorrelated as a
+    * groupBy + equality join-back. */
+  val qMinCost = QueryDef.sql(
+    "q_min_cost_supplier",
+    """SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+      |FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN (SELECT s_nationkey AS nk, min(s_acctbal) AS min_bal
+      |        FROM supplier GROUP BY s_nationkey)
+      |    ON s_nationkey = nk AND s_acctbal = min_bal
+      |ORDER BY n_name, s_suppkey""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val supp = Tables.supplier(s, d)
+    val minPerNation = supp
+      .groupBy($"s_nationkey".as("nk"))
+      .agg(min($"s_acctbal").as("min_bal"))
+    supp
+      .join(minPerNation, $"s_nationkey" === $"nk" && $"s_acctbal" === $"min_bal")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name", $"s_suppkey", $"s_name", round($"s_acctbal", 2).as("acctbal"))
+      .orderBy($"n_name", $"s_suppkey")
+  }
+
+  /** Windowed top-k per group: the 2 busiest users in each hour —
+    * aggregation feeding a ranking window feeding a filter. */
+  val qTopkPerWindow = QueryDef.sql(
+    "q_topk_per_hour",
+    """WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |         user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT hour, user_id, n,
+      |         CAST(row_number() OVER (PARTITION BY hour
+      |                ORDER BY n DESC, user_id) AS INT) AS rk
+      |  FROM hourly)
+      |SELECT hour, user_id, n, rk FROM ranked
+      |WHERE rk <= 2
+      |ORDER BY hour, rk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"hour")
+      .orderBy($"n".desc, $"user_id")
+    graft.Tables
+      .events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH").as("hour"),
+        $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .select($"hour", $"user_id", $"n", $"rk")
+      .orderBy($"hour", $"rk")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3JoinTopk, q5StarJoin, qSemiJoin, qAntiJoin,
     qOuterJoin, qWindowRank, qWindowRunning, qWindowLag, qSortLimit,
     qSetOps, qDistinct, qRollup, qCube, qStringFuncs, qDateFuncs,
-    qCaseExpr, qJsonExtract, qHavingSub)
+    qCaseExpr, qJsonExtract, qHavingSub, qMinCost, qTopkPerWindow)
 }

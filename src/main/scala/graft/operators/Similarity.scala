@@ -198,5 +198,30 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  def defs: Seq[QueryDef] = Seq(qCosineKnn, qEmbedNearDup, qAnnLsh, qAnnIvf)
+  /** Cross-table join of the LLM tables: mean embedding norm and vector
+    * count per document language (doc_id = vec_id). Exercises vector
+    * math composed with a relational join + aggregation. */
+  val qLangEmbedStats = QueryDef.sql(
+    "q_lang_embed_stats",
+    """SELECT d.lang,
+      |       count(*) AS n_vecs,
+      |       round(avg(sqrt(list_sum(list_transform(
+      |         CAST(e.embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(norm($"embedding")), 4).as("avg_norm"))
+      .orderBy($"lang")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qCosineKnn, qEmbedNearDup, qAnnLsh, qAnnIvf, qLangEmbedStats)
 }
