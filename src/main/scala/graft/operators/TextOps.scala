@@ -182,6 +182,26 @@ object TextOps {
       .limit(50)
   }
 
+  /** Native tokenizer Generator (graft.plans.TokenizeGenerator) emitting
+    * (pos, token) rows — oracle replicated by zipping DuckDB unnests. */
+  val qTokenize = QueryDef.sql(
+    "q_tokenize_generator",
+    """SELECT doc_id,
+      |       CAST(unnest([i for i in range(1, len(w) + 1)]) AS INT) AS pos,
+      |       unnest(w) AS token
+      |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |      FROM documents WHERE doc_id < 50)
+      |ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .filter($"doc_id" < 50)
+      .select($"doc_id", graft.plans.TokenizeGenerator.tokenize($"text"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram)
+    Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
+      qTokenize)
 }

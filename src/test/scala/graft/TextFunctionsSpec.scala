@@ -43,6 +43,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1) === Seq.empty)
   }
 
+  test("TokenizeGenerator equals posexplode(split) and handles edge inputs") {
+    val df = Seq("a b  c", "", "   ", "single").toDF("t")
+    val viaGen = df.select(graft.plans.TokenizeGenerator.tokenize($"t"))
+    val viaSplit = df
+      .filter(trim($"t") =!= "")
+      .select(posexplode(split(trim($"t"), " +")).as(Seq("p0", "token")))
+      .select(($"p0" + 1).cast("int").as("pos"), $"token")
+    assert(viaGen.count() === 4) // 3 + 0 + 0 + 1
+    assert(viaGen.except(viaSplit).count() === 0)
+    assert(viaSplit.except(viaGen).count() === 0)
+  }
+
   test("normText collapses whitespace and lowercases") {
     val got = Seq("  Hello   WORLD  ")
       .toDF("t")
