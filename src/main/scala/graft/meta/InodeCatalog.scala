@@ -190,6 +190,13 @@ final case class InodeCatalog(df: DataFrame) {
         when(col("ino") === ino, map_filter(col("xattrs"), (k, _) => k =!= key))
           .otherwise(col("xattrs"))))
 
+  /** Persist the catalog snapshot — the analog of SimpleFS serializing
+    * its inode table to `$data_dir/inodes` (filesystem.rs:241-242,
+    * 356-380), except parquet instead of bincode so the stored catalog
+    * is itself queryable. */
+  def save(dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
   /** Force computation of the snapshot (long op chains otherwise build
     * ever-deeper plans — the batch analog of flushing the write log). */
   def checkpointed(): InodeCatalog = {
@@ -214,6 +221,15 @@ object InodeCatalog {
     StructField("generation", LongType, nullable = false),
     StructField("nlink", LongType, nullable = false),
     StructField("xattrs", MapType(StringType, BinaryType), nullable = false)))
+
+  /** Reload a persisted catalog (schema-checked). */
+  def load(spark: SparkSession, dir: String): InodeCatalog = {
+    val df = spark.read.parquet(dir)
+    require(
+      df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
+      s"not a catalog snapshot: ${df.schema.fieldNames.mkString(",")}")
+    InodeCatalog(df.select(schema.fieldNames.map(col): _*))
+  }
 
   /** Fresh catalog containing only the root directory (ino 1). */
   def empty(spark: SparkSession): InodeCatalog =

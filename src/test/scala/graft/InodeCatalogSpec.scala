@@ -123,6 +123,27 @@ class InodeCatalogSpec extends SparkSpec {
     assert((fh & 0x3fffffffffffffffL) === 42L, "payload bits intact")
   }
 
+  test("catalog persists and reloads with full state (SimpleFS inode serialization analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("cat").toString + "/inodes"
+    val cat = tree()
+      .setxattr(3, "user.k", "v".getBytes)
+      .unlink(2, "y") // pending-forget state must survive too
+    cat.save(dir)
+    val reloaded = graft.meta.InodeCatalog.load(spark, dir)
+    assert(reloaded.resolve("/a/x").get.getAs[Long]("ino") === 3L)
+    assert(new String(reloaded.getxattr(3, "user.k").get) === "v")
+    assert(reloaded.lookup(2, "y").isEmpty, "unlinked entry stays invisible")
+    assert(reloaded.df.filter($"nlink" === 0).count() === 1, "pending forget persisted")
+    // and the reloaded catalog is still mutable
+    assert(reloaded.create(5, "z", "file").resolve("/b/z").isDefined)
+    // loading garbage fails loudly
+    val bad = java.nio.file.Files.createTempDirectory("bad").toString + "/x"
+    Tables.region(spark, sf).write.parquet(bad)
+    intercept[IllegalArgumentException] {
+      graft.meta.InodeCatalog.load(spark, bad)
+    }
+  }
+
   test("name length guard rejects >255 (P9)") {
     intercept[IllegalArgumentException] {
       tree().create(1, "x" * 256, "file")

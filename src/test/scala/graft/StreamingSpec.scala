@@ -76,6 +76,75 @@ class StreamingSpec extends SparkSpec {
       "quantiles must be monotone")
   }
 
+  test("streaming ingest into the KV store: the h2 PUT path end-to-end (S8)") {
+    // chunked document stream → foreachBatch → KvStore.putChunked →
+    // point gets verify reassembly: the reference's streaming PUT data
+    // plane (with the multi-chunk bug fixed) as one flow
+    val store = new graft.sources.KvStore(
+      spark, java.nio.file.Files.createTempDirectory("kvstream").toString, 32)
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf).schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+      .filter($"doc_id" < 30)
+      .select(concat(lit("doc/"), $"doc_id").as("key"),
+        encode($"text", "UTF-8").as("bin"))
+      .select($"key", posexplode(
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), ceil(length($"bin") / 128.0).cast("int") - 1),
+          i => $"bin".substr(i * 128 + 1, lit(128))))
+        .as(Seq("chunk_id", "chunk")))
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.putChunked(batch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val expected = Tables.documents(spark, sf).filter($"doc_id" < 30)
+      .select($"doc_id", $"text").collect()
+    assert(expected.length === 30)
+    expected.foreach { r =>
+      val got = store.get(s"doc/${r.getLong(0)}")
+      assert(got.isDefined && new String(got.get, "UTF-8") === r.getString(1),
+        s"doc ${r.getLong(0)} must round-trip through the stream")
+    }
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    case class Ev(ts: java.sql.Timestamp, v: Double)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    val t0 = 1700000000000L
+    input.addData((new java.sql.Timestamp(t0), 1.0))
+    q.processAllAvailable()
+    // advance watermark far past t0's window
+    input.addData((new java.sql.Timestamp(t0 + 600000), 1.0))
+    q.processAllAvailable()
+    // LATE: an event back in t0's window — must be dropped, not re-emitted
+    input.addData((new java.sql.Timestamp(t0 + 1000), 99.0))
+    q.processAllAvailable()
+    input.addData((new java.sql.Timestamp(t0 + 1200000), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_out")
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // t0's window must have count 1 (the late 99.0 event never lands)
+    val t0Window = new java.text.SimpleDateFormat("HH:mm")
+      .format(new java.util.Date(t0 - t0 % 60000))
+    assert(rows.get(t0Window).contains(1L),
+      s"late event must be dropped: $rows")
+  }
+
   test("lease liveness: silent service goes down after 40s (T2 etcd analog)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Heartbeat]
