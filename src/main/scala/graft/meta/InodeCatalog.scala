@@ -193,9 +193,12 @@ final case class InodeCatalog(df: DataFrame) {
   /** Persist the catalog snapshot — the analog of SimpleFS serializing
     * its inode table to `$data_dir/inodes` (filesystem.rs:241-242,
     * 356-380), except parquet instead of bincode so the stored catalog
-    * is itself queryable. */
+    * is itself queryable. Materializes first so a catalog loaded from
+    * `dir` can save back to the SAME `dir` (writing straight from the
+    * lineage would hit Spark's cannot-overwrite-path-being-read-from
+    * check — the load→mutate→save cycle is the whole point). */
   def save(dir: String): Unit =
-    df.write.mode("overwrite").parquet(dir)
+    df.localCheckpoint(true).write.mode("overwrite").parquet(dir)
 
   /** Force computation of the snapshot (long op chains otherwise build
     * ever-deeper plans — the batch analog of flushing the write log). */
@@ -222,12 +225,16 @@ object InodeCatalog {
     StructField("nlink", LongType, nullable = false),
     StructField("xattrs", MapType(StringType, BinaryType), nullable = false)))
 
-  /** Reload a persisted catalog (schema-checked). */
+  /** Reload a persisted catalog (schema-checked: names AND types, so a
+    * wrong-typed parquet fails here rather than deep inside a later
+    * operation). */
   def load(spark: SparkSession, dir: String): InodeCatalog = {
     val df = spark.read.parquet(dir)
+    val got = df.schema.fields.map(f => f.name -> f.dataType).sortBy(_._1)
+    val want = schema.fields.map(f => f.name -> f.dataType).sortBy(_._1)
     require(
-      df.schema.fieldNames.sorted.sameElements(schema.fieldNames.sorted),
-      s"not a catalog snapshot: ${df.schema.fieldNames.mkString(",")}")
+      got.sameElements(want),
+      s"not a catalog snapshot: got ${got.mkString(",")}")
     InodeCatalog(df.select(schema.fieldNames.map(col): _*))
   }
 

@@ -136,6 +136,11 @@ class InodeCatalogSpec extends SparkSpec {
     assert(reloaded.df.filter($"nlink" === 0).count() === 1, "pending forget persisted")
     // and the reloaded catalog is still mutable
     assert(reloaded.create(5, "z", "file").resolve("/b/z").isDefined)
+    // load → mutate → save back to the SAME directory (the real
+    // persistence cycle — fails without materialization before write)
+    reloaded.create(5, "w", "file").save(dir)
+    assert(
+      graft.meta.InodeCatalog.load(spark, dir).resolve("/b/w").isDefined)
     // loading garbage fails loudly
     val bad = java.nio.file.Files.createTempDirectory("bad").toString + "/x"
     Tables.region(spark, sf).write.parquet(bad)

@@ -114,8 +114,6 @@ class StreamingSpec extends SparkSpec {
 
   test("late data beyond the watermark is dropped from windowed aggregates") {
     implicit val sqlCtx = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    case class Ev(ts: java.sql.Timestamp, v: Double)
     val input = MemoryStream[(java.sql.Timestamp, Double)]
     val agg = input.toDF().toDF("ts", "value")
       .withWatermark("ts", "1 minute")
@@ -135,14 +133,15 @@ class StreamingSpec extends SparkSpec {
     input.addData((new java.sql.Timestamp(t0 + 1200000), 1.0))
     q.processAllAvailable()
     q.stop()
+    // compare on epoch millis (timezone-free) and keep ALL rows — a Map
+    // would collapse a wrongly re-emitted duplicate of the same window
     val rows = spark.table("late_out")
-      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    // t0's window must have count 1 (the late 99.0 event never lands)
-    val t0Window = new java.text.SimpleDateFormat("HH:mm")
-      .format(new java.util.Date(t0 - t0 % 60000))
-    assert(rows.get(t0Window).contains(1L),
-      s"late event must be dropped: $rows")
+      .select(unix_millis($"window.start").as("w"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val t0Window = t0 - t0 % 60000
+    val t0Rows = rows.filter(_._1 == t0Window)
+    assert(t0Rows === Seq((t0Window, 1L)),
+      s"t0's window must be emitted exactly once with the late event dropped: $rows")
   }
 
   test("lease liveness: silent service goes down after 40s (T2 etcd analog)") {
