@@ -102,7 +102,11 @@ final case class InodeCatalog(df: DataFrame) {
     create(parent, name, "dir", mode) // 0755
 
   /** J3: two-sided rename — the node moves to (newParent, newName) and
-    * every descendant's full_path is rewritten (subtree prefix swap). */
+    * every descendant's full_path is rewritten (subtree prefix swap).
+    * POSIX semantics: an existing destination entry is atomically
+    * replaced (unlinked), never left as a live duplicate; only live
+    * rows (nlink > 0) move — tombstones keep their generation history
+    * at the old path. */
   def rename(
       oldParent: Long,
       oldName: String,
@@ -116,18 +120,30 @@ final case class InodeCatalog(df: DataFrame) {
       .getOrElse(sys.error(s"no such parent ino $newParent"))
     val newPath =
       if (newParentPath == "/") s"/$newName" else s"$newParentPath/$newName"
-    val moved = df
+    val live = col("nlink") > 0
+    // replace an existing destination entry (rename-over semantics)
+    val cleared = lookup(newParent, newName) match {
+      case Some(dest) if dest.getAs[Long]("ino") != node.getAs[Long]("ino") =>
+        df.withColumn(
+          "nlink",
+          when(col("full_path") === newPath && live, lit(0L))
+            .otherwise(col("nlink")))
+      case _ => df
+    }
+    val moved = cleared
       .withColumn(
         "parent",
-        when(col("full_path") === oldPath, lit(newParent)).otherwise(col("parent")))
+        when(col("full_path") === oldPath && live, lit(newParent))
+          .otherwise(col("parent")))
       .withColumn(
         "name",
-        when(col("full_path") === oldPath, lit(newName)).otherwise(col("name")))
+        when(col("full_path") === oldPath && live, lit(newName))
+          .otherwise(col("name")))
       .withColumn(
         "full_path",
-        when(col("full_path") === oldPath, lit(newPath))
+        when(col("full_path") === oldPath && live, lit(newPath))
           .when(
-            col("full_path").startsWith(oldPath + "/"),
+            col("full_path").startsWith(oldPath + "/") && live,
             concat(lit(newPath), expr(s"substring(full_path, ${oldPath.length + 1})")))
           .otherwise(col("full_path")))
     InodeCatalog(moved)

@@ -90,7 +90,7 @@ object Events {
     "q_events_gauge",
     """SELECT event_id,
       |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END)
-      |         OVER (ORDER BY ts, event_id
+      |         OVER (ORDER BY epoch_us(ts), event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |         AS gauge_level
       |FROM events
@@ -98,8 +98,11 @@ object Events {
       |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
+    // order at µs + event_id on BOTH sides: DuckDB's ts is µs-truncated,
+    // so ordering by Spark's ts_ns would break ties by nanos while the
+    // oracle breaks them by event_id
     val w = Window
-      .orderBy($"ts", $"event_id")
+      .orderBy(expr("ts_ns div 1000"), $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables
       .events(s, d)
@@ -117,14 +120,14 @@ object Events {
   val qSessionize = QueryDef.sql(
     "q_events_sessionize",
     """WITH marked AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1, epoch_ns(ts))
       |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |              > 1800000000000 THEN 1 ELSE 0 END AS new_session
       |  FROM events),
       |sessions AS (
       |  SELECT user_id,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM marked)
       |SELECT user_id,
@@ -138,7 +141,7 @@ object Events {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
     val cum = Window
       .partitionBy($"user_id")
-      .orderBy($"ts_ns")
+      .orderBy($"ts_ns", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables
       .events(s, d)

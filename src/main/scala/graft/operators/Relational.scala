@@ -514,7 +514,7 @@ object Relational {
       |  SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
       |  FROM orders GROUP BY o_custkey
       |) ON o_custkey = ck
-      |WHERE o_totalprice > 1.5 * avg_price
+      |WHERE round(o_totalprice - 1.5 * avg_price, 6) > 0
       |ORDER BY o_orderkey""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -524,7 +524,10 @@ object Relational {
       .agg(avg($"o_totalprice").as("avg_price"))
     ord
       .join(avgPerCust, $"o_custkey" === $"ck")
-      .filter($"o_totalprice" > $"avg_price" * 1.5)
+      // rounded-margin comparison: the raw `> 1.5*avg` gates membership
+      // on an unrounded float aggregate whose last ulp depends on
+      // partition merge order — a boundary row could flip vs the oracle
+      .filter(round($"o_totalprice" - $"avg_price" * 1.5, 6) > 0)
       .select($"o_orderkey", $"o_custkey")
       .orderBy($"o_orderkey")
   }

@@ -65,7 +65,7 @@ object Similarity {
       |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                CAST(b.embedding AS DOUBLE[])) AS c
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      |WHERE c > 0.45
+      |WHERE round(c, 4) > 0.45
       |ORDER BY v1, v2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -75,7 +75,9 @@ object Similarity {
       $"embedding".as("e2"), norm($"embedding").as("n2"))
     a.join(b, $"v1" < $"v2")
       .withColumn("c", dot($"e1", $"e2") / ($"n1" * $"n2"))
-      .filter($"c" > 0.45)
+      // threshold on the ROUNDED value so a ~1e-12 fp difference between
+      // engines can't flip a row that sits on the raw boundary
+      .filter(round($"c", 4) > 0.45)
       .select($"v1", $"v2", round($"c", 4).as("cos_sim"))
       .orderBy($"v1", $"v2")
   }

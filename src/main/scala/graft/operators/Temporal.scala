@@ -36,7 +36,10 @@ object Temporal {
     val ev = Tables.events(s, d).filter($"event_type".isin("purchase", "click"))
     // clicks sort before purchases at identical ts (ts are ns-unique in
     // this data, but keep the tag in the order for determinism)
-    // compare at µs like the oracle (DuckDB truncates TIMESTAMP_NS to µs)
+    // compare at µs like the oracle (DuckDB truncates TIMESTAMP_NS to
+    // µs); purchases sort BEFORE clicks at an equal µs so the -1 frame
+    // excludes same-µs clicks — matching the oracle's STRICT c.ts < p.ts
+    // — and event_id makes equal-µs click order deterministic
     val tagged = ev.select(
       $"event_id",
       $"user_id",
@@ -45,7 +48,7 @@ object Temporal {
       ($"event_type" === "purchase").cast("int").as("is_purchase"))
     val w = Window
       .partitionBy($"user_id")
-      .orderBy($"ts_us", $"is_purchase")
+      .orderBy($"ts_us", $"is_purchase".desc, $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     tagged
       .withColumn("prior_click", last($"click_id", ignoreNulls = true).over(w))

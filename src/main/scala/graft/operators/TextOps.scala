@@ -190,13 +190,15 @@ object TextOps {
       |       CAST(unnest([i for i in range(1, len(w) + 1)]) AS INT) AS pos,
       |       unnest(w) AS token
       |FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
-      |      FROM documents WHERE doc_id < 50)
+      |      FROM documents WHERE doc_id < 50 AND trim(text) <> '')
       |ORDER BY doc_id, pos""".stripMargin
   ) { (s, d) =>
     import s.implicits._
     Tables
       .documents(s, d)
-      .filter($"doc_id" < 50)
+      // the generator emits nothing for empty text while
+      // string_split_regex yields [''] — exclude empties on BOTH sides
+      .filter($"doc_id" < 50 && trim($"text") =!= "")
       .select($"doc_id", graft.plans.TokenizeGenerator.tokenize($"text"))
       .orderBy($"doc_id", $"pos")
   }

@@ -64,15 +64,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // acc MUST be freshName'd too: with non-nullable inputs the code is
+      // inlined unscoped, and a projection with several dots (cosine has
+      // three) would declare `double acc` twice → Janino error → silent
+      // interpreted fallback for the whole stage
+      val acc = ctx.freshName("acc")
       def get(arr: String, fl: Boolean) =
         if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ${get(a, isFloat(left.dataType))} * ${get(b, isFloat(right.dataType))};
+         |  $acc += ${get(a, isFloat(left.dataType))} * ${get(b, isFloat(right.dataType))};
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

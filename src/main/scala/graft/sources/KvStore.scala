@@ -38,10 +38,11 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   /** S2: persist (key STRING, value BINARY) rows into the bucketed layout.
     * `mode=append` mirrors create-or-add; last-write-wins resolution
     * happens at read time via the max-version rule in [[read]]. The
-    * version is a per-batch driver timestamp (monotonically_increasing_id
-    * would NOT order across separate puts — its values restart per job). */
+    * version is wall-clock epoch-micros per put batch: nanoTime's origin
+    * is arbitrary per JVM (a restart could order OLD puts above new
+    * ones), and monotonically_increasing_id restarts per job. */
   def put(kv: DataFrame): Unit =
-    withBucket(kv.withColumn("put_seq", lit(System.nanoTime())))
+    withBucket(kv.withColumn("put_seq", lit(KvStore.wallClockMicros())))
       .write
       .partitionBy("bucket")
       .mode("append")
@@ -71,8 +72,23 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
       .groupBy($"key")
       .agg(max_by($"value", $"put_seq").as("value"), max($"bucket").as("bucket"))
 
+  /** Raw snapshot; an empty (never-written) store reads as zero rows
+    * instead of PATH_NOT_FOUND. */
+  private def raw(): DataFrame =
+    if (new java.io.File(root).exists()) spark.read.parquet(root)
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("key", StringType),
+          StructField("value", BinaryType),
+          StructField("put_seq", LongType),
+          StructField("bucket", IntegerType))))
+    }
+
   /** Full table view with last-write-wins per key. */
-  def read(): DataFrame = latest(spark.read.parquet(root))
+  def read(): DataFrame = latest(raw())
 
   /** S1: whole-object point read. The bucket predicate is applied to the
     * RAW scan (before the dedup aggregate) so it lands in the scan's
@@ -81,10 +97,7 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
     * nothing. */
   def get(key: String): Option[Array[Byte]] = {
     val bucket = math.floorMod(KvStore.hashOf(key), numBuckets.toLong).toInt
-    latest(
-      spark.read
-        .parquet(root)
-        .filter($"bucket" === bucket && $"key" === key))
+    latest(raw().filter($"bucket" === bucket && $"key" === key))
       .select($"value")
       .collect()
       .headOption
@@ -100,7 +113,7 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   def compact(): Unit = {
     val tmp = root + ".compacting"
     read()
-      .withColumn("put_seq", lit(System.nanoTime()))
+      .withColumn("put_seq", lit(KvStore.wallClockMicros()))
       .select($"key", $"value", $"put_seq", $"bucket")
       .write
       .partitionBy("bucket")
@@ -130,6 +143,16 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
 }
 
 object KvStore {
+  /** Wall-clock epoch-micros, strictly increasing across calls in this
+    * JVM (two put batches can land in the same microsecond otherwise) —
+    * and meaningfully ordered ACROSS JVM restarts, unlike nanoTime. */
+  private val lastSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  def wallClockMicros(): Long = {
+    val now = java.time.Instant.now()
+    val micros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    lastSeq.updateAndGet(prev => math.max(prev + 1, micros))
+  }
+
   /** Driver-side mirror of [[stableHash60]] for bucket computation. */
   def hashOf(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -52,6 +52,22 @@ class InodeCatalogSpec extends SparkSpec {
     assert(cat.resolve("/b/a2/x").get.getAs[Long]("ino") === 3L)
   }
 
+  test("rename over an existing destination replaces it (POSIX rename-over)") {
+    val cat = tree() // /a/x (ino 3), /a/y (ino 4)
+      .rename(2, "x", 2, "y")
+    val y = cat.lookup(2, "y")
+    assert(y.isDefined && y.get.getAs[Long]("ino") === 3L, "x's ino now owns the name")
+    assert(cat.lookup(2, "x").isEmpty)
+    assert(
+      cat.readdir(2).count() === 1,
+      "no duplicate live entries after rename-over")
+    // old ino-4 entry is unlinked (pending forget), not duplicated
+    assert(cat.df.filter($"ino" === 4 && $"nlink" === 0).count() === 1)
+    // and a fresh create over the freed name works after forget
+    assert(cat.forget(4).unlink(2, "y").forget(3).create(2, "y", "file")
+      .lookup(2, "y").isDefined)
+  }
+
   test("unlink keeps the ino until forget (test_unlink_and_forget analog)") {
     val cat = tree()
     val ino = cat.lookup(2, "x").get.getAs[Long]("ino")
