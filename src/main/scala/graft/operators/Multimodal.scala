@@ -60,23 +60,43 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** Typed multimodal record after "decode". */
+  /** Typed multimodal record after "decode". Features ride as an exact
+    * integer vector stringified to CSV — list-typed result columns crash
+    * the harness's pandas compare, and integer frame sums (unlike float
+    * means) round-trip identically through every engine. */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       n_frames: Int,
       checksum: Long,
-      features: Array[Float])
+      features_csv: String)
 
   /** Partition-local feature extraction over binary payloads via
     * mapPartitions (the Scala analog of mapInPandas batch UDFs): each
     * partition iterates its rows once, "decodes" the payload, and emits a
     * fixed-width feature row.
     *
-    * STUB: `decodeStub` stands in for a real image/audio decoder (libs not
-    * in this container) — deterministic so tests can assert on it. The
-    * schema, batch iteration, and partitioning are the real scale path. */
-  val qMediaFeatures = QueryDef.rowsOnly("q_media_features") { (s, d) =>
+    * STUB: the frame-sum "decode" stands in for a real image/audio decoder
+    * (libs not in this container) — deterministic so the DuckDB oracle can
+    * recompute it from the source text. The schema, batch iteration, and
+    * partitioning are the real scale path. */
+  val qMediaFeatures = QueryDef.sql(
+    "q_media_features",
+    """SELECT doc_id,
+      |       CAST(n_chars AS INT) AS n_bytes,
+      |       CAST((n_chars + 31) // 32 AS INT) AS n_frames,
+      |       CAST(list_sum([ord(text[i:i]) * i
+      |                      for i in range(1, CAST(n_chars AS INT) + 1)])
+      |            % 1000000007 AS BIGINT) AS checksum,
+      |       list_aggregate(
+      |         [CAST(list_sum([ord(ch)
+      |                         for ch in str_split(substr(text, f * 32 + 1, 32), '')])
+      |               AS VARCHAR)
+      |          for f in range(0, CAST(least((n_chars + 31) // 32, 8) AS INT))],
+      |         'string_agg', ',') AS features_csv
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     val frame = 32 // pretend frame size in bytes (frame-sampling analog)
     Tables
@@ -86,17 +106,19 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val nFrames = (bytes.length + frame - 1) / frame
-          // deterministic fake decode: per-frame mean byte value
+          // deterministic fake decode: per-frame byte-sum feature vector
           val feats = Array.tabulate(nFrames.min(8)) { f =>
-            val sl = bytes.slice(f * frame, (f + 1) * frame)
-            if (sl.isEmpty) 0f else sl.map(_ & 0xff).sum.toFloat / sl.length
+            bytes.slice(f * frame, (f + 1) * frame).map(_ & 0xff).sum.toLong
           }
-          val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
-          MediaFeatures(id, bytes.length, nFrames, checksum, feats)
+          // positional polynomial checksum, exact in Long, SQL-expressible
+          val checksum = bytes.zipWithIndex
+            .map { case (b, i) => (b & 0xff).toLong * (i + 1) }
+            .sum % 1000000007L
+          MediaFeatures(id, bytes.length, nFrames, checksum, feats.mkString(","))
         }
       }
       .toDF()
-      .select($"doc_id", $"n_bytes", $"n_frames", $"checksum", $"features")
+      .select($"doc_id", $"n_bytes", $"n_frames", $"checksum", $"features_csv")
       .orderBy($"doc_id")
   }
 

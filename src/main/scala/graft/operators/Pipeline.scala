@@ -66,10 +66,14 @@ object Pipeline {
       .agg(min($"doc_id").as("keep_id"))
       .select($"keep_id")
     val exact = quality.join(keepers, $"doc_id" === $"keep_id", "left_semi")
-    // stage 3: near-dup edges via the inverted shingle index
-    val ds = exact
-      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
-      .repartition(col("s"))
+    // stage 3: near-dup edges via the inverted shingle index, with the
+    // document-frequency cap (Dedup.JaccardDfCap) bounding the quadratic
+    // tail of hot boilerplate shingles
+    val ds = Dedup.cappedPostings(
+      exact
+        .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+        .repartition(col("s")),
+      Dedup.JaccardDfCap)
     val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val losers = ds
       .as("a")

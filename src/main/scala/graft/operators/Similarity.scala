@@ -158,10 +158,42 @@ object Similarity {
     * vector is assigned to its nearest centroid cell, queries probe the
     * `nProbe` nearest cells and rank candidates by true cosine. At scale
     * the cell id becomes the table's partition/bucket key, so a query
-    * touches nProbe/nCentroids of the corpus. Rows-only gate; recall vs
-    * brute force asserted in SimilaritySpec.
+    * touches nProbe/nCentroids of the corpus. The quantizer is
+    * deterministic, so the full cell-assignment + probe + rank dataflow is
+    * SQL-expressible and oracle-gated; recall vs brute force additionally
+    * asserted in SimilaritySpec.
     */
-  val qAnnIvf = QueryDef.rowsOnly("q_ann_ivf") { (s, d) =>
+  val qAnnIvf = QueryDef.sql(
+    "q_ann_ivf",
+    """WITH c AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cs
+      |  FROM embeddings e CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |probes AS (
+      |  SELECT qid, qv, probe_cid FROM (
+      |    SELECT vec_id AS qid, v AS qv, cid AS probe_cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+      |    FROM scored WHERE vec_id < 3) WHERE rk <= 4),
+      |cands AS (
+      |  SELECT DISTINCT p.qid, a.vec_id AS nid,
+      |         list_cosine_similarity(p.qv, a.v) AS cs2
+      |  FROM assigned a
+      |  JOIN probes p ON a.cid = p.probe_cid AND a.vec_id <> p.qid)
+      |SELECT qid, nid, cos_sim, rnk FROM (
+      |  SELECT qid, nid, round(cs2, 4) AS cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cs2 DESC, nid) AS INT) AS rnk
+      |  FROM cands)
+      |WHERE rnk <= 10
+      |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     val nCentroids = 16
     val nProbe = 4

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Guards the document-frequency cap on the inverted shingle index — the
+  * defense against the quadratic hot-shingle tail in the Jaccard join.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val postings = Tables
+    .documents(spark, sf)
+    .select($"doc_id", words($"text").as("w"))
+    .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+
+  private def pairCount(ds: org.apache.spark.sql.DataFrame): Long =
+    ds.as("a")
+      .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .count()
+
+  test("default cap is provably inactive at test scale (oracle unchanged)") {
+    val maxDf = postings
+      .groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .agg(max($"df"))
+      .head()
+      .getLong(0)
+    assert(maxDf <= Dedup.JaccardDfCap,
+      s"observed max df $maxDf exceeds the cap — the oracle would diverge")
+    assert(Dedup.cappedPostings(postings, Dedup.JaccardDfCap).count() ===
+      postings.count())
+  }
+
+  test("cap bounds the postings self-join pair count") {
+    val cap = 2
+    val capped = Dedup.cappedPostings(postings, cap)
+    // every surviving shingle has df <= cap, so its pair contribution is
+    // <= cap*(cap-1)/2; total pairs <= nShingles * cap*(cap-1)/2
+    val nShingles = capped.select($"s").distinct().count()
+    val cappedPairs = pairCount(capped)
+    assert(cappedPairs <= nShingles * cap * (cap - 1) / 2)
+    assert(cappedPairs <= pairCount(postings))
+    // and the hot shingles really are gone
+    val survivorMaxDf = capped
+      .groupBy($"s")
+      .agg(count(lit(1)).as("df"))
+      .agg(coalesce(max($"df"), lit(0L)))
+      .head()
+      .getLong(0)
+    assert(survivorMaxDf <= cap)
+  }
+}

@@ -14,7 +14,7 @@ class MultimodalSpec extends SparkSpec {
     assert(fields("n_bytes") === IntegerType)
     assert(fields("n_frames") === IntegerType)
     assert(fields("checksum") === LongType)
-    assert(fields("features") === ArrayType(FloatType, containsNull = false))
+    assert(fields("features_csv") === StringType)
   }
 
   test("feature extraction is deterministic and consistent with payload size") {
@@ -27,7 +27,7 @@ class MultimodalSpec extends SparkSpec {
       val nBytes = r.getAs[Int]("n_bytes")
       val nFrames = r.getAs[Int]("n_frames")
       assert(nFrames === (nBytes + 31) / 32)
-      assert(r.getAs[Seq[Float]]("features").length === math.min(nFrames, 8))
+      assert(r.getAs[String]("features_csv").split(',').length === math.min(nFrames, 8))
     }
     // determinism: run twice, same checksums
     val again = Multimodal.qMediaFeatures

@@ -62,6 +62,25 @@ class PlanSpec extends SparkSpec {
     assert(dotLine.get.trim.contains("*("), s"dot projection not codegen'd: ${dotLine.get}")
   }
 
+  test("gauge prefix sum never single-partitions raw event rows") {
+    // the naive Window.orderBy (no partitionBy) funnels every event
+    // through ONE task; the two-phase form may single-partition only
+    // aggregate-sized data (the per-day totals). Assert every
+    // SinglePartition exchange in the plan sits above a HashAggregate.
+    val p = plan(q("q_events_gauge"))
+    val lines = p.linesIterator.toVector
+    val spIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+    }
+    assert(spIdx.nonEmpty, "expected the tiny offsets window exchange")
+    spIdx.foreach { i =>
+      val subtree = lines.drop(i).take(8).mkString("\n")
+      assert(
+        subtree.contains("HashAggregate"),
+        s"SinglePartition exchange must carry aggregated (per-day) rows only:\n$subtree")
+    }
+  }
+
   test("shingle dedup has no distinct exchange before the postings join") {
     // array_distinct replaced the (doc_id, shingle) distinct shuffle;
     // the only exchanges should be for the join/groupBys themselves
