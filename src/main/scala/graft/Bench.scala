@@ -16,9 +16,13 @@ object Bench {
     // warm up the JVM/codegen/file-index paths so the first timed query
     // doesn't absorb cold-start costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // time a FULL materialization via the noop sink: under a bare count()
+    // Catalyst prunes unreferenced projections, so projection-heavy
+    // queries would look artificially cheap
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

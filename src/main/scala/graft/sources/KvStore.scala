@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
 class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   import spark.implicits._
 
+  /** All store file ops go through the Hadoop FileSystem resolved from the
+    * root URI — local `file:`, HDFS, and object stores alike (a
+    * `java.io.File` path would silently break on anything non-local). */
+  private val rootPath = new org.apache.hadoop.fs.Path(root)
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(stableHash60(col("key")), lit(numBuckets)))
 
@@ -75,7 +82,7 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   /** Raw snapshot; an empty (never-written) store reads as zero rows
     * instead of PATH_NOT_FOUND. */
   private def raw(): DataFrame =
-    if (new java.io.File(root).exists()) spark.read.parquet(root)
+    if (fs.exists(rootPath)) spark.read.parquet(root)
     else {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
@@ -109,26 +116,31 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
     * reference README's aspirational eviction (README.md:9-12 promises
     * "lock-free eviction"; no such code exists in the reference — see
     * SURVEY §0). Old put versions are dropped; the bucketed layout is
-    * preserved. Write-temp-then-swap keeps readers consistent. */
+    * preserved. Write-temp-then-swap keeps readers consistent on
+    * filesystems with atomic directory rename (local, HDFS); on object
+    * stores rename is copy-and-delete, so production there should write
+    * each compaction to a fresh versioned root and swap a pointer (e.g.
+    * a catalog entry) instead — the FS abstraction below still works,
+    * only the swap-visibility guarantee differs. */
   def compact(): Unit = {
-    val tmp = root + ".compacting"
+    val tmp = new org.apache.hadoop.fs.Path(root + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(root + ".old")
     read()
       .withColumn("put_seq", lit(KvStore.wallClockMicros()))
       .select($"key", $"value", $"put_seq", $"bucket")
       .write
       .partitionBy("bucket")
       .mode("overwrite")
-      .parquet(tmp)
-    val rootDir = new java.io.File(root)
-    val old = new java.io.File(root + ".old")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmrf)
-      f.delete()
+      .parquet(tmp.toString)
+    val hfs = fs
+    if (hfs.exists(old)) hfs.delete(old, true)
+    if (!hfs.rename(rootPath, old))
+      throw new java.io.IOException(s"compact: cannot move $rootPath aside")
+    if (!hfs.rename(tmp, rootPath)) {
+      hfs.rename(old, rootPath) // roll back so the store stays readable
+      throw new java.io.IOException(s"compact: cannot install $tmp")
     }
-    if (old.exists()) rmrf(old)
-    rootDir.renameTo(old)
-    new java.io.File(tmp).renameTo(rootDir)
-    rmrf(old)
+    hfs.delete(old, true)
   }
 
   /** S11: prefix scan (the etcd `get("services/", prefix)` analog,

@@ -7,10 +7,13 @@ import java.nio.file.Files
 class KvStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  // scheme-qualified `file:` URI so every test exercises the Hadoop
+  // FileSystem resolution path (the same code path an hdfs:/s3a: root
+  // would take), not implicit local-path handling
   private def freshStore(buckets: Int = 64): KvStore =
     new KvStore(
       spark,
-      Files.createTempDirectory("kvstore").toString,
+      "file:" + Files.createTempDirectory("kvstore").toString,
       buckets)
 
   test("put then get returns the exact bytes (identity round-trip)") {
