@@ -277,6 +277,77 @@ object InodeCatalog {
     }
   }
 
+  /** Column-form POSIX check (filesystem.rs:1870-1903) for requester ids
+    * carried in columns: F_OK (mask 0) always passes, root reads/writes
+    * anything but execs only if SOME x bit is set; otherwise exactly one
+    * tier (owner/group/other) must cover the mask. */
+  def checkAccess(fileUid: Column, fileGid: Column, mode: Column,
+      reqUid: Column, reqGid: Column, mask: Column): Column = {
+    val anyX = (shiftright(mode, 6).bitwiseOR(shiftright(mode, 3)).bitwiseOR(mode))
+      .bitwiseAND(lit(1))
+    val rootOk = (mask.bitwiseAND(lit(1)) === 0) || (anyX === 1)
+    val eff = when(fileUid === reqUid, shiftright(mode, 6))
+      .when(fileGid === reqGid, shiftright(mode, 3))
+      .otherwise(mode)
+    when(reqUid === 0, rootOk)
+      .otherwise(mask.bitwiseAND(eff).bitwiseAND(lit(7)) === mask)
+  }
+
+  /** P7: xattr namespace classification (filesystem.rs:74-107) — dotted
+    * `user.` / `system.` / `trusted.` prefixes, the bare `security`
+    * prefix (no dot, as in the reference), anything else unsupported
+    * (ENOTSUP → NULL). */
+  def xattrNamespace(key: Column): Column =
+    when(key.startsWith("user."), "user")
+      .when(key.startsWith("system."), "system")
+      .when(key.startsWith("trusted."), "trusted")
+      .when(key.startsWith("security"), "security")
+      .otherwise(lit(null).cast(StringType))
+
+  /** P7: the xattr access policy (filesystem.rs:126-174): security is
+    * world-readable but root-writable; trusted is root-only; system is
+    * root-only except `system.posix_acl_access` which follows the POSIX
+    * file bits; user follows the POSIX file bits; unknown namespaces are
+    * denied (ENOTSUP). */
+  def xattrAccessAllowed(key: Column, mask: Column,
+      fileUid: Column, fileGid: Column, mode: Column,
+      reqUid: Column, reqGid: Column): Column = {
+    val ns = xattrNamespace(key)
+    val posix = checkAccess(fileUid, fileGid, mode, reqUid, reqGid, mask)
+    when(ns === "security", (mask === 4) || (reqUid === 0))
+      .when(ns === "trusted", reqUid === 0)
+      .when(ns === "system",
+        when(key === "system.posix_acl_access", posix).otherwise(reqUid === 0))
+      .when(ns === "user", posix)
+      .otherwise(lit(false))
+  }
+
+  /** F8: suid/sgid clear on write (filesystem.rs:110-116). SUID always
+    * clears; SGID clears only when group-execute is set (otherwise the
+    * bit means mandatory locking, not setgid). */
+  def clearSuidSgid(mode: Column): Column = {
+    val noSuid = mode - mode.bitwiseAND(lit(0x800))
+    when(noSuid.bitwiseAND(lit(8)) =!= 0,
+      noSuid - noSuid.bitwiseAND(lit(0x400)))
+      .otherwise(noSuid)
+  }
+
+  /** F6: st_mode → file type via the full S_IFMT decode chain
+    * (passthrough_fs.rs:28-41). The reference panics on an unknown
+    * pattern; an analytic engine surfaces NULL so bad rows are
+    * filterable instead of fatal. */
+  def modeToFiletype(stMode: Column): Column = {
+    val fmt = stMode.bitwiseAND(lit(0xF000))
+    when(fmt === 0x4000, "dir")
+      .when(fmt === 0x8000, "file")
+      .when(fmt === 0xA000, "symlink")
+      .when(fmt === 0x6000, "blockdev")
+      .when(fmt === 0x2000, "chardev")
+      .when(fmt === 0x1000, "fifo")
+      .when(fmt === 0xC000, "socket")
+      .otherwise(lit(null).cast(StringType))
+  }
+
   // P8/F10: file-handle permission bits in the top 2 bits of the fh
   // (filesystem.rs:39-41,304-324).
   private val FhRead = 1L << 63

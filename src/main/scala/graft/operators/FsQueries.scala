@@ -210,6 +210,121 @@ object FsQueries {
       .orderBy($"bucket")
   }
 
+  /** F6 + F7 + F8 in one pass: synthesize a full st_mode per doc (all 7
+    * S_IFMT types, suid/sgid/perm varied), decode the file type via the
+    * complete S_IFMT chain (passthrough_fs.rs:28-41), extract the perm
+    * bits (stat_to_fuse, passthrough_fs.rs:46), and apply the
+    * write-path suid/sgid clear (filesystem.rs:110-116 — SGID survives
+    * unless group-execute is set). */
+  val qFsModeDecode = QueryDef.sql(
+    "q_fs_mode_decode",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         ([4096,8192,16384,24576,32768,40960,49152][CAST(doc_id % 7 AS INT) + 1]
+      |          + CASE WHEN doc_id % 4 = 1 THEN 2048 ELSE 0 END
+      |          + CASE WHEN doc_id % 3 = 0 THEN 1024 ELSE 0 END
+      |          + CASE WHEN doc_id % 2 = 0 THEN 420 ELSE 489 END) AS st_mode
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(st_mode AS INT) AS st_mode,
+      |       CASE st_mode & 61440
+      |            WHEN 16384 THEN 'dir'      WHEN 32768 THEN 'file'
+      |            WHEN 40960 THEN 'symlink'  WHEN 24576 THEN 'blockdev'
+      |            WHEN 8192  THEN 'chardev'  WHEN 4096  THEN 'fifo'
+      |            WHEN 49152 THEN 'socket' END AS filetype,
+      |       CAST(st_mode & 4095 AS INT) AS perm,
+      |       CAST((CASE WHEN ((st_mode - (st_mode & 2048)) & 8) != 0
+      |                  THEN (st_mode - (st_mode & 2048))
+      |                       - ((st_mode - (st_mode & 2048)) & 1024)
+      |                  ELSE st_mode - (st_mode & 2048) END) & 4095 AS INT)
+      |         AS perm_after_write
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val ifmt = element_at(
+      array(Seq(4096, 8192, 16384, 24576, 32768, 40960, 49152).map(lit): _*),
+      ($"doc_id" % 7).cast("int") + 1)
+    val stMode = (ifmt
+      + when($"doc_id" % 4 === 1, 2048).otherwise(0)
+      + when($"doc_id" % 3 === 0, 1024).otherwise(0)
+      + when($"doc_id" % 2 === 0, 420).otherwise(489)).cast("int")
+    Tables
+      .documents(s, d)
+      .select($"doc_id", stMode.as("st_mode"))
+      .select(
+        $"doc_id",
+        $"st_mode",
+        InodeCatalog.modeToFiletype($"st_mode").as("filetype"),
+        $"st_mode".bitwiseAND(lit(4095)).as("perm"),
+        InodeCatalog.clearSuidSgid($"st_mode").bitwiseAND(lit(4095))
+          .as("perm_after_write"))
+      .orderBy($"doc_id")
+  }
+
+  /** P7: the xattr namespace access policy (filesystem.rs:74-174) over
+    * synthesized requests against the derived file inodes — every
+    * namespace (user/system/trusted/security/invalid), both access masks
+    * (R_OK=4, W_OK=2), and requester ids sweeping root/owner/group/other. */
+  val qFsXattrAccess = QueryDef.sql(
+    "q_fs_xattr_access",
+    s"""WITH ino AS $duckInodes,
+       |req AS (
+       |  SELECT ino, uid, gid, mode,
+       |         ['user.tag', 'system.posix_acl_access', 'system.quota',
+       |          'trusted.overlay', 'security.selinux', 'badns.x']
+       |           [CAST(ino % 6 AS INT) + 1] AS key,
+       |         CASE WHEN ino % 2 = 0 THEN 4 ELSE 2 END AS mask,
+       |         CAST((ino // 7) % 3 AS INT) AS req_uid,
+       |         CAST((ino // 5) % 2 AS INT) AS req_gid
+       |  FROM ino WHERE kind = 'file'),
+       |cls AS (
+       |  SELECT *,
+       |         CASE WHEN starts_with(key, 'user.') THEN 'user'
+       |              WHEN starts_with(key, 'system.') THEN 'system'
+       |              WHEN starts_with(key, 'trusted.') THEN 'trusted'
+       |              WHEN starts_with(key, 'security') THEN 'security'
+       |              END AS ns,
+       |         CASE WHEN req_uid = 0 THEN
+       |                (mask & 1) = 0 OR ((((mode // 64) | (mode // 8) | mode) & 1) = 1)
+       |              WHEN req_uid = uid THEN ((mode // 64) & 7 & mask) = mask
+       |              WHEN req_gid = gid THEN ((mode // 8) & 7 & mask) = mask
+       |              ELSE (mode & 7 & mask) = mask END AS posix
+       |  FROM req)
+       |SELECT ino, key, CAST(mask AS INT) AS mask, req_uid, req_gid, ns,
+       |       CASE WHEN ns IS NULL THEN false
+       |            WHEN ns = 'security' THEN mask = 4 OR req_uid = 0
+       |            WHEN ns = 'trusted' THEN req_uid = 0
+       |            WHEN ns = 'system' AND key <> 'system.posix_acl_access'
+       |              THEN req_uid = 0
+       |            ELSE posix END AS allowed
+       |FROM cls
+       |ORDER BY ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val req = inodes(s, d)
+      .filter($"kind" === "file")
+      .select(
+        $"ino", $"uid", $"gid", $"mode",
+        element_at(
+          array(Seq("user.tag", "system.posix_acl_access", "system.quota",
+            "trusted.overlay", "security.selinux", "badns.x").map(lit): _*),
+          ($"ino" % 6).cast("int") + 1).as("key"),
+        when($"ino" % 2 === 0, 4).otherwise(2).as("mask"),
+        expr("(ino div 7) % 3").cast("int").as("req_uid"),
+        expr("(ino div 5) % 2").cast("int").as("req_gid"))
+    req
+      .select(
+        $"ino", $"key", $"mask", $"req_uid", $"req_gid",
+        InodeCatalog.xattrNamespace($"key").as("ns"),
+        InodeCatalog.xattrAccessAllowed($"key", $"mask",
+          $"uid", $"gid", $"mode", $"req_uid", $"req_gid").as("allowed"))
+      .orderBy($"ino")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout)
+    Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
+      qFsModeDecode, qFsXattrAccess)
 }

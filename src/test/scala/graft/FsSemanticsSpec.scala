@@ -1,0 +1,100 @@
+package graft
+
+import graft.meta.InodeCatalog
+import org.apache.spark.sql.functions._
+
+/** Golden-value specs for the POSIX/xattr bit semantics ported from the
+  * reference (filesystem.rs:74-174 xattr policy, :110-116 suid/sgid clear,
+  * passthrough_fs.rs:28-41 S_IFMT decode) — the same cases the reference's
+  * own code paths encode.
+  */
+class FsSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Evaluate the xattr rule for one request against one file. */
+  private def xattr(key: String, mask: Int, fileUid: Int, fileGid: Int,
+      mode: Int, reqUid: Int, reqGid: Int): Boolean =
+    Seq((key, mask, fileUid, fileGid, mode, reqUid, reqGid))
+      .toDF("key", "mask", "uid", "gid", "mode", "req_uid", "req_gid")
+      .select(InodeCatalog.xattrAccessAllowed($"key", $"mask", $"uid",
+        $"gid", $"mode", $"req_uid", $"req_gid").as("ok"))
+      .head().getBoolean(0)
+
+  private def evalInt(c: org.apache.spark.sql.Column, mode: Int): Int =
+    Seq(mode).toDF("m").select(c.as("r")).head().getInt(0)
+
+  private def filetype(stMode: Int): Option[String] =
+    Seq(stMode).toDF("m")
+      .select(InodeCatalog.modeToFiletype($"m").as("r"))
+      .head() match { case r => Option(r.getString(0)) }
+
+  val R = 4; val W = 2
+
+  test("security namespace: world-readable, root-writable") {
+    assert(xattr("security.selinux", R, 0, 0, 0x180, 5, 5))
+    assert(!xattr("security.selinux", W, 0, 0, 0x1ff, 5, 5))
+    assert(xattr("security.selinux", W, 0, 0, 0x180, 0, 0))
+  }
+
+  test("trusted namespace: root-only for any access") {
+    assert(!xattr("trusted.overlay", R, 0, 0, 0x1ff, 5, 5))
+    assert(!xattr("trusted.overlay", W, 0, 0, 0x1ff, 5, 5))
+    assert(xattr("trusted.overlay", R, 0, 0, 0x180, 0, 0))
+  }
+
+  test("system namespace: root-only except posix_acl_access which follows file bits") {
+    assert(!xattr("system.quota", R, 5, 5, 0x1ff, 5, 5))
+    assert(xattr("system.quota", R, 5, 5, 0x180, 0, 0))
+    // mode 0600: owner passes, other does not
+    assert(xattr("system.posix_acl_access", R, 5, 5, 0x180, 5, 9))
+    assert(!xattr("system.posix_acl_access", R, 5, 5, 0x180, 6, 9))
+  }
+
+  test("user namespace follows the POSIX file bits per tier") {
+    val mode = 0x1a4 // 0644
+    assert(xattr("user.tag", R, 5, 7, mode, 5, 0)) // owner read
+    assert(xattr("user.tag", W, 5, 7, mode, 5, 0)) // owner write
+    assert(xattr("user.tag", R, 5, 7, mode, 6, 7)) // group read
+    assert(!xattr("user.tag", W, 5, 7, mode, 6, 7)) // group write denied
+    assert(xattr("user.tag", R, 5, 7, mode, 8, 9)) // other read
+    assert(!xattr("user.tag", W, 5, 7, mode, 8, 9)) // other write denied
+  }
+
+  test("unknown namespace is unsupported (denied)") {
+    assert(!xattr("badns.x", R, 0, 0, 0x1ff, 0, 0))
+    assert(!xattr("use", R, 0, 0, 0x1ff, 0, 0)) // shorter than any prefix
+  }
+
+  test("suid always clears; sgid clears only with group-execute") {
+    def clear(m: Int) = evalInt(InodeCatalog.clearSuidSgid($"m"), m)
+    assert(clear(0xDED) === 0x1ED) // 06755: suid+sgid+755, grp x → both clear
+    assert(clear(0x9A4) === 0x1A4) // 04644: suid clears
+    assert(clear(0x5A4) === 0x5A4) // 02644: grp has NO x → sgid survives
+    assert(clear(0x5ED) === 0x1ED) // 02755: grp x → sgid clears
+    assert(clear(0x1A4) === 0x1A4) // no bits set → unchanged
+  }
+
+  test("S_IFMT decode covers all seven types and nulls unknowns") {
+    assert(filetype(0x81A4).contains("file")) // 0100644
+    assert(filetype(0x41ED).contains("dir")) // 0040755
+    assert(filetype(0xA1FF).contains("symlink"))
+    assert(filetype(0x61B0).contains("blockdev"))
+    assert(filetype(0x21B0).contains("chardev"))
+    assert(filetype(0x11B0).contains("fifo"))
+    assert(filetype(0xC1FF).contains("socket"))
+    assert(filetype(0x01A4).isEmpty) // no S_IFMT bits
+  }
+
+  test("checkAccess root semantics: rw always, x needs some x bit") {
+    def chk(mode: Int, mask: Int, uid: Int) =
+      Seq((5, 5, mode, uid, 0, mask))
+        .toDF("uid", "gid", "mode", "req_uid", "req_gid", "mask")
+        .select(InodeCatalog.checkAccess($"uid", $"gid", $"mode",
+          $"req_uid", $"req_gid", $"mask").as("ok"))
+        .head().getBoolean(0)
+    assert(chk(0x000, R | W, 0)) // root rw on 0000
+    assert(!chk(0x1B6, 1, 0)) // 0666: root exec denied, no x anywhere
+    assert(chk(0x1B7, 1, 0)) // 0667: some x bit → root exec ok
+    assert(chk(0x000, 0, 7)) // F_OK always passes
+  }
+}
