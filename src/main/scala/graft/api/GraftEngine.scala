@@ -37,8 +37,19 @@ class GraftEngine(
   def fs: InodeCatalog = catalog
   def updateFs(f: InodeCatalog => InodeCatalog): InodeCatalog = {
     catalog = f(catalog)
+    // the mutation is opaque here, so drop every cached listing — the
+    // reference patches its ls_cache in place on create because the FUSE
+    // loop knows exactly which directory changed (uring_fs/mod.rs:195-200)
+    lsCache.invalidateAll()
     catalog
   }
+
+  /** TTL'd readdir cache over the metadata plane (list_cache.rs analog);
+    * 30 s mirrors the FUSE attr-timeout order of magnitude. */
+  val lsCache = new graft.meta.ListingCache(ttlMillis = 30000L)
+  def readdirCached(parent: Long, offset: Int = 0,
+      limit: Int = Int.MaxValue): Seq[org.apache.spark.sql.Row] =
+    lsCache.readdir(catalog, parent, offset, limit)
 
   /** Run a declared operator from the registry against a data dir. */
   def query(name: String, sfDir: String): DataFrame =

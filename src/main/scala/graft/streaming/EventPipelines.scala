@@ -147,6 +147,50 @@ object EventPipelines {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
   }
 
+  /** T3: membership snapshot log (etcd.rs:70-76) — the reference logs the
+    * full registered-services list every 5 s from its shared registry
+    * state. Registrations stream in as (service, ts) rows; the snapshot
+    * is the distinct current set, re-emitted per trigger in complete
+    * mode to a pluggable log sink (console `info!` in the reference, a
+    * captured buffer in specs). Returns the started query. */
+  def membershipSnapshotLog(
+      registrations: DataFrame,
+      logSink: Seq[String] => Unit,
+      checkpoint: String) =
+    registrations
+      .groupBy()
+      .agg(sort_array(collect_set(col("service"))).as("services"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds")) // etcd.rs:72
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val snap = df.collect().headOption
+          .map(_.getAs[scala.collection.Seq[String]]("services").toSeq)
+          .getOrElse(Seq.empty)
+        logSink(snap)
+      }
+      .start()
+
+  /** S9: TCP echo semantics (worker/src/main.rs:72-90) — every message
+    * comes back verbatim while the request counter and response-size
+    * metrics tick. Works over any line stream; [[socketEcho]] binds it
+    * to Spark's socket source (the TcpStream analog). */
+  def echo(lines: DataFrame): DataFrame =
+    lines.select(
+      col("value").as("echoed"),
+      length(col("value")).as("n_bytes"),
+      lit(1L).as("incoming_requests"))
+
+  /** The socket-bound form of [[echo]]. */
+  def socketEcho(spark: SparkSession, host: String, port: Int): DataFrame =
+    echo(
+      spark.readStream
+        .format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load())
+
   /** T4/S12: 30-second metrics push — windowed counts delivered to a
     * pluggable sink via foreachBatch (the push-gateway analog). Returns
     * the started query; caller owns its lifecycle. */

@@ -259,4 +259,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(received.get() > 0, "push sink must observe aggregated rows")
   }
+
+  test("membership snapshot log emits the full current service list (T3)") {
+    val snapshots = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    implicit val sqlCtx = spark.sqlContext
+    val regs = MemoryStream[(String, Timestamp)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = EventPipelines.membershipSnapshotLog(
+      regs.toDF().toDF("service", "ts"),
+      snap => snapshots.add(snap),
+      ckpt)
+    regs.addData(("10.0.0.1:8080", new Timestamp(1000)))
+    regs.addData(("10.0.0.2:8080", new Timestamp(2000)))
+    q.processAllAvailable()
+    // a later registration joins the NEXT snapshot (complete-mode re-emit)
+    regs.addData(("10.0.0.3:8080", new Timestamp(3000)))
+    q.processAllAvailable()
+    q.stop()
+    val seen = snapshots.toArray(Array.empty[Seq[String]])
+    assert(seen.nonEmpty)
+    assert(seen.last === Seq("10.0.0.1:8080", "10.0.0.2:8080", "10.0.0.3:8080"),
+      "final snapshot must be the full sorted membership")
+    assert(seen.forall(s => s == s.sorted && s.distinct == s),
+      "each snapshot is a distinct sorted set")
+  }
+
+  test("echo returns every message verbatim with request metrics (S9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData("hello", "", "echo echo")
+    val q = EventPipelines.echo(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("echo_out2").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("echo_out2")
+      .select($"echoed", $"n_bytes", $"incoming_requests")
+      .as[(String, Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("", "echo echo", "hello"))
+    assert(rows.forall { case (s, n, c) => n === s.length && c === 1L })
+  }
 }
