@@ -199,6 +199,42 @@ final case class InodeCatalog(df: DataFrame) {
       .map(_.getAs[Map[String, Array[Byte]]]("xattrs").keys.toSeq.sorted)
       .getOrElse(Seq.empty)
 
+  /** P7-enforced xattr read: the namespace policy (xattr_access_check,
+    * filesystem.rs:126-174) evaluated against the inode's owner/mode for
+    * the requesting (uid, gid) before the raw lookup runs. */
+  def getxattrChecked(ino: Long, key: String, reqUid: Int,
+      reqGid: Int): Either[String, Option[Array[Byte]]] =
+    if (xattrOpAllowed(ino, key, mask = 4, reqUid, reqGid))
+      Right(getxattr(ino, key))
+    else Left(s"EPERM: $key")
+
+  /** P7-enforced xattr write (mask W_OK). */
+  def setxattrChecked(ino: Long, key: String, value: Array[Byte],
+      reqUid: Int, reqGid: Int): Either[String, InodeCatalog] =
+    if (xattrOpAllowed(ino, key, mask = 2, reqUid, reqGid))
+      Right(setxattr(ino, key, value))
+    else Left(s"EPERM: $key")
+
+  /** Evaluate the xattr policy for one inode via the same column
+    * expression the query surface uses (one source of truth). */
+  private def xattrOpAllowed(ino: Long, key: String, mask: Int,
+      reqUid: Int, reqGid: Int): Boolean =
+    getattr(ino).exists { r =>
+      val one = spark.createDataFrame(
+        java.util.List.of(Row(key, mask, r.getAs[Int]("uid"),
+          r.getAs[Int]("gid"), r.getAs[Int]("mode"), reqUid, reqGid)),
+        StructType(Seq(
+          StructField("key", StringType), StructField("mask", IntegerType),
+          StructField("uid", IntegerType), StructField("gid", IntegerType),
+          StructField("mode", IntegerType),
+          StructField("req_uid", IntegerType),
+          StructField("req_gid", IntegerType))))
+      one
+        .select(xattrAccessAllowed(col("key"), col("mask"), col("uid"),
+          col("gid"), col("mode"), col("req_uid"), col("req_gid")))
+        .head().getBoolean(0)
+    }
+
   def removexattr(ino: Long, key: String): InodeCatalog =
     InodeCatalog(
       df.withColumn(

@@ -85,6 +85,36 @@ class FsSemanticsSpec extends SparkSpec {
     assert(filetype(0x01A4).isEmpty) // no S_IFMT bits
   }
 
+  test("catalog xattr CRUD enforces the namespace policy end-to-end") {
+    // file owned by uid=5 gid=5, mode 0600
+    val cat = InodeCatalog.empty(spark)
+      .create(1, "f", "file", mode = 0x180, uid = 5, gid = 5)
+    val ino = cat.lookup(1, "f").get.getAs[Long]("ino")
+    // owner can write+read user.* on their 0600 file
+    val set = cat.setxattrChecked(ino, "user.tag", "v".getBytes, 5, 5)
+    assert(set.isRight)
+    assert(set.toOption.get.getxattrChecked(ino, "user.tag", 5, 5)
+      .toOption.get.map(new String(_)).contains("v"))
+    // another uid cannot even read it (0600)
+    assert(set.toOption.get.getxattrChecked(ino, "user.tag", 6, 6).isLeft)
+    // trusted.* is root-only; security.* readable by anyone, root-writable
+    assert(cat.setxattrChecked(ino, "trusted.x", "v".getBytes, 5, 5).isLeft)
+    assert(cat.setxattrChecked(ino, "trusted.x", "v".getBytes, 0, 0).isRight)
+    assert(cat.setxattrChecked(ino, "security.s", "v".getBytes, 5, 5).isLeft)
+    assert(cat.getxattrChecked(ino, "security.s", 6, 6).isRight)
+  }
+
+  test("object listing enumerates keys with sizes through the Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("listing")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("sub/b.bin"), Array[Byte](9))
+    val got = graft.sources.ObjectListing
+      .list(spark, "file:" + dir.toString)
+      .select($"key", $"size").as[(String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("a.bin", 3L), ("sub/b.bin", 1L)))
+  }
+
   test("checkAccess root semantics: rw always, x needs some x bit") {
     def chk(mode: Int, mask: Int, uid: Int) =
       Seq((5, 5, mode, uid, 0, mask))
