@@ -28,7 +28,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "timing" documents the r2 method change: r1 timed count() (Catalyst
+    // prunes unreferenced projections under a count), r2+ times a full
+    // noop-sink materialization — totals are NOT comparable across that
+    // boundary, r2 measures strictly more work per query
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"noop-sink full materialization (r1 used count)"}""")
     spark.stop()
   }
 }

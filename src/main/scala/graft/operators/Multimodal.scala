@@ -203,8 +203,22 @@ object Multimodal {
 
   /** Resize stub: partition-local "downsample" keeping every 4th byte —
     * the mapPartitions plumbing for a real resize kernel (schema in/out,
-    * byte budget shrink), decoder stubbed per the container limits. */
-  val qMediaResize = QueryDef.rowsOnly("q_media_resize") { (s, d) =>
+    * byte budget shrink), decoder stubbed per the container limits. The
+    * resized payload leaves the kernel as bytes; the query emits its md5
+    * so DuckDB (which can rebuild the same every-4th-char string from the
+    * ASCII source text) hash-checks the whole kernel path. */
+  val qMediaResize = QueryDef.sql(
+    "q_media_resize",
+    """SELECT doc_id,
+      |       CAST(n_chars AS INT) AS orig_bytes,
+      |       CAST((n_chars + 3) // 4 AS INT) AS resized_bytes,
+      |       md5(list_aggregate(
+      |         [text[i:i] for i in range(1, CAST(n_chars AS INT) + 1)
+      |          if (i - 1) % 4 = 0],
+      |         'string_agg', '')) AS resized_digest
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     Tables
       .documents(s, d)
@@ -217,6 +231,8 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "orig_bytes", "resized_bytes", "resized")
+      .select($"doc_id", $"orig_bytes", $"resized_bytes",
+        md5($"resized").as("resized_digest"))
       .orderBy($"doc_id")
   }
 
