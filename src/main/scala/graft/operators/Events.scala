@@ -230,7 +230,56 @@ object Events {
       .orderBy($"event_type", $"bucket")
   }
 
+  /** A6: registry gather/merge — Prometheus `REGISTRY.gather()` encodes
+    * every metric family (counter vecs, gauges, histogram buckets) into
+    * one exposition payload (metrics.rs:59,85). The analytic form: one
+    * long-format relation (family, metric, label, value) unioning the
+    * counter, gauge, and histogram families computed from the same event
+    * stream — the merge across partial states is exactly the partial+final
+    * aggregation Spark already proves per family. */
+  val qMetricsRegistry = QueryDef.sql(
+    "q_metrics_registry",
+    """SELECT family, metric, label, value FROM (
+      |  SELECT 'counter' AS family, 'incoming_requests_total' AS metric,
+      |         event_type AS label, CAST(count(*) AS DOUBLE) AS value
+      |  FROM events GROUP BY event_type
+      |  UNION ALL
+      |  SELECT 'gauge', 'connected_clients', '_global',
+      |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+      |                       WHEN event_type = 'error' THEN -1 END) AS DOUBLE)
+      |  FROM events WHERE event_type IN ('signup', 'error')
+      |  UNION ALL
+      |  SELECT 'histogram', 'response_time_bucket',
+      |         event_type || '|le=' || CAST(CAST(floor(value / 50) AS INT) AS VARCHAR),
+      |         CAST(count(*) AS DOUBLE)
+      |  FROM events GROUP BY event_type, floor(value / 50))
+      |ORDER BY family, metric, label""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val counters = ev
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("counter").as("family"),
+        lit("incoming_requests_total").as("metric"),
+        $"event_type".as("label"), $"value")
+    val gauges = ev
+      .filter($"event_type".isin("signup", "error"))
+      .agg(sum(when($"event_type" === "signup", 1L).otherwise(-1L))
+        .cast("double").as("value"))
+      .select(lit("gauge").as("family"), lit("connected_clients").as("metric"),
+        lit("_global").as("label"), $"value")
+    val hist = ev
+      .groupBy($"event_type", floor($"value" / 50).cast("int").as("bucket"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("histogram").as("family"),
+        lit("response_time_bucket").as("metric"),
+        concat($"event_type", lit("|le="), $"bucket").as("label"), $"value")
+    counters.unionByName(gauges).unionByName(hist)
+      .orderBy($"family", $"metric", $"label")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
-      qHistogramSketch)
+      qHistogramSketch, qMetricsRegistry)
 }

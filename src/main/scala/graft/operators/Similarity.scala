@@ -232,6 +232,40 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
+  /** The 100 TB production form of [[qEmbedNearDup]]: LSH-bucketed
+    * candidate pairs (8 tables × 4 hyperplane bits — any-table collision)
+    * followed by an EXACT cosine verify at the same rounded threshold.
+    * Replaces the all-pairs theta join (BroadcastNestedLoopJoin, O(n²))
+    * with an equi-join on (table, bucket): cost is Σ|bucket|² per table.
+    * Precision is 1.0 by construction (every emitted pair is exact-
+    * verified); recall is the LSH dial, measured against the all-pairs
+    * ground truth in SimilaritySpec. Rows-only gate (hyperplane constants
+    * aren't SQL-portable). */
+  val qEmbedNearDupLsh = QueryDef.rowsOnly("q_embed_neardup_lsh") { (s, d) =>
+    import s.implicits._
+    val dim = 64
+    val bucketed = Tables.embeddings(s, d).select(
+      $"vec_id",
+      $"embedding",
+      posexplode(lshBuckets($"embedding", 8, 4, dim)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select($"vec_id".as("v1"), $"embedding".as("e1"),
+      norm($"embedding").as("n1"), $"tbl", $"bucket")
+    val b = bucketed.select($"vec_id".as("v2"), $"embedding".as("e2"),
+      norm($"embedding").as("n2"), $"tbl".as("t2"), $"bucket".as("b2"))
+    // distinct dedups multi-table collisions; it carries the vectors so
+    // the verify step needs no second join against the corpus — the
+    // shuffle is bounded by the candidate count, not |corpus|²
+    val cands = a
+      .join(b, $"tbl" === $"t2" && $"bucket" === $"b2" && $"v1" < $"v2")
+      .select($"v1", $"v2", $"e1", $"e2", $"n1", $"n2")
+      .distinct()
+    cands
+      .withColumn("c", dot($"e1", $"e2") / ($"n1" * $"n2"))
+      .filter(round($"c", 4) > 0.45)
+      .select($"v1", $"v2", round($"c", 4).as("cos_sim"))
+      .orderBy($"v1", $"v2")
+  }
+
   /** Cross-table join of the LLM tables: mean embedding norm and vector
     * count per document language (doc_id = vec_id). Exercises vector
     * math composed with a relational join + aggregation. */
@@ -257,5 +291,6 @@ object Similarity {
   }
 
   def defs: Seq[QueryDef] =
-    Seq(qCosineKnn, qEmbedNearDup, qAnnLsh, qAnnIvf, qLangEmbedStats)
+    Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
+      qLangEmbedStats)
 }

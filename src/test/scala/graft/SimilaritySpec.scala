@@ -69,4 +69,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.filter($"qid" === $"nid").count() === 0)
     assert(lsh.groupBy($"qid").count().collect().forall(_.getLong(1) <= 10))
   }
+
+  test("LSH near-dup: perfect precision vs the all-pairs ground truth, useful recall") {
+    val exact = Similarity.qEmbedNearDup.fn(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.qEmbedNearDupLsh.fn(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    assert((lsh -- exact).isEmpty,
+      "exact verify means every emitted pair must be a true near-dup")
+    assert(exact.nonEmpty, "test data must contain near-dup pairs")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(s"LSH near-dup recall = $recall (|exact|=${exact.size})")
+    assert(recall >= 0.25, s"recall too low to be a useful candidate path: $recall")
+  }
 }
