@@ -256,25 +256,34 @@ object Events {
       |ORDER BY family, metric, label""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val ev = Tables.events(s, d)
-    val counters = ev
+    // ONE scan + ONE event-row shuffle: the finest grouping (event_type,
+    // bucket) carries both the histogram counts and the gauge deltas;
+    // coarser families re-aggregate the tiny grouped result (|types| ×
+    // |buckets| rows), so a 100 TB metrics export is a single pass — a
+    // naive per-family union would scan the events three times.
+    val base = Tables
+      .events(s, d)
+      .groupBy($"event_type", floor($"value" / 50).cast("int").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"event_type" === "signup", 1L)
+          .when($"event_type" === "error", -1L)).as("gdelta"))
+      .localCheckpoint(true) // aggregate-sized; reused by all 3 families
+    val counters = base
       .groupBy($"event_type")
-      .agg(count(lit(1)).cast("double").as("value"))
+      .agg(sum($"n").cast("double").as("value"))
       .select(lit("counter").as("family"),
         lit("incoming_requests_total").as("metric"),
         $"event_type".as("label"), $"value")
-    val gauges = ev
-      .filter($"event_type".isin("signup", "error"))
-      .agg(sum(when($"event_type" === "signup", 1L).otherwise(-1L))
-        .cast("double").as("value"))
+    val gauges = base
+      .agg(sum($"gdelta").cast("double").as("value"))
       .select(lit("gauge").as("family"), lit("connected_clients").as("metric"),
         lit("_global").as("label"), $"value")
-    val hist = ev
-      .groupBy($"event_type", floor($"value" / 50).cast("int").as("bucket"))
-      .agg(count(lit(1)).cast("double").as("value"))
+    val hist = base
       .select(lit("histogram").as("family"),
         lit("response_time_bucket").as("metric"),
-        concat($"event_type", lit("|le="), $"bucket").as("label"), $"value")
+        concat($"event_type", lit("|le="), $"bucket").as("label"),
+        $"n".cast("double").as("value"))
     counters.unionByName(gauges).unionByName(hist)
       .orderBy($"family", $"metric", $"label")
   }
