@@ -19,20 +19,30 @@ object Bench {
     // time a FULL materialization via the noop sink: under a bare count()
     // Catalyst prunes unreferenced projections, so projection-heavy
     // queries would look artificially cheap
+    // a throwing query records NEGATIVE elapsed time — a swallowed failure
+    // must never masquerade as a legitimately fast timing
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ > 0).sum
     // "timing" documents the r2 method change: r1 timed count() (Catalyst
     // prunes unreferenced projections under a count), r2+ times a full
     // noop-sink materialization — totals are NOT comparable across that
     // boundary, r2 measures strictly more work per query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","timing":"noop-sink full materialization (r1 used count)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization (r1 used count)"}""")
     spark.stop()
   }
 }

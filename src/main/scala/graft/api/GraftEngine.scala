@@ -25,6 +25,12 @@ class GraftEngine(
     storeRoot: String,
     numBuckets: Int = 1024) {
 
+  /** Config-driven construction: the KV plane takes its root and bucket
+    * count from [[graft.config.LocalKvOptions]] (the FromConfig surface),
+    * so defaults live in ONE place instead of drifting per call site. */
+  def this(spark: SparkSession, options: graft.config.LocalKvOptions) =
+    this(spark, options.rootPath, options.numBucket)
+
   graft.plans.GraftExtensions.register(spark)
 
   /** Hash-bucketed KV object store (the data plane). */

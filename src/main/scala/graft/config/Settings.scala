@@ -27,22 +27,30 @@ final case class GraftSettings(
 
 object GraftSettings {
 
+  /** Unparseable values fall back to the field default, exactly like the
+    * reference's `config.get::<T>(key).unwrap_or(default)` — a malformed
+    * layer entry must not abort settings load. */
+  private[config] def intOr(c: Map[String, String], k: String, d: Int): Int =
+    c.get(k).flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(d)
+  private def boolOr(c: Map[String, String], k: String, d: Boolean): Boolean =
+    c.get(k).flatMap(v => scala.util.Try(v.trim.toBoolean).toOption).getOrElse(d)
+
   /** Mirror of `Settings::from(Config)` (settings.rs:32-90): same keys,
     * same defaults, same conditional list resolution — static discovery
     * defaults its own list to `localhost:{http_port}`, etcd discovery
     * defaults to `localhost:2379`, and each populates ONLY its own list. */
   def fromMap(c: Map[String, String]): GraftSettings = {
-    val httpPort = c.get("http_port").map(_.toInt).getOrElse(8080)
+    val httpPort = intOr(c, "http_port", 8080)
     val discovery = c.getOrElse("service_discovery_type", "static")
     GraftSettings(
-      debug = c.get("is_debug").exists(_.toBoolean),
+      debug = boolOr(c, "is_debug", d = false),
       logLevel = c.getOrElse("log_level", "INFO"),
       hostname = c.getOrElse("graft_hostname",
         java.net.InetAddress.getLocalHost.getHostName),
       localIp = c.getOrElse("local_ip", "127.0.0.1"),
       httpPort = httpPort,
-      http2Port = c.get("http2_port").map(_.toInt).getOrElse(5928),
-      socketPort = c.get("socket_port").map(_.toInt).getOrElse(19090),
+      http2Port = intOr(c, "http2_port", 5928),
+      socketPort = intOr(c, "socket_port", 19090),
       serviceDiscoveryType = discovery,
       etcdUris =
         if (discovery == "etcd")
@@ -78,9 +86,8 @@ object LocalKvOptions extends FromConfig[LocalKvOptions] {
     def key(k: String) = if (prefix.isEmpty) k else s"$prefix.$k"
     LocalKvOptions(
       rootPath = c.getOrElse(key("local_kv_root_path"), "/tmp/graft_store"),
-      numBucket = c.get(key("local_kv_num_bucket")).map(_.toInt).getOrElse(1024),
-      chunkSize =
-        c.get(key("local_kv_chunk_size")).map(_.toInt).getOrElse(128 * 1024))
+      numBucket = GraftSettings.intOr(c, key("local_kv_num_bucket"), 1024),
+      chunkSize = GraftSettings.intOr(c, key("local_kv_chunk_size"), 128 * 1024))
   }
 }
 

@@ -215,24 +215,14 @@ final case class InodeCatalog(df: DataFrame) {
       Right(setxattr(ino, key, value))
     else Left(s"EPERM: $key")
 
-  /** Evaluate the xattr policy for one inode via the same column
-    * expression the query surface uses (one source of truth). */
+  /** Evaluate the xattr policy for one inode. Uses the scalar twin of the
+    * column expression (spec-checked equivalent) — the policy is pure bit
+    * arithmetic, so only the getattr point read touches Spark. */
   private def xattrOpAllowed(ino: Long, key: String, mask: Int,
       reqUid: Int, reqGid: Int): Boolean =
     getattr(ino).exists { r =>
-      val one = spark.createDataFrame(
-        java.util.List.of(Row(key, mask, r.getAs[Int]("uid"),
-          r.getAs[Int]("gid"), r.getAs[Int]("mode"), reqUid, reqGid)),
-        StructType(Seq(
-          StructField("key", StringType), StructField("mask", IntegerType),
-          StructField("uid", IntegerType), StructField("gid", IntegerType),
-          StructField("mode", IntegerType),
-          StructField("req_uid", IntegerType),
-          StructField("req_gid", IntegerType))))
-      one
-        .select(xattrAccessAllowed(col("key"), col("mask"), col("uid"),
-          col("gid"), col("mode"), col("req_uid"), col("req_gid")))
-        .head().getBoolean(0)
+      xattrAccessAllowedScalar(key, mask, r.getAs[Int]("uid"),
+        r.getAs[Int]("gid"), r.getAs[Int]("mode"), reqUid, reqGid)
     }
 
   def removexattr(ino: Long, key: String): InodeCatalog =
@@ -356,6 +346,34 @@ object InodeCatalog {
         when(key === "system.posix_acl_access", posix).otherwise(reqUid === 0))
       .when(ns === "user", posix)
       .otherwise(lit(false))
+  }
+
+  /** Scalar twin of [[checkAccess]] for driver-side point ops (an xattr
+    * permission check is pure bit arithmetic over seven scalars — running
+    * a Spark job per check would make every CRUD call O(job launch)).
+    * FsSemanticsSpec asserts equivalence with the column form over a
+    * combinatorial sweep. */
+  def checkAccessScalar(fileUid: Int, fileGid: Int, mode: Int,
+      reqUid: Int, reqGid: Int, mask: Int): Boolean =
+    if (reqUid == 0) (mask & 1) == 0 || (((mode >> 6) | (mode >> 3) | mode) & 1) == 1
+    else {
+      val eff =
+        if (fileUid == reqUid) mode >> 6
+        else if (fileGid == reqGid) mode >> 3
+        else mode
+      (mask & eff & 7) == mask
+    }
+
+  /** Scalar twin of [[xattrAccessAllowed]] (same spec-checked equivalence). */
+  def xattrAccessAllowedScalar(key: String, mask: Int, fileUid: Int,
+      fileGid: Int, mode: Int, reqUid: Int, reqGid: Int): Boolean = {
+    val posix = checkAccessScalar(fileUid, fileGid, mode, reqUid, reqGid, mask)
+    if (key.startsWith("user.")) posix
+    else if (key.startsWith("system."))
+      if (key == "system.posix_acl_access") posix else reqUid == 0
+    else if (key.startsWith("trusted.")) reqUid == 0
+    else if (key.startsWith("security")) mask == 4 || reqUid == 0
+    else false
   }
 
   /** F8: suid/sgid clear on write (filesystem.rs:110-116). SUID always

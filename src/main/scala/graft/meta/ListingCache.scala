@@ -22,11 +22,15 @@ final class ListingCache(
 
   private final case class Entry(rows: Seq[Row], at: Long)
   private val cache = scala.collection.concurrent.TrieMap.empty[Long, Entry]
+  // epoch fences in-flight misses: a listing computed before an
+  // invalidation must NOT be inserted after it (it reflects the
+  // pre-mutation catalog and would serve stale rows for a full TTL)
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  @volatile private var hitCount = 0L
-  @volatile private var missCount = 0L
-  def hits: Long = hitCount
-  def misses: Long = missCount
+  private val hitCount = new java.util.concurrent.atomic.LongAdder
+  private val missCount = new java.util.concurrent.atomic.LongAdder
+  def hits: Long = hitCount.sum()
+  def misses: Long = missCount.sum()
 
   /** Serve `readdir(parent)` from the cache when a live entry exists;
     * otherwise run the catalog listing and memoize it. Pagination is
@@ -38,20 +42,27 @@ final class ListingCache(
     val live = cache.get(parent).filter(now - _.at < ttlMillis)
     val rows = live match {
       case Some(e) =>
-        hitCount += 1
+        hitCount.increment()
         e.rows
       case None =>
-        missCount += 1
+        missCount.increment()
+        val epochAtStart = epoch.get()
         val fresh = cat.readdir(parent).collect().toSeq
-        cache.put(parent, Entry(fresh, now))
+        if (epoch.get() == epochAtStart) cache.put(parent, Entry(fresh, now))
         fresh
     }
     rows.slice(offset, math.min(rows.size, offset.toLong + limit).toInt)
   }
 
   /** Drop one directory's listing (create/rename/unlink touched it). */
-  def invalidate(parent: Long): Unit = cache.remove(parent)
+  def invalidate(parent: Long): Unit = {
+    epoch.incrementAndGet()
+    cache.remove(parent)
+  }
 
   /** Drop everything (opaque catalog mutation). */
-  def invalidateAll(): Unit = cache.clear()
+  def invalidateAll(): Unit = {
+    epoch.incrementAndGet()
+    cache.clear()
+  }
 }

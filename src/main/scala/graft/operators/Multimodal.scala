@@ -85,15 +85,15 @@ object Multimodal {
     """SELECT doc_id,
       |       CAST(n_chars AS INT) AS n_bytes,
       |       CAST((n_chars + 31) // 32 AS INT) AS n_frames,
-      |       CAST(list_sum([ord(text[i:i]) * i
-      |                      for i in range(1, CAST(n_chars AS INT) + 1)])
+      |       CAST(COALESCE(list_sum([(ord(text[i:i]) * i) % 1000000007
+      |                      for i in range(1, CAST(n_chars AS INT) + 1)]), 0)
       |            % 1000000007 AS BIGINT) AS checksum,
-      |       list_aggregate(
+      |       COALESCE(list_aggregate(
       |         [CAST(list_sum([ord(ch)
       |                         for ch in str_split(substr(text, f * 32 + 1, 32), '')])
       |               AS VARCHAR)
       |          for f in range(0, CAST(least((n_chars + 31) // 32, 8) AS INT))],
-      |         'string_agg', ',') AS features_csv
+      |         'string_agg', ','), '') AS features_csv
       |FROM documents
       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
@@ -110,9 +110,12 @@ object Multimodal {
           val feats = Array.tabulate(nFrames.min(8)) { f =>
             bytes.slice(f * frame, (f + 1) * frame).map(_ & 0xff).sum.toLong
           }
-          // positional polynomial checksum, exact in Long, SQL-expressible
+          // positional polynomial checksum, SQL-expressible; per-term mod
+          // keeps the running Long sum exact until ~9e9 bytes/payload
+          // ((Σaᵢ) mod P ≡ (Σ(aᵢ mod P)) mod P, and DuckDB's HUGEINT side
+          // is exact regardless)
           val checksum = bytes.zipWithIndex
-            .map { case (b, i) => (b & 0xff).toLong * (i + 1) }
+            .map { case (b, i) => (b & 0xff).toLong * (i + 1) % 1000000007L }
             .sum % 1000000007L
           MediaFeatures(id, bytes.length, nFrames, checksum, feats.mkString(","))
         }
@@ -212,10 +215,10 @@ object Multimodal {
     """SELECT doc_id,
       |       CAST(n_chars AS INT) AS orig_bytes,
       |       CAST((n_chars + 3) // 4 AS INT) AS resized_bytes,
-      |       md5(list_aggregate(
+      |       md5(COALESCE(list_aggregate(
       |         [text[i:i] for i in range(1, CAST(n_chars AS INT) + 1)
       |          if (i - 1) % 4 = 0],
-      |         'string_agg', '')) AS resized_digest
+      |         'string_agg', ''), '')) AS resized_digest
       |FROM documents
       |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>

@@ -82,8 +82,18 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
   /** Raw snapshot; an empty (never-written) store reads as zero rows
     * instead of PATH_NOT_FOUND. */
   private def raw(): DataFrame =
-    if (fs.exists(rootPath)) spark.read.parquet(root)
-    else {
+    if (fs.exists(rootPath))
+      // a root that exists but holds no data files (e.g. an empty-batch
+      // put wrote only _SUCCESS) has no inferable schema — treat it as
+      // an empty store rather than failing the read
+      try spark.read.parquet(root)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => emptySnapshot()
+      }
+    else emptySnapshot()
+
+  private def emptySnapshot(): DataFrame = {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -123,6 +133,7 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
     * a catalog entry) instead — the FS abstraction below still works,
     * only the swap-visibility guarantee differs. */
   def compact(): Unit = {
+    if (!fs.exists(rootPath)) return // never written — nothing to compact
     val tmp = new org.apache.hadoop.fs.Path(root + ".compacting")
     val old = new org.apache.hadoop.fs.Path(root + ".old")
     read()
@@ -134,10 +145,15 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
       .parquet(tmp.toString)
     val hfs = fs
     if (hfs.exists(old)) hfs.delete(old, true)
-    if (!hfs.rename(rootPath, old))
-      throw new java.io.IOException(s"compact: cannot move $rootPath aside")
+    if (hfs.exists(rootPath)) {
+      if (!hfs.rename(rootPath, old)) {
+        hfs.delete(tmp, true)
+        throw new java.io.IOException(s"compact: cannot move $rootPath aside")
+      }
+    } // never-written store: nothing to move aside, just install tmp
     if (!hfs.rename(tmp, rootPath)) {
       hfs.rename(old, rootPath) // roll back so the store stays readable
+      hfs.delete(tmp, true)
       throw new java.io.IOException(s"compact: cannot install $tmp")
     }
     hfs.delete(old, true)
@@ -155,6 +171,12 @@ class KvStore(spark: SparkSession, val root: String, numBuckets: Int = 1024) {
 }
 
 object KvStore {
+  /** Build a store from the config surface (FromConfig / F11) — the same
+    * values `LocalFileKVStoreOptions` carries in the reference. */
+  def apply(spark: SparkSession,
+      options: graft.config.LocalKvOptions): KvStore =
+    new KvStore(spark, options.rootPath, options.numBucket)
+
   /** Wall-clock epoch-micros, strictly increasing across calls in this
     * JVM (two put batches can land in the same microsecond otherwise) —
     * and meaningfully ordered ACROSS JVM restarts, unlike nanoTime. */

@@ -57,6 +57,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(p.numBucket === 64, "prefixed key wins; unprefixed is ignored")
   }
 
+  test("unparseable values fall back to defaults like the reference's unwrap_or") {
+    val s = GraftSettings.fromMap(Map(
+      "http_port" -> "abc", "is_debug" -> "yes", "socket_port" -> ""))
+    assert(s.httpPort === 8080)
+    assert(!s.debug)
+    assert(s.socketPort === 19090)
+    assert(LocalKvOptions.from(Map("local_kv_num_bucket" -> "lots"))
+      .numBucket === 1024)
+  }
+
   test("option_checking: suid/nosuid conflict, suid/noexec fine") {
     import MountOption._
     assert(checkOptionConflicts(Seq(Suid, NoSuid)).isLeft)

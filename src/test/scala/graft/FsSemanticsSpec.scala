@@ -85,6 +85,36 @@ class FsSemanticsSpec extends SparkSpec {
     assert(filetype(0x01A4).isEmpty) // no S_IFMT bits
   }
 
+  test("scalar policy twins are equivalent to the column forms (full sweep)") {
+    // combinatorial grid: 6 key namespaces × 3 masks × owner/group/other/
+    // root requesters × permission shapes — every cell must agree between
+    // the codegen'd column expression and the driver-side scalar
+    val keys = Seq("user.tag", "system.posix_acl_access", "system.quota",
+      "trusted.x", "security.s", "bad.x")
+    val masks = Seq(0, 2, 4)
+    val modes = Seq(0x000, 0x180, 0x1A4, 0x1ED, 0x1FF, 0x1B6)
+    val ids = Seq((0, 0), (5, 5), (5, 7), (6, 7), (8, 9))
+    val grid = for {
+      k <- keys; m <- masks; mode <- modes; (ru, rg) <- ids
+    } yield (k, m, 5, 7, mode, ru, rg)
+    val df = grid.toDF("key", "mask", "uid", "gid", "mode", "req_uid", "req_gid")
+    val colResults = df
+      .select($"key", $"mask", $"mode", $"req_uid", $"req_gid",
+        InodeCatalog.xattrAccessAllowed($"key", $"mask", $"uid", $"gid",
+          $"mode", $"req_uid", $"req_gid").as("allowed"),
+        InodeCatalog.checkAccess($"uid", $"gid", $"mode", $"req_uid",
+          $"req_gid", $"mask").as("posix"))
+      .collect()
+    colResults.zip(grid).foreach { case (r, (k, m, u, g, mode, ru, rg)) =>
+      assert(r.getBoolean(5) ===
+        InodeCatalog.xattrAccessAllowedScalar(k, m, u, g, mode, ru, rg),
+        s"xattr mismatch at key=$k mask=$m mode=$mode req=($ru,$rg)")
+      assert(r.getBoolean(6) ===
+        InodeCatalog.checkAccessScalar(u, g, mode, ru, rg, m),
+        s"posix mismatch at mask=$m mode=$mode req=($ru,$rg)")
+    }
+  }
+
   test("catalog xattr CRUD enforces the namespace policy end-to-end") {
     // file owned by uid=5 gid=5, mode 0600
     val cat = InodeCatalog.empty(spark)

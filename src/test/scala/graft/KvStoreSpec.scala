@@ -69,6 +69,23 @@ class KvStoreSpec extends SparkSpec {
     assert(new String(store.get("b").get) === "b1")
   }
 
+  test("compaction of a never-written store installs an empty snapshot") {
+    val store = freshStore()
+    store.compact() // must not throw, must leave a readable store
+    assert(store.read().count() === 0)
+    store.put(Seq(("k", "v".getBytes)).toDF("key", "value"))
+    assert(new String(store.get("k").get) === "v")
+  }
+
+  test("config-driven construction uses LocalKvOptions values") {
+    val dir = "file:" + Files.createTempDirectory("kvopts").toString
+    val store = sources.KvStore(spark, graft.config.LocalKvOptions(
+      rootPath = dir, numBucket = 8, chunkSize = 128))
+    store.put(Seq(("k1", "v".getBytes)).toDF("key", "value"))
+    val bucket = store.read().select($"bucket").head().getInt(0)
+    assert(bucket === math.floorMod(KvStore.hashOf("k1"), 8L).toInt)
+  }
+
   test("prefix scan strips the prefix like the etcd registry") {
     val store = freshStore()
     store.put(Seq(
