@@ -233,21 +233,22 @@ object Similarity {
   }
 
   /** The 100 TB production form of [[qEmbedNearDup]]: LSH-bucketed
-    * candidate pairs (8 tables × 4 hyperplane bits — any-table collision)
+    * candidate pairs (12 tables × 6 hyperplane bits — any-table collision)
     * followed by an EXACT cosine verify at the same rounded threshold.
     * Replaces the all-pairs theta join (BroadcastNestedLoopJoin, O(n²))
-    * with an equi-join on (table, bucket): cost is Σ|bucket|² per table.
-    * Precision is 1.0 by construction (every emitted pair is exact-
-    * verified); recall is the LSH dial, measured against the all-pairs
-    * ground truth in SimilaritySpec. Rows-only gate (hyperplane constants
-    * aren't SQL-portable). */
+    * with an equi-join on (table, bucket): cost is Σ|bucket|² per table,
+    * so bits-per-table is the dial to keep mean bucket size roughly
+    * constant as the corpus grows (bits ∝ log₂|corpus|). Precision is
+    * 1.0 by construction (every emitted pair is exact-verified); recall
+    * is measured against the all-pairs ground truth in SimilaritySpec.
+    * Rows-only gate (hyperplane constants aren't SQL-portable). */
   val qEmbedNearDupLsh = QueryDef.rowsOnly("q_embed_neardup_lsh") { (s, d) =>
     import s.implicits._
     val dim = 64
     val bucketed = Tables.embeddings(s, d).select(
       $"vec_id",
       $"embedding",
-      posexplode(lshBuckets($"embedding", 8, 4, dim)).as(Seq("tbl", "bucket")))
+      posexplode(lshBuckets($"embedding", 12, 6, dim)).as(Seq("tbl", "bucket")))
     val a = bucketed.select($"vec_id".as("v1"), $"embedding".as("e1"),
       norm($"embedding").as("n1"), $"tbl", $"bucket")
     val b = bucketed.select($"vec_id".as("v2"), $"embedding".as("e2"),
