@@ -81,6 +81,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("capped jaccard still reuses the postings exchange across branches") {
+    // the DF-cap anti-join must not break exchange reuse: the exploded,
+    // shingle-partitioned postings pipeline feeds the hot-shingle groupBy,
+    // both self-join sides, and the per-doc count — recomputing it per
+    // branch would quadruple the explode at 100 TB
+    val p = plan(q("q_dedup_ngram_jaccard"))
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(reused >= 1, s"expected ReusedExchange in:\n$p")
+  }
+
   test("shingle dedup has no distinct exchange before the postings join") {
     // array_distinct replaced the (doc_id, shingle) distinct shuffle;
     // the only exchanges should be for the join/groupBys themselves
