@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("grouped top-k plans WindowGroupLimit (rank pushdown, not full sort)") {
+    // rank()<=k over a window must trigger InferWindowGroupLimit: each
+    // partition keeps only k rows per group BEFORE the shuffle, so the
+    // exchange carries O(groups*k) rows instead of every event
+    val p = plan(q("q_topk_per_hour"))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+  }
+
   test("capped jaccard still reuses the postings exchange across branches") {
     // the DF-cap anti-join must not break exchange reuse: the exploded,
     // shingle-partitioned postings pipeline feeds the hot-shingle groupBy,
