@@ -203,7 +203,57 @@ object TextOps {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Sequence packing for training data: concat-and-chop documents into
+    * fixed 512-token context windows, packed per language shard. Each doc
+    * gets (bin, offset) from the running token total within its shard —
+    * the deterministic "concat then chunk" packing a pretraining pipeline
+    * runs before tokenized-example writing. The window partitions by
+    * lang (the shard key), so packing parallelizes across shards at
+    * 100 TB instead of funneling a global order through one task; docs
+    * that straddle a boundary spill into the next bin (span > 1). */
+  val qPackSequences = QueryDef.sql(
+    "q_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split_regex(trim(text), ' +')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n_tokens AS start_tok
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |       CAST(n_tokens AS INT)                  AS n_tokens,
+      |       CAST(start_tok // 512 AS INT)          AS bin,
+      |       CAST(start_tok % 512 AS INT)           AS offset,
+      |       CAST((start_tok + n_tokens - 1) // 512
+      |            - start_tok // 512 + 1 AS INT)    AS span_bins
+      |FROM packed
+      |ORDER BY lang, doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables
+      .documents(s, d)
+      .select($"doc_id", $"lang",
+        size(graft.functions.TextFunctions.words($"text")).as("n_tokens"))
+      .withColumn("start_tok",
+        (sum($"n_tokens").over(w) - $"n_tokens").cast("long"))
+      .select(
+        $"doc_id", $"lang", $"n_tokens",
+        expr("start_tok div 512").cast("int").as("bin"),
+        ($"start_tok" % 512).cast("int").as("offset"),
+        (expr("(start_tok + n_tokens - 1) div 512")
+          - expr("start_tok div 512") + 1).cast("int").as("span_bins"))
+      .orderBy($"lang", $"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize)
+      qTokenize, qPackSequences)
 }
