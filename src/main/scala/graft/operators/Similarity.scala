@@ -267,6 +267,61 @@ object Similarity {
       .orderBy($"v1", $"v2")
   }
 
+  /** Symmetric int8 quantization roundtrip — the storage-scale technique
+    * for a 100 TB embedding store (4× smaller than float32, dot products
+    * stay SIMD-friendly). Per vector: scale = max|v|, qᵢ = round(127·vᵢ/
+    * scale); the query reports the reconstruction error and the cosine
+    * between original and dequantized vector, all in double so the DuckDB
+    * oracle reproduces it bit-for-bit (float32 list funcs would not —
+    * see the CAST rule in the knn oracles). */
+  val qEmbedQuantize = QueryDef.sql(
+    "q_embed_quantize",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 200),
+      |s AS (
+      |  SELECT vec_id, e,
+      |         list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, e, scale,
+      |         [round(x * 127 / scale) for x in e] AS qv
+      |  FROM s),
+      |d AS (
+      |  SELECT vec_id, e, scale,
+      |         [x * scale / 127 for x in qv] AS dq
+      |  FROM q)
+      |SELECT vec_id,
+      |       round(scale, 5) AS scale,
+      |       round(list_max([abs(dq[i] - e[i])
+      |                       for i in range(1, len(e) + 1)]), 5) AS max_err,
+      |       round(list_cosine_similarity(e, dq), 5) AS cos_fidelity
+      |FROM d
+      |ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val e = transform($"embedding", x => x.cast("double"))
+    Tables
+      .embeddings(s, d)
+      .filter($"vec_id" < 200)
+      .select($"vec_id", e.as("e"))
+      .withColumn("scale", array_max(transform($"e", abs(_))))
+      .withColumn("qv", transform($"e", x => round(x * 127 / $"scale")))
+      .withColumn("dq", transform($"qv", q => q * $"scale" / 127))
+      .select(
+        $"vec_id",
+        round($"scale", 5).as("scale"),
+        round(
+          array_max(zip_with($"dq", $"e", (a, b) => abs(a - b))), 5)
+          .as("max_err"),
+        round(
+          aggregate(zip_with($"dq", $"e", (a, b) => a * b), lit(0.0d), _ + _)
+            / (sqrt(aggregate(transform($"dq", x => x * x), lit(0.0d), _ + _))
+              * sqrt(aggregate(transform($"e", x => x * x), lit(0.0d), _ + _))),
+          5).as("cos_fidelity"))
+      .orderBy($"vec_id")
+  }
+
   /** Cross-table join of the LLM tables: mean embedding norm and vector
     * count per document language (doc_id = vec_id). Exercises vector
     * math composed with a relational join + aggregation. */
@@ -293,5 +348,5 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
-      qLangEmbedStats)
+      qEmbedQuantize, qLangEmbedStats)
 }
