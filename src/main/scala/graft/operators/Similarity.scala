@@ -282,7 +282,10 @@ object Similarity {
       |s AS (
       |  SELECT vec_id, e,
       |         list_max(list_transform(e, x -> abs(x))) AS scale
-      |  FROM v),
+      |  FROM v
+      |  -- an all-zero vector has no quantization scale; both engines
+      |  -- drop it rather than diverge on x/0 semantics
+      |  WHERE list_max(list_transform(e, x -> abs(x))) > 0),
       |q AS (
       |  SELECT vec_id, e, scale,
       |         [round(x * 127 / scale) for x in e] AS qv
@@ -306,6 +309,7 @@ object Similarity {
       .filter($"vec_id" < 200)
       .select($"vec_id", e.as("e"))
       .withColumn("scale", array_max(transform($"e", abs(_))))
+      .filter($"scale" > 0) // all-zero vector: no scale, dropped both sides
       .withColumn("qv", transform($"e", x => round(x * 127 / $"scale")))
       .withColumn("dq", transform($"qv", q => q * $"scale" / 127))
       .select(

@@ -284,6 +284,39 @@ class StreamingSpec extends SparkSpec {
       "each snapshot is a distinct sorted set")
   }
 
+  test("socket echo reads a real TCP stream end-to-end (S9)") {
+    // a real localhost server: accept one connection, write lines, close —
+    // the socket-source binding of the echo transform, not just the
+    // MemoryStream form
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      Seq("ping", "pong pong").foreach(out.println)
+      out.flush()
+      Thread.sleep(2000) // let the source poll before the stream closes
+      sock.close(); server.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = EventPipelines.socketEcho(spark, "localhost", port)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("socket_echo_out").start()
+    try {
+      // socket source has no end-of-stream; poll until both lines landed
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.table("socket_echo_out").collect()
+      while (rows().length < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val got = rows().map(r => (r.getAs[String]("echoed"),
+        r.getAs[Int]("n_bytes"))).sortBy(_._1)
+      assert(got.toSeq === Seq(("ping", 4), ("pong pong", 9)))
+    } finally q.stop()
+  }
+
   test("echo returns every message verbatim with request metrics (S9)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
