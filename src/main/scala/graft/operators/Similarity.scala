@@ -73,7 +73,13 @@ object Similarity {
       $"embedding".as("e1"), norm($"embedding").as("n1"))
     val b = Tables.embeddings(s, d).select($"vec_id".as("v2"),
       $"embedding".as("e2"), norm($"embedding").as("n2"))
-    a.join(b, $"v1" < $"v2")
+    // cross join + ordered filter chain, NOT a.join(b, v1 < v2) with the
+    // threshold filtered afterwards: Catalyst merges both predicates into
+    // the BNLJ condition either way, but AND evaluates left-to-right with
+    // short-circuit — this ordering puts the cheap v1 < v2 BEFORE the
+    // 64-wide dot product, so half the n² ordered pairs never pay for it
+    a.join(b)
+      .filter($"v1" < $"v2")
       .withColumn("c", dot($"e1", $"e2") / ($"n1" * $"n2"))
       // threshold on the ROUNDED value so a ~1e-12 fp difference between
       // engines can't flip a row that sits on the raw boundary
