@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.groupBy($"qid").count().collect().forall(_.getLong(1) <= 10))
   }
 
+  test("int8 quantization: error bounded by half an ULP, high cosine fidelity") {
+    val rows = Similarity.qEmbedQuantize.fn(spark, sf)
+      .select($"scale", $"max_err", $"cos_fidelity")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, maxErr, fid) =>
+      // round-to-nearest: reconstruction error <= (scale/127)/2, plus the
+      // 1e-5 display rounding both columns carry
+      assert(maxErr <= scale / 127 / 2 + 1e-5,
+        s"err $maxErr exceeds half-ULP ${scale / 127 / 2}")
+      assert(fid >= 0.999, s"cosine fidelity too low: $fid")
+    }
+  }
+
   test("LSH near-dup: perfect precision vs the all-pairs ground truth, useful recall") {
     val exact = Similarity.qEmbedNearDup.fn(spark, sf)
       .select($"v1", $"v2").as[(Long, Long)].collect().toSet
