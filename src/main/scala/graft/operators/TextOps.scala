@@ -233,15 +233,14 @@ object TextOps {
       |ORDER BY lang, doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy($"lang")
       .orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables
       .documents(s, d)
-      .select($"doc_id", $"lang",
-        size(graft.functions.TextFunctions.words($"text")).as("n_tokens"))
+      .select($"doc_id", $"lang", size(words($"text")).as("n_tokens"))
       .withColumn("start_tok",
         (sum($"n_tokens").over(w) - $"n_tokens").cast("long"))
       .select(

@@ -179,7 +179,9 @@ object EventPipelines {
   def echo(lines: DataFrame): DataFrame =
     lines.select(
       col("value").as("echoed"),
-      length(col("value")).as("n_bytes"),
+      // byte length, not char length — the reference's response-size
+      // metric counts octets on the wire, which differ for non-ASCII
+      length(encode(col("value"), "UTF-8")).as("n_bytes"),
       lit(1L).as("incoming_requests"))
 
   /** The socket-bound form of [[echo]]. */

@@ -84,7 +84,8 @@ class PlanSpec extends SparkSpec {
   test("grouped top-k plans WindowGroupLimit (rank pushdown, not full sort)") {
     // rank()<=k over a window must trigger InferWindowGroupLimit: each
     // partition keeps only k rows per group BEFORE the shuffle, so the
-    // exchange carries O(groups*k) rows instead of every event
+    // window's exchange carries O(groups*k) of its input rows (here the
+    // hourly aggregates feeding the window, not raw events)
     val p = plan(q("q_topk_per_hour"))
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
       s"expected partial+final WindowGroupLimit in:\n$p")

@@ -320,7 +320,7 @@ class StreamingSpec extends SparkSpec {
   test("echo returns every message verbatim with request metrics (S9)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
-    in.addData("hello", "", "echo echo")
+    in.addData("hello", "", "echo echo", "héllo")
     val q = EventPipelines.echo(in.toDF()).writeStream
       .outputMode("append").format("memory").queryName("echo_out2").start()
     q.processAllAvailable()
@@ -328,7 +328,9 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("echo_out2")
       .select($"echoed", $"n_bytes", $"incoming_requests")
       .as[(String, Int, Long)].collect().sortBy(_._1)
-    assert(rows.map(_._1).toSeq === Seq("", "echo echo", "hello"))
-    assert(rows.forall { case (s, n, c) => n === s.length && c === 1L })
+    assert(rows.map(_._1).toSeq === Seq("", "echo echo", "hello", "héllo"))
+    // n_bytes counts octets on the wire: "héllo" is 5 chars but 6 bytes
+    assert(rows.forall { case (s, n, c) =>
+      n === s.getBytes("UTF-8").length && c === 1L })
   }
 }
