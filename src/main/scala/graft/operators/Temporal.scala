@@ -91,5 +91,63 @@ object Temporal {
       .orderBy($"event_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin)
+  /** Dataset-level entry for the native as-of join
+    * ([[graft.plans.AsofJoin]]): registers the planner strategy
+    * (idempotent), requires disjoint column names between the sides (the
+    * caller renames — this keeps attribute ids disjoint too, since
+    * renames are fresh Aliases), and returns left ++ nullable right. */
+  def asofJoin(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      strict: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"asofJoin: rename overlapping columns $overlap")
+    DatasetBridge.ofRows(
+      spark,
+      graft.plans.AsofJoin(
+        DatasetBridge.analyzedPlan(left),
+        DatasetBridge.analyzedPlan(right),
+        ColumnBridge.expression(left(leftKey)),
+        ColumnBridge.expression(right(rightKey)),
+        ColumnBridge.expression(left(leftTime)),
+        ColumnBridge.expression(right(rightTime)),
+        strict))
+  }
+
+  /** The same query as [[qAsofJoin]] through the NATIVE as-of exec —
+    * gated by the identical DuckDB ASOF JOIN oracle, so the custom
+    * operator's merge logic is hash-checked end-to-end against an
+    * independent engine. */
+  val qAsofJoinNative = QueryDef.sql(
+    "q_asof_join_native",
+    """SELECT p.event_id,
+      |       p.user_id,
+      |       c.event_id AS prior_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", expr("ts_ns div 1000").as("ts_us"))
+    val clicks = ev
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+        expr("ts_ns div 1000").as("c_ts"))
+    asofJoin(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts")
+      .select($"event_id", $"user_id", $"click_id".as("prior_click"))
+      .orderBy($"event_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qAsofJoin, qAsofJoinNative, qRangeJoin)
 }

@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native as-of join — the one temporal operator Spark's logical algebra
+  * cannot express directly (SURVEY §2.3 "ABSENT" list; preference order
+  * (c): custom LogicalPlan + Strategy + SparkPlan, used only because (a)
+  * composition exists but costs an extra full window pass over the
+  * unioned streams).
+  *
+  * Semantics: for every left row, the right row with the same key and the
+  * greatest time strictly before (or at, when `strict = false`) the left
+  * row's time — LEFT OUTER, so unmatched left rows carry nulls. This is
+  * DuckDB/kdb ASOF JOIN; the DuckDB oracle of `q_asof_join` gates the
+  * implementation end-to-end.
+  *
+  * Physical shape (the part that matters at 100 TB): both sides declare
+  * `ClusteredDistribution(key)` and per-partition `(key, time)` ordering,
+  * so EnsureRequirements co-partitions them exactly like a sort-merge
+  * join — ONE exchange per side — and the merge itself is a single
+  * forward pass per partition holding ONE candidate row of state. No
+  * window buffer, no unioned stream, no per-probe backward scan.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean)
+  extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: logical [[AsofJoin]] → [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, strict) =>
+      AsofJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression,
+    strict: Boolean,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // same co-partitioning contract as SortMergeJoinExec: cluster each side
+  // on its key, sort within partitions by (key, time)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, AttributeSeq(left.output))
+    val rkB = BindReferences.bindReference(rightKey, AttributeSeq(right.output))
+    val ltB = BindReferences.bindReference(leftTime, AttributeSeq(left.output))
+    val rtB = BindReferences.bindReference(rightTime, AttributeSeq(right.output))
+    val keyCmp = AsofJoinExec.comparator(leftKey.dataType)
+    val timeCmp = AsofJoinExec.comparator(leftTime.dataType)
+    val isStrict = strict
+    val nRight = right.output.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joinedRow = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      // single-row state: the lookahead right row and the best candidate
+      // seen for the key currently being merged
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var cand: InternalRow = null
+      var candKey: Any = null
+      def advance(): Unit =
+        rHead = if (rIter.hasNext) rIter.next() else null
+      lIter.map { l =>
+        val lk = lkB.eval(l)
+        val lt = ltB.eval(l)
+        if (lk != null && lt != null) {
+          var halt = false
+          while (!halt && rHead != null) {
+            val rk = rkB.eval(rHead)
+            if (rk == null) advance() // null keys never match; sorted first
+            else {
+              val c = keyCmp(rk, lk)
+              val rt = rtB.eval(rHead)
+              val usable = c < 0 || (c == 0 && rt != null && {
+                val t = timeCmp(rt, lt)
+                if (isStrict) t < 0 else t <= 0
+              })
+              if (usable) {
+                if (c == 0) {
+                  // rows are UnsafeRow buffers reused by the iterator —
+                  // the kept candidate (and a buffer-backed key like
+                  // UTF8String) must be copied out
+                  cand = rHead.copy()
+                  candKey = AsofJoinExec.copyKey(rk)
+                }
+                advance()
+              } else halt = true
+            }
+          }
+        }
+        val matched = lk != null && cand != null && keyCmp(candKey, lk) == 0
+        joinedRow(l, if (matched) cand else nullRight)
+      }
+    }
+  }
+}
+
+object AsofJoinExec {
+  /** Comparator over the key/time types the operator supports — built
+    * from public DataType matches only (AtomicType orderings are
+    * private[sql]). */
+  private[graft] def comparator(dt: DataType): (Any, Any) => Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType =>
+      (a, b) => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case DoubleType =>
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType =>
+      (a, b) => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType =>
+      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other =>
+      throw new IllegalArgumentException(s"asof join: unsupported type $other")
+  }
+
+  private def copyKey(k: Any): Any = k match {
+    case s: UTF8String => s.clone()
+    case other => other
+  }
+}
