@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -81,15 +81,23 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lkB = BindReferences.bindReference(leftKey, AttributeSeq(left.output))
-    val rkB = BindReferences.bindReference(rightKey, AttributeSeq(right.output))
-    val ltB = BindReferences.bindReference(leftTime, AttributeSeq(left.output))
-    val rtB = BindReferences.bindReference(rightTime, AttributeSeq(right.output))
-    val keyCmp = AsofJoinExec.comparator(leftKey.dataType)
-    val timeCmp = AsofJoinExec.comparator(leftTime.dataType)
+    val lExprs = Seq(leftKey, leftTime)
+    val rExprs = Seq(rightKey, rightTime)
+    val lOut = left.output
+    val rOut = right.output
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
+    val keyCmp = AsofJoinExec.comparator(keyDt)
+    val timeCmp = AsofJoinExec.comparator(timeDt)
     val isStrict = strict
-    val nRight = right.output.length
+    val nRight = rOut.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // codegen'd (key, time) extraction — one generated projection call
+      // per row instead of two interpreted expression evals
+      val lProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(lExprs, lOut)
+      val rProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(rExprs, rOut)
       val joinedRow = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
       // single-row state: the lookahead right row and the best candidate
@@ -100,16 +108,18 @@ case class AsofJoinExec(
       def advance(): Unit =
         rHead = if (rIter.hasNext) rIter.next() else null
       lIter.map { l =>
-        val lk = lkB.eval(l)
-        val lt = ltB.eval(l)
+        val lkt = lProj(l)
+        val lk = if (lkt.isNullAt(0)) null else lkt.get(0, keyDt)
+        val lt = if (lkt.isNullAt(1)) null else lkt.get(1, timeDt)
         if (lk != null && lt != null) {
           var halt = false
           while (!halt && rHead != null) {
-            val rk = rkB.eval(rHead)
-            if (rk == null) advance() // null keys never match; sorted first
+            val rkt = rProj(rHead)
+            if (rkt.isNullAt(0)) advance() // null keys never match; sorted first
             else {
+              val rk = rkt.get(0, keyDt)
               val c = keyCmp(rk, lk)
-              val rt = rtB.eval(rHead)
+              val rt = if (rkt.isNullAt(1)) null else rkt.get(1, timeDt)
               val usable = c < 0 || (c == 0 && rt != null && {
                 val t = timeCmp(rt, lt)
                 if (isStrict) t < 0 else t <= 0
