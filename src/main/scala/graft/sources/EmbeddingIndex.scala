@@ -84,3 +84,85 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
       .limit(k)
   }
 }
+
+/** Int8-quantized variant of [[EmbeddingIndex]] — the 4× smaller storage
+  * format for a 100 TB embedding store. Each row keeps the unit vector as
+  * signed int8 bytes plus its per-vector scale; scoring is a codegen'd
+  * int8×double dot ([[graft.plans.Int8VectorDot]]) times `scale / 127`.
+  * Same cell partitioning and probe pruning as the float index; ranking
+  * is approximate within the quantization error (spec-bounded recall vs
+  * the float index).
+  */
+class QuantizedEmbeddingIndex(spark: SparkSession, indexDir: String,
+    nCells: Int = 16) {
+  import spark.implicits._
+  import graft.plans.VectorExpressions.{int8Dot, int8Quantize}
+
+  /** One-pass build: assign cells like the float index, then store
+    * (int8 bytes, scale) instead of the unit vector. */
+  def build(embeddings: DataFrame): Unit = {
+    val centroids = broadcast(
+      embeddings
+        .orderBy($"vec_id")
+        .limit(nCells)
+        .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"),
+          norm($"embedding").as("cn")))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
+    embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .join(centroids, lit(true))
+      .select($"vec_id", $"embedding", $"vn", $"cell",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .withColumn("unit_vec", transform($"embedding", x => x / $"vn"))
+      .withColumn("scale", array_max(transform($"unit_vec", abs(_))))
+      .select(
+        $"vec_id",
+        int8Quantize($"unit_vec", $"scale").as("qv"),
+        $"scale",
+        $"cell")
+      .write
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  private lazy val centroidRows: Array[(Int, Array[Double])] = {
+    val idx = spark.read.parquet(indexDir)
+    idx
+      .orderBy($"vec_id")
+      .limit(nCells)
+      .select($"cell", $"qv", $"scale")
+      .collect()
+      .map { r =>
+        val scale = r.getDouble(2)
+        // driver-side dequantization for probe ranking only
+        (r.getInt(0), r.getAs[Array[Byte]](1).map(_ * scale / 127.0))
+      }
+  }
+
+  /** Top-k approximate cosine search over the quantized cells. */
+  def search(query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    require(qNorm > 0, "zero query vector")
+    val qUnit = query.map(_ / qNorm)
+    val probes = centroidRows
+      .map { case (cell, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        (cell, cv.zip(qUnit).map { case (a, b) => a * b }.sum / cn)
+      }
+      .sortBy { case (cell, cs) => (-cs, cell) }
+      .take(nProbe)
+      .map(_._1)
+    val qCol = array(qUnit.map(v => lit(v)): _*)
+    spark.read
+      .parquet(indexDir)
+      .filter($"cell".isin(probes.toIndexedSeq: _*)) // partition pruning
+      .select($"vec_id",
+        (int8Dot($"qv", qCol) * $"scale" / 127.0).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+}

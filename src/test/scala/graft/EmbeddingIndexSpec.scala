@@ -77,4 +77,51 @@ class EmbeddingIndexSpec extends SparkSpec {
     info(s"recall@10 at nProbe=4: $recall")
     assert(recall >= 0.5)
   }
+
+  private lazy val qdir = Files.createTempDirectory("embidxq").toString + "/index"
+  private lazy val qindex = {
+    val idx = new graft.sources.QuantizedEmbeddingIndex(spark, qdir, nCells = 16)
+    idx.build(Tables.embeddings(spark, sf))
+    idx
+  }
+
+  test("quantized index: high recall vs the float index, bounded cos error") {
+    val q = queryVec(5)
+    val floatTop = index.search(q, 10, nProbe = 16)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    val quantTop = qindex.search(q, 10, nProbe = 16)
+      .select($"vec_id", $"cos_sim").as[(Long, Double)].collect()
+    val recall = (floatTop.map(_._1).toSet & quantTop.map(_._1).toSet).size / 10.0
+    info(s"int8 recall@10 vs float index: $recall")
+    assert(recall >= 0.8)
+    // per-vector cos error bound: |err| <= sum_i |q_i| * (scale/254)
+    // ~= dim * scale / 254; unit vectors have scale <= 1, dim 64 →
+    // generous envelope 0.15, observed typically << that
+    val floatByIds = floatTop.toMap
+    quantTop.foreach { case (id, c) =>
+      floatByIds.get(id).foreach(f => assert(math.abs(f - c) < 0.15,
+        s"vec $id: float $f vs int8 $c"))
+    }
+  }
+
+  test("quantized index stores ~4x smaller vector payloads") {
+    qindex // force build
+    def bytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum else f.length()
+      walk(new java.io.File(d))
+    }
+    val fb = bytes(dir)
+    val qb = bytes(qdir)
+    info(s"float index $fb bytes, int8 index $qb bytes")
+    assert(qb < fb, s"quantized index must be smaller: $qb vs $fb")
+  }
+
+  test("quantized search prunes to the probed cell partitions too") {
+    val df = qindex.search(queryVec(3), k = 5, nProbe = 2)
+    df.collect()
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [cell"), scanLine)
+  }
 }

@@ -63,4 +63,35 @@ class VectorExpressionsSpec extends SparkSpec {
     val codegen = df.select(vecDot($"embedding", $"embedding").as("d")).collect()
     assert(interp.map(_.getDouble(0)).toSeq === codegen.map(_.getDouble(0)).toSeq)
   }
+
+  test("int8 quantize/dot: codegen == interpreted, no silent fallback") {
+    import graft.plans.VectorExpressions.{int8Dot, int8Quantize}
+    val df = Tables.embeddings(spark, sf).limit(20)
+      .select($"vec_id", $"embedding",
+        array_max(transform($"embedding", abs(_))).cast("double").as("scale"))
+    def run(): Seq[(Array[Byte], Double)] = df
+      .select(
+        int8Quantize($"embedding", $"scale").as("qv"),
+        (int8Dot(int8Quantize($"embedding", $"scale"), $"embedding")
+          * $"scale" / 127.0).as("approx_sq_norm"))
+      .collect().map(r => (r.getAs[Array[Byte]](0), r.getDouble(1))).toSeq
+    // fallback=false makes a Janino failure FAIL instead of silently
+    // falling back to the interpreted path (r1 lesson)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val codegen = try run() finally
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run() finally
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    codegen.zip(interp).foreach { case ((qc, dc), (qi, di)) =>
+      assert(qc.toSeq === qi.toSeq)
+      assert(dc === di)
+    }
+    // quantized self-dot approximates the true squared norm
+    val trueNorms = df.select(vecDot($"embedding", $"embedding")).collect()
+    codegen.map(_._2).zip(trueNorms.map(_.getDouble(0))).foreach {
+      case (approx, exact) => assert(math.abs(approx - exact) < 0.2 * exact + 0.05)
+    }
+  }
 }
