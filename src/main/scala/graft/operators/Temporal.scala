@@ -101,7 +101,8 @@ object Temporal {
       right: org.apache.spark.sql.DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      strict: Boolean = true): org.apache.spark.sql.DataFrame = {
+      strict: Boolean = true,
+      rightTieBreak: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
@@ -118,7 +119,8 @@ object Temporal {
         ColumnBridge.expression(right(rightKey)),
         ColumnBridge.expression(left(leftTime)),
         ColumnBridge.expression(right(rightTime)),
-        strict))
+        strict,
+        rightTieBreak.map(c => ColumnBridge.expression(right(c)))))
   }
 
   /** The same query as [[qAsofJoin]] through the NATIVE as-of exec —
@@ -144,7 +146,10 @@ object Temporal {
       .filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id".as("c_user"),
         expr("ts_ns div 1000").as("c_ts"))
-    asofJoin(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts")
+    // tiebreak on click_id: clicks sharing a (user, µs) must resolve to
+    // the largest id, matching the composed form's window ordering
+    asofJoin(purchases, clicks, "user_id", "c_user", "ts_us", "c_ts",
+      rightTieBreak = Seq("click_id"))
       .select($"event_id", $"user_id", $"click_id".as("prior_click"))
       .orderBy($"event_id")
   }

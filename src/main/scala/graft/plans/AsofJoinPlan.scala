@@ -35,7 +35,8 @@ case class AsofJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    strict: Boolean)
+    strict: Boolean,
+    rightTieBreak: Seq[Expression] = Nil)
   extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -47,8 +48,8 @@ case class AsofJoin(
 /** Planner rule: logical [[AsofJoin]] → [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, strict) =>
-      AsofJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, strict, tb) =>
+      AsofJoinExec(lk, rk, lt, rt, strict, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +60,7 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     strict: Boolean,
+    rightTieBreak: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -67,13 +69,17 @@ case class AsofJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   // same co-partitioning contract as SortMergeJoinExec: cluster each side
-  // on its key, sort within partitions by (key, time)
+  // on its key, sort within partitions by (key, time[, tiebreak…]) — the
+  // tiebreak makes "last usable right row wins" deterministic when two
+  // right rows share a (key, time); without one, the winner would follow
+  // nondeterministic shuffle-fetch order
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
       ClusteredDistribution(rightKey :: Nil) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
   override def outputPartitioning = left.outputPartitioning
 
   override protected def withNewChildrenInternal(
@@ -91,6 +97,7 @@ case class AsofJoinExec(
     val timeCmp = AsofJoinExec.comparator(timeDt)
     val isStrict = strict
     val nRight = rOut.length
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // codegen'd (key, time) extraction — one generated projection call
       // per row instead of two interpreted expression evals
@@ -98,15 +105,31 @@ case class AsofJoinExec(
         .create(lExprs, lOut)
       val rProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(rExprs, rOut)
+      // parents (shuffles, sorts, collect) require UnsafeRow — a raw
+      // JoinedRow would ClassCastException there, same reason
+      // SortMergeJoinExec ends with a result projection
+      val resultProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outAttrs, outAttrs)
       val joinedRow = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      // single-row state: the lookahead right row and the best candidate
-      // seen for the key currently being merged
-      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // single-row state: the lookahead right row (with its key/time
+      // projected ONCE — a halted head is re-examined by every subsequent
+      // left row) and the best candidate for the key being merged
+      var rHead: InternalRow = null
+      var rHeadKey: Any = null
+      var rHeadTime: Any = null
       var cand: InternalRow = null
       var candKey: Any = null
       def advance(): Unit =
-        rHead = if (rIter.hasNext) rIter.next() else null
+        if (rIter.hasNext) {
+          rHead = rIter.next()
+          val kt = rProj(rHead)
+          // the projection buffer is reused — copy buffer-backed keys out
+          rHeadKey =
+            if (kt.isNullAt(0)) null else AsofJoinExec.copyKey(kt.get(0, keyDt))
+          rHeadTime = if (kt.isNullAt(1)) null else kt.get(1, timeDt)
+        } else { rHead = null; rHeadKey = null; rHeadTime = null }
+      advance()
       lIter.map { l =>
         val lkt = lProj(l)
         val lk = if (lkt.isNullAt(0)) null else lkt.get(0, keyDt)
@@ -114,31 +137,30 @@ case class AsofJoinExec(
         if (lk != null && lt != null) {
           var halt = false
           while (!halt && rHead != null) {
-            val rkt = rProj(rHead)
-            if (rkt.isNullAt(0)) advance() // null keys never match; sorted first
+            if (rHeadKey == null) advance() // null keys never match; sorted first
             else {
-              val rk = rkt.get(0, keyDt)
-              val c = keyCmp(rk, lk)
-              val rt = if (rkt.isNullAt(1)) null else rkt.get(1, timeDt)
-              val usable = c < 0 || (c == 0 && rt != null && {
-                val t = timeCmp(rt, lt)
-                if (isStrict) t < 0 else t <= 0
-              })
-              if (usable) {
-                if (c == 0) {
+              val c = keyCmp(rHeadKey, lk)
+              if (c < 0) advance() // earlier key — discard
+              else if (c > 0) halt = true // later key — stop for this left row
+              else if (rHeadTime == null) advance() // null time can never
+              // qualify; it sorts FIRST within the key, so skipping it must
+              // not halt the scan before the key's real rows
+              else {
+                val t = timeCmp(rHeadTime, lt)
+                val ok = if (isStrict) t < 0 else t <= 0
+                if (ok) {
                   // rows are UnsafeRow buffers reused by the iterator —
-                  // the kept candidate (and a buffer-backed key like
-                  // UTF8String) must be copied out
+                  // the kept candidate must be copied out
                   cand = rHead.copy()
-                  candKey = AsofJoinExec.copyKey(rk)
-                }
-                advance()
-              } else halt = true
+                  candKey = rHeadKey
+                  advance()
+                } else halt = true
+              }
             }
           }
         }
         val matched = lk != null && cand != null && keyCmp(candKey, lk) == 0
-        joinedRow(l, if (matched) cand else nullRight)
+        resultProj(joinedRow(l, if (matched) cand else nullRight))
       }
     }
   }

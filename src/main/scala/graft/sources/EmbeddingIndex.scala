@@ -23,33 +23,16 @@ import org.apache.spark.sql.functions._
 class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
   import spark.implicits._
 
-  /** One-pass index build from an (vec_id, embedding) DataFrame. */
-  def build(embeddings: DataFrame): Unit = {
-    val centroids = broadcast(
-      embeddings
-        .orderBy($"vec_id")
-        .limit(nCells)
-        .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"),
-          norm($"embedding").as("cn")))
-    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
-    embeddings
-      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
-      .filter($"vn" =!= 0.0)
-      .join(centroids, lit(true))
-      .select($"vec_id", $"embedding", $"vn", $"cell",
-        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      // store unit vectors so search is one dot per candidate
-      .select(
-        $"vec_id",
-        transform($"embedding", x => x / $"vn").as("unit_vec"),
-        $"cell")
+  /** One-pass index build from an (vec_id, embedding) DataFrame: store
+    * unit vectors so search is one dot per candidate. */
+  def build(embeddings: DataFrame): Unit =
+    EmbeddingIndex
+      .assignCells(embeddings, nCells)
+      .select($"vec_id", $"unit_vec", $"cell")
       .write
       .partitionBy("cell")
       .mode("overwrite")
       .parquet(indexDir)
-  }
 
   private lazy val centroidRows: Array[(Int, Array[Double])] = {
     val idx = spark.read.parquet(indexDir)
@@ -63,18 +46,8 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
 
   /** Top-k cosine search probing the `nProbe` nearest cells only. */
   def search(query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
-    require(qNorm > 0, "zero query vector")
-    val qUnit = query.map(_ / qNorm)
-    // driver-side centroid ranking (nCells entries — trivially small)
-    val probes = centroidRows
-      .map { case (cell, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        (cell, cv.zip(qUnit).map { case (a, b) => a * b }.sum / cn)
-      }
-      .sortBy { case (cell, cs) => (-cs, cell) }
-      .take(nProbe)
-      .map(_._1)
+    val qUnit = EmbeddingIndex.unitQuery(query)
+    val probes = EmbeddingIndex.rankProbes(centroidRows, qUnit, nProbe)
     val qCol = array(qUnit.map(v => lit(v)): _*)
     spark.read
       .parquet(indexDir)
@@ -83,6 +56,57 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(k)
   }
+}
+
+object EmbeddingIndex {
+  /** Cell assignment shared by both storage formats. Centroids are the
+    * first `nCells` NON-zero-norm vectors — selecting before the norm
+    * filter would admit a zero-norm centroid whose NaN similarity sorts
+    * above everything (assigning the whole corpus to one cell) while the
+    * written index dropped it, misaligning the centroid read-back.
+    * Returns (vec_id, unit_vec, cell). */
+  private[sources] def assignCells(embeddings: DataFrame,
+      nCells: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nonZero = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("vn"))
+      .filter(col("vn") =!= 0.0)
+    val centroids = broadcast(
+      nonZero
+        .orderBy(col("vec_id"))
+        .limit(nCells)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("cv"), col("vn").as("cn")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cell"))
+    nonZero
+      .join(centroids, lit(true))
+      .select(col("vec_id"), col("embedding"), col("vn"), col("cell"),
+        (dot(col("embedding"), col("cv")) / (col("vn") * col("cn"))).as("cs"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x / col("vn")).as("unit_vec"),
+        col("cell"))
+  }
+
+  private[sources] def unitQuery(query: Array[Float]): Array[Double] = {
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    require(qNorm > 0, "zero query vector")
+    query.map(_ / qNorm)
+  }
+
+  /** Driver-side centroid ranking (nCells entries — trivially small). */
+  private[sources] def rankProbes(centroids: Array[(Int, Array[Double])],
+      qUnit: Array[Double], nProbe: Int): Array[Int] =
+    centroids
+      .map { case (cell, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        (cell, cv.zip(qUnit).map { case (a, b) => a * b }.sum / cn)
+      }
+      .sortBy { case (cell, cs) => (-cs, cell) }
+      .take(nProbe)
+      .map(_._1)
 }
 
 /** Int8-quantized variant of [[EmbeddingIndex]] — the 4× smaller storage
@@ -98,25 +122,11 @@ class QuantizedEmbeddingIndex(spark: SparkSession, indexDir: String,
   import spark.implicits._
   import graft.plans.VectorExpressions.{int8Dot, int8Quantize}
 
-  /** One-pass build: assign cells like the float index, then store
-    * (int8 bytes, scale) instead of the unit vector. */
-  def build(embeddings: DataFrame): Unit = {
-    val centroids = broadcast(
-      embeddings
-        .orderBy($"vec_id")
-        .limit(nCells)
-        .select($"vec_id".cast("int").as("cell"), $"embedding".as("cv"),
-          norm($"embedding").as("cn")))
-    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
-    embeddings
-      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
-      .filter($"vn" =!= 0.0)
-      .join(centroids, lit(true))
-      .select($"vec_id", $"embedding", $"vn", $"cell",
-        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      .withColumn("unit_vec", transform($"embedding", x => x / $"vn"))
+  /** One-pass build: the shared cell assignment, storing (int8 bytes,
+    * scale) instead of the unit vector. */
+  def build(embeddings: DataFrame): Unit =
+    EmbeddingIndex
+      .assignCells(embeddings, nCells)
       .withColumn("scale", array_max(transform($"unit_vec", abs(_))))
       .select(
         $"vec_id",
@@ -127,7 +137,6 @@ class QuantizedEmbeddingIndex(spark: SparkSession, indexDir: String,
       .partitionBy("cell")
       .mode("overwrite")
       .parquet(indexDir)
-  }
 
   private lazy val centroidRows: Array[(Int, Array[Double])] = {
     val idx = spark.read.parquet(indexDir)
@@ -145,17 +154,8 @@ class QuantizedEmbeddingIndex(spark: SparkSession, indexDir: String,
 
   /** Top-k approximate cosine search over the quantized cells. */
   def search(query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
-    require(qNorm > 0, "zero query vector")
-    val qUnit = query.map(_ / qNorm)
-    val probes = centroidRows
-      .map { case (cell, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        (cell, cv.zip(qUnit).map { case (a, b) => a * b }.sum / cn)
-      }
-      .sortBy { case (cell, cs) => (-cs, cell) }
-      .take(nProbe)
-      .map(_._1)
+    val qUnit = EmbeddingIndex.unitQuery(query)
+    val probes = EmbeddingIndex.rankProbes(centroidRows, qUnit, nProbe)
     val qCol = array(qUnit.map(v => lit(v)): _*)
     spark.read
       .parquet(indexDir)

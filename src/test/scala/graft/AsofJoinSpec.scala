@@ -62,6 +62,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(gotVsWant.count() === 0)
   }
 
+  test("a null right time within a matching key is skipped, not a scan stopper") {
+    // null times sort FIRST within the key: halting on one would hide the
+    // key's real rows from every left probe
+    val l = leftDf((1, "k", 100))
+    val r = Seq((9L, "k", Option.empty[Long]), (10L, "k", Option(50L)))
+      .toDF("r_id", "r_key", "r_ts")
+    val got = Temporal.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts")
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, Some(10L))))
+  }
+
+  test("bare collect() works (exec must emit UnsafeRow, not JoinedRow)") {
+    val l = leftDf((1, "a", 100))
+    val r = rightDf((10, "a", 50))
+    // no select() above the exec: the collect path casts rows to UnsafeRow
+    val rows = Temporal.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("r_id") === 10L)
+    // same for a shuffle directly above the exec
+    assert(Temporal.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts")
+      .orderBy($"l_id").count() === 1)
+  }
+
+  test("equal-time right rows resolve deterministically via the tiebreak") {
+    val l = leftDf((1, "k", 100))
+    val r = rightDf((7, "k", 50), (9, "k", 50), (8, "k", 50))
+    val got = Temporal.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts",
+        strict = true, rightTieBreak = Seq("r_id"))
+      .select($"r_id").as[Long].collect().toSeq
+    assert(got === Seq(9L), "last in (key, time, r_id) order must win")
+  }
+
   test("native equals the composed union+window formulation on real data") {
     val native = Temporal.qAsofJoinNative.fn(spark, sf)
     val composed = Temporal.qAsofJoin.fn(spark, sf)

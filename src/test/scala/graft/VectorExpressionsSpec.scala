@@ -81,9 +81,11 @@ class VectorExpressionsSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
     val codegen = try run() finally
       spark.conf.set("spark.sql.codegen.fallback", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // wholeStage=false STILL compiles projections via Janino — truly
+    // exercising nullSafeEval needs the NO_CODEGEN factory mode
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interp = try run() finally
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     codegen.zip(interp).foreach { case ((qc, dc), (qi, di)) =>
       assert(qc.toSeq === qi.toSeq)
       assert(dc === di)
