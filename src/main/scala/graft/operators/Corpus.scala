@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenized-example writing: deterministic
+  * stratified sampling, per-stratum fixed-k sampling, source-mixing
+  * weights, vocabulary-coverage (OOV) measurement, TF-IDF keyword
+  * extraction, and Gopher-style repetition filtering.
+  *
+  * Scale notes (100 TB):
+  *  - sampling decisions are pure per-row hash predicates (no shuffle, no
+  *    driver state, reproducible across re-runs and engines — the property
+  *    an auditable data pipeline needs);
+  *  - per-stratum k-sampling windows partition by the stratum key, so
+  *    strata parallelize across the cluster;
+  *  - mixing weights aggregate to |sources| rows before any wide op;
+  *  - OOV/TF-IDF join token streams against a small top-V vocabulary /
+  *    document-frequency relation — broadcast, never shuffled-by-token.
+  */
+object Corpus {
+
+  /** Per-language sampling rates in permille (en is downsampled hardest,
+    * the usual rebalancing move when one language dominates a crawl). */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 300, "fr" -> 800, "es" -> 700, "de" -> 900, "zh" -> 500)
+
+  private val rateSql =
+    SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+
+  /** Deterministic stratified sampling: keep a document iff
+    * stableHash60('smp|' || doc_id) mod 1000 < rate(lang). The decision is
+    * a pure function of the row — no RNG state, no seed plumbing — so the
+    * same document is kept in every re-run, on every engine, at any
+    * parallelism. Emits per-language totals plus an id-sum checksum so the
+    * oracle verifies the exact membership, not just the counts. */
+  val qSampleStratified = QueryDef.sql(
+    "q_sample_stratified",
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |         CASE lang $rateSql ELSE 1000 END AS permille,
+       |         CAST(concat('0x', substr(md5('smp|' || doc_id), 1, 15))
+       |              AS BIGINT) % 1000 AS h
+       |  FROM documents)
+       |SELECT lang,
+       |       CAST(any_value(permille) AS INT)             AS permille,
+       |       count(*)                                     AS n_total,
+       |       count(*) FILTER (WHERE h < permille)         AS n_sampled,
+       |       CAST(coalesce(sum(doc_id) FILTER (WHERE h < permille), 0)
+       |            AS BIGINT)                              AS id_checksum,
+       |       round(count(*) FILTER (WHERE h < permille) * 1.0 / count(*), 4)
+       |                                                    AS realized_rate
+       |FROM t GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val permille = SampleRates
+      .foldLeft(when(lit(false), 0)) { case (acc, (l, p)) =>
+        acc.when($"lang" === l, p)
+      }
+      .otherwise(1000)
+    val h =
+      pmod(stableHash60(concat(lit("smp|"), $"doc_id".cast("string"))), lit(1000))
+    Tables
+      .documents(s, d)
+      .select($"lang", $"doc_id", permille.as("permille"), h.as("h"))
+      .groupBy($"lang")
+      .agg(
+        first($"permille").as("permille"),
+        count(lit(1)).as("n_total"),
+        count(when($"h" < $"permille", 1)).as("n_sampled"),
+        coalesce(sum(when($"h" < $"permille", $"doc_id")), lit(0L))
+          .as("id_checksum"),
+        round(count(when($"h" < $"permille", 1)) * lit(1.0) / count(lit(1)), 4)
+          .as("realized_rate"))
+      .orderBy($"lang")
+  }
+
+  /** Fixed-k-per-stratum sampling (the deterministic analog of per-group
+    * reservoir sampling): rank documents inside each language by a stable
+    * hash and keep the first k. The window partitions by the stratum key,
+    * so every stratum ranks in parallel — no global sort, no single-task
+    * funnel. */
+  val qSamplePerStratumK = QueryDef.sql(
+    "q_sample_per_stratum_k",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY CAST(concat('0x', substr(md5('res|' || doc_id), 1, 15))
+      |                    AS BIGINT), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+      |FROM t WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = stableHash60(concat(lit("res|"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"lang").orderBy(h, $"doc_id")
+    Tables
+      .documents(s, d)
+      .select($"doc_id", $"lang", row_number().over(w).as("rn"))
+      .filter($"rn" <= 20)
+      .orderBy($"lang", $"rn")
+  }
+
+  /** Source-mixing weights: given a uniform target share over sources,
+    * derive each source's natural token share, its up/down-weighting
+    * factor, and the epochs + within-epoch sampling rate that realize the
+    * factor (the standard "repeat small high-quality sources, subsample
+    * the crawl" recipe). Aggregates to |sources| rows before the only
+    * wide op, so the weight table is driver-broadcastable at any corpus
+    * size. */
+  val qMixSources = QueryDef.sql(
+    "q_mix_sources",
+    """WITH per_src AS (
+      |  SELECT source,
+      |         count(*) AS n_docs,
+      |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |               count(*) AS n_sources FROM per_src)
+      |SELECT source, n_docs, n_tokens,
+      |       round(n_tokens * 1.0 / total_tokens, 4)  AS natural_share,
+      |       round(1.0 / n_sources, 4)                AS target_share,
+      |       round(total_tokens * 1.0 / (n_sources * n_tokens), 4) AS weight,
+      |       CAST(ceil(total_tokens * 1.0 / (n_sources * n_tokens)) AS INT)
+      |                                                AS epochs
+      |FROM per_src CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val perSrc = Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words($"text")).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(
+      sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weight = $"total_tokens" * lit(1.0) / ($"n_sources" * $"n_tokens")
+    perSrc
+      .crossJoin(broadcast(tot))
+      .select(
+        $"source", $"n_docs", $"n_tokens",
+        round($"n_tokens" * lit(1.0) / $"total_tokens", 4).as("natural_share"),
+        round(lit(1.0) / $"n_sources", 4).as("target_share"),
+        round(weight, 4).as("weight"),
+        ceil(weight).cast("int").as("epochs"))
+      .orderBy($"source")
+  }
+
+  /** Vocabulary size for OOV measurement (top-V corpus words). */
+  val VocabTopV = 30
+
+  /** Vocabulary coverage: build the top-V corpus vocabulary (count-desc,
+    * word-asc tie-break — fully deterministic), then measure each
+    * document's out-of-vocabulary token count and ratio. The vocabulary
+    * is V rows → broadcast to the token stream; the only shuffles are the
+    * wordcount and the per-doc reduce. */
+  val qVocabOov = QueryDef.sql(
+    "q_vocab_oov",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS c FROM tok GROUP BY word
+       |    ORDER BY c DESC, word LIMIT $VocabTopV)),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |         count(*) AS n_tokens,
+       |         count(*) FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+       |           AS n_oov
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(n_oov AS BIGINT)    AS n_oov,
+       |       round(n_oov * 1.0 / n_tokens, 4) AS oov_ratio
+       |FROM per_doc
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tok = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("word"))
+    val vocab = tok
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word")
+      .limit(VocabTopV)
+      .select($"word".as("vword"))
+    tok
+      .join(broadcast(vocab), $"word" === $"vword", "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when($"vword".isNull, 1)).as("n_oov"))
+      .select(
+        $"doc_id", $"n_tokens", $"n_oov",
+        round($"n_oov" * lit(1.0) / $"n_tokens", 4).as("oov_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** TF-IDF keyword extraction: term frequency per (doc, word) × a
+    * rational idf (N+1)/(df+1) — kept log-free so both engines compute
+    * bit-identical doubles from exact integer ratios — then the top 3
+    * terms per document (score desc, word asc). df is corpus-wide; the
+    * emitted docs are capped at id < 100 to bound the gate's output, but
+    * nothing in the plan depends on the cap. The df relation is one row
+    * per vocab word → broadcast side of the token join at scale. */
+  val qTfidfTopTerms = QueryDef.sql(
+    "q_tfidf_top_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+      |  WHERE tf.doc_id < 100),
+      |ranked AS (
+      |  SELECT doc_id, word, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, word) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, word, round(score, 4) AS score
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("word"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = tok
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+      .filter($"doc_id" < 100)
+    val df = tok
+      .groupBy($"word")
+      .agg(countDistinct($"doc_id").as("df"))
+      .withColumnRenamed("word", "dfword")
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
+    tf.join(broadcast(df), $"word" === $"dfword")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        $"tf" * (($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"word", round($"score", 4).as("score"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Gopher-style repetition quality: duplicate-word fraction (1 − TTR)
+    * and the token share of the single most-repeated bigram. Both are
+    * per-document narrow computations until the tiny per-doc max reduce;
+    * the band thresholds compare the ROUNDED fractions so an ulp of
+    * engine difference can never flip a boundary document. */
+  val qTextRepetition = QueryDef.sql(
+    "q_text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+      |  FROM t WHERE len(w) >= 2),
+      |bgmax AS (
+      |  SELECT doc_id, max(c) AS mx FROM (
+      |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       CAST(len(w) AS INT) AS n_words,
+      |       round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4)
+      |         AS dup_word_frac,
+      |       round(coalesce(mx, 0) * 2.0 / len(w), 4) AS top_bigram_frac,
+      |       CASE WHEN round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) > 0.85
+      |              OR round(coalesce(mx, 0) * 2.0 / len(w), 4) > 0.5
+      |            THEN 'repetitive' ELSE 'ok' END AS band
+      |FROM t LEFT JOIN bgmax ON t.doc_id = bgmax.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val bgMax = t
+      .select($"doc_id", explode(shingles($"w", 2)).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("mx"))
+      .withColumnRenamed("doc_id", "bdoc")
+    val dupFrac =
+      round(lit(1.0) - size(array_distinct($"w")) * lit(1.0) / size($"w"), 4)
+    val bigramFrac = round(coalesce($"mx", lit(0L)) * lit(2.0) / size($"w"), 4)
+    t.join(bgMax, $"doc_id" === $"bdoc", "left")
+      .select(
+        $"doc_id",
+        size($"w").as("n_words"),
+        dupFrac.as("dup_word_frac"),
+        bigramFrac.as("top_bigram_frac"),
+        when(dupFrac > 0.85 || bigramFrac > 0.5, "repetitive")
+          .otherwise("ok")
+          .as("band"))
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
+      qTfidfTopTerms, qTextRepetition)
+}

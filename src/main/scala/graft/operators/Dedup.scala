@@ -235,6 +235,176 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The MinHash-LSH candidate-pair CTE chain, shared between
+    * `q_dedup_minhash_lsh` and the connected-components grouping oracle.
+    */
+  private[operators] val minhashPairsCtes: String = {
+    val permSql = MinhashPerms.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $MinhashP) AS sig_$i"
+      }
+      .mkString(",\n         ")
+    val bandSql = (0 until 4)
+      .map { bnd =>
+        val cols = (0 until 4).map(r => s"sig_${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws('-', $cols) AS bkey FROM sigs"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+       |           % $MinhashP AS h
+       |  FROM ds),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $permSql
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs as a DataFrame (d1 < d2) — the Spark twin
+    * of [[minhashPairsCtes]]. */
+  private[operators] def minhashPairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("s"))
+    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
+    val sigCols =
+      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
+    val sigs = hashed
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(
+      $"doc_id",
+      posexplode(
+        array((0 until 4).map { bnd =>
+          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+  }
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list `(d1, d2)`. Returns `(node, label)` where label
+    * is the minimum node id in the component. Each round is one equi-join
+    * plus one min-aggregate, both hash-partitioned on the node key;
+    * `localCheckpoint` cuts the growing lineage so round N's plan doesn't
+    * replay rounds 1..N-1. Rounds needed = graph diameter — near-dup
+    * components are shallow (pairs and short chains of copies), so this
+    * converges in a handful of rounds at any corpus size. The
+    * order-independent min fixpoint makes the result deterministic
+    * regardless of partitioning.
+    */
+  private[graft] def connectedComponents(
+      pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val sym = pairs
+      .select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      .localCheckpoint()
+    var labels = sym
+      .select($"src".as("node"))
+      .distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    // min-label propagation to fixpoint: newLabel(n) = min(label(n),
+    // min over neighbors' labels). Deterministic, order-independent.
+    while (changed > 0 && iter < 50) {
+      val prop = sym
+        .join(labels.withColumnRenamed("node", "pnode"), $"dst" === $"pnode")
+        .groupBy($"src")
+        .agg(min($"label").as("nl"))
+      val next = labels
+        .join(prop, $"node" === $"src", "left")
+        .select($"node",
+          least($"label", coalesce($"nl", $"label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter($"label" =!= $"old")
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup-group assignment: connected components over the MinHash-LSH
+    * candidate graph, labelling every document with the minimum doc_id
+    * reachable through near-dup edges (its canonical "keeper"). Singletons
+    * keep their own id; group sizes come from a window over the label.
+    *
+    * The Spark side runs iterative min-label propagation — each round is
+    * one equi-join + one min-aggregate, both hash-partitioned on the node
+    * key, and `localCheckpoint` cuts the growing lineage. Rounds needed =
+    * graph diameter, and near-dup components are shallow (pairs/chains of
+    * copies), so this converges in a handful of rounds even at corpus
+    * scale — the same dataflow GraphX's connected components lowers to,
+    * without leaving the DataFrame planner. The oracle computes the same
+    * fixpoint as a recursive transitive closure.
+    */
+  val qDedupGroups = QueryDef.sql(
+    "q_dedup_groups",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |sym AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lbl AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+       |grp AS (
+       |  SELECT d.doc_id,
+       |         least(coalesce(l.m, d.doc_id), d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, group_id,
+       |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+       |         AS n_members
+       |FROM grp
+       |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(minhashPairs(s, d))
+    val w = Window.partitionBy($"group_id")
+    Tables
+      .documents(s, d)
+      .select($"doc_id")
+      .join(labels, $"doc_id" === $"node", "left")
+      .select($"doc_id",
+        least(coalesce($"label", $"doc_id"), $"doc_id").as("group_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash)
+    Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups)
 }

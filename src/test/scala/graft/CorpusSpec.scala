@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-curation operators: connected-components
+  * fixpoint correctness, sampling determinism and stratum bounds, TF-IDF
+  * ranking invariants, repetition-band consistency.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive chain collapses to one min label") {
+    // 1-2, 2-3, 3-4 (a chain: only transitivity links 1 and 4) plus an
+    // isolated pair 10-11 — two components, labels = component minima
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("d1", "d2")
+    val got = Dedup
+      .connectedComponents(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: star graph and self-contained triangle") {
+    val edges = Seq((5L, 1L), (5L, 2L), (5L, 3L), // star centered on 5
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle (cycle safety)
+      .toDF("d1", "d2")
+    val got = Dedup
+      .connectedComponents(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got(5L) === 1L && got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(20L) === 20L && got(21L) === 20L && got(22L) === 20L)
+  }
+
+  test("q_dedup_groups: labels are idempotent group minima covering all docs") {
+    val groups = Dedup.qDedupGroups.fn(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(groups.count() === nDocs)
+    // every group_id is a member of its own group (canonical exists)
+    val bad = groups
+      .select($"group_id").distinct().as("g")
+      .join(groups.select($"doc_id").as("d"), $"g.group_id" === $"d.doc_id",
+        "left_anti")
+      .count()
+    assert(bad === 0L, "a group label must itself be a document in the group")
+    // group minimum really is the label
+    val minViolation = groups
+      .groupBy($"group_id")
+      .agg(min($"doc_id").as("mn"))
+      .filter($"mn" =!= $"group_id")
+      .count()
+    assert(minViolation === 0L)
+    groups.unpersist()
+  }
+
+  test("stratified sampling is deterministic and rate-plausible") {
+    val a = Corpus.qSampleStratified.fn(spark, sf).collect()
+    val b = Corpus.qSampleStratified.fn(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "hash sampling must be reproducible")
+    // realized rate within a loose binomial bound of the target permille
+    a.foreach { r =>
+      val permille = r.getAs[Int]("permille").toDouble
+      val realized = r.getAs[Double]("realized_rate") * 1000
+      val n = r.getAs[Long]("n_total").toDouble
+      val tol = 4 * math.sqrt(permille * (1000 - permille) / n) + 1e-6
+      assert(math.abs(realized - permille) <= tol,
+        s"lang ${r.getString(0)}: realized $realized vs target $permille ± $tol")
+    }
+  }
+
+  test("per-stratum k-sampling: at most k rows per stratum, ranks 1..k") {
+    val rows = Corpus.qSamplePerStratumK.fn(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 20, s"$lang overflows k")
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length),
+        s"$lang ranks must be dense from 1")
+    }
+    // deterministic across runs
+    val again = Corpus.qSamplePerStratumK.fn(spark, sf).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("tfidf: per-doc ranks dense, scores non-increasing, df consistent") {
+    val rows = Corpus.qTfidfTopTerms.fn(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to rs.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+        s"doc $doc scores must be non-increasing in rank")
+    }
+  }
+
+  test("repetition band agrees with the emitted fractions") {
+    val rows = Corpus.qTextRepetition.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_word_frac")
+      val big = r.getAs[Double]("top_bigram_frac")
+      val band = r.getAs[String]("band")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(big >= 0.0)
+      val expect = if (dup > 0.85 || big > 0.5) "repetitive" else "ok"
+      assert(band === expect, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("mix weights: shares sum to ~1 and epochs = ceil(weight)") {
+    val rows = Corpus.qMixSources.fn(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Double]("natural_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.01)
+    rows.foreach { r =>
+      val wgt = r.getAs[Double]("weight")
+      val epochs = r.getAs[Int]("epochs")
+      assert(epochs >= 1 && epochs === math.ceil(wgt - 5e-5).toInt ||
+        epochs === math.ceil(wgt).toInt)
+    }
+  }
+
+  test("vocab OOV: ratios in [0,1]; corpus-wide OOV mass excludes top-V words") {
+    val rows = Corpus.qVocabOov.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("oov_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+}
