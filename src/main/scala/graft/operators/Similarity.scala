@@ -259,17 +259,17 @@ object Similarity {
       norm($"embedding").as("n1"), $"tbl", $"bucket")
     val b = bucketed.select($"vec_id".as("v2"), $"embedding".as("e2"),
       norm($"embedding").as("n2"), $"tbl".as("t2"), $"bucket".as("b2"))
-    // distinct dedups multi-table collisions; it carries the vectors so
-    // the verify step needs no second join against the corpus — the
-    // shuffle is bounded by the candidate count, not |corpus|²
-    val cands = a
-      .join(b, $"tbl" === $"t2" && $"bucket" === $"b2" && $"v1" < $"v2")
-      .select($"v1", $"v2", $"e1", $"e2", $"n1", $"n2")
-      .distinct()
-    cands
-      .withColumn("c", dot($"e1", $"e2") / ($"n1" * $"n2"))
+    // exact-verify INSIDE the join projection, threshold BEFORE the
+    // dedup: a pair colliding in k tables pays k cheap codegen'd dots,
+    // but the distinct then shuffles only surviving (v1, v2, cos) rows
+    // (24 bytes) instead of every candidate with both 64-float vectors
+    // (~0.5 KB) — at corpus scale the dedup exchange is the bottleneck,
+    // not the dot product
+    a.join(b, $"tbl" === $"t2" && $"bucket" === $"b2" && $"v1" < $"v2")
+      .select($"v1", $"v2", (dot($"e1", $"e2") / ($"n1" * $"n2")).as("c"))
       .filter(round($"c", 4) > 0.45)
       .select($"v1", $"v2", round($"c", 4).as("cos_sim"))
+      .distinct()
       .orderBy($"v1", $"v2")
   }
 
