@@ -67,4 +67,10 @@ class GraftEngine(
   /** Free-form SQL with graft functions (vec_dot, hist_buckets) and the
     * hash-rewrite optimizer rule active. */
   def sql(text: String): DataFrame = spark.sql(text)
+
+  /** Corpus-curation plane: column-parameterized sampling / dedup /
+    * quality operators over the USER's own DataFrames (the library form
+    * of the oracle-gated q_sample_* / q_dedup_groups / q_text_* queries).
+    */
+  val corpus: graft.operators.CorpusOps.type = graft.operators.CorpusOps
 }

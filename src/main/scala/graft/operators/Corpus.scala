@@ -186,24 +186,8 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val tok = Tables
-      .documents(s, d)
-      .select($"doc_id", explode(words($"text")).as("word"))
-    val vocab = tok
-      .groupBy($"word")
-      .agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"word")
-      .limit(VocabTopV)
-      .select($"word".as("vword"))
-    tok
-      .join(broadcast(vocab), $"word" === $"vword", "left")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when($"vword".isNull, 1)).as("n_oov"))
-      .select(
-        $"doc_id", $"n_tokens", $"n_oov",
-        round($"n_oov" * lit(1.0) / $"n_tokens", 4).as("oov_ratio"))
+    CorpusOps
+      .oovStats(Tables.documents(s, d), "doc_id", "text", VocabTopV)
       .orderBy($"doc_id")
   }
 
@@ -291,26 +275,8 @@ object Corpus {
       |ORDER BY t.doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
-    val bgMax = t
-      .select($"doc_id", explode(shingles($"w", 2)).as("b"))
-      .groupBy($"doc_id", $"b")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(max($"c").as("mx"))
-      .withColumnRenamed("doc_id", "bdoc")
-    val dupFrac =
-      round(lit(1.0) - size(array_distinct($"w")) * lit(1.0) / size($"w"), 4)
-    val bigramFrac = round(coalesce($"mx", lit(0L)) * lit(2.0) / size($"w"), 4)
-    t.join(bgMax, $"doc_id" === $"bdoc", "left")
-      .select(
-        $"doc_id",
-        size($"w").as("n_words"),
-        dupFrac.as("dup_word_frac"),
-        bigramFrac.as("top_bigram_frac"),
-        when(dupFrac > 0.85 || bigramFrac > 0.5, "repetitive")
-          .otherwise("ok")
-          .as("band"))
+    CorpusOps
+      .repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id")
   }
 

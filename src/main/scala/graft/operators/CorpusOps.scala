@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-parameterized corpus-curation operators — the library surface
+  * behind the oracle-gated `Corpus`/`Dedup` queries, usable on ANY
+  * DataFrame (a user's own corpus table, not just the test fixtures).
+  * Exposed to users via `graft.api.GraftEngine.corpus`.
+  *
+  * Everything is deterministic by construction: sampling decisions are
+  * pure per-row hash predicates, near-dup candidates come from fixed
+  * MinHash permutations, and group labels are an order-independent min
+  * fixpoint — the properties that make a 100 TB curation run auditable
+  * and exactly reproducible.
+  */
+object CorpusOps {
+
+  /** The deterministic keep-predicate behind stratified sampling:
+    * stableHash60(salt|id) mod 1000 < permille(stratum). */
+  def keepPredicate(id: Column, stratum: Column,
+      permille: Seq[(String, Int)], defaultPermille: Int,
+      salt: String): Column = {
+    val rate = permille
+      .foldLeft(when(lit(false), 0)) { case (acc, (s, p)) =>
+        acc.when(stratum === s, p)
+      }
+      .otherwise(defaultPermille)
+    pmod(stableHash60(concat(lit(salt + "|"), id.cast("string"))),
+      lit(1000)) < rate
+  }
+
+  /** Deterministic stratified sample: keeps each row iff its hash falls
+    * under its stratum's permille rate. Narrow (no shuffle, no RNG
+    * state) — the same rows survive on every engine at any parallelism. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      permille: Seq[(String, Int)], defaultPermille: Int = 1000,
+      salt: String = "smp"): DataFrame =
+    df.filter(
+      keepPredicate(col(idCol), col(stratumCol), permille, defaultPermille,
+        salt))
+
+  /** First k rows per stratum by stable-hash rank (the deterministic
+    * analog of per-group reservoir sampling). The window partitions by
+    * the stratum, so strata rank in parallel. */
+  def perStratumSample(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, salt: String = "res"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = stableHash60(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs over a text column:
+    * 3-word shingles → 16 fixed permutations → 4×4 banding → equi-join on
+    * (band, band key). Returns (d1, d2) with d1 < d2. The equi-join on
+    * band keys replaces the all-pairs product — cost is Σ|bucket|² per
+    * band, never |corpus|². */
+  def minhashCandidates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val ds = df
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
+    val sigCols =
+      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
+    val sigs = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(
+      $"doc_id",
+      posexplode(
+        array((0 until 4).map { bnd =>
+          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+  }
+
+  /** Dedup-group labels for every row: connected components over the
+    * MinHash-LSH candidate graph ([[Dedup.connectedComponents]] — min-label
+    * propagation, converges in graph-diameter rounds). Returns the input
+    * id column plus `group_id` (the minimum reachable id; singletons keep
+    * their own). */
+  def dedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val labels = Dedup.connectedComponents(minhashCandidates(df, idCol, textCol))
+    df.select(col(idCol))
+      .join(labels, col(idCol) === $"node", "left")
+      .select(col(idCol),
+        least(coalesce($"label", col(idCol)), col(idCol)).as("group_id"))
+  }
+
+  /** Gopher-style repetition metrics per row: word count, duplicate-word
+    * fraction (1 − type-token ratio) and the token share of the single
+    * most-repeated bigram, with a banded verdict on ROUNDED margins (an
+    * ulp of engine difference can never flip a boundary document). */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val t = df.select(col(idCol), words(col(textCol)).as("w"))
+    val bgMax = t
+      .select(col(idCol), explode(shingles($"w", 2)).as("b"))
+      .groupBy(col(idCol), $"b")
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max($"c").as("mx"))
+      .withColumnRenamed(idCol, "__bdoc")
+    val dupFrac =
+      round(lit(1.0) - size(array_distinct($"w")) * lit(1.0) / size($"w"), 4)
+    val bigramFrac = round(coalesce($"mx", lit(0L)) * lit(2.0) / size($"w"), 4)
+    t.join(bgMax, col(idCol) === col("__bdoc"), "left")
+      .select(
+        col(idCol),
+        size($"w").as("n_words"),
+        dupFrac.as("dup_word_frac"),
+        bigramFrac.as("top_bigram_frac"),
+        when(dupFrac > 0.85 || bigramFrac > 0.5, "repetitive")
+          .otherwise("ok")
+          .as("band"))
+  }
+
+  /** Out-of-vocabulary statistics per row against the corpus's own top-V
+    * vocabulary (count-desc, word-asc tie-break). The V-row vocabulary
+    * broadcasts to the token stream; the only shuffles are the wordcount
+    * and the per-doc reduce. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      topV: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val vocab = tok
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word")
+      .limit(topV)
+      .select($"word".as("vword"))
+    tok
+      .join(broadcast(vocab), $"word" === $"vword", "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when($"vword".isNull, 1)).as("n_oov"))
+      .select(
+        col(idCol), $"n_tokens", $"n_oov",
+        round($"n_oov" * lit(1.0) / $"n_tokens", 4).as("oov_ratio"))
+  }
+}

@@ -164,32 +164,7 @@ object Dedup {
     }
   ) { (s, d) =>
     import s.implicits._
-    val ds = Tables
-      .documents(s, d)
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id",
-        explode(array_distinct(shingles($"w", 3))).as("s"))
-    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
-    val sigCols =
-      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
-    val sigs = hashed
-      .groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bands = sigs.select(
-      $"doc_id",
-      posexplode(
-        array((0 until 4).map { bnd =>
-          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
-        }: _*)).as(Seq("band", "bkey")))
-    bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-      .orderBy($"d1", $"d2")
+    minhashPairs(s, d).orderBy($"d1", $"d2")
   }
 
   /** SimHash document signatures: 16-bit sign-aggregated fingerprint over
@@ -274,37 +249,12 @@ object Dedup {
   }
 
   /** MinHash-LSH candidate pairs as a DataFrame (d1 < d2) — the Spark twin
-    * of [[minhashPairsCtes]]. */
+    * of [[minhashPairsCtes]], delegating to the column-parameterized
+    * library form ([[CorpusOps.minhashCandidates]]). */
   private[operators] def minhashPairs(
       s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val ds = Tables
-      .documents(s, d)
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id",
-        explode(array_distinct(shingles($"w", 3))).as("s"))
-    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
-    val sigCols =
-      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
-    val sigs = hashed
-      .groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-    val bands = sigs.select(
-      $"doc_id",
-      posexplode(
-        array((0 until 4).map { bnd =>
-          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
-        }: _*)).as(Seq("band", "bkey")))
-    bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    CorpusOps.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
 
   /** Connected components by iterative min-label propagation over an
     * undirected edge list `(d1, d2)`. Returns `(node, label)` where label
@@ -393,15 +343,10 @@ object Dedup {
   ) { (s, d) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val labels = connectedComponents(minhashPairs(s, d))
-    val w = Window.partitionBy($"group_id")
-    Tables
-      .documents(s, d)
-      .select($"doc_id")
-      .join(labels, $"doc_id" === $"node", "left")
-      .select($"doc_id",
-        least(coalesce($"label", $"doc_id"), $"doc_id").as("group_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
+    CorpusOps
+      .dedupGroups(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"group_id")))
       .orderBy($"doc_id")
   }
 

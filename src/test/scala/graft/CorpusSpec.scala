@@ -122,6 +122,47 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("CorpusOps works on a user DataFrame with arbitrary column names") {
+    import graft.operators.CorpusOps
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon", "web"),
+      (101L, "alpha beta gamma delta epsilon", "web"), // dup of 100
+      (102L, "zeta eta theta iota kappa lambda", "books"),
+      (103L, "mu mu mu mu mu mu mu mu", "web"), // repetitive
+      (104L, "nu xi omicron pi rho sigma tau", "books"))
+      .toDF("item_id", "body", "origin")
+    // dedup groups: 100/101 share a group labelled by the min id
+    val groups = CorpusOps
+      .dedupGroups(corpus, "item_id", "body")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(groups(100L) === 100L && groups(101L) === 100L)
+    assert(groups(102L) === 102L && groups(104L) === 104L)
+    // repetition metrics flag the all-same-word doc
+    val rep = CorpusOps
+      .repetitionMetrics(corpus, "item_id", "body")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("band"))
+      .toMap
+    assert(rep(103L) === "repetitive")
+    assert(rep(102L) === "ok")
+    // stratified sample keeps every row at 1000 permille, none at 0
+    assert(CorpusOps.stratifiedSample(corpus, "item_id", "origin",
+      Seq("web" -> 1000, "books" -> 1000)).count() === 5)
+    assert(CorpusOps.stratifiedSample(corpus, "item_id", "origin",
+      Seq("web" -> 0, "books" -> 0), defaultPermille = 0).count() === 0)
+    // per-stratum sample bounds each origin at k and keeps schema
+    val sampled = CorpusOps.perStratumSample(corpus, "item_id", "origin", 1)
+    assert(sampled.columns.toSeq === Seq("item_id", "body", "origin"))
+    assert(sampled.count() === 2) // one per origin
+    // OOV against a 3-word vocabulary: ratios well-formed
+    CorpusOps.oovStats(corpus, "item_id", "body", 3).collect().foreach { r =>
+      assert(r.getAs[Double]("oov_ratio") >= 0.0 &&
+        r.getAs[Double]("oov_ratio") <= 1.0)
+    }
+  }
+
   test("vocab OOV: ratios in [0,1]; corpus-wide OOV mass excludes top-V words") {
     val rows = Corpus.qVocabOov.fn(spark, sf).collect()
     rows.foreach { r =>
