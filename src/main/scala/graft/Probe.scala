@@ -29,11 +29,12 @@ object Probe {
       println(f"[probe] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     val df = fn(spark, sfDir)
-    // drive THIS Dataset's own QueryExecution (a .write or .rdd wraps
-    // the plan in a fresh QueryExecution and leaves this one
+    // drive THIS Dataset's own QueryExecution (a .write or Dataset.rdd
+    // wraps the plan in a fresh QueryExecution and leaves this one
     // unfinalized) so AQE finalizes every stage and ReusedExchange /
-    // skew decisions are visible in the printed plan
-    df.collect()
+    // skew decisions are visible in the printed plan; toRdd.count()
+    // executes without materializing result rows on the driver
+    df.queryExecution.toRdd.count()
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }

@@ -56,13 +56,10 @@ object Corpus {
        |ORDER BY lang""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val permille = SampleRates
-      .foldLeft(when(lit(false), 0)) { case (acc, (l, p)) =>
-        acc.when($"lang" === l, p)
-      }
-      .otherwise(1000)
-    val h =
-      pmod(stableHash60(concat(lit("smp|"), $"doc_id".cast("string"))), lit(1000))
+    // the SAME rate/hash builders the library filter
+    // (CorpusOps.stratifiedSample) composes — gate and API cannot drift
+    val permille = CorpusOps.rateColumn($"lang", SampleRates, 1000)
+    val h = CorpusOps.sampleHash($"doc_id", "smp")
     Tables
       .documents(s, d)
       .select($"lang", $"doc_id", permille.as("permille"), h.as("h"))

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * DataFrame (a user's own corpus table, not just the test fixtures).
   * Exposed to users via `graft.api.GraftEngine.corpus`.
   *
+  * Column contract: operators may add result columns with the documented
+  * names (`group_id`, `n_words`, `dup_word_frac`, `top_bigram_frac`,
+  * `band`, `n_tokens`, `n_oov`, `oov_ratio`) and internally use working
+  * columns prefixed `__graft_` — input DataFrames must not already carry
+  * that prefix (checked, clear error) so user column names can never
+  * collide with the implementation's join keys.
+  *
   * Everything is deterministic by construction: sampling decisions are
   * pure per-row hash predicates, near-dup candidates come from fixed
   * MinHash permutations, and group labels are an order-independent min
@@ -17,19 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** The deterministic keep-predicate behind stratified sampling:
-    * stableHash60(salt|id) mod 1000 < permille(stratum). */
-  def keepPredicate(id: Column, stratum: Column,
-      permille: Seq[(String, Int)], defaultPermille: Int,
-      salt: String): Column = {
-    val rate = permille
+  /** Reserved internal column prefix (see column contract above). */
+  val ReservedPrefix = "__graft_"
+
+  private def checkReserved(df: DataFrame): Unit = {
+    val clash = df.columns.filter(_.startsWith(ReservedPrefix))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} use the reserved " +
+        s"'$ReservedPrefix' prefix")
+  }
+
+  /** Per-stratum permille rate as a column (shared by the library filter
+    * and the oracle-gated q_sample_stratified aggregate). */
+  def rateColumn(stratum: Column, permille: Seq[(String, Int)],
+      defaultPermille: Int): Column =
+    permille
       .foldLeft(when(lit(false), 0)) { case (acc, (s, p)) =>
         acc.when(stratum === s, p)
       }
       .otherwise(defaultPermille)
-    pmod(stableHash60(concat(lit(salt + "|"), id.cast("string"))),
-      lit(1000)) < rate
-  }
+
+  /** The salted per-row sampling hash in [0, 1000) — a pure function of
+    * the id, identical in DuckDB as
+    * `CAST('0x'||substr(md5('salt|'||id),1,15) AS BIGINT) % 1000`. */
+  def sampleHash(id: Column, salt: String): Column =
+    pmod(stableHash60(concat(lit(salt + "|"), id.cast("string"))), lit(1000))
+
+  /** The deterministic keep-predicate behind stratified sampling:
+    * sampleHash(id) < rate(stratum). */
+  def keepPredicate(id: Column, stratum: Column,
+      permille: Seq[(String, Int)], defaultPermille: Int,
+      salt: String): Column =
+    sampleHash(id, salt) < rateColumn(stratum, permille, defaultPermille)
 
   /** Deterministic stratified sample: keeps each row iff its hash falls
     * under its stratum's permille rate. Narrow (no shuffle, no RNG
@@ -43,15 +69,18 @@ object CorpusOps {
 
   /** First k rows per stratum by stable-hash rank (the deterministic
     * analog of per-group reservoir sampling). The window partitions by
-    * the stratum, so strata rank in parallel. */
+    * the stratum, so strata rank in parallel. Preserves the input schema.
+    */
   def perStratumSample(df: DataFrame, idCol: String, stratumCol: String,
       k: Int, salt: String = "res"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val rn = ReservedPrefix + "rn"
     val h = stableHash60(concat(lit(salt + "|"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(stratumCol)).orderBy(h, col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 
   /** MinHash-LSH near-duplicate candidate pairs over a text column:
@@ -92,13 +121,17 @@ object CorpusOps {
     * id column plus `group_id` (the minimum reachable id; singletons keep
     * their own). */
   def dedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val labels = Dedup.connectedComponents(minhashCandidates(df, idCol, textCol))
+    checkReserved(df)
+    val node = ReservedPrefix + "node"
+    val label = ReservedPrefix + "label"
+    val labels = Dedup
+      .connectedComponents(minhashCandidates(df, idCol, textCol))
+      .withColumnRenamed("node", node)
+      .withColumnRenamed("label", label)
     df.select(col(idCol))
-      .join(labels, col(idCol) === $"node", "left")
+      .join(labels, col(idCol) === col(node), "left")
       .select(col(idCol),
-        least(coalesce($"label", col(idCol)), col(idCol)).as("group_id"))
+        least(coalesce(col(label), col(idCol)), col(idCol)).as("group_id"))
   }
 
   /** Gopher-style repetition metrics per row: word count, duplicate-word
@@ -107,23 +140,28 @@ object CorpusOps {
     * ulp of engine difference can never flip a boundary document). */
   def repetitionMetrics(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val t = df.select(col(idCol), words(col(textCol)).as("w"))
+    checkReserved(df)
+    val w = ReservedPrefix + "w"
+    val b = ReservedPrefix + "b"
+    val c = ReservedPrefix + "c"
+    val mx = ReservedPrefix + "mx"
+    val bdoc = ReservedPrefix + "bdoc"
+    val wC = col(w)
+    val t = df.select(col(idCol), words(col(textCol)).as(w))
     val bgMax = t
-      .select(col(idCol), explode(shingles($"w", 2)).as("b"))
-      .groupBy(col(idCol), $"b")
-      .agg(count(lit(1)).as("c"))
+      .select(col(idCol), explode(shingles(wC, 2)).as(b))
+      .groupBy(col(idCol), col(b))
+      .agg(count(lit(1)).as(c))
       .groupBy(col(idCol))
-      .agg(max($"c").as("mx"))
-      .withColumnRenamed(idCol, "__bdoc")
+      .agg(max(col(c)).as(mx))
+      .withColumnRenamed(idCol, bdoc)
     val dupFrac =
-      round(lit(1.0) - size(array_distinct($"w")) * lit(1.0) / size($"w"), 4)
-    val bigramFrac = round(coalesce($"mx", lit(0L)) * lit(2.0) / size($"w"), 4)
-    t.join(bgMax, col(idCol) === col("__bdoc"), "left")
+      round(lit(1.0) - size(array_distinct(wC)) * lit(1.0) / size(wC), 4)
+    val bigramFrac = round(coalesce(col(mx), lit(0L)) * lit(2.0) / size(wC), 4)
+    t.join(bgMax, col(idCol) === col(bdoc), "left")
       .select(
         col(idCol),
-        size($"w").as("n_words"),
+        size(wC).as("n_words"),
         dupFrac.as("dup_word_frac"),
         bigramFrac.as("top_bigram_frac"),
         when(dupFrac > 0.85 || bigramFrac > 0.5, "repetitive")
@@ -137,23 +175,25 @@ object CorpusOps {
     * and the per-doc reduce. */
   def oovStats(df: DataFrame, idCol: String, textCol: String,
       topV: Int): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val tok = df.select(col(idCol), explode(words(col(textCol))).as("word"))
+    checkReserved(df)
+    val word = ReservedPrefix + "word"
+    val vword = ReservedPrefix + "vword"
+    val cnt = ReservedPrefix + "c"
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as(word))
     val vocab = tok
-      .groupBy($"word")
-      .agg(count(lit(1)).as("c"))
-      .orderBy($"c".desc, $"word")
+      .groupBy(col(word))
+      .agg(count(lit(1)).as(cnt))
+      .orderBy(col(cnt).desc, col(word))
       .limit(topV)
-      .select($"word".as("vword"))
+      .select(col(word).as(vword))
     tok
-      .join(broadcast(vocab), $"word" === $"vword", "left")
+      .join(broadcast(vocab), col(word) === col(vword), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        count(when($"vword".isNull, 1)).as("n_oov"))
+        count(when(col(vword).isNull, 1)).as("n_oov"))
       .select(
-        col(idCol), $"n_tokens", $"n_oov",
-        round($"n_oov" * lit(1.0) / $"n_tokens", 4).as("oov_ratio"))
+        col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") * lit(1.0) / col("n_tokens"), 4).as("oov_ratio"))
   }
 }

@@ -123,45 +123,56 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** The MinHash-LSH candidate-pair CTE chain (ends in `cand(d1, d2)`),
+    * shared by the `q_dedup_minhash_lsh` oracle and the
+    * connected-components grouping oracle so the two gates can never
+    * silently diverge. Declared BEFORE both consumers: object vals
+    * initialize in declaration order, and a forward reference here would
+    * interpolate null into the SQL. */
+  private[operators] val minhashPairsCtes: String = {
+    val permSql = MinhashPerms.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $MinhashP) AS sig_$i"
+      }
+      .mkString(",\n         ")
+    val bandSql = (0 until 4)
+      .map { bnd =>
+        val cols = (0 until 4).map(r => s"sig_${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws('-', $cols) AS bkey FROM sigs"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+       |           % $MinhashP AS h
+       |  FROM ds),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $permSql
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** MinHash + LSH candidate generation: 16 permutations over md5-derived
     * shingle hashes, 4 bands x 4 rows; pairs sharing >= 1 band. This is
     * the shuffle-light path that replaces the quadratic join at scale —
     * validated here against the same computation in DuckDB. */
   val qMinhashLsh = QueryDef.sql(
-    "q_dedup_minhash_lsh", {
-      val permSql = MinhashPerms.zipWithIndex
-        .map { case ((a, b), i) =>
-          s"min((h * $a + $b) % $MinhashP) AS sig_$i"
-        }
-        .mkString(",\n         ")
-      val bandSql = (0 until 4)
-        .map { bnd =>
-          val cols = (0 until 4).map(r => s"sig_${bnd * 4 + r}").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, concat_ws('-', $cols) AS bkey FROM sigs"
-        }
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH ds AS (
-         |  SELECT DISTINCT doc_id,
-         |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                 for i in range(1, len(w)-1)]) AS s
-         |  FROM $duckShingles
-         |  WHERE len(w) >= 3),
-         |hashed AS (
-         |  SELECT doc_id,
-         |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-         |           % $MinhashP AS h
-         |  FROM ds),
-         |sigs AS (
-         |  SELECT doc_id,
-         |         $permSql
-         |  FROM hashed GROUP BY doc_id),
-         |bands AS (
-         |  $bandSql)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY d1, d2""".stripMargin
-    }
+    "q_dedup_minhash_lsh",
+    s"""WITH $minhashPairsCtes
+       |SELECT d1, d2 FROM cand
+       |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
     minhashPairs(s, d).orderBy($"d1", $"d2")
@@ -210,44 +221,6 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** The MinHash-LSH candidate-pair CTE chain, shared between
-    * `q_dedup_minhash_lsh` and the connected-components grouping oracle.
-    */
-  private[operators] val minhashPairsCtes: String = {
-    val permSql = MinhashPerms.zipWithIndex
-      .map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $MinhashP) AS sig_$i"
-      }
-      .mkString(",\n         ")
-    val bandSql = (0 until 4)
-      .map { bnd =>
-        val cols = (0 until 4).map(r => s"sig_${bnd * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws('-', $cols) AS bkey FROM sigs"
-      }
-      .mkString("\n  UNION ALL\n  ")
-    s"""ds AS (
-       |  SELECT DISTINCT doc_id,
-       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |                 for i in range(1, len(w)-1)]) AS s
-       |  FROM $duckShingles
-       |  WHERE len(w) >= 3),
-       |hashed AS (
-       |  SELECT doc_id,
-       |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-       |           % $MinhashP AS h
-       |  FROM ds),
-       |sigs AS (
-       |  SELECT doc_id,
-       |         $permSql
-       |  FROM hashed GROUP BY doc_id),
-       |bands AS (
-       |  $bandSql),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
-  }
-
   /** MinHash-LSH candidate pairs as a DataFrame (d1 < d2) — the Spark twin
     * of [[minhashPairsCtes]], delegating to the column-parameterized
     * library form ([[CorpusOps.minhashCandidates]]). */
@@ -283,25 +256,36 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
+    val maxIter = 64
     // min-label propagation to fixpoint: newLabel(n) = min(label(n),
     // min over neighbors' labels). Deterministic, order-independent.
-    while (changed > 0 && iter < 50) {
+    while (changed > 0 && iter < maxIter) {
       val prop = sym
         .join(labels.withColumnRenamed("node", "pnode"), $"dst" === $"pnode")
         .groupBy($"src")
         .agg(min($"label").as("nl"))
+      // the old label rides along into the checkpoint so change detection
+      // is a filter-count on the materialized rows, not a third join
       val next = labels
         .join(prop, $"node" === $"src", "left")
         .select($"node",
-          least($"label", coalesce($"nl", $"label")).as("label"))
+          least($"label", coalesce($"nl", $"label")).as("label"),
+          $"label".as("old"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter($"label" =!= $"old")
-        .count()
-      labels = next
+      changed = next.filter($"label" =!= $"old").count()
+      labels = next.drop("old")
       iter += 1
     }
+    // a silent non-converged exit would emit plausible-but-wrong group
+    // labels (and diverge from the recursive-CTE oracle); refuse instead.
+    // maxIter bounds the propagation DIAMETER — real near-dup components
+    // are pairs/short chains, so hitting 64 means the candidate graph is
+    // pathological (e.g. sliding-window boilerplate chaining thousands of
+    // docs) and needs a DF-cap-style intervention, not more rounds.
+    require(changed == 0,
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($changed labels still changing); the candidate graph has a " +
+        "component with diameter > maxIter")
     labels
   }
 

@@ -117,8 +117,11 @@ class CorpusSpec extends SparkSpec {
     rows.foreach { r =>
       val wgt = r.getAs[Double]("weight")
       val epochs = r.getAs[Int]("epochs")
-      assert(epochs >= 1 && epochs === math.ceil(wgt - 5e-5).toInt ||
-        epochs === math.ceil(wgt).toInt)
+      // epochs = ceil(true weight) but wgt is rounded to 4 decimals, so
+      // accept the ceiling of anything within the rounding half-width
+      assert(epochs >= 1 &&
+        (epochs === math.ceil(wgt - 5e-5).toInt ||
+          epochs === math.ceil(wgt + 5e-5).toInt))
     }
   }
 
@@ -161,6 +164,16 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Double]("oov_ratio") >= 0.0 &&
         r.getAs[Double]("oov_ratio") <= 1.0)
     }
+  }
+
+  test("CorpusOps rejects input columns using the reserved prefix") {
+    import graft.operators.CorpusOps
+    val bad = Seq((1L, "a b c", "x"))
+      .toDF("item_id", "body", CorpusOps.ReservedPrefix + "w")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.repetitionMetrics(bad, "item_id", "body")
+    }
+    assert(e.getMessage.contains(CorpusOps.ReservedPrefix))
   }
 
   test("vocab OOV: ratios in [0,1]; corpus-wide OOV mass excludes top-V words") {
