@@ -27,7 +27,7 @@ object Corpus {
   val SampleRates: Seq[(String, Int)] =
     Seq("en" -> 300, "fr" -> 800, "es" -> 700, "de" -> 900, "zh" -> 500)
 
-  private val rateSql =
+  private[operators] val rateSql =
     SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
 
   /** Deterministic stratified sampling: keep a document iff

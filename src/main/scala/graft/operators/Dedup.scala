@@ -249,10 +249,15 @@ object Dedup {
       .select($"d1".as("src"), $"d2".as("dst"))
       .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
       .localCheckpoint()
+    // seed with the round-1 fixpoint state directly: label(n) =
+    // min(n, min direct neighbor). One groupBy replaces the
+    // distinct-then-propagate first round (every node of `sym` appears
+    // as src, so no left join is needed); pair components — the common
+    // near-dup case — then converge in a single verification round.
     var labels = sym
-      .select($"src".as("node"))
-      .distinct()
-      .withColumn("label", $"node")
+      .groupBy($"src")
+      .agg(least($"src", min($"dst")).as("label"))
+      .select($"src".as("node"), $"label")
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -92,5 +92,83 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qCleanCorpus)
+  /** The training-mix pipeline: quality gate → exact-dup removal →
+    * deterministic stratified downsampling → per-shard sequence packing,
+    * as ONE dataflow — the path from raw corpus to "which context window
+    * does each surviving document land in". Every stage is individually
+    * gated elsewhere (q_text_quality, q_dedup_exact, q_sample_stratified,
+    * q_pack_sequences); this guards the composition end-to-end.
+    *
+    * Scale shape: stages 1-3 are narrow or single-shuffle (the dedup
+    * group-by on a 16-byte hash is the only wide op before packing); the
+    * sampling decision is a pure per-row hash predicate; packing windows
+    * partition by the language shard, so shards pack in parallel.
+    */
+  val qTrainingMix = QueryDef.sql(
+    "q_pipeline_training_mix",
+    s"""WITH quality AS (
+       |  SELECT doc_id, lang, text,
+       |         string_split_regex(trim(text), ' +') AS w
+       |  FROM documents
+       |  WHERE n_chars >= 100
+       |    AND len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
+       |        / len(string_split_regex(trim(text), ' +')) > 0.3),
+       |exact AS (
+       |  SELECT * FROM quality
+       |  WHERE doc_id IN (
+       |    SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+       |sampled AS (
+       |  SELECT doc_id, lang, len(w) AS n_tokens
+       |  FROM exact
+       |  WHERE CAST(concat('0x', substr(md5('smp|' || doc_id), 1, 15))
+       |             AS BIGINT) % 1000
+       |        < CASE lang ${Corpus.rateSql} ELSE 1000 END),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_tok
+       |  FROM sampled)
+       |SELECT doc_id, lang,
+       |       CAST(n_tokens AS INT)                  AS n_tokens,
+       |       CAST(start_tok // 512 AS INT)          AS bin,
+       |       CAST(start_tok % 512 AS INT)           AS offset,
+       |       CAST((start_tok + n_tokens - 1) // 512
+       |            - start_tok // 512 + 1 AS INT)    AS span_bins
+       |FROM packed
+       |ORDER BY lang, doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = words($"text")
+    val quality = Tables
+      .documents(s, d)
+      .withColumn("w", w)
+      .filter($"n_chars" >= 100 &&
+        size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
+    val keepers = quality
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"))
+      .select($"keep_id")
+    val sampled = quality
+      .join(keepers, $"doc_id" === $"keep_id", "left_semi")
+      .filter(CorpusOps.keepPredicate($"doc_id", $"lang", Corpus.SampleRates,
+        1000, "smp"))
+      .select($"doc_id", $"lang", size($"w").as("n_tokens"))
+    val win = Window
+      .partitionBy($"lang")
+      .orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("start_tok",
+        (sum($"n_tokens").over(win) - $"n_tokens").cast("long"))
+      .select(
+        $"doc_id", $"lang", $"n_tokens",
+        expr("start_tok div 512").cast("int").as("bin"),
+        ($"start_tok" % 512).cast("int").as("offset"),
+        (expr("(start_tok + n_tokens - 1) div 512")
+          - expr("start_tok div 512") + 1).cast("int").as("span_bins"))
+      .orderBy($"lang", $"doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qCleanCorpus, qTrainingMix)
 }

@@ -207,4 +207,26 @@ object EventPipelines {
       .foreachBatch(pushSink)
       .start()
   }
+
+  /** Streaming corpus ingest: the quality-gate + exact-dedup front of the
+    * batch clean-corpus pipeline on an unbounded document stream
+    * (schema: doc_id, text, lang, ts). Per-document metrics are narrow;
+    * the content-fingerprint dedup state is bounded by the watermark — a
+    * re-crawled duplicate inside the horizon is dropped in-stream, one
+    * beyond it is left for the periodic batch q_dedup_exact pass (the
+    * standard two-tier dedup split: bounded streaming state + exact
+    * batch reconciliation). Quality semantics mirror the batch gate:
+    * >= 100 chars and type-token ratio > 0.3. */
+  def corpusIngest(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    val w = words(col("text"))
+    docs
+      .withWatermark("ts", "10 minutes")
+      .filter(length(col("text")) >= 100 &&
+        size(array_distinct(w)) * lit(1.0) / size(w) > 0.3)
+      .withColumn("fp", md5(normText(col("text"))))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("lang"), col("fp"),
+        size(w).as("n_words"), col("ts"))
+  }
 }

@@ -174,6 +174,28 @@ class StreamingSpec extends SparkSpec {
     assert(downs.head.atMs === t0 + EventPipelines.LeaseTtlMs)
   }
 
+  test("streaming corpus ingest: quality gate + in-horizon fingerprint dedup") {
+    val t0 = 1700000000000L
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    // 24 words / 8 distinct → TTR 0.333 > 0.3; 137 chars >= 100
+    val good = ("alpha beta gamma delta epsilon zeta eta theta " * 3).trim
+    val lowTtr = ("spam " * 40).trim // >=100 chars but TTR <= 0.3
+    in.addData(
+      (1L, good, "en", new Timestamp(t0)),
+      (2L, good + " ", "en", new Timestamp(t0 + 1000)), // dup modulo norm
+      (3L, lowTtr, "en", new Timestamp(t0 + 2000)),
+      (4L, "short text", "en", new Timestamp(t0 + 3000)), // < 100 chars
+      (5L, good.toUpperCase, "fr", new Timestamp(t0 + 4000))) // dup (lower)
+    val docs = in.toDF().toDF("doc_id", "text", "lang", "ts")
+    runToMemory(EventPipelines.corpusIngest(docs), "ingest_out")
+    val out = spark.table("ingest_out").collect()
+    // doc 1 survives; 2 and 5 are fingerprint-dups (whitespace/case
+    // normalization); 3 fails TTR; 4 fails length
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getAs[Int]("n_words") === 24)
+  }
+
   test("streaming dedup drops exact repeats and matches batch dropDuplicates") {
     val stream = EventPipelines.eventStream(spark, sf)
     runToMemory(EventPipelines.dedupedEvents(stream), "dedup_out")
