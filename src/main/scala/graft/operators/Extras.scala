@@ -172,7 +172,107 @@ object Extras {
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): three chosen grouping
+    * combinations in one pass with grouping() flags distinguishing
+    * aggregation levels. Same single-shuffle Expand-based plan as
+    * rollup — each input row fans out to its grouping sets BEFORE the
+    * exchange, partial aggregation intact. */
+  val qGroupingSets = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL')   AS status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+      |       CAST(grouping(o_orderstatus) AS INT)   AS g_st,
+      |       round(sum(o_totalprice), 2)      AS sum_price,
+      |       count(*)                         AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority),
+      |                        (o_orderpriority, o_orderstatus), ())
+      |ORDER BY priority, status, g_pri, g_st""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderpriority", $"o_orderstatus"),
+          Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(
+        // grouping() resolves only inside the grouping-sets aggregate
+        grouping($"o_orderpriority").cast("int").as("g_pri"),
+        grouping($"o_orderstatus").cast("int").as("g_st"),
+        round(sum($"o_totalprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"g_pri", $"g_st", $"sum_price", $"n")
+      .orderBy($"priority", $"status", $"g_pri", $"g_st")
+  }
+
+  /** Time-RANGE window frame: per-user moving 5-minute sum/count over
+    * event time. The frame bound is numeric epoch-µs on BOTH sides (the
+    * precision Spark and the ns-parquet-reading oracle share); RANGE
+    * includes timestamp peers, so equal-ts rows agree deterministically
+    * without a tie-break column. */
+  val qWindowRangeFrame = QueryDef.sql(
+    "q_window_range_frame",
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |       round(sum(value) OVER w, 2) AS mv_sum_5m,
+      |       CAST(count(*) OVER w AS BIGINT) AS mv_n_5m
+      |FROM events
+      |WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-300000000L, 0L)
+    Tables
+      .events(s, d)
+      .filter($"user_id" < 20)
+      .select(
+        $"user_id",
+        unix_micros($"ts").as("ts_us"),
+        $"event_id",
+        round(sum($"value").over(w), 2).as("mv_sum_5m"),
+        count(lit(1)).over(w).as("mv_n_5m"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  /** Map-typed column functions (the xattr-map shape from SURVEY §1.2):
+    * construction, key listing, point extraction, cardinality. */
+  val qMapFuncs = QueryDef.sql(
+    "q_map_funcs",
+    """SELECT doc_id,
+      |       list_aggregate(map_keys(m), 'string_agg', ',') AS keys,
+      |       map_extract(m, 'lang')[1]   AS lang_v,
+      |       map_extract(m, 'source')[1] AS source_v,
+      |       CAST(cardinality(m) AS INT) AS n_entries
+      |FROM (SELECT doc_id, map(['lang', 'source'], [lang, source]) AS m
+      |      FROM documents WHERE doc_id < 100)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .filter($"doc_id" < 100)
+      .select($"doc_id",
+        map(lit("lang"), $"lang", lit("source"), $"source").as("m"))
+      .select(
+        $"doc_id",
+        array_join(map_keys($"m"), ",").as("keys"),
+        element_at($"m", "lang").as("lang_v"),
+        element_at($"m", "source").as("source_v"),
+        size($"m").as("n_entries"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
-      qPivot, qWindowNtile)
+      qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs)
 }
