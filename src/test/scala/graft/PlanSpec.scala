@@ -112,4 +112,31 @@ class PlanSpec extends SparkSpec {
       !("HashAggregate\\(keys=\\[doc_id#\\d+L?, s#".r.findFirstIn(p).isDefined),
       "distinct on (doc_id, shingle) must not reappear")
   }
+
+  test("vocab OOV joins the token stream against a BROADCAST vocabulary") {
+    // the V-row vocabulary must broadcast — shuffling the token stream
+    // by word to meet it would be a corpus-sized exchange at 100 TB
+    val p = plan(q("q_vocab_oov"))
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).isDefined,
+      s"expected broadcast vocab join in:\n$p")
+  }
+
+  test("grouping sets fan out via Expand below ONE aggregation exchange") {
+    val p = plan(q("q_grouping_sets"))
+    assert("Expand".r.findFirstIn(p).isDefined, s"expected Expand in:\n$p")
+    // partial + final HashAggregate around a single hash exchange — the
+    // grouping-set fan-out happens map-side, before the shuffle
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
+      s"expected partial aggregation in:\n$p")
+  }
+
+  test("training-mix pipeline plans no nested-loop or cartesian joins") {
+    // quality gate + hash-predicate sampling are narrow; the dedup
+    // group-by and packing window are the only wide ops — any BNLJ or
+    // cartesian here means the sampling predicate leaked into a join
+    val p = plan(q("q_pipeline_training_mix"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"unexpected non-equi join in:\n$p")
+  }
 }
