@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  val qCleanCorpus = QueryDef.sql(
-    "q_pipeline_clean_corpus",
-    """WITH quality AS (
+  /** Stages 1-2 of every corpus pipeline — quality gate + exact-dup
+    * removal — as shared SQL CTEs (`quality`, `exact`), so the two gated
+    * pipelines can never drift on the thresholds or the keeper rule. */
+  private val qualityCtes =
+    """quality AS (
       |  SELECT doc_id, text, lang, n_chars,
       |         string_split_regex(trim(text), ' +') AS w
       |  FROM documents
@@ -31,7 +33,29 @@ object Pipeline {
       |  -- exact-dup removal: keep min doc_id per content hash
       |  SELECT * FROM quality
       |  WHERE doc_id IN (
-      |    SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+      |    SELECT min(doc_id) FROM quality GROUP BY md5(text)))""".stripMargin
+
+  /** The Spark twin of [[qualityCtes]]: quality-gated, exact-deduped
+    * documents with the words array staged as `w`. Stage 1 is narrow;
+    * stage 2's only wide op groups on a 16-byte content hash. */
+  private def cleanedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val quality = Tables
+      .documents(s, d)
+      .withColumn("w", words($"text"))
+      .filter($"n_chars" >= 100 &&
+        size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
+    val keepers = quality
+      .groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"))
+      .select($"keep_id")
+    quality.join(keepers, $"doc_id" === $"keep_id", "left_semi")
+  }
+
+  val qCleanCorpus = QueryDef.sql(
+    "q_pipeline_clean_corpus",
+    s"""WITH $qualityCtes,
       |ds AS (
       |  SELECT DISTINCT doc_id,
       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -53,19 +77,8 @@ object Pipeline {
       |ORDER BY e.doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    // stage 1: quality gate (narrow)
-    val w = words($"text")
-    val quality = docs
-      .withColumn("w", w)
-      .filter($"n_chars" >= 100 &&
-        size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
-    // stage 2: exact-dup removal — min doc per content hash
-    val keepers = quality
-      .groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("keep_id"))
-      .select($"keep_id")
-    val exact = quality.join(keepers, $"doc_id" === $"keep_id", "left_semi")
+    // stages 1-2: shared quality gate + exact-dup removal
+    val exact = cleanedDocs(s, d)
     // stage 3: near-dup edges via the inverted shingle index, with the
     // document-frequency cap (Dedup.JaccardDfCap) bounding the quadratic
     // tail of hot boilerplate shingles
@@ -106,17 +119,7 @@ object Pipeline {
     */
   val qTrainingMix = QueryDef.sql(
     "q_pipeline_training_mix",
-    s"""WITH quality AS (
-       |  SELECT doc_id, lang, text,
-       |         string_split_regex(trim(text), ' +') AS w
-       |  FROM documents
-       |  WHERE n_chars >= 100
-       |    AND len(list_distinct(string_split_regex(trim(text), ' +'))) * 1.0
-       |        / len(string_split_regex(trim(text), ' +')) > 0.3),
-       |exact AS (
-       |  SELECT * FROM quality
-       |  WHERE doc_id IN (
-       |    SELECT min(doc_id) FROM quality GROUP BY md5(text))),
+    s"""WITH $qualityCtes,
        |sampled AS (
        |  SELECT doc_id, lang, len(w) AS n_tokens
        |  FROM exact
@@ -139,20 +142,12 @@ object Pipeline {
        |ORDER BY lang, doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val w = words($"text")
-    val quality = Tables
-      .documents(s, d)
-      .withColumn("w", w)
-      .filter($"n_chars" >= 100 &&
-        size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
-    val keepers = quality
-      .groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("keep_id"))
-      .select($"keep_id")
-    val sampled = quality
-      .join(keepers, $"doc_id" === $"keep_id", "left_semi")
-      .filter(CorpusOps.keepPredicate($"doc_id", $"lang", Corpus.SampleRates,
-        1000, "smp"))
+    // stages 1-2 shared with qCleanCorpus; stage 3 is the SAME library
+    // sampler the q_sample_stratified gate verifies (defaults:
+    // permille 1000, salt "smp")
+    val sampled = CorpusOps
+      .stratifiedSample(cleanedDocs(s, d), "doc_id", "lang",
+        Corpus.SampleRates)
       .select($"doc_id", $"lang", size($"w").as("n_tokens"))
     val win = Window
       .partitionBy($"lang")

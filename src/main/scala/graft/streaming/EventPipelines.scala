@@ -213,10 +213,14 @@ object EventPipelines {
     * (schema: doc_id, text, lang, ts). Per-document metrics are narrow;
     * the content-fingerprint dedup state is bounded by the watermark — a
     * re-crawled duplicate inside the horizon is dropped in-stream, one
-    * beyond it is left for the periodic batch q_dedup_exact pass (the
-    * standard two-tier dedup split: bounded streaming state + exact
-    * batch reconciliation). Quality semantics mirror the batch gate:
-    * >= 100 chars and type-token ratio > 0.3. */
+    * beyond it is left for a periodic batch pass grouping on the SAME
+    * normalized fingerprint this stream emits (md5 of lowercased,
+    * whitespace-collapsed text — the q_text_fingerprint definition; NOT
+    * raw-md5 q_dedup_exact, which would disagree with the stream about
+    * what counts as a duplicate). The standard two-tier split: bounded
+    * streaming state + exact batch reconciliation over one shared key.
+    * Quality semantics mirror the batch gate: >= 100 chars and
+    * type-token ratio > 0.3. */
   def corpusIngest(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
     val w = words(col("text"))
