@@ -288,7 +288,38 @@ object Events {
       .orderBy($"family", $"metric", $"label")
   }
 
+  /** Z-score anomaly detection: per-type mean/stddev via a partition
+    * window (one shuffle on the type key), flagging |z| > 3 on the
+    * ROUNDED score so an ulp of cross-engine stddev difference cannot
+    * flip a boundary event. The alerting-rule analog of the reference's
+    * Grafana threshold panels — as a relational dataflow. */
+  val qAnomaly = QueryDef.sql(
+    "q_events_anomaly",
+    """WITH scored AS (
+      |  SELECT event_id, event_type, value,
+      |         round((value - avg(value) OVER (PARTITION BY event_type))
+      |               / stddev_samp(value) OVER (PARTITION BY event_type),
+      |               4) AS z
+      |  FROM events)
+      |SELECT event_id, event_type, round(value, 4) AS value, z
+      |FROM scored
+      |WHERE abs(z) > 3
+      |ORDER BY event_type, event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+    Tables
+      .events(s, d)
+      .select(
+        $"event_id", $"event_type", $"value",
+        round(($"value" - avg($"value").over(w)) /
+          stddev_samp($"value").over(w), 4).as("z"))
+      .filter(abs($"z") > 3)
+      .select($"event_id", $"event_type", round($"value", 4).as("value"), $"z")
+      .orderBy($"event_type", $"event_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
-      qHistogramSketch, qMetricsRegistry)
+      qHistogramSketch, qMetricsRegistry, qAnomaly)
 }

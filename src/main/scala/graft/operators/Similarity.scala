@@ -356,7 +356,76 @@ object Similarity {
       .orderBy($"lang")
   }
 
+  /** ANN quality as a QUERY: recall@10 of the IVF path against the
+    * brute-force ground truth, per query vector — the search-quality
+    * measurement a 100 TB index deployment runs continuously, here
+    * oracle-gated end-to-end because both sides of the comparison are
+    * themselves deterministic SQL-expressible dataflows. Composes the
+    * exact q_cosine_knn and q_ann_ivf definitions (Spark side reuses
+    * their DataFrames; oracle side inlines both CTE chains, renamed
+    * apart). */
+  val qAnnRecall = QueryDef.sql(
+    "q_ann_recall",
+    """WITH bq AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |bscored AS (
+      |  SELECT qid, e.vec_id AS nid,
+      |         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM bq JOIN embeddings e ON e.vec_id <> qid),
+      |brute AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+      |    FROM bscored) WHERE rnk <= 10),
+      |ic AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |iscored AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, ic.cid,
+      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ic.cv) AS cs
+      |  FROM embeddings e CROSS JOIN ic),
+      |iassigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+      |    FROM iscored) WHERE rk = 1),
+      |iprobes AS (
+      |  SELECT qid, qv, probe_cid FROM (
+      |    SELECT vec_id AS qid, v AS qv, cid AS probe_cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+      |    FROM iscored WHERE vec_id < 3) WHERE rk <= 4),
+      |icands AS (
+      |  SELECT DISTINCT p.qid, a.vec_id AS nid,
+      |         list_cosine_similarity(p.qv, a.v) AS cs2
+      |  FROM iassigned a
+      |  JOIN iprobes p ON a.cid = p.probe_cid AND a.vec_id <> p.qid),
+      |ivf AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cs2 DESC, nid) AS rnk
+      |    FROM icands) WHERE rnk <= 10)
+      |SELECT b.qid,
+      |       count(i.nid) AS n_hits,
+      |       round(count(i.nid) * 1.0 / 10, 2) AS recall_at_10
+      |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
+      |GROUP BY b.qid
+      |ORDER BY b.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val brute = qCosineKnn.fn(s, d).select($"qid", $"nid")
+    val ivf = qAnnIvf.fn(s, d)
+      .select($"qid".as("iqid"), $"nid".as("inid"))
+    brute
+      .join(ivf, $"qid" === $"iqid" && $"nid" === $"inid", "left")
+      .groupBy($"qid")
+      .agg(count($"inid").as("n_hits"))
+      .select($"qid", $"n_hits",
+        round($"n_hits" * lit(1.0) / 10, 2).as("recall_at_10"))
+      .orderBy($"qid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
-      qEmbedQuantize, qLangEmbedStats)
+      qEmbedQuantize, qLangEmbedStats, qAnnRecall)
 }
