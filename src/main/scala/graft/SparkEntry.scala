@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Multimodal.defs ++ operators.FsQueries.defs ++
       operators.Events.defs ++ operators.Temporal.defs ++
       operators.Extras.defs ++ operators.Subqueries.defs ++
-      operators.Pipeline.defs ++ operators.Corpus.defs
+      operators.Pipeline.defs ++ operators.Corpus.defs ++
+      operators.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

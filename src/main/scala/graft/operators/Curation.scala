@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation operators: the training-data hygiene passes a
+  * production pipeline runs between raw ingest and tokenization —
+  * benchmark decontamination, incremental (cross-corpus) dedup,
+  * paragraph/chunk-level dedup, and semantic (embedding-cluster) dedup.
+  *
+  * Scale design (100 TB):
+  *  - decontamination broadcasts the BENCHMARK shingle set (eval suites
+  *    are tiny — MBs against a 100 TB corpus), so the corpus is scanned
+  *    once and never shuffled;
+  *  - cross-corpus dedup joins the new batch against the existing
+  *    corpus's shingle postings on the shingle key (df-capped, like
+  *    [[Dedup]]), instead of re-deduping the union from scratch;
+  *  - chunk dedup shuffles once on the chunk key; the reassembly is a
+  *    per-document aggregate;
+  *  - semantic dedup confines the quadratic pair search to IVF cells
+  *    (the SemDeDup recipe: cluster first, compare within clusters).
+  */
+object Curation {
+
+  /** Training docs never see benchmark shingles: every 50th document
+    * plays the held-out eval set; per training doc we count 3-gram
+    * shingles that also occur in the benchmark slice and flag docs above
+    * a 10% overlap ratio (on the ROUNDED ratio, so an ulp can't flip the
+    * flag). The benchmark shingle set is broadcast — the 100 TB corpus
+    * side is a single scan with no shuffle before the per-doc count. */
+  val qDecontaminate = QueryDef.sql(
+    "q_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |bench AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+      |tr AS (
+      |  SELECT doc_id, count(*) AS n_shingles,
+      |         sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 ELSE 0 END)
+      |           AS n_overlap
+      |  FROM ds WHERE doc_id % 50 <> 0
+      |  GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(n_shingles AS BIGINT) AS n_shingles,
+      |       CAST(n_overlap AS BIGINT) AS n_overlap,
+      |       round(n_overlap * 1.0 / n_shingles, 4) AS overlap_ratio,
+      |       CAST(CASE WHEN round(n_overlap * 1.0 / n_shingles, 4) >= 0.1
+      |                 THEN 1 ELSE 0 END AS INT) AS contaminated
+      |FROM tr ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+    val bench = ds.filter($"doc_id" % 50 === 0).select($"s").distinct()
+    val train = ds.filter($"doc_id" % 50 =!= 0)
+    val hits = train
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    val totals = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    totals
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"n_shingles",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        round(coalesce($"n_overlap", lit(0L)) * lit(1.0) / $"n_shingles", 4)
+          .as("overlap_ratio"))
+      .withColumn("contaminated",
+        when($"overlap_ratio" >= 0.1, 1).otherwise(0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental ingest dedup: the odd-id half of the corpus arrives as a
+    * "new batch" and is near-dup-checked against the even-id "existing
+    * corpus" via the shingle postings join (Jaccard >= 0.8). Emits, per
+    * duplicate new document, its best existing match (highest Jaccard,
+    * ties to the smallest existing id). At scale the existing side is the
+    * persisted postings index — the batch joins against it on the shingle
+    * key instead of re-deduping the whole corpus. */
+  val qCrossCorpusDedup = QueryDef.sql(
+    "q_crosscorpus_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT n.doc_id AS new_doc, e.doc_id AS old_doc, count(*) AS common
+      |  FROM ds n JOIN ds e
+      |    ON n.s = e.s AND n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT new_doc, old_doc,
+      |         common * 1.0 / (cn.n + ce.n - common) AS jac
+      |  FROM pairs
+      |    JOIN cnt cn ON new_doc = cn.doc_id
+      |    JOIN cnt ce ON old_doc = ce.doc_id
+      |  WHERE common * 1.0 / (cn.n + ce.n - common) >= 0.8)
+      |SELECT new_doc, old_doc AS dup_of, round(jac, 4) AS jaccard FROM (
+      |  SELECT new_doc, old_doc, jac,
+      |         row_number() OVER (PARTITION BY new_doc
+      |                            ORDER BY jac DESC, old_doc) AS rk
+      |  FROM j) WHERE rk = 1
+      |ORDER BY new_doc""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    // one deliberate hash partitioning on the shingle key that BOTH join
+    // branches reuse (same exchange-reuse shape as q_dedup_ngram_jaccard),
+    // df-capped so a boilerplate shingle can't contribute a quadratic tail
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition(col("s"))
+    val posts = Dedup.cappedPostings(ds, Dedup.JaccardDfCap)
+    val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val newSide = posts
+      .filter($"doc_id" % 2 === 1)
+      .select($"doc_id".as("new_doc"), $"s")
+    val oldSide = posts
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id".as("old_doc"), $"s")
+    val pairs = newSide
+      .join(oldSide, "s")
+      .groupBy($"new_doc", $"old_doc")
+      .agg(count(lit(1)).as("common"))
+    val w = Window.partitionBy($"new_doc").orderBy($"jac".desc, $"old_doc")
+    pairs
+      .join(cnt.withColumnRenamed("doc_id", "new_doc")
+        .withColumnRenamed("n", "n_new"), "new_doc")
+      .join(cnt.withColumnRenamed("doc_id", "old_doc")
+        .withColumnRenamed("n", "n_old"), "old_doc")
+      .withColumn("jac",
+        $"common" * lit(1.0) / ($"n_new" + $"n_old" - $"common"))
+      .filter($"jac" >= 0.8)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"new_doc", $"old_doc".as("dup_of"), round($"jac", 4).as("jaccard"))
+      .orderBy($"new_doc")
+  }
+
+  /** Paragraph-level dedup (CCNet-style line dedup; 10-word chunks stand
+    * in for paragraphs on the single-line fixture text): the first
+    * occurrence of a chunk — ordered by (doc_id, position) — is kept,
+    * every later occurrence anywhere in the corpus is dropped, and each
+    * document is reassembled from its surviving chunks. One shuffle on
+    * the chunk key (the window), then a per-document ordered aggregate. */
+  val qParagraphDedup = QueryDef.sql(
+    "q_paragraph_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         unnest([i for i in range(0, CAST(ceil(len(w)/10.0) AS INT))])
+      |           AS pos,
+      |         unnest([list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')
+      |                 for i in range(0, CAST(ceil(len(w)/10.0) AS INT))])
+      |           AS chunk
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, pos, chunk,
+      |         row_number() OVER (PARTITION BY chunk
+      |                            ORDER BY doc_id, pos) AS occ
+      |  FROM c)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END,
+      |                           ' ' ORDER BY pos), '') AS cleaned_text
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val chunks = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        posexplode(
+          transform(
+            sequence(lit(0), ceil(size($"w") / lit(10.0)).cast("int") - 1),
+            i => array_join(slice($"w", i * 10 + 1, lit(10)), " ")))
+          .as(Seq("pos", "chunk")))
+    val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"pos")
+    chunks
+      .withColumn("occ", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"occ" === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls → only first-occurrence chunks survive;
+        // array_sort on (pos, chunk) structs restores document order
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when($"occ" === 1,
+                struct($"pos", $"chunk")))),
+              x => x.getField("chunk")),
+            " "),
+          lit("")).as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): embeddings are clustered to 16
+    * deterministic IVF centroids (same quantizer as q_ann_ivf), and only
+    * WITHIN a cell are pairs compared — cosine above the q_embed_neardup
+    * threshold marks the higher id as a duplicate of its smallest
+    * same-cell partner. The quadratic pair search is confined to cells:
+    * at 100 TB the cell is the partition key, so each partition runs its
+    * own small all-pairs while the corpus-level product never forms. */
+  val qSemanticDedup = QueryDef.sql(
+    "q_semantic_dedup",
+    """WITH c AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+      |           AS cs
+      |  FROM embeddings e CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY cs DESC, cid) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |pairs AS (
+      |  SELECT a.cid, b.vec_id AS dropped, a.vec_id AS keeper,
+      |         list_cosine_similarity(a.v, b.v) AS cs
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 4) > 0.45)
+      |SELECT dropped, cid, keeper, round(cs, 4) AS cos_sim FROM (
+      |  SELECT cid, dropped, keeper, cs,
+      |         row_number() OVER (PARTITION BY dropped ORDER BY keeper) AS rk
+      |  FROM pairs) WHERE rk = 1
+      |ORDER BY dropped""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val nCentroids = 16
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .filter($"vec_id" < nCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    val assigned = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .join(broadcast(centroids), $"vn" * $"cn" =!= 0.0)
+      .select($"vec_id", $"embedding", $"vn", $"cid",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"vn", $"cid")
+    val a = assigned.select($"cid", $"vec_id".as("keeper"),
+      $"embedding".as("kv"), $"vn".as("kn"))
+    val b = assigned.select($"cid".as("cid2"), $"vec_id".as("dropped"),
+      $"embedding".as("dv"), $"vn".as("dn"))
+    val w = Window.partitionBy($"dropped").orderBy($"keeper")
+    a.join(b, $"cid" === $"cid2" && $"keeper" < $"dropped")
+      .withColumn("c", dot($"kv", $"dv") / ($"kn" * $"dn"))
+      .filter(round($"c", 4) > 0.45)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"dropped", $"cid", $"keeper", round($"c", 4).as("cos_sim"))
+      .orderBy($"dropped")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup)
+}

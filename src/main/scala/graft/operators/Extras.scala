@@ -79,17 +79,51 @@ object Extras {
       .orderBy($"c_mktsegment")
   }
 
-  /** HLL approximate distinct — sketch algorithms differ between engines
-    * so this is rows-only; ExtrasSpec asserts the estimate is within 5%
-    * of the exact count. */
-  val qApproxDistinct = QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+  /** Approximate distinct count via the KMV (k-minimum-values) sketch
+    * (graft.plans.KmvAgg): keep the 256 smallest distinct 60-bit hashes,
+    * estimate n = (k-1) * 2^60 / h_k. Unlike HLL (whose register layout
+    * is engine-private — Spark's approx_count_distinct stays spec-gated
+    * in ExtrasSpec) the KMV estimate is a pure function of the hash set,
+    * so DuckDB reproduces it bit-for-bit from the same md5-derived
+    * hashes. Scale shape: partial buffers carry at most k longs per
+    * group regardless of row count — versus count(DISTINCT) shuffling
+    * every distinct value. */
+  val qApproxDistinct = QueryDef.sql(
+    "q_approx_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |         CAST(concat('0x',
+      |                substr(md5('kmv|' || CAST(l_partkey AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n_h,
+      |         (list(h ORDER BY h))[256] AS kth
+      |  FROM h GROUP BY 1),
+      |e AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+      |  FROM lineitem GROUP BY 1)
+      |SELECT e.l_returnflag,
+      |       CAST(e.exact_parts AS BIGINT) AS exact_parts,
+      |       CAST(CASE WHEN s.n_h < 256 THEN s.n_h
+      |                 ELSE floor(255.0 * (1152921504606846976.0
+      |                                     / CAST(s.kth AS DOUBLE)))
+      |            END AS BIGINT) AS kmv_parts
+      |FROM e JOIN s USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     Tables
       .lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        graft.plans.KmvAgg
+          .kmvDistinct(
+            graft.functions.TextFunctions.stableHash60(
+              concat(lit("kmv|"), $"l_partkey".cast("string"))),
+            256)
+          .as("kmv_parts"))
       .orderBy($"l_returnflag")
   }
 

@@ -8,13 +8,45 @@ import java.nio.file.Files
 class ExtrasSpec extends SparkSpec {
   import spark.implicits._
 
-  test("approx_count_distinct is within 5% of exact") {
+  test("approx_count_distinct (HLL) is within 5% of exact") {
+    Tables
+      .lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .collect()
+      .foreach { r =>
+        val approx = r.getAs[Long]("approx_parts").toDouble
+        val exact = r.getAs[Long]("exact_parts").toDouble
+        assert(math.abs(approx - exact) / exact < 0.05,
+          s"approx=$approx exact=$exact")
+      }
+  }
+
+  test("KMV sketch estimate is within 15% of exact (k=256)") {
     Extras.qApproxDistinct.fn(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
+      val est = r.getAs[Long]("kmv_parts").toDouble
       val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+      assert(math.abs(est - exact) / exact < 0.15, s"kmv=$est exact=$exact")
     }
+  }
+
+  test("KMV is exact below k and merge-invariant across partitionings") {
+    import graft.functions.TextFunctions.stableHash60
+    import graft.plans.KmvAgg.kmvDistinct
+    // 100 distinct values < k=256 → the sketch set is exhaustive
+    val small = spark.range(1000).select(($"id" % 100).cast("string").as("v"))
+    def estimate(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(kmvDistinct(stableHash60($"v"), 256).as("e")).head().getLong(0)
+    assert(estimate(small) === 100L)
+    // same rows, radically different partitionings → same merged result
+    val big = spark.range(20000).select(($"id" % 7919).cast("string").as("v"))
+    val e1 = estimate(big.repartition(1))
+    val e32 = estimate(big.repartition(32, $"v"))
+    val eRand = estimate(big.repartition(32))
+    assert(e1 === e32)
+    assert(e1 === eRand)
   }
 
   test("salted aggregation equals the plain aggregation") {
