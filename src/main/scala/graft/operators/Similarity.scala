@@ -125,14 +125,65 @@ object Similarity {
     }: _*)
   }
 
+  /** The hyperplane constants as a DuckDB `VALUES` CTE body —
+    * `(tbl, bit, [h1, ..., hdim])` rows. `Double.toString` emits enough
+    * digits to round-trip uniquely (JLS guarantee) and DuckDB's parser is
+    * correctly rounded, so the oracle evaluates against bit-identical
+    * doubles; `list_inner_product` then accumulates double products in
+    * index order exactly like [[graft.plans.FloatVectorDot]], making the
+    * sign test (and thus every bucket id) engine-independent. */
+  private def hpValuesSql(nTables: Int, bitsPerTable: Int, dim: Int): String = {
+    val hp = hyperplanes(nTables * bitsPerTable, dim)
+    (for { t <- 0 until nTables; j <- 0 until bitsPerTable } yield {
+      val vec = hp(t * bitsPerTable + j).mkString("[", ",", "]")
+      s"($t,$j,$vec)"
+    }).mkString(",\n  ")
+  }
+
+  /** Shared oracle CTE: per-(vector, table) LSH bucket ids computed from
+    * the inlined hyperplane literals — the DuckDB twin of [[lshBuckets]]
+    * + posexplode. */
+  private def lshBucketsCte(nTables: Int, bitsPerTable: Int, dim: Int): String =
+    s"""hp(tbl, bit, h) AS (VALUES
+       |  ${hpValuesSql(nTables, bitsPerTable, dim)}),
+       |b AS (
+       |  SELECT e.vec_id, hp.tbl,
+       |         sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.h) > 0
+       |                  THEN 1 << hp.bit ELSE 0 END) AS bucket
+       |  FROM embeddings e CROSS JOIN hp
+       |  GROUP BY e.vec_id, hp.tbl)""".stripMargin
+
   /** ANN via multi-table LSH: corpus vectors sharing any of 4 4-bit
     * buckets with a query vector are candidates; top-k by true cosine
     * among candidates only. At 100 TB this replaces the broadcast
     * brute-force scan with an equi-join on (table, bucket) — the corpus
     * explodes x4 (table replicas) but never pairs outside a bucket.
-    * Rows-only gate (hyperplane constants aren't SQL-portable); recall vs
-    * brute force is asserted in SimilaritySpec. */
-  val qAnnLsh = QueryDef.rowsOnly("q_ann_lsh") { (s, d) =>
+    * Oracle-gated: the seeded hyperplane constants are inlined into the
+    * DuckDB SQL as a VALUES CTE (see [[hpValuesSql]]); recall vs brute
+    * force is additionally asserted in SimilaritySpec. */
+  val qAnnLsh = QueryDef.sql(
+    "q_ann_lsh",
+    s"""WITH ${lshBucketsCte(4, 4, 64)},
+       |q AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < 3),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, b.vec_id AS nid
+       |  FROM b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+       |                AND b.vec_id <> q.qid),
+       |scored AS (
+       |  SELECT c.qid, c.nid,
+       |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                                CAST(en.embedding AS DOUBLE[])) AS c
+       |  FROM cand c
+       |    JOIN embeddings eq ON eq.vec_id = c.qid
+       |    JOIN embeddings en ON en.vec_id = c.nid),
+       |ranked AS (
+       |  SELECT qid, nid, round(c, 4) AS cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rnk FROM ranked
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val dim = 64
@@ -247,8 +298,27 @@ object Similarity {
     * constant as the corpus grows (bits ∝ log₂|corpus|). Precision is
     * 1.0 by construction (every emitted pair is exact-verified); recall
     * is measured against the all-pairs ground truth in SimilaritySpec.
-    * Rows-only gate (hyperplane constants aren't SQL-portable). */
-  val qEmbedNearDupLsh = QueryDef.rowsOnly("q_embed_neardup_lsh") { (s, d) =>
+    * Oracle-gated via the same inlined-hyperplane VALUES CTE as
+    * [[qAnnLsh]]. */
+  val qEmbedNearDupLsh = QueryDef.sql(
+    "q_embed_neardup_lsh",
+    s"""WITH ${lshBucketsCte(12, 6, 64)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+       |  FROM b a JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |   AND a.vec_id < b2.vec_id),
+       |scored AS (
+       |  SELECT p.v1, p.v2,
+       |         list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+       |                                CAST(e2.embedding AS DOUBLE[])) AS c
+       |  FROM cand p
+       |    JOIN embeddings e1 ON e1.vec_id = p.v1
+       |    JOIN embeddings e2 ON e2.vec_id = p.v2)
+       |SELECT v1, v2, round(c, 4) AS cos_sim
+       |FROM scored WHERE round(c, 4) > 0.45
+       |ORDER BY v1, v2""".stripMargin
+  ) { (s, d) =>
     import s.implicits._
     val dim = 64
     val bucketed = Tables.embeddings(s, d).select(
