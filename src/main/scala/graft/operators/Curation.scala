@@ -128,7 +128,10 @@ object Curation {
       .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
       .repartition(col("s"))
     val posts = Dedup.cappedPostings(ds, Dedup.JaccardDfCap)
-    val cnt = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // cnt from the CAPPED postings (same as q_dedup_ngram_jaccard): if the
+    // cap ever triggers, numerator and denominator stay consistent — the
+    // cap provably no-ops at test scale, so the uncapped oracle matches
+    val cnt = posts.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val newSide = posts
       .filter($"doc_id" % 2 === 1)
       .select($"doc_id".as("new_doc"), $"s")
@@ -216,28 +219,86 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  /** Semantic dedup (the SemDeDup recipe): embeddings are clustered to 16
-    * deterministic IVF centroids (same quantizer as q_ann_ivf), and only
-    * WITHIN a cell are pairs compared — cosine above the q_embed_neardup
-    * threshold marks the higher id as a duplicate of its smallest
-    * same-cell partner. The quadratic pair search is confined to cells:
-    * at 100 TB the cell is the partition key, so each partition runs its
-    * own small all-pairs while the corpus-level product never forms. */
+  /** Target rows per semantic-dedup cell: the within-cell all-pairs cost
+    * is O(cellRows²), so holding cellRows constant (and letting the CELL
+    * COUNT grow with the corpus — the SemDeDup recipe's ~10⁴-10⁵
+    * clusters at web scale) keeps per-partition work flat at any corpus
+    * size. 16 is the floor so tiny fixtures still exercise multi-cell
+    * dataflow. */
+  val SemanticCellTarget = 1000L
+
+  /** Cluster count for a corpus of `nVectors`: ceil(n / target), min 16.
+    * Matches the oracle's `greatest(16, ceil(count(*) / target))`. */
+  private[graft] def semanticCellCount(nVectors: Long,
+      targetCellRows: Long = SemanticCellTarget): Int =
+    math.max(16L, (nVectors + targetCellRows - 1) / targetCellRows).toInt
+
+  /** Deterministic cell assignment shared by [[qSemanticDedup]] and the
+    * bounded-cell spec: centroids are the first `nCentroids` ids (zero-
+    * norm ones dropped — mirrored in the oracle), every non-zero vector
+    * joins its nearest centroid. The assignment ranks on the ROUNDED
+    * cosine (cid tiebreak) so an ulp of engine difference near a
+    * two-centroid tie can't flip which cell a vector lands in. Returns
+    * (vec_id, embedding, vn, cid). */
+  private[graft] def semanticCells(
+      emb: org.apache.spark.sql.DataFrame,
+      nCentroids: Int): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val centroids = emb
+      .filter($"vec_id" < nCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+      .filter($"cn" =!= 0.0)
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"cs", 4).desc, $"cid")
+    emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"vn", $"cid",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"vn", $"cid")
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): embeddings are clustered to
+    * `max(16, ceil(n/1000))` deterministic IVF centroids (cell count
+    * grows with the corpus so per-cell all-pairs work stays bounded — a
+    * fixed cell count would make each cell O((N/k)²), a scale-killer),
+    * and only WITHIN a cell are pairs compared — cosine above the
+    * q_embed_neardup threshold marks the higher id as a duplicate of its
+    * smallest same-cell partner. At 100 TB the cell is the partition
+    * key, so each partition runs its own ~target² pair search while the
+    * corpus-level product never forms. The single driver-side `count()`
+    * that sizes the quantizer is parquet-metadata cheap. */
   val qSemanticDedup = QueryDef.sql(
     "q_semantic_dedup",
-    """WITH c AS (
+    s"""WITH kk AS (
+      |  SELECT greatest(16, CAST(ceil(count(*) / $SemanticCellTarget.0)
+      |                           AS BIGINT)) AS k
+      |  FROM embeddings),
+      |c AS (
       |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      |  FROM embeddings WHERE vec_id < 16),
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT k FROM kk)
+      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
+      |v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
       |scored AS (
-      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
-      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
-      |           AS cs
-      |  FROM embeddings e CROSS JOIN c),
+      |  SELECT v.vec_id, v.v, c.cid,
+      |         list_cosine_similarity(v.v, c.cv) AS cs
+      |  FROM v CROSS JOIN c),
       |assigned AS (
       |  SELECT vec_id, v, cid FROM (
       |    SELECT vec_id, v, cid,
       |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY cs DESC, cid) AS rk
+      |                              ORDER BY round(cs, 4) DESC, cid) AS rk
       |    FROM scored) WHERE rk = 1),
       |pairs AS (
       |  SELECT a.cid, b.vec_id AS dropped, a.vec_id AS keeper,
@@ -252,21 +313,8 @@ object Curation {
       |ORDER BY dropped""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val nCentroids = 16
     val emb = Tables.embeddings(s, d)
-    val centroids = emb
-      .filter($"vec_id" < nCentroids)
-      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
-        norm($"embedding").as("cn"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
-    val assigned = emb
-      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
-      .join(broadcast(centroids), $"vn" * $"cn" =!= 0.0)
-      .select($"vec_id", $"embedding", $"vn", $"cid",
-        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"embedding", $"vn", $"cid")
+    val assigned = semanticCells(emb, semanticCellCount(emb.count()))
     val a = assigned.select($"cid", $"vec_id".as("keeper"),
       $"embedding".as("kv"), $"vn".as("kn"))
     val b = assigned.select($"cid".as("cid2"), $"vec_id".as("dropped"),
