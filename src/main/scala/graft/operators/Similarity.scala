@@ -55,23 +55,45 @@ object Similarity {
       .orderBy($"qid", $"rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold 0.45). The oracle
-    * covers the exact all-pairs semantics at verify scale; the production
-    * scale path is [[annLshCandidates]]. */
+  /** Permille of vectors admitted into the all-pairs ground-truth sample:
+    * the sampled quadratic costs (p/1000)² of the full product — at 500‰
+    * a quarter — and the sample is a pure per-row hash predicate, so the
+    * same rows survive on every engine at any parallelism. */
+  val NearDupSamplePermille = 500
+
+  /** The deterministic keep-predicate for the near-dup ground-truth
+    * sample (DuckDB twin: `CAST(concat('0x', substr(md5('nd|' || vec_id),
+    * 1, 15)) AS BIGINT) % 1000 < p`). */
+  private[graft] def nearDupSampleKeep(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    CorpusOps.sampleHash(id, "nd") < NearDupSamplePermille
+
+  /** Embedding-cosine near-duplicate pairs (threshold 0.45) over a
+    * deterministic hash sample of the corpus. The all-pairs product is
+    * O(n²) — the quality-audit ground truth, not a production path (that
+    * is [[qEmbedNearDupLsh]]) — so it runs on a fixed-rate sample: the
+    * estimate of the corpus near-dup rate a curation pipeline actually
+    * needs, at (p/1000)² of the quadratic cost. The oracle computes the
+    * identical sampled definition. */
   val qEmbedNearDup = QueryDef.sql(
     "q_embed_neardup",
-    """SELECT v1, v2, round(c, 4) AS cos_sim FROM (
+    s"""WITH s AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE CAST(concat('0x', substr(md5('nd|' || vec_id), 1, 15))
+      |             AS BIGINT) % 1000 < $NearDupSamplePermille)
+      |SELECT v1, v2, round(c, 4) AS cos_sim FROM (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
       |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                                CAST(b.embedding AS DOUBLE[])) AS c
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
       |WHERE round(c, 4) > 0.45
       |ORDER BY v1, v2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val a = Tables.embeddings(s, d).select($"vec_id".as("v1"),
+    val sampled = Tables.embeddings(s, d).filter(nearDupSampleKeep($"vec_id"))
+    val a = sampled.select($"vec_id".as("v1"),
       $"embedding".as("e1"), norm($"embedding").as("n1"))
-    val b = Tables.embeddings(s, d).select($"vec_id".as("v2"),
+    val b = sampled.select($"vec_id".as("v2"),
       $"embedding".as("e2"), norm($"embedding").as("n2"))
     // cross join + ordered filter chain, NOT a.join(b, v1 < v2) with the
     // threshold filtered afterwards: Catalyst merges both predicates into
