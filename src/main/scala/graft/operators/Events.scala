@@ -120,13 +120,19 @@ object Events {
       .partitionBy($"bucket")
       .orderBy($"ts_us", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window
-      .orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = deltas
+    // inter-day offsets via a broadcast triangular self-join over the
+    // per-day TOTALS (rows = #days): same prefix sum as a global window
+    // over the totals, but with no single-partition WindowExec — nothing
+    // in the plan ever funnels through one task, and the log no longer
+    // carries the "No Partition Defined" warning that reads as a scale
+    // bug. O(days²) join work is trivial at aggregate cardinality.
+    val totals = deltas.groupBy($"bucket").agg(sum($"delta").as("btotal"))
+    val prior = totals
+      .select($"bucket".as("pbucket"), $"btotal".as("ptotal"))
+    val offsets = totals
+      .join(broadcast(prior), $"pbucket" < $"bucket", "left")
       .groupBy($"bucket")
-      .agg(sum($"delta").as("btotal"))
-      .select($"bucket", coalesce(sum($"btotal").over(offW), lit(0L)).as("off"))
+      .agg(coalesce(sum($"ptotal"), lit(0L)).as("off"))
     deltas
       .withColumn("intra", sum($"delta").over(intraW))
       .join(broadcast(offsets), "bucket")
