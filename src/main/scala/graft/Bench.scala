@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,22 +22,45 @@ object Bench {
     // queries would look artificially cheap
     // a throwing query records NEGATIVE elapsed time — a swallowed failure
     // must never masquerade as a legitimately fast timing
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
-    }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def runPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
+      }
+    // two full passes in one JVM: pass 1 absorbs codegen compilation, GC
+    // ramp and page-cache warmup; pass 2 is the reported steady-state
+    // number, so round-over-round comparisons are signal instead of
+    // cold-start noise
+    val pass1 = runPass()
+    val results = runPass()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ > 0).sum
+    val total1 = pass1.values.filter(_ > 0).sum
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // durable machine-readable artifact with BOTH passes, immune to the
+    // harness's stdout tail truncation (r1-r3 totals were lost to it)
+    val names = results.keys.toSeq.sorted
+    val artifact = names
+      .map { n =>
+        s""""$n":{"pass1":${f3(pass1.getOrElse(n, 0.0))},"pass2":${f3(results(n))}}"""
+      }
+      .mkString(
+        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"queries":{""",
+        ",",
+        "}}")
+    val out = java.nio.file.Paths.get(outPath)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      artifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The harness keeps only the tail of this process's output, and sbt
     // appends its own "[success] ..." line after ours — a JSON line longer
     // than ~1.9k chars gets beheaded and fails to parse (this bit rounds
@@ -44,22 +68,24 @@ object Bench {
     // tail into one "other" bucket so the line always fits.
     val byTime = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
     val budget = 1400 // chars for the per-query map
-    val detailed = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    var kept = 0
-    byTime.foreach { case (k, v) =>
-      val entry = "\"" + k + "\":" + f3(v)
-      if (used + entry.length + 1 <= budget) { detailed += entry; used += entry.length + 1; kept += 1 }
-    }
-    val restSum = byTime.drop(kept).map { case (_, v) => math.abs(v) }.sum
-    if (kept < byTime.size)
+    val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // kept entries are a strict PREFIX of byTime (stop at the first entry
+    // that doesn't fit), so drop(kept) is exactly the non-kept remainder —
+    // a skip-and-continue loop could double-count a later short entry
+    val kept = entries
+      .scanLeft(0)((used, e) => used + e.length + 1)
+      .tail
+      .takeWhile(_ <= budget)
+      .size
+    val detailed = entries.take(kept).toBuffer
+    if (kept < byTime.size) {
+      val restSum = byTime.drop(kept).map { case (_, v) => math.abs(v) }.sum
       detailed += "\"_other_" + (byTime.size - kept) + "_queries\":" + f3(restSum)
+    }
     val qs = detailed.mkString("{", ",", "}")
-    // "timing" documents the r2 method change: r1 timed count() (Catalyst
-    // prunes unreferenced projections under a count), r2+ times a full
-    // noop-sink materialization — totals are NOT comparable across that
-    // boundary, r2 measures strictly more work per query
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization; slowest queries listed, rest folded into _other"}""")
+    // "timing" documents the method: pass-2 (steady-state) noop-sink full
+    // materialization; pass-1 totals live in the artifact file
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization, 2nd of 2 in-JVM passes; slowest listed, rest in _other; full per-query artifact at $outPath"}""")
     spark.stop()
   }
 }
