@@ -57,6 +57,39 @@ class GraftEngine(
       limit: Int = Int.MaxValue): Seq[org.apache.spark.sql.Row] =
     lsCache.readdir(catalog, parent, offset, limit)
 
+  /** copy_file_range analog (filesystem.rs:1812-1858) as ONE operation
+    * across both planes: read `size` bytes of the src object starting at
+    * `srcOffset` (saturating at src EOF, the reference's
+    * `min(size, file_size - src_offset)`), splice them into the dst
+    * object at `dstOffset` (zero-filling a seek-past-EOF hole), persist
+    * the patched object, and record the dst inode's size as
+    * max(size, dstOffset + written) in the catalog (A7). Returns bytes
+    * copied. Permission gates mirror the reference: the src handle must
+    * carry the read bit and the dst handle the write bit (EACCES), the
+    * src object must exist (ENOENT), the dst object must exist (EBADF —
+    * the reference opens dst without `create`). */
+  def copyFileRange(srcKey: String, srcFh: Long, srcOffset: Long,
+      dstKey: String, dstFh: Long, dstIno: Long, dstOffset: Long,
+      size: Long): Long = {
+    require(InodeCatalog.fhAllowsReadScalar(srcFh), "EACCES: src fh lacks read")
+    require(InodeCatalog.fhAllowsWriteScalar(dstFh), "EACCES: dst fh lacks write")
+    val src = kv.get(srcKey)
+      .getOrElse(throw new NoSuchElementException(s"ENOENT: $srcKey"))
+    val readSize =
+      math.min(size, math.max(0L, src.length.toLong - srcOffset)).toInt
+    val dst = kv.get(dstKey)
+      .getOrElse(throw new NoSuchElementException(s"EBADF: $dstKey"))
+    if (readSize > 0) {
+      val newLen = math.max(dst.length.toLong, dstOffset + readSize).toInt
+      val out = java.util.Arrays.copyOf(dst, newLen) // hole zero-fills
+      System.arraycopy(src, srcOffset.toInt, out, dstOffset.toInt, readSize)
+      import spark.implicits._
+      kv.put(Seq((dstKey, out)).toDF("key", "value"))
+      updateFs(_.recordWrite(dstIno, dstOffset, readSize.toLong))
+    }
+    readSize.toLong
+  }
+
   /** Run a declared operator from the registry against a data dir. */
   def query(name: String, sfDir: String): DataFrame =
     graft.SparkEntry.queries

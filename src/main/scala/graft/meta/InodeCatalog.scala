@@ -93,13 +93,83 @@ final case class InodeCatalog(df: DataFrame) {
     val row = spark.createDataFrame(
       java.util.List.of(
         Row(nextIno, parent, name, fullPath, kind, 0L, mode, uid, gid, gen,
-          1L, Map.empty[String, Array[Byte]])),
+          1L, Map.empty[String, Array[Byte]], null)),
       schema)
     InodeCatalog(df.unionByName(row))
   }
 
   def mkdir(parent: Long, name: String, mode: Int = 0x1ed): InodeCatalog =
     create(parent, name, "dir", mode) // 0755
+
+  /** Symlink (filesystem.rs:1019-1078): a new inode of kind `symlink`
+    * with mode 0777, size = target length, the target string stored as
+    * the link content. The target is NOT resolved or validated —
+    * dangling links are legal, exactly as in the reference (readlink
+    * just returns the stored bytes). */
+  def symlink(parent: Long, name: String, target: String): InodeCatalog = {
+    require(name.length <= MaxNameLength, s"name too long: $name") // P9
+    require(lookup(parent, name).isEmpty, s"exists: $name") // EEXIST
+    val parentPath = getattr(parent)
+      .map(_.getAs[String]("full_path"))
+      .getOrElse(sys.error(s"no such parent ino $parent"))
+    val fullPath =
+      if (parentPath == "/") s"/$name" else s"$parentPath/$name"
+    val gen = df
+      .filter(col("full_path") === fullPath)
+      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
+      .head()
+      .getLong(0)
+    val row = spark.createDataFrame(
+      java.util.List.of(
+        Row(nextIno, parent, name, fullPath, "symlink", target.length.toLong,
+          0x1ff, 0, 0, gen, 1L, Map.empty[String, Array[Byte]], target)),
+      schema)
+    InodeCatalog(df.unionByName(row))
+  }
+
+  /** Readlink (filesystem.rs:727-739): the stored target of a live
+    * symlink inode; None for missing inodes or non-symlinks (EINVAL in
+    * the kernel protocol — an engine surfaces absence, not a panic). */
+  def readlink(ino: Long): Option[String] =
+    getattr(ino)
+      .filter(_.getAs[String]("kind") == "symlink")
+      .map(_.getAs[String]("symlink_target"))
+
+  /** Hardlink (filesystem.rs:1293-1320): a second directory entry for an
+    * EXISTING inode — the new row shares ino/kind/size/mode/owner/xattrs
+    * with the source, and the link count bumps on every row of that ino
+    * (nlink is an inode attribute, mirrored across its entries).
+    * Directories refuse (EPERM) as in POSIX. */
+  def link(ino: Long, newParent: Long, newName: String): InodeCatalog = {
+    require(newName.length <= MaxNameLength, s"name too long: $newName") // P9
+    require(lookup(newParent, newName).isEmpty, s"exists: $newName") // EEXIST
+    val src = getattr(ino).getOrElse(sys.error(s"no such ino $ino"))
+    require(src.getAs[String]("kind") != "dir", "EPERM: hardlink to directory")
+    val parentPath = getattr(newParent)
+      .map(_.getAs[String]("full_path"))
+      .getOrElse(sys.error(s"no such parent ino $newParent"))
+    val fullPath =
+      if (parentPath == "/") s"/$newName" else s"$parentPath/$newName"
+    val gen = df
+      .filter(col("full_path") === fullPath)
+      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
+      .head()
+      .getLong(0)
+    val newCount = src.getAs[Long]("nlink") + 1
+    val row = spark.createDataFrame(
+      java.util.List.of(
+        Row(ino, newParent, newName, fullPath, src.getAs[String]("kind"),
+          src.getAs[Long]("size"), src.getAs[Int]("mode"),
+          src.getAs[Int]("uid"), src.getAs[Int]("gid"), gen, newCount,
+          src.getAs[Map[String, Array[Byte]]]("xattrs"),
+          src.getAs[String]("symlink_target"))),
+      schema)
+    val bumped = df.withColumn(
+      "nlink",
+      when(col("ino") === ino && col("nlink") > 0, col("nlink") + 1)
+        .otherwise(col("nlink")))
+    InodeCatalog(bumped.unionByName(row))
+  }
 
   /** J3: two-sided rename — the node moves to (newParent, newName) and
     * every descendant's full_path is rewritten (subtree prefix swap).
@@ -121,13 +191,19 @@ final case class InodeCatalog(df: DataFrame) {
     val newPath =
       if (newParentPath == "/") s"/$newName" else s"$newParentPath/$newName"
     val live = col("nlink") > 0
-    // replace an existing destination entry (rename-over semantics)
+    // replace an existing destination entry (rename-over semantics):
+    // a directory target zeroes outright, a file target decrements its
+    // link count — filesystem.rs:1253-1257 (hardlinks = 0 vs -= 1)
     val cleared = lookup(newParent, newName) match {
       case Some(dest) if dest.getAs[Long]("ino") != node.getAs[Long]("ino") =>
-        df.withColumn(
-          "nlink",
-          when(col("full_path") === newPath && live, lit(0L))
-            .otherwise(col("nlink")))
+        if (dest.getAs[String]("kind") == "dir")
+          df.withColumn(
+            "nlink",
+            when(col("full_path") === newPath && live, lit(0L))
+              .otherwise(col("nlink")))
+        else
+          dropEntry(df, dest.getAs[Long]("ino"),
+            col("full_path") === newPath)
       case _ => df
     }
     val moved = cleared
@@ -149,14 +225,43 @@ final case class InodeCatalog(df: DataFrame) {
     InodeCatalog(moved)
   }
 
-  /** Unlink: nlink drops to 0 but the row survives until [[forget]] —
-    * mirrors inode_table.rs:159-186 (unlink keeps ino until forget). */
-  def unlink(parent: Long, name: String): InodeCatalog =
-    InodeCatalog(
-      df.withColumn(
+  /** Remove one directory entry of `ino` and decrement its link count
+    * (filesystem.rs:946 `hardlinks -= 1`): while other links remain the
+    * removed entry becomes a tombstone immediately (the NAME is gone from
+    * its directory; the inode lives on through its siblings, which mirror
+    * the decremented count); the LAST link drops to 0 and survives until
+    * [[forget]], the unlink→forget two-step of inode_table.rs:159-186. */
+  private def dropEntry(d: DataFrame, ino: Long,
+      isEntry: Column): DataFrame = {
+    val links = d
+      .filter(col("ino") === ino && col("nlink") > 0)
+      .agg(max(col("nlink")))
+      .head()
+      .getLong(0)
+    if (links > 1)
+      d.withColumn(
         "nlink",
-        when(col("parent") === parent && col("name") === name, lit(0L))
-          .otherwise(col("nlink"))))
+        when(col("ino") === ino && isEntry && col("nlink") > 0, lit(-1L))
+          .when(col("ino") === ino && col("nlink") > 0, col("nlink") - 1)
+          .otherwise(col("nlink")))
+    else
+      d.withColumn(
+        "nlink",
+        when(col("ino") === ino && isEntry && col("nlink") > 0, lit(0L))
+          .otherwise(col("nlink")))
+  }
+
+  /** Unlink: the entry's link count decrements (hardlink-aware); the last
+    * link drops to 0 but the row survives until [[forget]] — mirrors
+    * inode_table.rs:159-186 (unlink keeps ino until forget). */
+  def unlink(parent: Long, name: String): InodeCatalog =
+    lookup(parent, name) match {
+      case Some(node) =>
+        InodeCatalog(
+          dropEntry(df, node.getAs[Long]("ino"),
+            col("parent") === parent && col("name") === name))
+      case None => this
+    }
 
   /** Forget: the unlinked inode becomes a tombstone (nlink = -1) —
     * invisible to every lookup (which all require nlink > 0) but
@@ -265,7 +370,10 @@ object InodeCatalog {
     StructField("gid", IntegerType, nullable = false),
     StructField("generation", LongType, nullable = false),
     StructField("nlink", LongType, nullable = false),
-    StructField("xattrs", MapType(StringType, BinaryType), nullable = false)))
+    StructField("xattrs", MapType(StringType, BinaryType), nullable = false),
+    // symlink inodes store their target here (filesystem.rs:1062 keeps it
+    // as the inode's content); NULL for every other kind
+    StructField("symlink_target", StringType, nullable = true)))
 
   /** Reload a persisted catalog (schema-checked: names AND types, so a
     * wrong-typed parquet fails here rather than deep inside a later
@@ -286,7 +394,7 @@ object InodeCatalog {
       spark.createDataFrame(
         java.util.List.of(
           Row(1L, 0L, "", "/", "dir", 0L, 0x1ed, 0, 0, 0L, 1L,
-            Map.empty[String, Array[Byte]])),
+            Map.empty[String, Array[Byte]], null)),
         schema))
 
   /** P6: POSIX access predicate — mode-bit arithmetic over (uid, gid,
@@ -410,6 +518,10 @@ object InodeCatalog {
     fh | (if (read) FhRead else 0L) | (if (write) FhWrite else 0L)
   def fhAllowsRead(fh: Column): Column = fh.bitwiseAND(lit(FhRead)) =!= 0
   def fhAllowsWrite(fh: Column): Column = fh.bitwiseAND(lit(FhWrite)) =!= 0
+  /** Scalar twins for driver-side point ops (check_file_handle_read/
+    * write, filesystem.rs:380-386). */
+  def fhAllowsReadScalar(fh: Long): Boolean = (fh & FhRead) != 0
+  def fhAllowsWriteScalar(fh: Long): Boolean = (fh & FhWrite) != 0
 
   /** F9: block accounting, (size + 511) / 512 (filesystem.rs:221,33). */
   def blocksOf(size: Column): Column = ceil(size / lit(512.0)).cast("long")

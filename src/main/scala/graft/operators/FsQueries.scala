@@ -324,7 +324,105 @@ object FsQueries {
       .orderBy($"ino")
   }
 
+  /** Symlink resolution as a distributed query (filesystem.rs:727
+    * readlink + 1019 symlink): every 9th doc owns a symlink whose target
+    * names another doc file by its unique basename; resolution is a left
+    * join of the link table against the file inodes — dangling targets
+    * (the modulus points past the corpus) surface as status='dangling'
+    * with a NULL ino instead of an error, and `link_size` mirrors the
+    * reference's size = target-string length. */
+  val qFsSymlinkResolve = QueryDef.sql(
+    "q_fs_symlink_resolve",
+    s"""WITH ino AS $duckInodes,
+       |links AS (
+       |  SELECT 'ln_' || doc_id AS link_name,
+       |         'doc_' || ((doc_id * 7 + 3) % 750) || '.txt' AS target
+       |  FROM documents WHERE doc_id % 9 = 0)
+       |SELECT l.link_name, l.target,
+       |       CAST(length(l.target) AS BIGINT) AS link_size,
+       |       f.ino AS target_ino,
+       |       CASE WHEN f.ino IS NULL THEN 'dangling' ELSE 'ok' END AS status
+       |FROM links l
+       |  LEFT JOIN (SELECT name, ino FROM ino WHERE kind = 'file') f
+       |    ON f.name = l.target
+       |ORDER BY link_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val files = inodes(s, d)
+      .filter($"kind" === "file")
+      .select($"name".as("tname"), $"ino".as("target_ino"))
+    val links = Tables
+      .documents(s, d)
+      .filter($"doc_id" % 9 === 0)
+      .select(
+        concat(lit("ln_"), $"doc_id").as("link_name"),
+        concat(lit("doc_"), ($"doc_id" * 7 + 3) % 750, lit(".txt"))
+          .as("target"))
+    links
+      .join(files, $"target" === $"tname", "left")
+      .select(
+        $"link_name",
+        $"target",
+        length($"target").cast("long").as("link_size"),
+        $"target_ino",
+        when($"target_ino".isNull, "dangling").otherwise("ok").as("status"))
+      .orderBy($"link_name")
+  }
+
+  /** copy_file_range size arithmetic (filesystem.rs:1812-1858) as a
+    * distributed query: every 13th doc copies a 100-byte range from its
+    * successor — bytes copied saturate at the source EOF
+    * (`min(size, file_size - src_offset)`, zero if the offset is past
+    * EOF) and the destination size follows the A7 rule
+    * max(size, dst_offset + written). The imperative two-plane op lives
+    * in GraftEngine.copyFileRange (spec-gated); this oracles the same
+    * saturation + accounting arithmetic end-to-end. */
+  val qFsCopyRange = QueryDef.sql(
+    "q_fs_copy_range",
+    """WITH ops AS (
+      |  SELECT d.doc_id AS dst_doc, s.doc_id AS src_doc,
+      |         d.n_chars AS dst_size, s.n_chars AS src_size,
+      |         (d.doc_id * 37) % 4000 AS src_off,
+      |         d.n_chars // 2 AS dst_off,
+      |         100 AS req
+      |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 13 = 0),
+      |sized AS (
+      |  SELECT dst_doc, src_doc, dst_size, dst_off,
+      |         greatest(0, least(req, src_size - src_off)) AS copied
+      |  FROM ops)
+      |SELECT dst_doc, src_doc,
+      |       CAST(copied AS BIGINT) AS copied,
+      |       CAST(greatest(dst_size, dst_off + copied) AS BIGINT) AS new_size
+      |FROM sized
+      |ORDER BY dst_doc""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val ops = docs
+      .as("d")
+      .join(docs.as("s"), $"s.doc_id" === $"d.doc_id" + 1)
+      .filter($"d.doc_id" % 13 === 0)
+      .select(
+        $"d.doc_id".as("dst_doc"),
+        $"s.doc_id".as("src_doc"),
+        $"d.n_chars".as("dst_size"),
+        $"s.n_chars".as("src_size"),
+        (($"d.doc_id" * 37) % 4000).as("src_off"),
+        expr("d.n_chars div 2").as("dst_off"),
+        lit(100L).as("req"))
+    ops
+      .withColumn("copied",
+        greatest(lit(0L), least($"req", $"src_size" - $"src_off")))
+      .select(
+        $"dst_doc",
+        $"src_doc",
+        $"copied",
+        greatest($"dst_size", $"dst_off" + $"copied").as("new_size"))
+      .orderBy($"dst_doc")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
-      qFsModeDecode, qFsXattrAccess)
+      qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange)
 }

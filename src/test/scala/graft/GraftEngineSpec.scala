@@ -38,4 +38,52 @@ class GraftEngineSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d === 6.0)
   }
+
+  test("copy_file_range: saturating read, hole fill, A7 size accounting (filesystem.rs:1812)") {
+    import graft.meta.InodeCatalog
+    val rFh = InodeCatalog.fhEncode(1L, read = true, write = false)
+    val wFh = InodeCatalog.fhEncode(2L, read = false, write = true)
+    engine.kv.put(Seq(
+      ("cfr_src", "0123456789".getBytes),
+      ("cfr_dst", "AAAA".getBytes)).toDF("key", "value"))
+    engine.updateFs(_.create(1, "cfr_dst", "file"))
+    val dstIno = engine.fs.lookup(1, "cfr_dst").get.getAs[Long]("ino")
+    engine.updateFs(_.recordWrite(dstIno, 0, 4))
+
+    // copy src[2, 2+5) over dst at offset 6: dst grows 4 -> 11 with a
+    // 2-byte zero hole at [4,6)
+    val copied = engine.copyFileRange("cfr_src", rFh, 2, "cfr_dst", wFh,
+      dstIno, 6, 5)
+    assert(copied === 5)
+    val dst = engine.kv.get("cfr_dst").get
+    assert(dst.length === 11)
+    assert(new String(dst.slice(0, 4)) === "AAAA")
+    assert(dst.slice(4, 6).toSeq === Seq[Byte](0, 0), "hole zero-fills")
+    assert(new String(dst.slice(6, 11)) === "23456")
+    assert(engine.fs.getattr(dstIno).get.getAs[Long]("size") === 11,
+      "catalog size follows max(size, off+written)")
+
+    // saturating read past src EOF: only 3 bytes available at offset 7
+    val short = engine.copyFileRange("cfr_src", rFh, 7, "cfr_dst", wFh,
+      dstIno, 0, 100)
+    assert(short === 3, "read saturates at src EOF")
+    assert(engine.kv.get("cfr_dst").get.length === 11, "no growth inside file")
+    // offset entirely past EOF copies nothing and changes nothing
+    assert(engine.copyFileRange("cfr_src", rFh, 99, "cfr_dst", wFh,
+      dstIno, 0, 10) === 0)
+
+    // permission + existence gates
+    intercept[IllegalArgumentException] {
+      engine.copyFileRange("cfr_src", wFh, 0, "cfr_dst", wFh, dstIno, 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      engine.copyFileRange("cfr_src", rFh, 0, "cfr_dst", rFh, dstIno, 0, 1)
+    }
+    intercept[NoSuchElementException] {
+      engine.copyFileRange("missing", rFh, 0, "cfr_dst", wFh, dstIno, 0, 1)
+    }
+    intercept[NoSuchElementException] {
+      engine.copyFileRange("cfr_src", rFh, 0, "missing", wFh, dstIno, 0, 1)
+    }
+  }
 }

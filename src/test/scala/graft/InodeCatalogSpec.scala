@@ -170,4 +170,64 @@ class InodeCatalogSpec extends SparkSpec {
       tree().create(1, "x" * 256, "file")
     }
   }
+
+  test("symlink stores the target verbatim; readlink resolves it (filesystem.rs:727,1019)") {
+    val cat = tree().symlink(1, "lnk", "/a/x").checkpointed()
+    val row = cat.resolve("/lnk").get
+    assert(row.getAs[String]("kind") === "symlink")
+    assert(row.getAs[Int]("mode") === 0x1ff, "symlinks are 0777")
+    assert(row.getAs[Long]("size") === 4L, "size = target length")
+    assert(cat.readlink(row.getAs[Long]("ino")) === Some("/a/x"))
+    // readlink on a non-symlink is None, not a panic
+    assert(cat.readlink(3L).isEmpty)
+    // dangling targets are legal — readlink still returns the bytes
+    val dangling = cat.symlink(1, "dang", "/no/such/path")
+    val dIno = dangling.resolve("/dang").get.getAs[Long]("ino")
+    assert(dangling.readlink(dIno) === Some("/no/such/path"))
+  }
+
+  test("hardlink shares the ino and bumps nlink on every entry (filesystem.rs:1293)") {
+    val cat = tree().link(3, 5, "xh").checkpointed() // /a/x also at /b/xh
+    val orig = cat.resolve("/a/x").get
+    val linked = cat.resolve("/b/xh").get
+    assert(linked.getAs[Long]("ino") === 3L, "same inode")
+    assert(orig.getAs[Long]("nlink") === 2L, "source entry sees the bump")
+    assert(linked.getAs[Long]("nlink") === 2L, "new entry carries the count")
+    // attrs are the inode's, not fresh ones
+    assert(linked.getAs[Int]("mode") === orig.getAs[Int]("mode"))
+    // size accounting reaches the inode through EITHER name
+    val grown = cat.recordWrite(3, 0, 77)
+    assert(grown.resolve("/a/x").get.getAs[Long]("size") === 77L)
+    assert(grown.resolve("/b/xh").get.getAs[Long]("size") === 77L)
+    // directories refuse hardlinks (EPERM)
+    intercept[IllegalArgumentException] { cat.link(2, 5, "dirlink") }
+    // EEXIST on an occupied name
+    intercept[IllegalArgumentException] { cat.link(4, 5, "xh") }
+  }
+
+  test("unlink decrements while links remain; only the last link waits for forget") {
+    val cat = tree().link(3, 5, "xh").checkpointed()
+    // drop the ORIGINAL name: the inode survives via /b/xh with nlink 1
+    val one = cat.unlink(2, "x").checkpointed()
+    assert(one.lookup(2, "x").isEmpty, "dropped name invisible")
+    val survivor = one.resolve("/b/xh").get
+    assert(survivor.getAs[Long]("ino") === 3L)
+    assert(survivor.getAs[Long]("nlink") === 1L, "count decremented, not zeroed")
+    assert(one.getattr(3L).isDefined, "inode alive while a link remains")
+    // dropping the LAST name enters the unlink→forget two-step
+    val gone = one.unlink(5, "xh")
+    assert(gone.getattr(3L).isEmpty)
+    assert(gone.df.filter($"ino" === 3 && $"nlink" === 0).count() === 1,
+      "last link pends forget")
+  }
+
+  test("rename over a multi-link file decrements instead of zeroing (filesystem.rs:1257)") {
+    val cat = tree().link(3, 5, "xh").checkpointed() // ino 3 at /a/x and /b/xh
+    // /a/y renamed over /b/xh: ino 3 must survive via /a/x with nlink 1
+    val over = cat.rename(2, "y", 5, "xh").checkpointed()
+    assert(over.resolve("/b/xh").get.getAs[Long]("ino") === 4L, "y owns the name")
+    assert(over.resolve("/a/x").get.getAs[Long]("nlink") === 1L,
+      "overwritten target's other link survives with decremented count")
+    assert(over.getattr(3L).isDefined)
+  }
 }

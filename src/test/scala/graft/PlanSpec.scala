@@ -62,23 +62,15 @@ class PlanSpec extends SparkSpec {
     assert(dotLine.get.trim.contains("*("), s"dot projection not codegen'd: ${dotLine.get}")
   }
 
-  test("gauge prefix sum never single-partitions raw event rows") {
+  test("gauge prefix sum never single-partitions ANY rows") {
     // the naive Window.orderBy (no partitionBy) funnels every event
-    // through ONE task; the two-phase form may single-partition only
-    // aggregate-sized data (the per-day totals). Assert every
-    // SinglePartition exchange in the plan sits above a HashAggregate.
+    // through ONE task; the broadcast-join offsets form removes even the
+    // aggregate-sized single-partition window the earlier two-phase form
+    // carried. Assert there is NO SinglePartition exchange and every
+    // Window in the plan declares a partition spec.
     val p = plan(q("q_events_gauge"))
-    val lines = p.linesIterator.toVector
-    val spIdx = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange SinglePartition") => i
-    }
-    assert(spIdx.nonEmpty, "expected the tiny offsets window exchange")
-    spIdx.foreach { i =>
-      val subtree = lines.drop(i).take(8).mkString("\n")
-      assert(
-        subtree.contains("HashAggregate"),
-        s"SinglePartition exchange must carry aggregated (per-day) rows only:\n$subtree")
-    }
+    assert(!p.contains("Exchange SinglePartition"),
+      s"gauge plan must not single-partition anything:\n$p")
   }
 
   test("grouped top-k plans WindowGroupLimit (rank pushdown, not full sort)") {
