@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Extract an integer literal argument (SQL-plane aggregates take
+    * their tuning knob as a literal, like approx_count_distinct's rsd). */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toDouble.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args =>
       require(args.length == 2, "vec_dot expects 2 arguments")
@@ -44,6 +53,19 @@ object GraftExtensions {
             s"hist_buckets width must be a literal, got $other")
       }
       HistogramAgg(args(0), width).toAggregateExpression()
+    },
+    "stable_hash60" -> { args =>
+      require(args.length == 1, "stable_hash60 expects 1 argument")
+      StableHash60(args(0))
+    },
+    "kmv_distinct" -> { args =>
+      require(args.length == 2, "kmv_distinct expects (col, k)")
+      KmvAgg(args(0), intLit(args(1), "kmv_distinct k")).toAggregateExpression()
+    },
+    "simhash_agg" -> { args =>
+      require(args.length == 2, "simhash_agg expects (col, nBits)")
+      SimhashAgg(args(0), intLit(args(1), "simhash_agg nBits"))
+        .toAggregateExpression()
     })
 
   /** Register on an already-built session (withExtensions only applies

@@ -39,6 +39,32 @@ class GraftEngineSpec extends SparkSpec {
     assert(d === 6.0)
   }
 
+  test("SQL plane: stable_hash60 / kmv_distinct / simhash_agg have Column-API parity") {
+    // golden value (same as StableHash60's spec): md5-derived 60-bit hash
+    assert(engine.sql("SELECT stable_hash60('abc') AS h").head().getLong(0)
+      === 648541476951500027L)
+    // a sketch with k >= distinct-count is exact
+    val kmv = engine.sql(
+      """SELECT kmv_distinct(stable_hash60(CAST(v AS STRING)), 64) AS d
+        |FROM VALUES (1),(2),(3),(2),(1) AS t(v)""".stripMargin)
+      .head().getLong(0)
+    assert(kmv === 3L)
+    // SQL simhash equals the Column-API aggregate on the same rows
+    val viaSql = engine.sql(
+      """SELECT simhash_agg(stable_hash60(CAST(v AS STRING)), 16) AS s
+        |FROM VALUES (1),(2),(3) AS t(v)""".stripMargin)
+      .head().getLong(0)
+    val viaCol = Seq("1", "2", "3").toDF("v")
+      .agg(graft.plans.SimhashAgg.simhashAgg(
+        graft.functions.TextFunctions.stableHash60($"v"), 16))
+      .head().getLong(0)
+    assert(viaSql === viaCol)
+    // non-literal tuning knob fails loudly, not silently wrong
+    intercept[Exception] {
+      engine.sql("SELECT kmv_distinct(stable_hash60(CAST(v AS STRING)), v) FROM VALUES (1) AS t(v)").collect()
+    }
+  }
+
   test("copy_file_range: saturating read, hole fill, A7 size accounting (filesystem.rs:1812)") {
     import graft.meta.InodeCatalog
     val rFh = InodeCatalog.fhEncode(1L, read = true, write = false)
