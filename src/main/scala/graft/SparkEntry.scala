@@ -8,14 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allDefs: Seq[QueryDef] =
-    operators.Relational.defs ++ operators.TextOps.defs ++
-      operators.Dedup.defs ++ operators.Similarity.defs ++
-      operators.Multimodal.defs ++ operators.FsQueries.defs ++
-      operators.Events.defs ++ operators.Temporal.defs ++
-      operators.Extras.defs ++ operators.Subqueries.defs ++
-      operators.Pipeline.defs ++ operators.Corpus.defs ++
-      operators.Curation.defs
+  /** Declared queries grouped by operator family — the structure the
+    * generated CAPABILITIES.md table reflects. */
+  def families: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> operators.Relational.defs,
+    "text analysis" -> operators.TextOps.defs,
+    "dedup" -> operators.Dedup.defs,
+    "similarity / ANN" -> operators.Similarity.defs,
+    "multimodal" -> operators.Multimodal.defs,
+    "fs / kv metadata" -> operators.FsQueries.defs,
+    "events / metrics" -> operators.Events.defs,
+    "temporal joins" -> operators.Temporal.defs,
+    "extras" -> operators.Extras.defs,
+    "subqueries" -> operators.Subqueries.defs,
+    "pipelines" -> operators.Pipeline.defs,
+    "corpus sampling/mixing" -> operators.Corpus.defs,
+    "corpus curation" -> operators.Curation.defs)
+
+  def allDefs: Seq[QueryDef] = families.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

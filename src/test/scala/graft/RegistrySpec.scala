@@ -38,4 +38,12 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === SparkEntry.allDefs.size)
     info(s"${SparkEntry.queries.size} queries, ${SparkEntry.oracleSql.size} oracle-gated")
   }
+
+  test("CAPABILITIES.md matches the registry (regenerate with runMain graft.Capabilities)") {
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("CAPABILITIES.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(committed === Capabilities.render,
+      "CAPABILITIES.md is stale — run `sbt \"runMain graft.Capabilities\"` and commit")
+  }
 }
