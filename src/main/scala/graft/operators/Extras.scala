@@ -306,7 +306,79 @@ object Extras {
       .orderBy($"doc_id")
   }
 
+  /** Count-min sketch heavy hitters: 4 hash rows × 1024 buckets of plain
+    * counters estimate any token's frequency as min over rows of its
+    * bucket's count. The 100 TB property: the counter table is FIXED
+    * SIZE (d×W groups) no matter the vocabulary, so the sketch shuffle
+    * carries ≤4096 rows while an exact wordcount shuffles the full token
+    * cardinality — and the counters are mergeable across any partitioning
+    * (they're just sums). The query measures the sketch against the
+    * exact top-20 (overcount ≥ 0 by construction, CMS never
+    * underestimates); everything is integer arithmetic on the md5-derived
+    * stable hash, so the oracle reproduces it bit-for-bit. */
+  val qTokenCms = QueryDef.sql(
+    "q_token_cms",
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT token, count(*) AS true_cnt FROM tok GROUP BY token),
+      |top AS (
+      |  SELECT token, true_cnt FROM cnt
+      |  ORDER BY true_cnt DESC, token LIMIT 20),
+      |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |counters AS (
+      |  SELECT j,
+      |         CAST(concat('0x', substr(md5('cms' || j || '|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS bucket,
+      |         count(*) AS c
+      |  FROM tok CROSS JOIN js
+      |  GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT token, true_cnt, j,
+      |         CAST(concat('0x', substr(md5('cms' || j || '|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS bucket
+      |  FROM top CROSS JOIN js)
+      |SELECT p.token,
+      |       CAST(p.true_cnt AS BIGINT) AS true_cnt,
+      |       CAST(min(co.c) AS BIGINT) AS cms_est,
+      |       CAST(min(co.c) - p.true_cnt AS BIGINT) AS overcount
+      |FROM probe p JOIN counters co ON co.j = p.j AND co.bucket = p.bucket
+      |GROUP BY p.token, p.true_cnt
+      |ORDER BY true_cnt DESC, token""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.{stableHash60, words}
+    def bucketOf(j: Int, tok: org.apache.spark.sql.Column) =
+      pmod(stableHash60(concat(lit(s"cms$j|"), tok)), lit(1024L))
+    val tok = Tables
+      .documents(s, d)
+      .select(explode(words($"text")).as("token"))
+    val cnt = tok.groupBy($"token").agg(count(lit(1)).as("true_cnt"))
+    val top = cnt.orderBy($"true_cnt".desc, $"token").limit(20)
+    // one pass over the token stream feeds all 4 rows; the aggregate's
+    // key space is d×W, so the shuffle is bounded by the sketch size
+    val counters = tok
+      .select(posexplode(
+        array((0 until 4).map(j => bucketOf(j, $"token")): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy($"j", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    // probes hash only the 20 tracked tokens (broadcast-sized)
+    val probe = top.select(
+      $"token", $"true_cnt",
+      posexplode(array((0 until 4).map(j => bucketOf(j, $"token")): _*))
+        .as(Seq("j", "bucket")))
+    probe
+      .join(counters, Seq("j", "bucket"))
+      .groupBy($"token", $"true_cnt")
+      .agg(min($"c").as("cms_est"))
+      .select($"token", $"true_cnt", $"cms_est",
+        ($"cms_est" - $"true_cnt").as("overcount"))
+      .orderBy($"true_cnt".desc, $"token")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
-      qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs)
+      qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
+      qTokenCms)
 }

@@ -252,7 +252,75 @@ object TextOps {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** Bigram language-model statistics: for each of the 30 most frequent
+    * head words, its most likely successor and the conditional
+    * probability P(next|head) — the count-based n-gram LM a data
+    * pipeline builds for perplexity filtering. All counting is integer
+    * (one wordcount-shaped shuffle keyed by bigram, then per-head
+    * argmax); only the final probability divides, on the ROUNDED margin.
+    */
+  val qBigramLm = QueryDef.sql(
+    "q_bigram_lm",
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
+      |bg AS (
+      |  SELECT unnest([{'head': w[i], 'next': w[i+1]}
+      |                 for i in range(1, len(w))]) AS b
+      |  FROM t WHERE len(w) >= 2),
+      |bc AS (
+      |  SELECT b.head AS head, b.next AS next, count(*) AS c
+      |  FROM bg GROUP BY 1, 2),
+      |hc AS (
+      |  SELECT head, sum(c) AS head_cnt FROM bc GROUP BY head),
+      |top AS (
+      |  SELECT head, head_cnt FROM hc
+      |  ORDER BY head_cnt DESC, head LIMIT 30),
+      |best AS (
+      |  SELECT head, next, c FROM (
+      |    SELECT head, next, c,
+      |           row_number() OVER (PARTITION BY head
+      |                              ORDER BY c DESC, next) AS rk
+      |    FROM bc) WHERE rk = 1)
+      |SELECT t.head,
+      |       CAST(t.head_cnt AS BIGINT) AS head_cnt,
+      |       b.next AS best_next,
+      |       CAST(b.c AS BIGINT) AS bigram_cnt,
+      |       round(b.c * 1.0 / t.head_cnt, 4) AS p_next
+      |FROM top t JOIN best b ON t.head = b.head
+      |ORDER BY head_cnt DESC, t.head""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.{shingles, words}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"head").orderBy($"c".desc, $"next")
+    val bc = Tables
+      .documents(s, d)
+      .select(words($"text").as("w"))
+      // bigram as a (head, next) struct straight off the word array —
+      // the explode stays inline so the size(w)>=2 guard is inferable
+      .select(explode(shingles($"w", 2)).as("s"))
+      .select(
+        substring_index($"s", " ", 1).as("head"),
+        substring_index($"s", " ", -1).as("next"))
+      .groupBy($"head", $"next")
+      .agg(count(lit(1)).as("c"))
+    val hc = bc.groupBy($"head").agg(sum($"c").as("head_cnt"))
+    val top = hc.orderBy($"head_cnt".desc, $"head").limit(30)
+    val best = bc
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+    top
+      .join(best, "head")
+      .select(
+        $"head",
+        $"head_cnt".cast("long").as("head_cnt"),
+        $"next".as("best_next"),
+        $"c".as("bigram_cnt"),
+        round($"c" * lit(1.0) / $"head_cnt", 4).as("p_next"))
+      .orderBy($"head_cnt".desc, $"head")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences)
+      qTokenize, qPackSequences, qBigramLm)
 }
