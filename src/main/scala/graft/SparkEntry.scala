@@ -23,7 +23,8 @@ object SparkEntry {
     "subqueries" -> operators.Subqueries.defs,
     "pipelines" -> operators.Pipeline.defs,
     "corpus sampling/mixing" -> operators.Corpus.defs,
-    "corpus curation" -> operators.Curation.defs)
+    "corpus curation" -> operators.Curation.defs,
+    "model scoring" -> operators.Scoring.defs)
 
   def allDefs: Seq[QueryDef] = families.flatMap(_._2)
 

@@ -277,7 +277,62 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sample size. */
+  val WeightedK = 50
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis via exponential keys): document i gets key
+    * -ln(u_i)/w_i with u_i a hash-derived uniform in (0,1) and weight
+    * w_i = n_chars; the [[WeightedK]] smallest keys are the sample, so
+    * longer documents are proportionally likelier — the "sample by token
+    * mass, not by document count" selector a training mix needs. Like the
+    * stratified sampler, the key is a pure function of the row: no RNG
+    * state, the same sample on every engine at any parallelism, and at
+    * 100 TB the top-k is a per-partition heap + tiny final merge (TakeOrdered),
+    * never a global sort. Ranking compares the ROUNDED key (doc_id
+    * tie-break) so an ulp of libm ln() difference cannot flip membership. */
+  val qWeightedSample = QueryDef.sql(
+    "q_weighted_sample",
+    s"""WITH t AS (
+       |  SELECT doc_id, greatest(n_chars, 1) AS w,
+       |         (CAST(concat('0x', substr(md5('ws|' || doc_id), 1, 15))
+       |               AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, w, round(-ln(u) / w, 8) AS k FROM t),
+       |ranked AS (
+       |  SELECT doc_id, w, k,
+       |         row_number() OVER (ORDER BY k, doc_id) AS rn
+       |  FROM keyed)
+       |SELECT CAST(rn AS INT) AS rn, doc_id,
+       |       CAST(w AS BIGINT) AS weight, k AS sample_key
+       |FROM ranked WHERE rn <= $WeightedK
+       |ORDER BY rn""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val u = (stableHash60(concat(lit("ws|"), $"doc_id".cast("string")))
+      % 1000000L + lit(0.5)) / lit(1000000.0)
+    // constant partition key: the window runs over the WeightedK surviving
+    // rows only, and a non-empty partition spec avoids WindowExec's
+    // "No Partition Defined" alarm in operator logs
+    val win = Window.partitionBy(lit(0)).orderBy($"k", $"doc_id")
+    Tables
+      .documents(s, d)
+      .select($"doc_id", greatest($"n_chars", lit(1L)).as("w"),
+        round(-log(u) / greatest($"n_chars", lit(1L)), 8).as("k"))
+      // global row_number over a pre-filtered top-k: the ORDER BY k LIMIT
+      // shape lowers to TakeOrderedAndProject (per-partition heaps), and
+      // only WeightedK rows ever reach the single-partition window
+      .orderBy($"k", $"doc_id")
+      .limit(WeightedK)
+      .withColumn("rn", row_number().over(win))
+      .select($"rn", $"doc_id", $"w".cast("long").as("weight"),
+        $"k".as("sample_key"))
+      .orderBy($"rn")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
-      qTfidfTopTerms, qTextRepetition)
+      qTfidfTopTerms, qTextRepetition, qWeightedSample)
 }

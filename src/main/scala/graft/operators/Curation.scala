@@ -329,6 +329,212 @@ object Curation {
       .orderBy($"dropped")
   }
 
+  /** Window length (tokens) for substring-level dedup: long enough that a
+    * match is a real copied span, short enough that the fixture's injected
+    * duplicates are caught (47 of 500 sf0.01 docs carry ≥1 duplicated
+    * 8-gram). Lee et al. (2022, "Deduplicating Training Data Makes
+    * Language Models Better") use 50 BPE tokens at web scale. */
+  val SpanK = 8
+
+  /** Substring (span-level) dedup: every overlapping [[SpanK]]-token
+    * window is hashed; a window whose hash occurs ≥2 times corpus-wide is
+    * a duplicated span, and per document we report how many token
+    * positions duplicated spans cover (merged-interval coverage, the
+    * gaps-and-islands running-max trick — no island grouping pass).
+    *
+    * Scale: the stride-1 window index is the honest cost of substring
+    * dedup (~n_tokens rows — what the suffix-array formulation also
+    * touches), but each shuffled row is only (doc_id, pos, hash64) ≈ 24
+    * bytes, never the window text. One shuffle counts hashes, one joins
+    * the dup set back, one doc-keyed window+aggregate — all map-side
+    * combinable except the join. */
+  val qSubstringDedup = QueryDef.sql(
+    "q_substring_dedup",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |         unnest([{'pos': i, 'h':
+      |           CAST(concat('0x', substr(md5(
+      |             list_aggregate(w[i:i+${SpanK - 1}], 'string_agg', ' ')),
+      |             1, 15)) AS BIGINT)}
+      |           for i in range(1, len(w) - ${SpanK - 2})]) AS x
+      |  FROM t WHERE len(w) >= $SpanK),
+      |wp AS (SELECT doc_id, n_words, x.pos AS pos, x.h AS h FROM win),
+      |dup AS (SELECT h FROM wp GROUP BY h HAVING count(*) >= 2),
+      |flagged AS (
+      |  SELECT doc_id, n_words, pos,
+      |         CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END AS is_dup
+      |  FROM wp),
+      |cov AS (
+      |  SELECT doc_id, n_words, pos, is_dup,
+      |         max(CASE WHEN is_dup = 1 THEN pos + ${SpanK - 1} END) OVER
+      |           (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM flagged)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_windows,
+      |       CAST(sum(is_dup) AS BIGINT) AS n_dup_windows,
+      |       CAST(sum(CASE WHEN is_dup = 1
+      |                THEN greatest(0, pos + ${SpanK - 1} -
+      |                     greatest(coalesce(prev_end, 0), pos - 1))
+      |                ELSE 0 END) AS BIGINT) AS dup_tokens,
+      |       round(sum(CASE WHEN is_dup = 1
+      |                THEN greatest(0, pos + ${SpanK - 1} -
+      |                     greatest(coalesce(prev_end, 0), pos - 1))
+      |                ELSE 0 END) * 1.0 / any_value(n_words), 4)
+      |         AS dup_token_frac
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val wins = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= SpanK)
+      .select($"doc_id", size($"w").as("n_words"),
+        posexplode(shingles($"w", SpanK)).as(Seq("p0", "sp")))
+      // 1-based window start; only the 60-bit hash travels from here on
+      .select($"doc_id", $"n_words", ($"p0" + 1).as("pos"),
+        stableHash60($"sp").as("h"))
+    val dup = wins
+      .groupBy($"h")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .select($"h", lit(1).as("is_dup"))
+    val wCov = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contribution = when($"is_dup" === 1,
+      greatest(
+        lit(0),
+        $"pos" + lit(SpanK - 1) -
+          greatest(coalesce($"prev_end", lit(0)), $"pos" - 1)))
+      .otherwise(0)
+    wins
+      .join(dup, Seq("h"), "left")
+      .withColumn("is_dup", coalesce($"is_dup", lit(0)))
+      .withColumn("prev_end",
+        max(when($"is_dup" === 1, $"pos" + lit(SpanK - 1))).over(wCov))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum($"is_dup").as("n_dup_windows"),
+        sum(contribution).as("dup_tokens"),
+        round(sum(contribution) * lit(1.0) / first($"n_words"), 4)
+          .as("dup_token_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** One k-means Lloyd refinement over the embedding corpus — the
+    * clustering engine under [[qSemanticDedup]] / the IVF index, surfaced
+    * as its own operator: seed centroids (the [[semanticCells]]
+    * assignment), recompute each cell's mean vector, re-assign, and report
+    * per-cell membership before/after, cohesion, and arrivals.
+    *
+    * Scale: assignment is a broadcast of k centroid rows against a
+    * never-shuffled corpus scan; the centroid recompute is a (cid, dim)
+    * mean — k·64 rows out of a map-side-combined aggregate. Each further
+    * Lloyd round is the same two steps, so the full iterative loop is
+    * round-count × (one scan + one tiny agg). Centroid components are
+    * ROUNDED (4 dp) before the re-assignment, so both engines rank on
+    * identical inputs — same ulp-guard as the assignment itself. */
+  val qKmeansStep = QueryDef.sql(
+    "q_kmeans_step",
+    s"""WITH kk AS (
+      |  SELECT greatest(16, CAST(ceil(count(*) / $SemanticCellTarget.0)
+      |                           AS BIGINT)) AS k
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT k FROM kk)
+      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
+      |v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
+      |a0 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT v.vec_id, v.v, c0.cid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY round(list_cosine_similarity(v.v, c0.cv), 4) DESC,
+      |                      c0.cid) AS rk
+      |    FROM v CROSS JOIN c0) WHERE rk = 1),
+      |comp AS (
+      |  SELECT cid, u.dim AS dim, round(avg(u.x), 4) AS m FROM (
+      |    SELECT cid, unnest([{'dim': i, 'x': v[i]}
+      |                        for i in range(1, len(v)+1)]) AS u
+      |    FROM a0) GROUP BY cid, u.dim),
+      |c1 AS (
+      |  SELECT cid AS ncid, cv FROM (
+      |    SELECT cid, list(m ORDER BY dim) AS cv FROM comp GROUP BY cid)
+      |  WHERE list_sum(list_transform(cv, x -> x * x)) > 0),
+      |a1 AS (
+      |  SELECT vec_id, ncid, cs, cid0 FROM (
+      |    SELECT a0.vec_id, a0.cid AS cid0, c1.ncid,
+      |           list_cosine_similarity(a0.v, c1.cv) AS cs,
+      |           row_number() OVER (PARTITION BY a0.vec_id
+      |             ORDER BY round(list_cosine_similarity(a0.v, c1.cv), 4) DESC,
+      |                      c1.ncid) AS rk
+      |    FROM a0 CROSS JOIN c1) WHERE rk = 1),
+      |bef AS (SELECT cid, count(*) AS n_before FROM a0 GROUP BY cid),
+      |aft AS (SELECT ncid AS cid, count(*) AS n_after,
+      |               round(avg(round(cs, 4)), 4) AS cohesion,
+      |               CAST(sum(CASE WHEN ncid <> cid0 THEN 1 ELSE 0 END)
+      |                    AS BIGINT) AS n_moved_in
+      |        FROM a1 GROUP BY ncid)
+      |SELECT bef.cid,
+      |       CAST(n_before AS BIGINT) AS n_before,
+      |       CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+      |       cohesion,
+      |       coalesce(n_moved_in, 0) AS n_moved_in
+      |FROM bef LEFT JOIN aft ON bef.cid = aft.cid
+      |ORDER BY bef.cid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val a0 = semanticCells(emb, semanticCellCount(emb.count()))
+    // element-wise cell means: (cid, dim) mean → re-assembled double array
+    // (array_sort on (dim, m) structs restores component order)
+    val c1 = a0
+      .select($"cid", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg(round(avg($"x"), 4).as("m"))
+      .groupBy($"cid")
+      .agg(
+        transform(array_sort(collect_list(struct($"dim", $"m"))),
+          x => x.getField("m")).as("cv"))
+      .select($"cid".as("ncid"), $"cv", norm($"cv").as("cn"))
+      .filter($"cn" =!= 0.0)
+    val wA = Window.partitionBy($"vec_id")
+      .orderBy(round($"cs", 4).desc, $"ncid")
+    val a1 = a0
+      .select($"vec_id", $"embedding", $"vn", $"cid".as("cid0"))
+      .crossJoin(broadcast(c1))
+      .withColumn("cs", dot($"embedding", $"cv") / ($"vn" * $"cn"))
+      .withColumn("rk", row_number().over(wA))
+      .filter($"rk" === 1)
+    val bef = a0.groupBy($"cid").agg(count(lit(1)).as("n_before"))
+    val aft = a1
+      .groupBy($"ncid".as("cid"))
+      .agg(
+        count(lit(1)).as("n_after"),
+        round(avg(round($"cs", 4)), 4).as("cohesion"),
+        sum(when($"ncid" =!= $"cid0", 1L).otherwise(0L)).as("n_moved_in"))
+    bef
+      .join(aft, Seq("cid"), "left")
+      .select(
+        $"cid",
+        $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        $"cohesion",
+        coalesce($"n_moved_in", lit(0L)).as("n_moved_in"))
+      .orderBy($"cid")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup)
+    Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
+      qSubstringDedup, qKmeansStep)
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Model-based document scoring: the two cheap "model" passes a training
+  * pipeline runs over every candidate document — a hashed linear quality
+  * classifier (the fastText-style recipe: hash each token to a weight,
+  * average, squash) and per-document cross-entropy under the corpus's own
+  * bigram LM (the CCNet/KenLM-style fluency filter).
+  *
+  * Scale design (100 TB):
+  *  - the classifier needs NO model table at all — the hashing trick turns
+  *    the weight lookup into pure per-row arithmetic, so scoring is a
+  *    single narrow pass inside the parquet scan's codegen span;
+  *  - the LM score joins each document's bigrams against the corpus bigram
+  *    table on the bigram key; the model side is vocabulary-bounded (Zipf,
+  *    not corpus-bounded), and in production would be top-V-truncated and
+  *    broadcast — here it stays an exact shuffle join so the oracle can
+  *    reproduce it bit-for-bit.
+  */
+object Scoring {
+
+  /** Hashed linear quality classifier: token t carries weight
+    * (stable_hash60("qw|"||t) % 2001 - 1000) / 1000 ∈ [-1, 1]; the
+    * document logit is the token-count-weighted mean and the score its
+    * logistic squash. Weight sums stay INTEGER (scaled by 1000) until the
+    * single final division, so both engines feed identical inputs to
+    * exp(). Deterministic stand-in for trained weights — the dataflow
+    * (feature hash → weighted sum → sigmoid → threshold) is exactly a
+    * production linear scorer.
+    *
+    * The logit is a RATIONAL (zsum / 1000n) that genuinely lands on
+    * round-half boundaries (2 of 500 fixture docs), where DuckDB's and
+    * Spark's round() disagree — so it is rounded as floor(x·10⁴ + 0.5)/10⁴
+    * instead: every step is a correctly-rounded IEEE op on identical
+    * inputs, hence bit-identical in both engines even AT the tie. */
+  val qQualityClassifier = QueryDef.sql(
+    "q_quality_classifier",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+      |feat AS (
+      |  SELECT doc_id, count(*) AS n,
+      |         sum((CAST(concat('0x', substr(md5('qw|' || token), 1, 15))
+      |              AS BIGINT) % 2001) - 1000) AS zsum
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(n AS INT) AS n_tokens,
+      |       floor(zsum * 10.0 / n + 0.5) / 10000.0 AS logit,
+      |       round(1.0 / (1.0 + exp(-(zsum / (1000.0 * n)))), 4) AS score,
+      |       CAST(CASE WHEN 1.0 / (1.0 + exp(-(zsum / (1000.0 * n)))) >= 0.5
+      |                 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM feat ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val weight =
+      stableHash60(concat(lit("qw|"), $"token")) % 2001L - 1000L
+    val logit = $"zsum" / (lit(1000.0) * $"n")
+    val score = lit(1.0) / (lit(1.0) + exp(-logit))
+    Tables
+      .documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), sum(weight).as("zsum"))
+      .select(
+        $"doc_id",
+        $"n".cast("int").as("n_tokens"),
+        (floor($"zsum" * lit(10.0) / $"n" + 0.5) / 10000.0).as("logit"),
+        round(score, 4).as("score"),
+        when(score >= 0.5, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-document cross-entropy under the corpus bigram model (trained on
+    * the same corpus, so every document bigram has a count — no smoothing
+    * needed): H(doc) = -mean log2 P(next|head) with P = c(head,next) /
+    * c(head,·). High H = improbable word sequences = the fluency-filter
+    * signal. Counts are exact integers; the only float is the final
+    * log2 ratio, rounded after the mean. */
+  val qDocCrossEntropy = QueryDef.sql(
+    "q_doc_cross_entropy",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([{'head': w[i], 'next': w[i+1]}
+      |                 for i in range(1, len(w))]) AS b
+      |  FROM t WHERE len(w) >= 2),
+      |bgf AS (SELECT doc_id, b.head AS head, b.next AS next FROM bg),
+      |bc AS (SELECT head, next, count(*) AS c FROM bgf GROUP BY 1, 2),
+      |hc AS (SELECT head, sum(c) AS hcnt FROM bc GROUP BY head)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       round(-avg(log2(bc.c * 1.0 / hc.hcnt)), 4) AS cross_entropy
+      |FROM bgf JOIN bc USING (head, next) JOIN hc USING (head)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bgf = Tables
+      .documents(s, d)
+      .select($"doc_id", explode(shingles(words($"text"), 2)).as("sp"))
+      .select(
+        $"doc_id",
+        substring_index($"sp", " ", 1).as("head"),
+        substring_index($"sp", " ", -1).as("next"))
+    val bc = bgf.groupBy($"head", $"next").agg(count(lit(1)).as("c"))
+    val hc = bc.groupBy($"head").agg(sum($"c").as("hcnt"))
+    bgf
+      .join(bc, Seq("head", "next"))
+      .join(hc, Seq("head"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(log2($"c" * lit(1.0) / $"hcnt")), 4).as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qQualityClassifier, qDocCrossEntropy)
+}

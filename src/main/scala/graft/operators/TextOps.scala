@@ -320,7 +320,120 @@ object TextOps {
       .orderBy($"head_cnt".desc, $"head")
   }
 
+  /** RAG chunk size / stride (words): 50% overlap, the standard
+    * retrieval-chunking shape. */
+  val RagSize = 8
+  val RagStride = 4
+
+  /** Overlapping sliding-window chunking for retrieval indexes: windows of
+    * [[RagSize]] words every [[RagStride]] (tail chunks may be short but
+    * are kept — the last words of a document must be retrievable). Pure
+    * narrow transform: at 100 TB each task chunks its own split inside
+    * the scan's codegen span; the only exchange is the final ORDER BY,
+    * which a real pipeline (write-to-index) wouldn't have. */
+  val qRagChunks = QueryDef.sql(
+    "q_rag_chunks",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |         unnest([{'start': i,
+       |                  'chunk': list_aggregate(w[i:i+${RagSize - 1}],
+       |                                          'string_agg', ' '),
+       |                  'n': len(w[i:i+${RagSize - 1}])}
+       |                 for i in range(1, len(w)+1, $RagStride)]) AS x
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST((x.start - 1) / $RagStride AS INT) AS chunk_idx,
+       |       CAST(x.start AS INT) AS start_word,
+       |       CAST(x.n AS INT) AS n_chunk_words,
+       |       x.chunk AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = words($"text")
+    Tables
+      .documents(s, d)
+      .select($"doc_id",
+        explode(
+          transform(
+            sequence(lit(1), size(w), lit(RagStride)),
+            i => struct(i.as("start"), slice(w, i, lit(RagSize)).as("cw"))))
+          .as("x"))
+      .select(
+        $"doc_id",
+        (($"x.start" - 1) / RagStride).cast("int").as("chunk_idx"),
+        $"x.start".cast("int").as("start_word"),
+        size($"x.cw").as("n_chunk_words"),
+        array_join($"x.cw", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** PII scrubbing (emails / URLs / phone-shaped tokens → typed redaction
+    * tags). The fixture text carries no PII, so each document first gets a
+    * deterministic doc_id-derived contact line planted — the scrubber is
+    * then verified end-to-end: per-type match counts, the redacted text,
+    * and the planted line provably gone. Patterns stay in the common
+    * Java-regex ∩ RE2 dialect so both engines match identically; the
+    * whole operator is three codegen'd regexp passes inside the scan — no
+    * shuffle except the gate's ORDER BY. */
+  val qPiiScrub = QueryDef.sql(
+    "q_pii_scrub",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id ||
+      |         '@example.com or call 555-01' || (doc_id % 100) ||
+      |         ' see https://ex.com/p/' || doc_id AS t
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]'))
+      |              AS INT) AS n_emails,
+      |         CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT)
+      |           AS n_urls,
+      |         CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS INT)
+      |           AS n_phones,
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]',
+      |                            '<EMAIL>', 'g'),
+      |             'https?://[^ ]+', '<URL>', 'g'),
+      |           '555-[0-9]+', '<PHONE>', 'g') AS clean_text
+      |  FROM planted)
+      |SELECT doc_id, n_emails, n_urls, n_phones, clean_text,
+      |       CAST(CASE WHEN clean_text LIKE '%example.com%'
+      |                   OR clean_text LIKE '%https://%'
+      |                 THEN 1 ELSE 0 END AS INT) AS leak
+      |FROM scrubbed ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or call 555-01"), ($"doc_id" % 100).cast("string"),
+      lit(" see https://ex.com/p/"), $"doc_id".cast("string"))
+    val emailPat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    val urlPat = "https?://[^ ]+"
+    val phonePat = "555-[0-9]+"
+    Tables
+      .documents(s, d)
+      .select($"doc_id", t.as("t"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"t", lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"t", lit(urlPat), lit(0))).as("n_urls"),
+        size(regexp_extract_all($"t", lit(phonePat), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"t", emailPat, "<EMAIL>"),
+            urlPat, "<URL>"),
+          phonePat, "<PHONE>").as("clean_text"))
+      .withColumn("leak",
+        when($"clean_text".contains("example.com") ||
+          $"clean_text".contains("https://"), 1).otherwise(0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences, qBigramLm)
+      qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub)
 }

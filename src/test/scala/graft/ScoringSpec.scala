@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.{Corpus, Curation, Scoring, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 scoring / curation additions, verified against
+  * independent plain-Scala reimplementations (no Spark, no DuckDB) of the
+  * same definitions — a third engine, so a shared-oracle blind spot can't
+  * hide a bug.
+  */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-JVM stable_hash60: first 15 hex chars of md5 as a long —
+    * must match graft.plans.StableHash60 / the DuckDB formulation. */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private def docs(): Seq[(Long, Array[String])] =
+    Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+      .map { case (id, t) => id -> t.trim.split(" +") }
+
+  test("quality classifier matches a plain-Scala reimplementation") {
+    val expected = docs().map { case (id, w) =>
+      val zsum = w.map(t => hash60("qw|" + t) % 2001L - 1000L).sum
+      val logit = math.floor(zsum * 10.0 / w.length + 0.5) / 10000.0
+      id -> (w.length, logit)
+    }.toMap
+    val got = Scoring.qQualityClassifier.fn(spark, sf)
+      .select($"doc_id", $"n_tokens", $"logit", $"score", $"keep")
+      .as[(Long, Int, Double, Double, Int)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, logit, score, keep) =>
+      val (en, elogit) = expected(id)
+      assert(n === en, s"doc $id token count")
+      assert(logit === elogit, s"doc $id logit")
+      // score is the sigmoid of the UNROUNDED logit; check consistency
+      assert(math.abs(score - 1.0 / (1.0 + math.exp(-logit))) < 2e-4,
+        s"doc $id score vs sigmoid(logit)")
+      assert(keep === (if (score >= 0.5) 1 else 0), s"doc $id keep flag")
+    }
+  }
+
+  test("doc cross-entropy matches a plain-Scala bigram model") {
+    val all = docs()
+    val bigrams = all.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val bc = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hc = bc.groupBy(_._1._1).map { case (h, m) => h -> m.values.sum }
+    val expected = all
+      .filter(_._2.length >= 2)
+      .map { case (id, w) =>
+        val terms = w.sliding(2).filter(_.length == 2).toSeq
+          .map(p => -math.log(bc((p(0), p(1))).toDouble / hc(p(0))) / math.log(2))
+        id -> (terms.size.toLong, terms.sum / terms.size)
+      }.toMap
+    val got = Scoring.qDocCrossEntropy.fn(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"cross_entropy")
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, h) =>
+      assert(n === expected(id)._1, s"doc $id bigram count")
+      assert(math.abs(h - expected(id)._2) < 1.5e-4, s"doc $id entropy")
+      assert(h >= 0.0)
+    }
+  }
+
+  test("substring dedup coverage matches a plain-Scala interval merge") {
+    val k = Curation.SpanK
+    val all = docs().filter(_._2.length >= k)
+    val wins = all.flatMap { case (id, w) =>
+      w.sliding(k).zipWithIndex.collect {
+        case (win, i) if win.length == k => (id, i + 1, hash60(win.mkString(" ")))
+      }
+    }
+    val dupHashes = wins.groupBy(_._3).collect {
+      case (h, g) if g.size >= 2 => h
+    }.toSet
+    val expected = all.map { case (id, w) =>
+      val dupStarts = wins.collect {
+        case (d, pos, h) if d == id && dupHashes(h) => pos
+      }.sorted
+      // merged-interval coverage of [pos, pos+k-1]
+      var covered = 0L
+      var end = 0L
+      dupStarts.foreach { p =>
+        val e = p + k - 1
+        if (e > end) { covered += e - math.max(end, p - 1L); end = e }
+      }
+      id -> ((w.length - k + 1).toLong, dupStarts.size.toLong, covered)
+    }.toMap
+    val got = Curation.qSubstringDedup.fn(spark, sf)
+      .select($"doc_id", $"n_windows", $"n_dup_windows", $"dup_tokens")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, nw, nd, cov) =>
+      val (enw, end_, ecov) = expected(id)
+      assert(nw === enw, s"doc $id window count")
+      assert(nd === end_, s"doc $id dup windows")
+      assert(cov === ecov, s"doc $id coverage")
+    }
+    // the fixture must actually exercise the dup path
+    assert(got.map(_._3).sum > 0, "no duplicated spans found in fixture")
+  }
+
+  test("rag chunks cover every word exactly per stride arithmetic") {
+    val got = TextOps.qRagChunks.fn(spark, sf)
+      .select($"doc_id", $"chunk_idx", $"start_word", $"n_chunk_words")
+      .as[(Long, Int, Int, Int)]
+      .collect()
+    val byDoc = got.groupBy(_._1)
+    docs().foreach { case (id, w) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.head._3 === 1, s"doc $id first chunk starts at word 1")
+      chunks.foreach { case (_, idx, start, n) =>
+        assert(start === 1 + idx * TextOps.RagStride, s"doc $id stride")
+        assert(n === math.min(TextOps.RagSize, w.length - start + 1),
+          s"doc $id chunk $idx length")
+      }
+      // last chunk reaches the final word: tail text is retrievable
+      val last = chunks.last
+      assert(last._3 + last._4 - 1 === w.length, s"doc $id tail coverage")
+    }
+  }
+
+  test("weighted sample is deterministic, ranked, and mass-biased") {
+    val a = Corpus.qWeightedSample.fn(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    val b = Corpus.qWeightedSample.fn(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(a.toSeq === b.toSeq, "replay-identical")
+    assert(a.map(_._1).toSeq === (1 to a.length))
+    assert(a.length === math.min(Corpus.WeightedK,
+      Tables.documents(spark, sf).count()).toInt)
+    // keys ascend with rank; weights are the doc's char mass
+    assert(a.map(_._4).toSeq === a.map(_._4).sorted.toSeq)
+    // exponential-key sampling favors heavy docs: the sampled mean weight
+    // exceeds the corpus mean (holds deterministically on the fixture)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(greatest($"n_chars", lit(1L)))).as[Double].head()
+    val sampleMean = a.map(_._3).sum.toDouble / a.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("kmeans step conserves membership and bounds arrivals") {
+    val got = Curation.qKmeansStep.fn(spark, sf)
+      .select($"cid", $"n_before", $"n_after", $"n_moved_in")
+      .as[(Int, Long, Long, Long)]
+      .collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(got.map(_._2).sum === nVec, "before-assignment covers all vectors")
+    assert(got.map(_._3).sum === nVec, "after-assignment covers all vectors")
+    got.foreach { case (cid, _, nAfter, moved) =>
+      assert(moved <= nAfter, s"cell $cid arrivals exceed membership")
+    }
+  }
+
+  test("pii scrub leaves no unredacted pattern behind") {
+    val got = TextOps.qPiiScrub.fn(spark, sf)
+      .select($"n_emails", $"n_urls", $"n_phones", $"leak")
+      .as[(Int, Int, Int, Int)]
+      .collect()
+    got.foreach { case (e, u, p, leak) =>
+      assert(e >= 1 && u >= 1 && p >= 1, "planted PII must be found")
+      assert(leak === 0, "redacted text must not leak the planted PII")
+    }
+  }
+}
