@@ -345,9 +345,11 @@ object Curation {
     * Scale: the stride-1 window index is the honest cost of substring
     * dedup (~n_tokens rows — what the suffix-array formulation also
     * touches), but each shuffled row is only (doc_id, pos, hash64) ≈ 24
-    * bytes, never the window text. One shuffle counts hashes, one joins
-    * the dup set back, one doc-keyed window+aggregate — all map-side
-    * combinable except the join. */
+    * bytes, never the window text. The dup flag is a COUNT OVER
+    * (PARTITION BY h) window, not an aggregate+join-back: one window
+    * Generate pass, exactly two exchanges (h, then doc_id), and no
+    * broadcast of the duplicate-hash set — which is corpus-sized in the
+    * worst case and must never be a build side. */
   val qSubstringDedup = QueryDef.sql(
     "q_substring_dedup",
     s"""WITH t AS (
@@ -397,11 +399,7 @@ object Curation {
       // 1-based window start; only the 60-bit hash travels from here on
       .select($"doc_id", $"n_words", ($"p0" + 1).as("pos"),
         stableHash60($"sp").as("h"))
-    val dup = wins
-      .groupBy($"h")
-      .agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2)
-      .select($"h", lit(1).as("is_dup"))
+    val wCnt = Window.partitionBy($"h")
     val wCov = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val contribution = when($"is_dup" === 1,
@@ -411,8 +409,8 @@ object Curation {
           greatest(coalesce($"prev_end", lit(0)), $"pos" - 1)))
       .otherwise(0)
     wins
-      .join(dup, Seq("h"), "left")
-      .withColumn("is_dup", coalesce($"is_dup", lit(0)))
+      .withColumn("is_dup",
+        when(count(lit(1)).over(wCnt) >= 2, 1).otherwise(0))
       .withColumn("prev_end",
         max(when($"is_dup" === 1, $"pos" + lit(SpanK - 1))).over(wCov))
       .groupBy($"doc_id")

@@ -100,9 +100,13 @@ object Scoring {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
+    // words() MUST materialize in its own projection before shingles():
+    // inlined, every element_at in the transform lambda would re-split
+    // the full text — O(n²) re-tokenization per document
     val bgf = Tables
       .documents(s, d)
-      .select($"doc_id", explode(shingles(words($"text"), 2)).as("sp"))
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(shingles($"w", 2)).as("sp"))
       .select(
         $"doc_id",
         substring_index($"sp", " ", 1).as("head"),

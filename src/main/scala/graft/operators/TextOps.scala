@@ -352,14 +352,16 @@ object TextOps {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val w = words($"text")
+    // words() materialized first — inlined into the transform lambda it
+    // would re-split the text for every chunk (O(n²) per document)
     Tables
       .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
         explode(
           transform(
-            sequence(lit(1), size(w), lit(RagStride)),
-            i => struct(i.as("start"), slice(w, i, lit(RagSize)).as("cw"))))
+            sequence(lit(1), size($"w"), lit(RagStride)),
+            i => struct(i.as("start"), slice($"w", i, lit(RagSize)).as("cw"))))
           .as("x"))
       .select(
         $"doc_id",
