@@ -131,4 +131,69 @@ class PlanSpec extends SparkSpec {
       !p.contains("CartesianProduct"),
       s"unexpected non-equi join in:\n$p")
   }
+
+  private def finalPlan(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  test("substring dedup: one window pass, no join, no dup-set broadcast") {
+    // the dup flag must come from COUNT OVER (PARTITION BY h) on the one
+    // hashed window stream — an aggregate + join-back would broadcast or
+    // shuffle the duplicate-hash set, which is corpus-sized worst-case
+    val p = finalPlan(plan(q("q_substring_dedup")))
+    assert("Generate posexplode".r.findAllIn(p).length === 1,
+      s"window Generate must run exactly once in:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"no broadcast either:\n$p")
+  }
+
+  test("cross-entropy: word split materializes before the bigram lambda") {
+    // words() inlined into the shingle transform re-splits the text for
+    // every element_at — O(n²) per document (8.7s → 1.9s at sf0.1)
+    val p = finalPlan(plan(q("q_doc_cross_entropy")))
+    p.linesIterator.filter(_.contains("Generate explode")).foreach { g =>
+      assert(!g.contains("element_at(split("),
+        s"split() must not be inlined into element_at:\n$g")
+    }
+    // both model relations (bigram counts, head totals) broadcast — the
+    // document bigram stream must never shuffle by token at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2,
+      s"expected 2 broadcast model joins in:\n$p")
+  }
+
+  test("rag chunking is a narrow Generate with no word-split re-inline") {
+    val p = finalPlan(plan(q("q_rag_chunks")))
+    p.linesIterator.filter(_.contains("Generate explode")).foreach { g =>
+      assert(!g.contains("slice(split("),
+        s"split() must not be re-inlined into each chunk slice:\n$g")
+    }
+    // narrow until the final presentation sort: no hash exchange at all
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"chunking must not shuffle in:\n$p")
+  }
+
+  test("weighted sample lowers to per-partition top-k, not a global sort") {
+    val p = finalPlan(plan(q("q_weighted_sample")))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY key LIMIT k must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("kmeans step broadcasts centroids; corpus is never re-shuffled") {
+    // both the seed assignment and the re-assignment are broadcast joins
+    // of k centroid rows against the embedding scan; the (cid, dim) mean
+    // must aggregate map-side (partial) before its k·64-row exchange
+    val p = finalPlan(plan(q("q_kmeans_step")))
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected broadcast centroid joins in:\n$p")
+    assert(p.contains("partial_avg"),
+      s"(cid,dim) means must combine map-side in:\n$p")
+  }
+
+  test("quality classifier plans zero joins and zero broadcasts") {
+    // the hashing trick means NO model relation exists at all — the whole
+    // scorer is scan → explode → per-doc aggregate
+    val p = finalPlan(plan(q("q_quality_classifier")))
+    assert(!p.contains("Join"), s"hashed scorer needs no join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"only the per-doc aggregate may shuffle in:\n$p")
+  }
 }
