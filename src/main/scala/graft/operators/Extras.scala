@@ -377,8 +377,128 @@ object Extras {
       .orderBy($"true_cnt".desc, $"token")
   }
 
+  /** Bloom-filter shingle membership, per source: a 16384-bit / 2-hash
+    * bloom over each source's distinct training 3-gram shingles, probed
+    * with the held-out benchmark slice's shingles, and measured against
+    * exact membership (false positives among truly-absent probes — a
+    * bloom never false-negatives, which the oracle verifies implicitly:
+    * n_maybe ≥ n_present per source).
+    *
+    * The 100 TB property: the filter is FIXED SIZE (512 32-bit words per
+    * source) no matter how many shingles a source has, the words are
+    * mergeable across any partitioning (bit_or of sums-of-bits), and a
+    * membership pre-screen (e.g. decontamination) probes the broadcast
+    * bloom instead of joining the corpus-sized exact shingle set. All
+    * integer bit arithmetic on the md5-derived stable hash, so DuckDB
+    * reproduces every word bit-for-bit; 32-bit words keep every shift
+    * result positive in both engines' signed BIGINTs. */
+  val qShingleBloom = QueryDef.sql(
+    "q_shingle_bloom",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |train AS (SELECT DISTINCT source, s FROM ds WHERE doc_id % 50 <> 0),
+      |probes AS (SELECT DISTINCT s FROM ds WHERE doc_id % 50 = 0),
+      |ks AS (SELECT unnest([0, 1]) AS i),
+      |tbits AS (
+      |  SELECT source,
+      |         ((CAST(concat('0x', substr(md5('bf|' || s), 1, 15)) AS BIGINT)
+      |           >> (13 * i)) & 16383) AS p
+      |  FROM train CROSS JOIN ks),
+      |bloom AS (
+      |  SELECT source, p >> 5 AS widx,
+      |         bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS word
+      |  FROM tbits GROUP BY 1, 2),
+      |pbits AS (
+      |  SELECT s,
+      |         ((CAST(concat('0x', substr(md5('bf|' || s), 1, 15)) AS BIGINT)
+      |           >> (13 * i)) & 16383) AS p
+      |  FROM probes CROSS JOIN ks),
+      |hit AS (
+      |  SELECT pb.s, src.source,
+      |         min(CASE WHEN (bl.word &
+      |                        (1::BIGINT << CAST(pb.p & 31 AS INT))) <> 0
+      |                  THEN 1 ELSE 0 END) AS maybe
+      |  FROM pbits pb
+      |  CROSS JOIN (SELECT DISTINCT source FROM train) src
+      |  LEFT JOIN bloom bl ON bl.source = src.source AND bl.widx = pb.p >> 5
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT source, s, 1 AS present FROM train),
+      |j AS (
+      |  SELECT h.source, h.maybe, coalesce(e.present, 0) AS present
+      |  FROM hit h LEFT JOIN exact e ON h.source = e.source AND h.s = e.s)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_probes,
+      |       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+      |       CAST(sum(present) AS BIGINT) AS n_present,
+      |       CAST(sum(CASE WHEN maybe = 1 AND present = 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_fp,
+      |       CASE WHEN count(*) - sum(present) > 0 THEN
+      |         floor(sum(CASE WHEN maybe = 1 AND present = 0
+      |                        THEN 1 ELSE 0 END) * 10000.0 /
+      |               (count(*) - sum(present)) + 0.5) / 10000.0
+      |       END AS fp_rate
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.{shingles, stableHash60, words}
+    def positions(c: org.apache.spark.sql.Column) =
+      array((0 until 2).map(i =>
+        shiftright(stableHash60(concat(lit("bf|"), c)), 13 * i)
+          .bitwiseAND(16383L)): _*)
+    // shift amount is a per-row column, so the SQL form of shiftleft is
+    // required (the Scala signature only takes a literal Int)
+    val maskOf = expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))")
+    val ds = Tables
+      .documents(s, d)
+      .select($"doc_id", $"source", words($"text").as("w"))
+      .select($"doc_id", $"source",
+        explode(array_distinct(shingles($"w", 3))).as("s"))
+    val train = ds.filter($"doc_id" % 50 =!= 0).select($"source", $"s").distinct()
+    val probes = ds.filter($"doc_id" % 50 === 0).select($"s").distinct()
+    val bloom = train
+      .select($"source", explode(positions($"s")).as("p"))
+      .groupBy($"source", shiftright($"p", 5).as("widx"))
+      .agg(bit_or(maskOf).as("word"))
+    // srcs/bloom both descend from `train` — rename columns apart so the
+    // probe-side join isn't an ambiguous self-join lineage
+    val srcs = train.select($"source".as("psource")).distinct()
+    val bloomR = bloom.withColumnRenamed("source", "bsource")
+    val hit = probes
+      .select($"s", explode(positions($"s")).as("p"))
+      .crossJoin(broadcast(srcs))
+      .join(bloomR,
+        $"bsource" === $"psource" && $"widx" === shiftright($"p", 5),
+        "left")
+      .select($"psource".as("source"), $"s",
+        when($"word".isNotNull && ($"word".bitwiseAND(maskOf) =!= 0), 1)
+          .otherwise(0).as("bit"))
+      .groupBy($"source", $"s")
+      .agg(min($"bit").as("maybe"))
+    val exact = train.withColumn("present", lit(1))
+    val den = count(lit(1)) - sum($"present")
+    val fp = sum(when($"maybe" === 1 && $"present" === 0, 1).otherwise(0))
+    hit
+      .join(exact, Seq("source", "s"), "left")
+      .na.fill(0, Seq("present"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum($"maybe").as("n_maybe"),
+        sum($"present").as("n_present"),
+        fp.as("n_fp"),
+        when(den > 0, floor(fp * lit(10000.0) / den + 0.5) / 10000.0)
+          .as("fp_rate"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
-      qTokenCms)
+      qTokenCms, qShingleBloom)
 }

@@ -166,6 +166,21 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("shingle bloom never false-negatives and bounds its fp rate") {
+    val got = graft.operators.Extras.qShingleBloom.fn(spark, sf)
+      .select($"n_probes", $"n_maybe", $"n_present", $"n_fp")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { case (probes, maybe, present, fp) =>
+      // a bloom filter may false-positive but NEVER false-negative:
+      // every truly-present probe must answer "maybe"
+      assert(maybe >= present, "false negative detected")
+      assert(maybe - present === fp, "fp accounting")
+      assert(fp <= probes - present, "fp bounded by absent probes")
+    }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
