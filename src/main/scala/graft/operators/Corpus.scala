@@ -332,7 +332,59 @@ object Corpus {
       .orderBy($"rn")
   }
 
+  /** Temperature exponent for smoothed source mixing (the mBERT/XLM-R
+    * recipe: sample source i ∝ p_i^α — α < 1 up-weights small sources
+    * without flattening to uniform). */
+  val MixAlpha = 0.3
+
+  /** Temperature-scaled source mixing: each source's natural token share
+    * p_i is smoothed to q_i = p_i^α / Σ p_j^α, and the boost q_i/p_i is
+    * the per-source duplication (or subsampling) factor that realizes
+    * the mix. Complements [[qMixSources]]' uniform-target weights with
+    * the standard smoothed-multinomial curriculum. The whole computation
+    * happens on the |sources|-row aggregate — one map-side-combined
+    * wordcount shuffle, then arithmetic on a relation small enough to
+    * broadcast at any corpus size. */
+  val qTemperatureMix = QueryDef.sql(
+    "q_temperature_mix",
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY source),
+       |shares AS (
+       |  SELECT source, n_tokens,
+       |         n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+       |         pow(n_tokens * 1.0 / sum(n_tokens) OVER (), $MixAlpha) AS pw
+       |  FROM per_src)
+       |SELECT source, n_tokens,
+       |       round(p, 4) AS natural_share,
+       |       round(pw / sum(pw) OVER (), 4) AS smoothed_share,
+       |       round((pw / sum(pw) OVER ()) / p, 4) AS boost
+       |FROM shares ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the window runs over the |sources|-row aggregate only; the constant
+    // partition key keeps WindowExec's "No Partition Defined" alarm out
+    // of operator logs (same pattern as q_weighted_sample)
+    val all = Window.partitionBy(lit(0))
+    val p = $"n_tokens" * lit(1.0) / sum($"n_tokens").over(all)
+    Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(sum(size(words($"text")).cast("long")).as("n_tokens"))
+      .withColumn("p", p)
+      .withColumn("pw", pow($"p", MixAlpha))
+      .select(
+        $"source", $"n_tokens",
+        round($"p", 4).as("natural_share"),
+        round($"pw" / sum($"pw").over(all), 4).as("smoothed_share"),
+        round(($"pw" / sum($"pw").over(all)) / $"p", 4).as("boost"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
-      qTfidfTopTerms, qTextRepetition, qWeightedSample)
+      qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix)
 }

@@ -181,6 +181,21 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixing up-weights small sources monotonically") {
+    val got = Corpus.qTemperatureMix.fn(spark, sf)
+      .select($"n_tokens", $"natural_share", $"smoothed_share", $"boost")
+      .as[(Long, Double, Double, Double)]
+      .collect()
+    assert(got.length > 1)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-2, "natural shares sum to 1")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-2, "smoothed shares sum to 1")
+    // α < 1 ⇒ boost = p^(α-1)/Z is strictly decreasing in source size
+    val bySize = got.sortBy(_._1)
+    assert(bySize.map(_._4).toSeq === bySize.map(_._4).sorted.reverse.toSeq,
+      "boost must decrease as source token mass grows")
+    assert(bySize.head._4 >= bySize.last._4)
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
