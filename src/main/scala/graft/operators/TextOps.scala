@@ -435,7 +435,111 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** One BPE merge round (tokenizer induction): score all adjacent
+    * symbol pairs, pick the most frequent merge, apply it, and emit the
+    * top-10 pair table before AND after — the inner loop of training a
+    * subword vocabulary on the corpus.
+    *
+    * Scale (the Sennrich trick): BPE trains on the WORD HISTOGRAM, not
+    * the token stream — after one map-side-combined wordcount shuffle,
+    * every further step runs on |vocab| rows (broadcastable), so a
+    * full merge loop costs one corpus scan + rounds × vocab-sized work.
+    * Merge application is a two-pass delimiter replace: deterministic,
+    * maximal non-overlapping, and identical in both engines (documented
+    * divergence from strict left-to-right scan order on runs like
+    * 'aaaaa', where any maximal pairing is a valid BPE step). */
+  val qBpeMergeStep = QueryDef.sql(
+    "q_bpe_merge_step",
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+      |spaced AS (
+      |  SELECT word, c, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sp
+      |  FROM wc),
+      |pairs AS (
+      |  SELECT p, sum(c) AS cnt FROM (
+      |    SELECT c, unnest([substr(word, i, 1) || ' ' || substr(word, i+1, 1)
+      |                      for i in range(1, len(word))]) AS p
+      |    FROM wc WHERE len(word) >= 2)
+      |  GROUP BY p),
+      |before10 AS (
+      |  SELECT 'before' AS phase, p, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, p) AS rnk
+      |  FROM pairs),
+      |best AS (SELECT p AS bp FROM before10 WHERE rnk = 1),
+      |merged AS (
+      |  SELECT c,
+      |         replace(replace(sp,
+      |                   ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' '),
+      |                 ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')
+      |           AS sp
+      |  FROM spaced CROSS JOIN best),
+      |after_pairs AS (
+      |  SELECT p, sum(c) AS cnt FROM (
+      |    SELECT c, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+      |             AS p
+      |    FROM (SELECT c, string_split_regex(trim(sp), ' +') AS s FROM merged)
+      |    WHERE len(s) >= 2)
+      |  GROUP BY p),
+      |after10 AS (
+      |  SELECT 'after' AS phase, p, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, p) AS rnk
+      |  FROM after_pairs)
+      |SELECT phase, CAST(rnk AS INT) AS rnk, p AS pair,
+      |       CAST(cnt AS BIGINT) AS wcount
+      |FROM (SELECT * FROM before10 WHERE rnk <= 10
+      |      UNION ALL SELECT * FROM after10 WHERE rnk <= 10)
+      |ORDER BY phase, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the ranking windows run over the vocab-sized pair relation only;
+    // constant partition key (same pattern as q_weighted_sample)
+    val byCnt = Window.partitionBy(lit(0)).orderBy($"cnt".desc, $"p")
+    val wc = Tables
+      .documents(s, d)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+    def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size($"s") >= 2)
+      .select($"c",
+        explode(transform(sequence(lit(1), size($"s") - 1),
+          i => concat(element_at($"s", i), lit(" "),
+            element_at($"s", i + 1)))).as("p"))
+      .groupBy($"p")
+      .agg(sum($"c").as("cnt"))
+    val chars = wc.select($"c",
+      transform(sequence(lit(1), length($"word")),
+        i => $"word".substr(i, lit(1))).as("s"))
+    val before10 = pairCounts(chars)
+      .withColumn("rnk", row_number().over(byCnt))
+    val best = before10.filter($"rnk" === 1).select($"p".as("bp"))
+    val applyMerge = expr(
+      """replace(replace(sp,
+        |          ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' '),
+        |        ' ' || bp || ' ', ' ' || replace(bp, ' ', '') || ' ')
+        |""".stripMargin)
+    val merged = wc
+      .select($"c",
+        concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("sp"))
+      .crossJoin(broadcast(best))
+      .select($"c", split(trim(applyMerge), " +").as("s"))
+    val after10 = pairCounts(merged)
+      .withColumn("rnk", row_number().over(byCnt))
+    val out = before10
+      .withColumn("phase", lit("before"))
+      .unionByName(after10.withColumn("phase", lit("after")))
+      .filter($"rnk" <= 10)
+    out
+      .select($"phase", $"rnk", $"p".as("pair"),
+        $"cnt".cast("long").as("wcount"))
+      .orderBy($"phase", $"rnk")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub)
+      qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub,
+      qBpeMergeStep)
 }

@@ -196,6 +196,25 @@ class ScoringSpec extends SparkSpec {
     assert(bySize.head._4 >= bySize.last._4)
   }
 
+  test("bpe merge step eliminates the chosen pair and emits both phases") {
+    val got = TextOps.qBpeMergeStep.fn(spark, sf)
+      .select($"phase", $"rnk", $"pair", $"wcount")
+      .as[(String, Int, String, Long)]
+      .collect()
+    val before = got.filter(_._1 == "before").sortBy(_._2)
+    val after = got.filter(_._1 == "after").sortBy(_._2)
+    assert(before.length === 10 && after.length === 10)
+    val bestPair = before.head._3
+    // the merge is maximal: no adjacent occurrence of the merged pair
+    // survives, so it cannot appear in the post-merge pair table
+    assert(!after.exists(_._3 == bestPair),
+      s"merged pair '$bestPair' must vanish from the after table")
+    // the merge strictly reduces total pair mass: the new top count can
+    // never exceed the old one (merging only removes/retypes pairs)
+    assert(after.head._4 <= before.head._4)
+    got.foreach { case (_, _, _, c) => assert(c > 0) }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
