@@ -310,25 +310,10 @@ object Corpus {
        |ORDER BY rn""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val u = (stableHash60(concat(lit("ws|"), $"doc_id".cast("string")))
-      % 1000000L + lit(0.5)) / lit(1000000.0)
-    // constant partition key: the window runs over the WeightedK surviving
-    // rows only, and a non-empty partition spec avoids WindowExec's
-    // "No Partition Defined" alarm in operator logs
-    val win = Window.partitionBy(lit(0)).orderBy($"k", $"doc_id")
-    Tables
-      .documents(s, d)
-      .select($"doc_id", greatest($"n_chars", lit(1L)).as("w"),
-        round(-log(u) / greatest($"n_chars", lit(1L)), 8).as("k"))
-      // global row_number over a pre-filtered top-k: the ORDER BY k LIMIT
-      // shape lowers to TakeOrderedAndProject (per-partition heaps), and
-      // only WeightedK rows ever reach the single-partition window
-      .orderBy($"k", $"doc_id")
-      .limit(WeightedK)
-      .withColumn("rn", row_number().over(win))
-      .select($"rn", $"doc_id", $"w".cast("long").as("weight"),
-        $"k".as("sample_key"))
+    // the SAME column-parameterized sampler the library exposes
+    // (CorpusOps.weightedSample) — gate and API cannot drift
+    CorpusOps
+      .weightedSample(Tables.documents(s, d), "doc_id", "n_chars", WeightedK)
       .orderBy($"rn")
   }
 

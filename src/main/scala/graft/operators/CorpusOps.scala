@@ -169,6 +169,128 @@ object CorpusOps {
           .as("band"))
   }
 
+  /** Hashed linear quality score per row (the fastText-style recipe
+    * behind q_quality_classifier): token t carries hash-derived weight
+    * (stable_hash60("qw|"+t) % 2001 − 1000)/1000, the logit is the
+    * token-mean, the score its logistic squash, `keep` the ≥0.5 gate.
+    * No model table exists — scoring is a single narrow pass plus one
+    * per-row aggregate. Returns (idCol, n_tokens, logit, score, keep). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    checkReserved(df)
+    val tokCol = ReservedPrefix + "token"
+    val n = ReservedPrefix + "n"
+    val zsum = ReservedPrefix + "zsum"
+    val weight =
+      stableHash60(concat(lit("qw|"), col(tokCol))) % 2001L - 1000L
+    val logit = floor(col(zsum) * lit(10.0) / col(n) + 0.5) / 10000.0
+    val score = lit(1.0) / (lit(1.0) + exp(-(col(zsum) / (lit(1000.0) * col(n)))))
+    df.select(col(idCol), explode(words(col(textCol))).as(tokCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as(n), sum(weight).as(zsum))
+      .select(
+        col(idCol),
+        col(n).cast("int").as("n_tokens"),
+        logit.as("logit"),
+        round(score, 4).as("score"),
+        when(score >= 0.5, 1).otherwise(0).cast("int").as("keep"))
+  }
+
+  /** Overlapping sliding-window retrieval chunks (q_rag_chunks): windows
+    * of `size` words every `stride`, tail chunks kept. Narrow — each
+    * task chunks its own split. Returns (idCol, chunk_idx, start_word,
+    * n_chunk_words, chunk_text). */
+  def ragChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 8, stride: Int = 4): DataFrame = {
+    checkReserved(df)
+    val w = ReservedPrefix + "w"
+    val x = ReservedPrefix + "x"
+    df.select(col(idCol), words(col(textCol)).as(w))
+      .select(col(idCol),
+        explode(
+          transform(
+            sequence(lit(1), size(col(w)), lit(stride)),
+            i => struct(i.as("start"), slice(col(w), i, lit(chunkSize)).as("cw"))))
+          .as(x))
+      .select(
+        col(idCol),
+        ((col(s"$x.start") - 1) / stride).cast("int").as("chunk_idx"),
+        col(s"$x.start").cast("int").as("start_word"),
+        size(col(s"$x.cw")).as("n_chunk_words"),
+        array_join(col(s"$x.cw"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis, q_weighted_sample): row i gets key
+    * −ln(u_i)/w_i from a hash-derived uniform; the k smallest keys win,
+    * so probability scales with the weight column. ORDER BY key LIMIT k
+    * lowers to per-partition heaps — no global sort. Returns
+    * (rn, idCol, weight, sample_key) ranked 1..k. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val w = ReservedPrefix + "w"
+    val key = ReservedPrefix + "k"
+    val u = (stableHash60(concat(lit(salt + "|"), col(idCol).cast("string")))
+      % 1000000L + lit(0.5)) / lit(1000000.0)
+    val win = Window.partitionBy(lit(0)).orderBy(col(key), col(idCol))
+    df.select(col(idCol), greatest(col(weightCol), lit(1L)).as(w),
+        round(-log(u) / greatest(col(weightCol), lit(1L)), 8).as(key))
+      .orderBy(col(key), col(idCol))
+      .limit(k)
+      .withColumn("rn", row_number().over(win))
+      .select(col("rn"), col(idCol), col(w).cast("long").as("weight"),
+        col(key).as("sample_key"))
+  }
+
+  /** Substring (span-level) dedup statistics (q_substring_dedup): every
+    * overlapping spanK-token window is hashed; windows whose hash occurs
+    * ≥2 times corpus-wide are duplicated spans, and per row the merged-
+    * interval token coverage is computed with a running-max window. Only
+    * (id, pos, hash64) ever shuffles. Returns (idCol, n_windows,
+    * n_dup_windows, dup_tokens, dup_token_frac). */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+      spanK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val w = ReservedPrefix + "w"
+    val nw = ReservedPrefix + "nw"
+    val p0 = ReservedPrefix + "p0"
+    val sp = ReservedPrefix + "sp"
+    val pos = ReservedPrefix + "pos"
+    val h = ReservedPrefix + "h"
+    val isDup = ReservedPrefix + "dup"
+    val prevEnd = ReservedPrefix + "prev"
+    val wins = df
+      .select(col(idCol), words(col(textCol)).as(w))
+      .filter(size(col(w)) >= spanK)
+      .select(col(idCol), size(col(w)).as(nw),
+        posexplode(shingles(col(w), spanK)).as(Seq(p0, sp)))
+      .select(col(idCol), col(nw), (col(p0) + 1).as(pos),
+        stableHash60(col(sp)).as(h))
+    val wCnt = Window.partitionBy(col(h))
+    val wCov = Window.partitionBy(col(idCol)).orderBy(col(pos))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contribution = when(col(isDup) === 1,
+      greatest(
+        lit(0),
+        col(pos) + lit(spanK - 1) -
+          greatest(coalesce(col(prevEnd), lit(0)), col(pos) - 1)))
+      .otherwise(0)
+    wins
+      .withColumn(isDup,
+        when(count(lit(1)).over(wCnt) >= 2, 1).otherwise(0))
+      .withColumn(prevEnd,
+        max(when(col(isDup) === 1, col(pos) + lit(spanK - 1))).over(wCov))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col(isDup)).as("n_dup_windows"),
+        sum(contribution).as("dup_tokens"),
+        round(sum(contribution) * lit(1.0) / first(col(nw)), 4)
+          .as("dup_token_frac"))
+  }
+
   /** Out-of-vocabulary statistics per row against the corpus's own top-V
     * vocabulary (count-desc, word-asc tie-break). The V-row vocabulary
     * broadcasts to the token stream; the only shuffles are the wordcount

@@ -390,36 +390,10 @@ object Curation {
       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val wins = Tables
-      .documents(s, d)
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= SpanK)
-      .select($"doc_id", size($"w").as("n_words"),
-        posexplode(shingles($"w", SpanK)).as(Seq("p0", "sp")))
-      // 1-based window start; only the 60-bit hash travels from here on
-      .select($"doc_id", $"n_words", ($"p0" + 1).as("pos"),
-        stableHash60($"sp").as("h"))
-    val wCnt = Window.partitionBy($"h")
-    val wCov = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val contribution = when($"is_dup" === 1,
-      greatest(
-        lit(0),
-        $"pos" + lit(SpanK - 1) -
-          greatest(coalesce($"prev_end", lit(0)), $"pos" - 1)))
-      .otherwise(0)
-    wins
-      .withColumn("is_dup",
-        when(count(lit(1)).over(wCnt) >= 2, 1).otherwise(0))
-      .withColumn("prev_end",
-        max(when($"is_dup" === 1, $"pos" + lit(SpanK - 1))).over(wCov))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_windows"),
-        sum($"is_dup").as("n_dup_windows"),
-        sum(contribution).as("dup_tokens"),
-        round(sum(contribution) * lit(1.0) / first($"n_words"), 4)
-          .as("dup_token_frac"))
+    // the SAME column-parameterized operator the library exposes
+    // (CorpusOps.spanDedupStats) — gate and API cannot drift
+    CorpusOps
+      .spanDedupStats(Tables.documents(s, d), "doc_id", "text", SpanK)
       .orderBy($"doc_id")
   }
 

@@ -56,21 +56,10 @@ object Scoring {
       |FROM feat ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val weight =
-      stableHash60(concat(lit("qw|"), $"token")) % 2001L - 1000L
-    val logit = $"zsum" / (lit(1000.0) * $"n")
-    val score = lit(1.0) / (lit(1.0) + exp(-logit))
-    Tables
-      .documents(s, d)
-      .select($"doc_id", explode(words($"text")).as("token"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n"), sum(weight).as("zsum"))
-      .select(
-        $"doc_id",
-        $"n".cast("int").as("n_tokens"),
-        (floor($"zsum" * lit(10.0) / $"n" + 0.5) / 10000.0).as("logit"),
-        round(score, 4).as("score"),
-        when(score >= 0.5, 1).otherwise(0).cast("int").as("keep"))
+    // the SAME column-parameterized scorer the library exposes
+    // (CorpusOps.qualityScore) — gate and API cannot drift
+    CorpusOps
+      .qualityScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id")
   }
 

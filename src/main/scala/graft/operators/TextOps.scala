@@ -352,23 +352,10 @@ object TextOps {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    // words() materialized first — inlined into the transform lambda it
-    // would re-split the text for every chunk (O(n²) per document)
-    Tables
-      .documents(s, d)
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id",
-        explode(
-          transform(
-            sequence(lit(1), size($"w"), lit(RagStride)),
-            i => struct(i.as("start"), slice($"w", i, lit(RagSize)).as("cw"))))
-          .as("x"))
-      .select(
-        $"doc_id",
-        (($"x.start" - 1) / RagStride).cast("int").as("chunk_idx"),
-        $"x.start".cast("int").as("start_word"),
-        size($"x.cw").as("n_chunk_words"),
-        array_join($"x.cw", " ").as("chunk_text"))
+    // the SAME column-parameterized chunker the library exposes
+    // (CorpusOps.ragChunks) — gate and API cannot drift
+    CorpusOps
+      .ragChunks(Tables.documents(s, d), "doc_id", "text", RagSize, RagStride)
       .orderBy($"doc_id", $"chunk_idx")
   }
 
