@@ -355,4 +355,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall { case (s, n, c) =>
       n === s.getBytes("UTF-8").length && c === 1L })
   }
+
+  test("library chunker runs unchanged on a stream (batch/stream parity)") {
+    // CorpusOps.ragChunks is a narrow transform, so the SAME library call
+    // that chunks a batch corpus chunks a readStream — no streaming
+    // variant to maintain. Batch output is the ground truth.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma"),
+      (3L, "just one tiny doc here"))
+    in.addData(docs: _*)
+    val streamed = operators.CorpusOps.ragChunks(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      chunkSize = 4, stride = 2)
+    runToMemory(streamed, "chunks_out")
+    val got = spark.table("chunks_out")
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val batch = operators.CorpusOps.ragChunks(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 4, stride = 2)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.count(_._1 == 1L) === 5) // 10 words, size 4 stride 2
+  }
 }
