@@ -339,6 +339,56 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** LSH dedup quality measurement (the dedup twin of q_ann_recall):
+    * MinHash-LSH candidate pairs scored against the exact Jaccard ≥ 0.8
+    * ground truth — recall (how many true near-dup pairs the bands
+    * surface) and precision (how much of the candidate set is real).
+    * At production scale the truth side runs on a sampled slice; here
+    * the fixture is small enough to measure exactly. The oracle inlines
+    * BOTH CTE chains (sharing the distinct-shingle stream) and the
+    * ratios use the tie-safe floor(x·10⁴+0.5) rounding — they are exact
+    * rationals of counts. */
+  val qLshRecall = QueryDef.sql(
+    "q_dedup_lsh_recall",
+    s"""WITH $minhashPairsCtes,
+       |tcnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |tpairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT d1, d2 FROM tpairs
+       |    JOIN tcnt ca ON d1 = ca.doc_id
+       |    JOIN tcnt cb ON d2 = cb.doc_id
+       |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+       |hit AS (SELECT d1, d2 FROM truth INTERSECT SELECT d1, d2 FROM cand)
+       |SELECT
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       |  floor((SELECT count(*) FROM hit) * 10000.0 /
+       |        (SELECT count(*) FROM truth) + 0.5) / 10000.0 AS pair_recall,
+       |  floor((SELECT count(*) FROM hit) * 10000.0 /
+       |        (SELECT count(*) FROM cand) + 0.5) / 10000.0 AS pair_precision""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val truth = qNgramJaccard.fn(s, d).select($"d1", $"d2")
+    val cand = minhashPairs(s, d)
+    val truthN = truth.agg(count(lit(1)).as("n_truth"))
+    val candN = cand.agg(count(lit(1)).as("n_candidates"))
+    val hitN = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    truthN
+      .crossJoin(candN)
+      .crossJoin(hitN)
+      .select(
+        $"n_truth", $"n_candidates", $"n_hit",
+        (floor($"n_hit" * lit(10000.0) / $"n_truth" + 0.5) / 10000.0)
+          .as("pair_recall"),
+        (floor($"n_hit" * lit(10000.0) / $"n_candidates" + 0.5) / 10000.0)
+          .as("pair_precision"))
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups)
+    Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
+      qLshRecall)
 }

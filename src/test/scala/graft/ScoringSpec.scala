@@ -215,6 +215,18 @@ class ScoringSpec extends SparkSpec {
     got.foreach { case (_, _, _, c) => assert(c > 0) }
   }
 
+  test("lsh dedup recall measurement is internally consistent") {
+    val Array((truth, cand, hit, recall, precision)) =
+      graft.operators.Dedup.qLshRecall.fn(spark, sf)
+        .as[(Long, Long, Long, Double, Double)]
+        .collect()
+    assert(hit <= truth && hit <= cand, "hits bounded by both sets")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(precision >= 0.0 && precision <= 1.0)
+    // 16 permutations / 4×4 banding must surface most 0.8-Jaccard pairs
+    assert(recall >= 0.5, s"suspiciously low LSH recall $recall")
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
