@@ -165,5 +165,80 @@ object Pipeline {
       .orderBy($"lang", $"doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qCleanCorpus, qTrainingMix)
+  /** Tokens per output shard for the export manifest. */
+  val ShardTokens = 2048L
+
+  /** Export-stage shard manifest: documents are laid out in doc_id order
+    * and cut into ~[[ShardTokens]]-token shards by exclusive prefix sum
+    * (a document starts the next shard when the running total crosses
+    * the boundary — documents are never split). Emits, per shard, the
+    * doc/token counts, the id range, and an order-independent content
+    * checksum — what a 100 TB training-data export writes next to its
+    * shard files so a reader can verify completeness.
+    *
+    * Scale: the prefix sum is the same two-phase shape as
+    * q_events_gauge — intra-bucket running sums in parallel (bucket =
+    * doc_id div 100, monotone in the layout order) plus inter-bucket
+    * offsets from a broadcast triangular join over the per-bucket
+    * TOTALS. Nothing funnels through a single task; the checksum stays
+    * in a prime field so the sum cannot overflow either engine. */
+  val qShardManifest = QueryDef.sql(
+    "q_shard_manifest",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(trim(text), ' +')) AS n_tok,
+       |         CAST(concat('0x', substr(md5('sh|' || doc_id), 1, 15))
+       |              AS BIGINT) % 1000000007 AS h
+       |  FROM documents),
+       |laid AS (
+       |  SELECT doc_id, n_tok, h,
+       |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS cum_before
+       |  FROM t)
+       |SELECT CAST(cum_before // $ShardTokens AS BIGINT) AS shard_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc,
+       |       CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+       |FROM laid GROUP BY shard_id ORDER BY shard_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("n_tok"),
+        pmod(stableHash60(concat(lit("sh|"), $"doc_id".cast("string"))),
+          lit(1000000007L)).as("h"),
+        expr("doc_id div 100").as("bucket"))
+    // two-phase exclusive prefix sum (see q_events_gauge): intra-bucket
+    // running sums parallelize; offsets come from the per-bucket totals
+    val intraW = Window
+      .partitionBy($"bucket")
+      .orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = t.groupBy($"bucket").agg(sum($"n_tok").as("btotal"))
+    val prior = totals
+      .select($"bucket".as("pbucket"), $"btotal".as("ptotal"))
+    val offsets = totals
+      .join(broadcast(prior), $"pbucket" < $"bucket", "left")
+      .groupBy($"bucket")
+      .agg(coalesce(sum($"ptotal"), lit(0L)).as("off"))
+    t.withColumn("intra", coalesce(sum($"n_tok").over(intraW), lit(0L)))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_before", $"intra" + $"off")
+      .groupBy(expr(s"cum_before div $ShardTokens").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"),
+        pmod(sum($"h"), lit(1000000007L)).as("checksum"))
+      .orderBy($"shard_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qCleanCorpus, qTrainingMix, qShardManifest)
 }

@@ -227,6 +227,28 @@ class ScoringSpec extends SparkSpec {
     assert(recall >= 0.5, s"suspiciously low LSH recall $recall")
   }
 
+  test("shard manifest conserves the corpus and cuts contiguous ranges") {
+    val got = graft.operators.Pipeline.qShardManifest.fn(spark, sf)
+      .select($"shard_id", $"n_docs", $"n_tokens", $"first_doc", $"last_doc")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong), "dense shard ids")
+    assert(got.map(_._2).sum === docs.count(), "every document lands in a shard")
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.words($"text")).cast("long"))
+      .as[Long].collect().sum
+    assert(got.map(_._3).sum === totalTokens, "token mass conserved")
+    // doc_id ranges tile the corpus without gap or overlap
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 === a._5 + 1,
+        s"shard ${b._1} must start right after shard ${a._1}")
+      case _ =>
+    }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
