@@ -168,6 +168,16 @@ object Pipeline {
   /** Tokens per output shard for the export manifest. */
   val ShardTokens = 2048L
 
+  /** Prefix-sum bucket width for [[qShardManifest]], chosen so the
+    * per-bucket totals relation stays ~10k rows at ANY corpus size —
+    * the gauge's two-phase recipe assumes aggregate-sized totals, and a
+    * FIXED width would make the O(buckets²) offsets join quadratic in
+    * the corpus (1e7 buckets at 1e9 docs = 1e14 comparisons). Any
+    * monotone bucketing yields identical results, so the width is free
+    * to scale; the oracle's global window never sees it. */
+  private[graft] def shardBucketSize(nDocs: Long): Long =
+    math.max(100L, nDocs / 10000L)
+
   /** Export-stage shard manifest: documents are laid out in doc_id order
     * and cut into ~[[ShardTokens]]-token shards by exclusive prefix sum
     * (a document starts the next shard when the running total crosses
@@ -205,6 +215,9 @@ object Pipeline {
        |FROM laid GROUP BY shard_id ORDER BY shard_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
+    // bucket width scales with the corpus (driver-side count is parquet-
+    // metadata cheap, same as the semantic-dedup quantizer sizing)
+    val bucketSize = shardBucketSize(Tables.documents(s, d).count())
     val t = Tables
       .documents(s, d)
       .select($"doc_id", words($"text").as("w"))
@@ -213,7 +226,7 @@ object Pipeline {
         size($"w").cast("long").as("n_tok"),
         pmod(stableHash60(concat(lit("sh|"), $"doc_id".cast("string"))),
           lit(1000000007L)).as("h"),
-        expr("doc_id div 100").as("bucket"))
+        expr(s"doc_id div $bucketSize").as("bucket"))
     // two-phase exclusive prefix sum (see q_events_gauge): intra-bucket
     // running sums parallelize; offsets come from the per-bucket totals
     val intraW = Window

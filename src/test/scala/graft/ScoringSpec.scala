@@ -227,6 +227,17 @@ class ScoringSpec extends SparkSpec {
     assert(recall >= 0.5, s"suspiciously low LSH recall $recall")
   }
 
+  test("shard prefix-sum bucket count stays bounded at any corpus size") {
+    import graft.operators.Pipeline.shardBucketSize
+    // the offsets join is O(buckets²): totals must stay aggregate-sized
+    for (n <- Seq(500L, 1000000L, 1000000000L, 1000000000000L)) {
+      val buckets = n / shardBucketSize(n) + 1
+      assert(buckets <= 10001L, s"$buckets buckets at n=$n")
+    }
+    assert(shardBucketSize(500) === 100)
+    assert(shardBucketSize(1000000000L) === 100000L)
+  }
+
   test("shard manifest conserves the corpus and cuts contiguous ranges") {
     val got = graft.operators.Pipeline.qShardManifest.fn(spark, sf)
       .select($"shard_id", $"n_docs", $"n_tokens", $"first_doc", $"last_doc")
