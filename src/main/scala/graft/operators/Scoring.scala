@@ -112,5 +112,66 @@ object Scoring {
       .orderBy($"doc_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qQualityClassifier, qDocCrossEntropy)
+  /** Per-language adaptive quality thresholds: instead of one global
+    * cutoff, each language's own logit distribution sets its p10/p50,
+    * and documents below their language's p10 are cut — the
+    * distribution-aware filtering a multilingual corpus needs (a global
+    * threshold silently over-filters whichever language scores lower).
+    * Exact interpolated percentiles over the per-language aggregate;
+    * the cut decision compares against the UNROUNDED percentile, which
+    * either equals a data point bit-exactly in both engines (f = 0) or
+    * lies strictly inside a ≥10⁻⁴-wide logit gap — either way the
+    * comparison cannot flip. Scale: scoring is the narrow hashed pass;
+    * the percentile aggregate shuffles logit-sized rows by language and
+    * its |langs|-row cut table broadcasts back. */
+  val qQualityThreshold = QueryDef.sql(
+    "q_quality_threshold",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(w) AS token FROM t),
+      |feat AS (
+      |  SELECT doc_id, any_value(lang) AS lang, count(*) AS n,
+      |         sum((CAST(concat('0x', substr(md5('qw|' || token), 1, 15))
+      |              AS BIGINT) % 2001) - 1000) AS zsum
+      |  FROM tok GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, lang, floor(zsum * 10.0 / n + 0.5) / 10000.0 AS logit
+      |  FROM feat),
+      |cuts AS (
+      |  SELECT lang, quantile_cont(logit, 0.1) AS p10,
+      |         quantile_cont(logit, 0.5) AS p50
+      |  FROM scored GROUP BY lang)
+      |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(any_value(p10), 4) AS p10,
+      |       round(any_value(p50), 4) AS p50,
+      |       CAST(sum(CASE WHEN logit < p10 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_cut
+      |FROM scored s JOIN cuts USING (lang)
+      |GROUP BY s.lang ORDER BY s.lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val scored = CorpusOps
+      .qualityScore(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"logit")
+    val cuts = scored
+      .groupBy($"lang")
+      .agg(
+        expr("percentile(logit, 0.1)").as("p10"),
+        expr("percentile(logit, 0.5)").as("p50"))
+    scored
+      .join(broadcast(cuts), "lang")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(first($"p10"), 4).as("p10"),
+        round(first($"p50"), 4).as("p50"),
+        sum(when($"logit" < $"p10", 1L).otherwise(0L)).as("n_cut"))
+      .orderBy($"lang")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold)
 }

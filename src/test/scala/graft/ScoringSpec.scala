@@ -260,6 +260,19 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("adaptive quality thresholds cut ~10% per language") {
+    val got = Scoring.qQualityThreshold.fn(spark, sf)
+      .select($"n_docs", $"p10", $"p50", $"n_cut")
+      .as[(Long, Double, Double, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { case (n, p10, p50, cut) =>
+      assert(p10 <= p50, "percentiles must be ordered")
+      // strictly-below-p10 mass is ≤10% by definition of the quantile
+      assert(cut <= math.ceil(n * 0.1).toLong + 1, s"cut $cut of $n")
+    }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
