@@ -36,25 +36,38 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         name -> (if (ok) dt else -dt)
       }
-    // two full passes in one JVM: pass 1 absorbs codegen compilation, GC
-    // ramp and page-cache warmup; pass 2 is the reported steady-state
-    // number, so round-over-round comparisons are signal instead of
-    // cold-start noise
-    val pass1 = runPass()
-    val results = runPass()
+    // N full passes in one JVM (default 3): pass 1 absorbs codegen
+    // compilation, GC ramp and page-cache warmup; the REPORTED per-query
+    // number is the MIN across passes — a machine-wide load burst (the
+    // r5 artifact was captured during one, inflating a 100-row projection
+    // to 21 s) slows SOME passes, but the min over ≥3 survives any burst
+    // shorter than the whole run, so round-over-round deltas are signal
+    val nPasses =
+      math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val passes = (1 to nPasses).map(_ => runPass())
+    val names = passes.head.keys.toSeq.sorted
+    // min over the passes where the query SUCCEEDED; all-failed stays
+    // negative so a swallowed failure can't read as a fast timing
+    val results: Map[String, Double] = names.map { n =>
+      val vs = passes.map(_(n))
+      val ok = vs.filter(_ > 0)
+      n -> (if (ok.nonEmpty) ok.min else vs.head)
+    }.toMap
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ > 0).sum
-    val total1 = pass1.values.filter(_ > 0).sum
+    val total1 = passes.head.values.filter(_ > 0).sum
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // durable machine-readable artifact with BOTH passes, immune to the
+    // durable machine-readable artifact with EVERY pass, immune to the
     // harness's stdout tail truncation (r1-r3 totals were lost to it)
-    val names = results.keys.toSeq.sorted
     val artifact = names
       .map { n =>
-        s""""$n":{"pass1":${f3(pass1.getOrElse(n, 0.0))},"pass2":${f3(results(n))}}"""
+        val per = passes.zipWithIndex
+          .map { case (p, i) => s""""pass${i + 1}":${f3(p(n))}""" }
+          .mkString(",")
+        s""""$n":{$per,"min":${f3(results(n))}}"""
       }
       .mkString(
-        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"queries":{""",
+        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"stat":"min-of-$nPasses","unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"queries":{""",
         ",",
         "}}")
     val out = java.nio.file.Paths.get(outPath)
@@ -83,9 +96,9 @@ object Bench {
       detailed += "\"_other_" + (byTime.size - kept) + "_queries\":" + f3(restSum)
     }
     val qs = detailed.mkString("{", ",", "}")
-    // "timing" documents the method: pass-2 (steady-state) noop-sink full
-    // materialization; pass-1 totals live in the artifact file
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization, 2nd of 2 in-JVM passes; slowest listed, rest in _other; full per-query artifact at $outPath"}""")
+    // "timing" documents the method: noop-sink full materialization,
+    // per-query MIN over the in-JVM passes; all passes live in the artifact
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization, per-query min of $nPasses in-JVM passes; slowest listed, rest in _other; full per-pass artifact at $outPath"}""")
     spark.stop()
   }
 }

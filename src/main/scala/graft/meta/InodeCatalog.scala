@@ -284,6 +284,54 @@ final case class InodeCatalog(df: DataFrame) {
         when(col("ino") === ino, greatest(col("size"), lit(offset + len)))
           .otherwise(col("size"))))
 
+  /** fallocate analog (filesystem.rs:1781-1811): preallocate
+    * [offset, offset+len) WITHOUT writing content — unless the
+    * FALLOC_FL_KEEP_SIZE mode bit is set, the size follows the A7 rule
+    * size = max(size, offset+len) (the reference's
+    * `if (offset + length) > attrs.size { attrs.size = offset + length }`
+    * under `mode & FALLOC_FL_KEEP_SIZE == 0`). Errors mirror the
+    * reference/POSIX: unknown inode → ENOENT (the content-path open
+    * fails), non-file → EBADF (only regular files preallocate), bad
+    * range → EINVAL. */
+  def fallocate(ino: Long, offset: Long, len: Long,
+      keepSize: Boolean = false): Either[String, InodeCatalog] =
+    if (offset < 0 || len <= 0) Left(s"EINVAL: offset=$offset len=$len")
+    else getattr(ino) match {
+      case None => Left(s"ENOENT: ino $ino")
+      case Some(r) if r.getAs[String]("kind") != "file" =>
+        Left(s"EBADF: ino $ino is a ${r.getAs[String]("kind")}")
+      case Some(_) if keepSize => Right(this) // space reserved, size kept
+      case Some(_) => Right(recordWrite(ino, offset, len))
+    }
+
+  /** statfs analog (filesystem.rs:1559-1572): the reference stubs the
+    * reply with fixed capacities and TODOs the accounting; here the
+    * accounting is real — live-inode count and 512-byte block usage
+    * (F9 rule) aggregated over the catalog, reported against the stub's
+    * advertised 10 000/10 000 capacities with the BLOCK_SIZE /
+    * MAX_NAME_LENGTH constants (filesystem.rs:33-34). One global
+    * map-side-combined aggregate; the catalog-wide oracle twin is
+    * q_fs_statfs. */
+  def statfs(): Statfs = {
+    val r = df
+      .filter(col("nlink") > 0)
+      .agg(
+        count(lit(1)),
+        coalesce(sum(blocksOf(col("size"))), lit(0L)))
+      .head()
+    val inodesUsed = r.getLong(0)
+    val blocksUsed = r.getLong(1)
+    Statfs(
+      blocksTotal = StatfsBlockCapacity,
+      blocksUsed = blocksUsed,
+      blocksFree = math.max(0L, StatfsBlockCapacity - blocksUsed),
+      inodesTotal = StatfsInodeCapacity,
+      inodesUsed = inodesUsed,
+      inodesFree = math.max(0L, StatfsInodeCapacity - inodesUsed),
+      blockSize = 512,
+      nameMax = MaxNameLength)
+  }
+
   // -- xattrs (filesystem.rs xattr surface, string-keyed MapType) --------
   def setxattr(ino: Long, key: String, value: Array[Byte]): InodeCatalog =
     InodeCatalog(
@@ -357,6 +405,22 @@ final case class InodeCatalog(df: DataFrame) {
 
 object InodeCatalog {
   val MaxNameLength = 255 // filesystem.rs:34 (P9)
+
+  /** The stub capacities the reference's statfs reply advertises
+    * (filesystem.rs:1562-1566). */
+  val StatfsBlockCapacity = 10000L
+  val StatfsInodeCapacity = 10000L
+
+  /** statfs reply fields (ReplyStatfs, filesystem.rs:1561-1571). */
+  final case class Statfs(
+      blocksTotal: Long,
+      blocksUsed: Long,
+      blocksFree: Long,
+      inodesTotal: Long,
+      inodesUsed: Long,
+      inodesFree: Long,
+      blockSize: Int,
+      nameMax: Int)
 
   val schema: StructType = StructType(Seq(
     StructField("ino", LongType, nullable = false),

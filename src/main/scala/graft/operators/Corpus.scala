@@ -349,25 +349,35 @@ object Corpus {
        |FROM shares ORDER BY source""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // the window runs over the |sources|-row aggregate only; the constant
-    // partition key keeps WindowExec's "No Partition Defined" alarm out
-    // of operator logs (same pattern as q_weighted_sample)
-    val all = Window.partitionBy(lit(0))
-    val p = $"n_tokens" * lit(1.0) / sum($"n_tokens").over(all)
-    Tables
+    // the global sums are 1-row aggregates cross-joined (broadcast) back
+    // onto the |sources|-row relation — no empty-partition window (Spark
+    // 4's EliminateWindowPartitions folds a literal partition key away,
+    // so the old partitionBy(lit(0)) form funneled through WindowExec's
+    // single-partition path). The per-source wordcount subtree is
+    // IDENTICAL in both branches, so its shuffle deduplicates via
+    // ReusedExchange — still one corpus scan.
+    val tot = ReservedTot
+    val perSrc = Tables
       .documents(s, d)
       .groupBy($"source")
       .agg(sum(size(words($"text")).cast("long")).as("n_tokens"))
-      .withColumn("p", p)
+    val shares = perSrc
+      .crossJoin(broadcast(perSrc.agg(sum($"n_tokens").as(tot))))
+      .withColumn("p", $"n_tokens" * lit(1.0) / col(tot))
       .withColumn("pw", pow($"p", MixAlpha))
+    shares
+      .crossJoin(broadcast(shares.agg(sum($"pw").as(tot + "pw"))))
       .select(
         $"source", $"n_tokens",
         round($"p", 4).as("natural_share"),
-        round($"pw" / sum($"pw").over(all), 4).as("smoothed_share"),
-        round(($"pw" / sum($"pw").over(all)) / $"p", 4).as("boost"))
+        round($"pw" / col(tot + "pw"), 4).as("smoothed_share"),
+        round(($"pw" / col(tot + "pw")) / $"p", 4).as("boost"))
       .orderBy($"source")
   }
+
+  /** Internal total-column name for [[qTemperatureMix]]'s broadcast
+    * global sums (documents carries no such column). */
+  private val ReservedTot = "__graft_tot"
 
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,

@@ -219,26 +219,48 @@ object CorpusOps {
         array_join(col(s"$x.cw"), " ").as("chunk_text"))
   }
 
+  /** Global 1..n rank over an already-bounded relation WITHOUT a
+    * single-partition window. Spark 4's `EliminateWindowPartitions` folds
+    * a literal partition key away, so the old `partitionBy(lit(0))` trick
+    * neither silences nor bounds WindowExec's all-to-one funnel anymore.
+    * Instead: broadcast self-join counting strictly-smaller keys — O(n²)
+    * comparisons but fully partition-parallel and exchange-free on the
+    * probe side. Only for post-limit / aggregate-sized relations
+    * (n ≲ 10⁴). `orderKey` must be a TOTAL order (tie-broken), or equal
+    * keys collapse onto the same rank. */
+  private[graft] def boundedRank(df: DataFrame, orderKey: Column,
+      rn: String): DataFrame = {
+    val k1 = ReservedPrefix + "k1"
+    val k2 = ReservedPrefix + "k2"
+    val withKey = df.withColumn(k1, orderKey)
+    val keys = withKey.select(col(k1))
+    val ranks = keys
+      .join(broadcast(keys.select(col(k1).as(k2))), col(k2) < col(k1), "left")
+      .groupBy(col(k1))
+      .agg((count(col(k2)) + 1).cast("int").as(rn))
+    withKey.join(broadcast(ranks), Seq(k1)).drop(k1)
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis, q_weighted_sample): row i gets key
     * −ln(u_i)/w_i from a hash-derived uniform; the k smallest keys win,
     * so probability scales with the weight column. ORDER BY key LIMIT k
-    * lowers to per-partition heaps — no global sort. Returns
-    * (rn, idCol, weight, sample_key) ranked 1..k. */
+    * lowers to per-partition heaps — no global sort — and the final
+    * 1..k rank runs over the k surviving rows via [[boundedRank]].
+    * Returns (rn, idCol, weight, sample_key) ranked 1..k. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "ws"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     checkReserved(df)
     val w = ReservedPrefix + "w"
     val key = ReservedPrefix + "k"
     val u = (stableHash60(concat(lit(salt + "|"), col(idCol).cast("string")))
       % 1000000L + lit(0.5)) / lit(1000000.0)
-    val win = Window.partitionBy(lit(0)).orderBy(col(key), col(idCol))
-    df.select(col(idCol), greatest(col(weightCol), lit(1L)).as(w),
+    val winners = df
+      .select(col(idCol), greatest(col(weightCol), lit(1L)).as(w),
         round(-log(u) / greatest(col(weightCol), lit(1L)), 8).as(key))
       .orderBy(col(key), col(idCol))
       .limit(k)
-      .withColumn("rn", row_number().over(win))
+    boundedRank(winners, struct(col(key), col(idCol)), "rn")
       .select(col("rn"), col(idCol), col(w).cast("long").as("weight"),
         col(key).as("sample_key"))
   }

@@ -94,15 +94,26 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    // per-doc distinct via array_distinct BEFORE exploding (the shingle
-    // set is per-document — no cross-doc distinct shuffle needed); the
-    // words array is staged as a column so split() runs once per row,
-    // and the postings list is explicitly hash-partitioned on the
-    // shingle so BOTH self-join sides and the doc-count branch reuse
-    // ONE exchange (ReusedExchange) instead of re-exploding per branch
+    ngramJaccardPairs(Tables.documents(s, d)).orderBy($"d1", $"d2")
+  }
+
+  /** Exact n-gram Jaccard ≥ 0.8 near-dup pairs (d1 < d2, jaccard) over an
+    * arbitrary documents slice — the ground-truth side of the recall
+    * measurements, column-parameterized so it can run on a hash-sampled
+    * slice at corpus scale ([[lshRecallMeasured]]).
+    *
+    * Per-doc distinct via array_distinct BEFORE exploding (the shingle
+    * set is per-document — no cross-doc distinct shuffle needed); the
+    * words array is staged as a column so split() runs once per row,
+    * and the postings list is explicitly hash-partitioned on the
+    * shingle so BOTH self-join sides and the doc-count branch reuse
+    * ONE exchange (ReusedExchange) instead of re-exploding per branch. */
+  private[graft] def ngramJaccardPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val ds = cappedPostings(
-      Tables
-        .documents(s, d)
+      docs
         .select($"doc_id", words($"text").as("w"))
         .select($"doc_id",
           explode(array_distinct(shingles($"w", 3))).as("s"))
@@ -120,7 +131,6 @@ object Dedup {
       .withColumn("jac", $"common" * lit(1.0) / ($"ca.n" + $"cb.n" - $"common"))
       .filter($"jac" >= 0.8)
       .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
-      .orderBy($"d1", $"d2")
   }
 
   /** The MinHash-LSH candidate-pair CTE chain (ends in `cand(d1, d2)`),
@@ -343,8 +353,9 @@ object Dedup {
     * MinHash-LSH candidate pairs scored against the exact Jaccard ≥ 0.8
     * ground truth — recall (how many true near-dup pairs the bands
     * surface) and precision (how much of the candidate set is real).
-    * At production scale the truth side runs on a sampled slice; here
-    * the fixture is small enough to measure exactly. The oracle inlines
+    * At production scale the truth side runs on a sampled slice — a real
+    * code path via [[lshRecallMeasured]]'s permille knob, spec-covered;
+    * the fixture-scale gate measures the full corpus. The oracle inlines
     * BOTH CTE chains (sharing the distinct-shingle stream) and the
     * ratios use the tie-safe floor(x·10⁴+0.5) rounding — they are exact
     * rationals of counts. */
@@ -371,9 +382,30 @@ object Dedup {
        |  floor((SELECT count(*) FROM hit) * 10000.0 /
        |        (SELECT count(*) FROM cand) + 0.5) / 10000.0 AS pair_precision""".stripMargin
   ) { (s, d) =>
+    lshRecallMeasured(s, d)
+  }
+
+  /** The LSH recall/precision measurement, with the production-scale
+    * truth-sampling knob as a REAL code path: `truthSamplePermille <
+    * 1000` restricts the whole measurement (exact-Jaccard truth AND the
+    * banding candidates it is compared against) to a deterministic hash
+    * sample of documents — the quadratic-ish truth side then costs
+    * O((p·n)²-per-shingle-bucket) on the slice only, while the estimate
+    * remains an unbiased read of corpus recall because the sample is a
+    * pure per-row hash predicate. Default 1000 = the full fixture-scale
+    * gate ([[qLshRecall]]). */
+  private[graft] def lshRecallMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      truthSamplePermille: Int = 1000): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val truth = qNgramJaccard.fn(s, d).select($"d1", $"d2")
-    val cand = minhashPairs(s, d)
+    val docs0 = Tables.documents(s, d)
+    val docs =
+      if (truthSamplePermille >= 1000) docs0
+      else docs0.filter(
+        CorpusOps.sampleHash(col("doc_id"), "tr") < truthSamplePermille)
+    val truth = ngramJaccardPairs(docs).select($"d1", $"d2")
+    val cand = CorpusOps.minhashCandidates(docs, "doc_id", "text")
     val truthN = truth.agg(count(lit(1)).as("n_truth"))
     val candN = cand.agg(count(lit(1)).as("n_candidates"))
     val hitN = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))

@@ -422,7 +422,55 @@ object FsQueries {
       .orderBy($"dst_doc")
   }
 
+  /** statfs analog (filesystem.rs:1559-1572): the reference STUBS the
+    * reply with fixed capacity constants (10 000 blocks / 10 000 inodes)
+    * and TODOs the real accounting — this query computes the real thing
+    * the stub promises: filesystem-wide used-block (F9 rule:
+    * (size+511)/512) and live-inode accounting over the catalog, against
+    * the stub's advertised capacities, plus the BLOCK_SIZE /
+    * MAX_NAME_LENGTH constants (filesystem.rs:33-34). One global
+    * map-side-combined aggregate — a single scan at any catalog size. */
+  val qFsStatfs = QueryDef.sql(
+    "q_fs_statfs",
+    s"""WITH ino AS $duckInodes
+       |SELECT CAST(512 AS INT) AS bsize,
+       |       CAST(255 AS INT) AS name_max,
+       |       CAST(10000 AS BIGINT) AS blocks_total,
+       |       CAST(sum((size + 511) // 512) AS BIGINT) AS blocks_used,
+       |       CAST(greatest(0, 10000 - sum((size + 511) // 512)) AS BIGINT)
+       |         AS blocks_free,
+       |       CAST(10000 AS BIGINT) AS inodes_total,
+       |       CAST(count(*) AS BIGINT) AS inodes_used,
+       |       CAST(greatest(0, 10000 - count(*)) AS BIGINT) AS inodes_free,
+       |       CAST(sum(CASE WHEN kind = 'file' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_files,
+       |       CAST(sum(CASE WHEN kind = 'dir' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dirs
+       |FROM ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val used = sum(floor(($"size" + 511) / 512)).cast("long")
+    inodes(s, d)
+      .agg(
+        used.as("blocks_used"),
+        count(lit(1)).as("inodes_used"),
+        sum(when($"kind" === "file", 1L).otherwise(0L)).as("n_files"),
+        sum(when($"kind" === "dir", 1L).otherwise(0L)).as("n_dirs"))
+      .select(
+        lit(512).as("bsize"),
+        lit(graft.meta.InodeCatalog.MaxNameLength).as("name_max"),
+        lit(10000L).as("blocks_total"),
+        $"blocks_used",
+        greatest(lit(0L), lit(10000L) - $"blocks_used").as("blocks_free"),
+        lit(10000L).as("inodes_total"),
+        $"inodes_used",
+        greatest(lit(0L), lit(10000L) - $"inodes_used").as("inodes_free"),
+        $"n_files",
+        $"n_dirs")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
-      qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange)
+      qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
+      qFsStatfs)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.stableHash60
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,7 +37,17 @@ object Similarity {
       |ORDER BY qid, rnk""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    cosineKnnPairs(Tables.embeddings(s, d)).orderBy($"qid", $"rnk")
+  }
+
+  /** Brute-force cosine top-10 (qid, nid, cos_sim, rnk) over an arbitrary
+    * embeddings slice — the ground-truth side of [[qAnnRecall]],
+    * DataFrame-parameterized so the measurement can run on a hash-sampled
+    * slice at corpus scale ([[annRecallMeasured]]). */
+  private[graft] def cosineKnnPairs(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     // norms precomputed per side: the join then does ONE dot per pair
     val q = emb
       .filter($"vec_id" < 3)
@@ -52,35 +63,58 @@ object Similarity {
       .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
         row_number().over(w).as("rnk"))
       .filter($"rnk" <= 10)
-      .orderBy($"qid", $"rnk")
   }
 
-  /** Permille of vectors admitted into the all-pairs ground-truth sample:
-    * the sampled quadratic costs (p/1000)² of the full product — at 500‰
-    * a quarter — and the sample is a pure per-row hash predicate, so the
-    * same rows survive on every engine at any parallelism. */
-  val NearDupSamplePermille = 500
+  /** Target ROW COUNT of the all-pairs ground-truth sample: the sampled
+    * quadratic then costs O(K²) pairs at ANY corpus size. Fixed-SIZE, not
+    * fixed-rate — a fixed admission rate keeps O((rate·n)²) and the
+    * quadratic returns at a 100× scale-up. Same recipe as
+    * [[Curation.semanticCellCount]] / `Pipeline.shardBucketSize`: scale
+    * the knob from a driver-cheap (parquet-metadata) count(). */
+  val NearDupSampleTarget = 500L
+
+  /** Modulus of the sample's hash predicate: parts-per-BILLION, because a
+    * permille knob bottoms out at 1‰ and goes quadratic again past
+    * n = target·1000 rows; ppb holds the sample near `target` out to
+    * n = target·10⁹. */
+  val NearDupSampleMod = 1000000000L
+
+  /** Admitted hash range (ppb) for a corpus of `n` vectors: the exact
+    * integer ceiling of target·mod/n, floored at 1 and capped at 50% so
+    * tiny fixtures keep a multi-row sample rather than swallowing the
+    * whole corpus. Mirrored digit-for-digit in the oracle CTE via
+    * DuckDB's integer `//`. */
+  private[graft] def nearDupSamplePpb(n: Long): Long =
+    math.min(NearDupSampleMod / 2,
+      math.max(1L, (NearDupSampleTarget * NearDupSampleMod + n - 1) / n))
 
   /** The deterministic keep-predicate for the near-dup ground-truth
     * sample (DuckDB twin: `CAST(concat('0x', substr(md5('nd|' || vec_id),
-    * 1, 15)) AS BIGINT) % 1000 < p`). */
-  private[graft] def nearDupSampleKeep(
-      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    CorpusOps.sampleHash(id, "nd") < NearDupSamplePermille
+    * 1, 15)) AS BIGINT) % mod < ppb`). */
+  private[graft] def nearDupSampleKeep(id: org.apache.spark.sql.Column,
+      ppb: Long): org.apache.spark.sql.Column =
+    pmod(stableHash60(concat(lit("nd|"), id.cast("string"))),
+      lit(NearDupSampleMod)) < ppb
 
   /** Embedding-cosine near-duplicate pairs (threshold 0.45) over a
     * deterministic hash sample of the corpus. The all-pairs product is
     * O(n²) — the quality-audit ground truth, not a production path (that
-    * is [[qEmbedNearDupLsh]]) — so it runs on a fixed-rate sample: the
-    * estimate of the corpus near-dup rate a curation pipeline actually
-    * needs, at (p/1000)² of the quadratic cost. The oracle computes the
-    * identical sampled definition. */
+    * is [[qEmbedNearDupLsh]]) — so it runs on a fixed-SIZE ~`target`-row
+    * sample: the corpus near-dup RATE estimate a curation pipeline
+    * actually needs, at O(target²) cost no matter the corpus size. The
+    * oracle computes the identical sampled definition, deriving the
+    * admission threshold from the same exact-integer formula. */
   val qEmbedNearDup = QueryDef.sql(
     "q_embed_neardup",
-    s"""WITH s AS (
+    s"""WITH pp AS (
+      |  SELECT least(${NearDupSampleMod / 2}, greatest(1,
+      |           (${NearDupSampleTarget * NearDupSampleMod} + count(*) - 1)
+      |             // count(*))) AS p
+      |  FROM embeddings),
+      |s AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  WHERE CAST(concat('0x', substr(md5('nd|' || vec_id), 1, 15))
-      |             AS BIGINT) % 1000 < $NearDupSamplePermille)
+      |             AS BIGINT) % $NearDupSampleMod < (SELECT p FROM pp))
       |SELECT v1, v2, round(c, 4) AS cos_sim FROM (
       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
       |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -90,7 +124,9 @@ object Similarity {
       |ORDER BY v1, v2""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val sampled = Tables.embeddings(s, d).filter(nearDupSampleKeep($"vec_id"))
+    val emb = Tables.embeddings(s, d)
+    val sampled = emb.filter(nearDupSampleKeep($"vec_id",
+      nearDupSamplePpb(emb.count())))
     val a = sampled.select($"vec_id".as("v1"),
       $"embedding".as("e1"), norm($"embedding").as("n1"))
     val b = sampled.select($"vec_id".as("v2"),
@@ -274,9 +310,18 @@ object Similarity {
       |ORDER BY qid, rnk""".stripMargin
   ) { (s, d) =>
     import s.implicits._
+    annIvfPairs(Tables.embeddings(s, d)).orderBy($"qid", $"rnk")
+  }
+
+  /** IVF top-10 (qid, nid, cos_sim, rnk) over an arbitrary embeddings
+    * slice — DataFrame-parameterized twin of [[qAnnIvf]] (see
+    * [[annRecallMeasured]]). */
+  private[graft] def annIvfPairs(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val nCentroids = 16
     val nProbe = 4
-    val emb = Tables.embeddings(s, d)
     val centroids = emb
       .filter($"vec_id" < nCentroids)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
@@ -308,7 +353,6 @@ object Similarity {
       .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
         row_number().over(w).as("rnk"))
       .filter($"rnk" <= 10)
-      .orderBy($"qid", $"rnk")
   }
 
   /** The 100 TB production form of [[qEmbedNearDup]]: LSH-bucketed
@@ -504,9 +548,29 @@ object Similarity {
       |GROUP BY b.qid
       |ORDER BY b.qid""".stripMargin
   ) { (s, d) =>
+    annRecallMeasured(s, d)
+  }
+
+  /** The ANN recall measurement, with the production-scale truth-sampling
+    * knob as a REAL code path: `corpusSamplePermille < 1000` restricts
+    * both sides (brute-force truth and the IVF path under test) to a
+    * deterministic hash sample of the corpus plus the query vectors —
+    * index quality evaluated on a held-out slice, the composition a
+    * 100 TB deployment runs continuously (corpus-wide brute force being
+    * off the table there). Default 1000 = the full fixture-scale gate
+    * ([[qAnnRecall]]). */
+  private[graft] def annRecallMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      corpusSamplePermille: Int = 1000): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val brute = qCosineKnn.fn(s, d).select($"qid", $"nid")
-    val ivf = qAnnIvf.fn(s, d)
+    val emb0 = Tables.embeddings(s, d)
+    val emb =
+      if (corpusSamplePermille >= 1000) emb0
+      else emb0.filter($"vec_id" < 3 ||
+        CorpusOps.sampleHash($"vec_id", "ar") < corpusSamplePermille)
+    val brute = cosineKnnPairs(emb).select($"qid", $"nid")
+    val ivf = annIvfPairs(emb)
       .select($"qid".as("iqid"), $"nid".as("inid"))
     brute
       .join(ivf, $"qid" === $"iqid" && $"nid" === $"inid", "left")

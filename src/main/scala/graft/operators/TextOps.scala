@@ -480,10 +480,15 @@ object TextOps {
       |ORDER BY phase, rnk""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // the ranking windows run over the vocab-sized pair relation only;
-    // constant partition key (same pattern as q_weighted_sample)
-    val byCnt = Window.partitionBy(lit(0)).orderBy($"cnt".desc, $"p")
+    // top-10 via orderBy+limit (TakeOrderedAndProject → per-partition
+    // heaps), rank derived AFTER the limit over the 10 survivors — the
+    // pair vocabulary never transits a single-partition window (the old
+    // partitionBy(lit(0)) form did exactly that once Spark 4's
+    // EliminateWindowPartitions folded the literal key away)
+    def top10Ranked(pairs: org.apache.spark.sql.DataFrame) =
+      CorpusOps.boundedRank(
+        pairs.orderBy($"cnt".desc, $"p").limit(10),
+        struct((-$"cnt").as("negCnt"), $"p"), "rnk")
     val wc = Tables
       .documents(s, d)
       .select(explode(words($"text")).as("word"))
@@ -500,8 +505,7 @@ object TextOps {
     val chars = wc.select($"c",
       transform(sequence(lit(1), length($"word")),
         i => $"word".substr(i, lit(1))).as("s"))
-    val before10 = pairCounts(chars)
-      .withColumn("rnk", row_number().over(byCnt))
+    val before10 = top10Ranked(pairCounts(chars))
     val best = before10.filter($"rnk" === 1).select($"p".as("bp"))
     val applyMerge = expr(
       """replace(replace(sp,
@@ -513,12 +517,10 @@ object TextOps {
         concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("sp"))
       .crossJoin(broadcast(best))
       .select($"c", split(trim(applyMerge), " +").as("s"))
-    val after10 = pairCounts(merged)
-      .withColumn("rnk", row_number().over(byCnt))
+    val after10 = top10Ranked(pairCounts(merged))
     val out = before10
       .withColumn("phase", lit("before"))
       .unionByName(after10.withColumn("phase", lit("after")))
-      .filter($"rnk" <= 10)
     out
       .select($"phase", $"rnk", $"p".as("pair"),
         $"cnt".cast("long").as("wcount"))

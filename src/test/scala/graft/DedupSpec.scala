@@ -51,4 +51,26 @@ class DedupSpec extends SparkSpec {
       .getLong(0)
     assert(survivorMaxDf <= cap)
   }
+
+  test("LSH recall measurement runs on a hash-sampled slice (production path)") {
+    import graft.operators.CorpusOps
+    val permille = 500
+    val sampled = Dedup.lshRecallMeasured(spark, sf, permille).head()
+    // pairwise Jaccard doesn't depend on other documents, so the sampled
+    // slice's truth must equal the FULL truth restricted to pairs with
+    // both endpoints in the slice — the sampling changes cost, not
+    // semantics (the df cap provably no-ops at this scale)
+    val sliceIds = Tables.documents(spark, sf)
+      .filter(CorpusOps.sampleHash($"doc_id", "tr") < permille)
+      .select($"doc_id").as[Long].collect().toSet
+    val fullTruthInSlice = Dedup.qNgramJaccard.fn(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+      .count { case (a, b) => sliceIds.contains(a) && sliceIds.contains(b) }
+    assert(sampled.getAs[Long]("n_truth") === fullTruthInSlice)
+    val recall = sampled.getAs[Double]("pair_recall")
+    val precision = sampled.getAs[Double]("pair_precision")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(precision >= 0.0 && precision <= 1.0)
+    assert(sliceIds.size < Tables.documents(spark, sf).count())
+  }
 }

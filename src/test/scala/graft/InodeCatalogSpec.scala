@@ -221,6 +221,41 @@ class InodeCatalogSpec extends SparkSpec {
       "last link pends forget")
   }
 
+  test("fallocate grows size per A7 unless KEEP_SIZE; errors mirror the reference") {
+    val cat = tree().recordWrite(3, 0, 100).checkpointed() // /a/x, 100 bytes
+    // preallocation past EOF grows the size WITHOUT any content write
+    val grown = cat.fallocate(3, 80, 120).toOption.get
+    assert(grown.getattr(3).get.getAs[Long]("size") === 200L)
+    // a range inside the file leaves the size alone (max rule)
+    val same = cat.fallocate(3, 10, 20).toOption.get
+    assert(same.getattr(3).get.getAs[Long]("size") === 100L)
+    // FALLOC_FL_KEEP_SIZE reserves space but never changes the size
+    val kept = cat.fallocate(3, 500, 500, keepSize = true).toOption.get
+    assert(kept.getattr(3).get.getAs[Long]("size") === 100L)
+    // error surface: ENOENT unknown ino, EBADF on a directory, EINVAL args
+    assert(cat.fallocate(999, 0, 10).left.toOption.get.startsWith("ENOENT"))
+    assert(cat.fallocate(2, 0, 10).left.toOption.get.startsWith("EBADF"))
+    assert(cat.fallocate(3, -1, 10).left.toOption.get.startsWith("EINVAL"))
+    assert(cat.fallocate(3, 0, 0).left.toOption.get.startsWith("EINVAL"))
+  }
+
+  test("statfs: real block/inode accounting against the stub capacities") {
+    val cat = tree().recordWrite(3, 0, 1000).checkpointed()
+    val st = cat.statfs()
+    // 5 live inodes: root, /a, /a/x (1000 B = 2 blocks), /a/y, /b
+    assert(st.inodesUsed === 5L)
+    assert(st.blocksUsed === 2L)
+    assert(st.blocksFree === InodeCatalog.StatfsBlockCapacity - 2L)
+    assert(st.inodesFree === InodeCatalog.StatfsInodeCapacity - 5L)
+    assert(st.blockSize === 512 && st.nameMax === InodeCatalog.MaxNameLength)
+    // fallocate-reserved space shows up in the accounting (A7 → F9)
+    val after = cat.fallocate(4, 0, 5000).toOption.get.statfs()
+    assert(after.blocksUsed === 2L + 10L)
+    // unlinked-then-forgotten inodes leave the accounting
+    val fewer = cat.unlink(2, "y").forget(4).statfs()
+    assert(fewer.inodesUsed === 4L)
+  }
+
   test("rename over a multi-link file decrements instead of zeroing (filesystem.rs:1257)") {
     val cat = tree().link(3, 5, "xh").checkpointed() // ino 3 at /a/x and /b/xh
     // /a/y renamed over /b/xh: ino 3 must survive via /a/x with nlink 1

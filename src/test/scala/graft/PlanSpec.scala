@@ -188,6 +188,23 @@ class PlanSpec extends SparkSpec {
       s"(cid,dim) means must combine map-side in:\n$p")
   }
 
+  test("bounded ranks never plan a single-partition window (Spark 4 folds lit keys)") {
+    // Spark 4's EliminateWindowPartitions folds a literal partitionBy key
+    // away, so the old partitionBy(lit(0)) "silencing" produced a real
+    // partition-less WindowExec: for q_bpe_merge_step that funneled the
+    // whole symbol-pair vocabulary through ONE task. The post-limit
+    // boundedRank form must plan ZERO WindowExec nodes in all three
+    // former lit(0) sites. (Global 1-row aggregates still legitimately
+    // plan an aggregate-sized Exchange SinglePartition — partial
+    // aggregation upstream means only group rows transit it.)
+    for (name <- Seq("q_bpe_merge_step", "q_weighted_sample",
+        "q_temperature_mix")) {
+      val p = finalPlan(plan(q(name)))
+      assert(!p.contains("Window ["),
+        s"$name still plans a WindowExec:\n$p")
+    }
+  }
+
   test("quality classifier plans zero joins and zero broadcasts") {
     // the hashing trick means NO model relation exists at all — the whole
     // scorer is scan → explode → per-doc aggregate

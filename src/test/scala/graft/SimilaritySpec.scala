@@ -88,8 +88,10 @@ class SimilaritySpec extends SparkSpec {
     // q_embed_neardup computes truth over a deterministic hash sample
     // (the quadratic audit runs sampled by design), so the comparison is
     // restricted to pairs whose BOTH endpoints survived the sample
+    val nEmb = Tables.embeddings(spark, sf).count()
     val sampleIds = Tables.embeddings(spark, sf)
-      .filter(Similarity.nearDupSampleKeep($"vec_id"))
+      .filter(Similarity.nearDupSampleKeep($"vec_id",
+        Similarity.nearDupSamplePpb(nEmb)))
       .select($"vec_id").as[Long].collect().toSet
     val exact = Similarity.qEmbedNearDup.fn(spark, sf)
       .select($"v1", $"v2").as[(Long, Long)].collect().toSet
@@ -105,5 +107,48 @@ class SimilaritySpec extends SparkSpec {
     info(s"LSH near-dup recall = $recall (|exact|=${exact.size}, " +
       s"|sample|=${sampleIds.size})")
     assert(recall >= 0.25, s"recall too low to be a useful candidate path: $recall")
+  }
+
+  test("near-dup ground-truth sample is fixed-SIZE across corpus scales") {
+    val K = Similarity.NearDupSampleTarget
+    // analytic: expected kept rows ≈ n·ppb/mod stays pinned near K from
+    // n = 2·K out to n = K·10⁹ — the truth cost is O(K²) at any scale
+    for (n <- Seq(2000L, 200000L, 20000000L, 2000000000L)) {
+      val expect =
+        n.toDouble * Similarity.nearDupSamplePpb(n) / Similarity.NearDupSampleMod
+      assert(expect >= K * 0.99 && expect <= K * 1.01 + 1,
+        s"n=$n: expected sample size $expect drifted from target $K")
+    }
+    // empirical: the hash predicate admits ~K of a synthetic 1M-id corpus
+    val n = 1000000L
+    val kept = spark.range(n).select($"id".as("vec_id"))
+      .filter(Similarity.nearDupSampleKeep($"vec_id",
+        Similarity.nearDupSamplePpb(n)))
+      .count()
+    info(s"kept $kept of $n (target $K)")
+    assert(kept >= K / 3 && kept <= 3 * K,
+      s"hash sample of $n ids kept $kept rows; target $K")
+  }
+
+  test("ANN recall measurement runs on a hash-sampled slice (production path)") {
+    val full = Similarity.annRecallMeasured(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val sampled = Similarity.annRecallMeasured(spark, sf, 300)
+      .as[(Long, Long, Double)].collect()
+    // one row per query vector either way; recall well-defined in [0,1]
+    assert(sampled.length === full.length)
+    sampled.foreach { case (_, hits, r) =>
+      assert(hits >= 0 && hits <= 10 && r >= 0.0 && r <= 1.0)
+    }
+    // the sampled slice is a subset: brute-force truth over fewer
+    // competitors can only make the IVF path look BETTER or equal on
+    // average is NOT guaranteed per-query, so assert only validity + the
+    // slice really shrank the corpus side
+    val nFull = Tables.embeddings(spark, sf).count()
+    val nSliced = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 3 ||
+        operators.CorpusOps.sampleHash($"vec_id", "ar") < 300)
+      .count()
+    assert(nSliced < nFull)
   }
 }
