@@ -24,7 +24,8 @@ object SparkEntry {
     "pipelines" -> operators.Pipeline.defs,
     "corpus sampling/mixing" -> operators.Corpus.defs,
     "corpus curation" -> operators.Curation.defs,
-    "model scoring" -> operators.Scoring.defs)
+    "model scoring" -> operators.Scoring.defs,
+    "sql plane" -> operators.SqlPlane.defs)
 
   def allDefs: Seq[QueryDef] = families.flatMap(_._2)
 

@@ -506,6 +506,89 @@ object Curation {
       .orderBy($"cid")
   }
 
+  /** Result of a spherical k-means training run ([[lloydTrain]]):
+    * `assignment` = (vec_id, unit_vec, cell) against the FINAL centroids;
+    * `centroids` = (cell, cv) UNIT centroid vectors; `cohesionPerRound` =
+    * the avg-cosine objective at each round's assignment step. */
+  final case class LloydResult(
+      assignment: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame,
+      cohesionPerRound: Seq[Double])
+
+  /** Multi-round Lloyd loop — spherical k-means (Dhillon & Modha 2001,
+    * "Concept decompositions for large sparse text data using
+    * clustering"): unit vectors, cosine assignment, normalized-mean
+    * centroid update. On the unit sphere both half-steps improve the
+    * Σ x·c objective (argmax re-assignment for fixed centroids; the
+    * normalized mean maximizes Σ x·c for a fixed assignment), so the
+    * per-round cohesion is monotone non-decreasing — the convergence
+    * guarantee the spec asserts. Feeds [[graft.sources.EmbeddingIndex]]'s
+    * trained build, replacing the first-k seed quantizer.
+    *
+    * Scale shape, per round: ONE corpus scan against k broadcast
+    * centroid rows (the corpus is localCheckpoint'ed once up front and
+    * never re-shuffled), one map-side-combined (cell, dim) mean of k·dim
+    * rows, and a lineage cut on the k-row centroid relation (the
+    * [[Dedup.connectedComponents]] pattern — round N's plan must not
+    * replay rounds 1..N-1). Total cost = rounds × (scan + tiny agg); the
+    * early-stop fires when the objective gain drops under `tol`. */
+  def lloydTrain(emb: org.apache.spark.sql.DataFrame, k: Int,
+      maxRounds: Int = 8, tol: Double = 1e-6): LloydResult = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val unit = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double") / $"vn").as("uv"))
+      .localCheckpoint()
+    // seed: the first k unit vectors (same replay-stable quantizer the
+    // one-step q_kmeans_step starts from)
+    var centroids = unit
+      .orderBy($"vec_id")
+      .limit(k)
+      .select($"vec_id".cast("int").as("cell"), $"uv".as("cv"))
+      .localCheckpoint()
+    val wA = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
+    def assign(c: org.apache.spark.sql.DataFrame) = unit
+      .crossJoin(broadcast(c))
+      .withColumn("cs", dot($"uv", $"cv")) // unit × unit: dot IS cosine
+      .withColumn("rk", row_number().over(wA))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"uv", $"cell", $"cs")
+    var cohesions = Vector.empty[Double]
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val assigned = assign(centroids)
+      val coh = assigned.agg(avg($"cs")).head().getDouble(0)
+      converged = cohesions.nonEmpty && coh - cohesions.last < tol
+      cohesions = cohesions :+ coh
+      if (!converged) {
+        // normalized mean per cell; an (impossible on the sphere, but
+        // guarded) zero-norm mean drops its cell rather than emitting NaN
+        centroids = assigned
+          .select($"cell", posexplode($"uv").as(Seq("dim", "x")))
+          .groupBy($"cell", $"dim")
+          .agg(avg($"x").as("m"))
+          .groupBy($"cell")
+          .agg(
+            transform(array_sort(collect_list(struct($"dim", $"m"))),
+              x => x.getField("m")).as("mv"))
+          .select($"cell", $"mv", norm($"mv").as("mn"))
+          .filter($"mn" =!= 0.0)
+          .select($"cell", transform($"mv", x => x / $"mn").as("cv"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    LloydResult(
+      assignment = assign(centroids).select($"vec_id", $"uv".as("unit_vec"),
+        $"cell"),
+      centroids = centroids,
+      cohesionPerRound = cohesions)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
       qSubstringDedup, qKmeansStep)

@@ -391,7 +391,10 @@ object Extras {
     * bloom instead of joining the corpus-sized exact shingle set. All
     * integer bit arithmetic on the md5-derived stable hash, so DuckDB
     * reproduces every word bit-for-bit; 32-bit words keep every shift
-    * result positive in both engines' signed BIGINTs. */
+    * result positive in both engines' signed BIGINTs. The two 14-bit
+    * positions come from DISJOINT strides of the 60-bit hash (bits 0-13
+    * and 14-27) — a 13-bit stride would share bit 13 between the
+    * "independent" hashes and quietly worsen the real FP rate. */
   val qShingleBloom = QueryDef.sql(
     "q_shingle_bloom",
     """WITH t AS (
@@ -408,7 +411,7 @@ object Extras {
       |tbits AS (
       |  SELECT source,
       |         ((CAST(concat('0x', substr(md5('bf|' || s), 1, 15)) AS BIGINT)
-      |           >> (13 * i)) & 16383) AS p
+      |           >> (14 * i)) & 16383) AS p
       |  FROM train CROSS JOIN ks),
       |bloom AS (
       |  SELECT source, p >> 5 AS widx,
@@ -417,7 +420,7 @@ object Extras {
       |pbits AS (
       |  SELECT s,
       |         ((CAST(concat('0x', substr(md5('bf|' || s), 1, 15)) AS BIGINT)
-      |           >> (13 * i)) & 16383) AS p
+      |           >> (14 * i)) & 16383) AS p
       |  FROM probes CROSS JOIN ks),
       |hit AS (
       |  SELECT pb.s, src.source,
@@ -449,7 +452,7 @@ object Extras {
     import graft.functions.TextFunctions.{shingles, stableHash60, words}
     def positions(c: org.apache.spark.sql.Column) =
       array((0 until 2).map(i =>
-        shiftright(stableHash60(concat(lit("bf|"), c)), 13 * i)
+        shiftright(stableHash60(concat(lit("bf|"), c)), 14 * i)
           .bitwiseAND(16383L)): _*)
     // shift amount is a per-row column, so the SQL form of shiftleft is
     // required (the Scala signature only takes a literal Int)

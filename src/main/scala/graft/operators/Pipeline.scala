@@ -172,11 +172,15 @@ object Pipeline {
     * per-bucket totals relation stays ~10k rows at ANY corpus size —
     * the gauge's two-phase recipe assumes aggregate-sized totals, and a
     * FIXED width would make the O(buckets²) offsets join quadratic in
-    * the corpus (1e7 buckets at 1e9 docs = 1e14 comparisons). Any
-    * monotone bucketing yields identical results, so the width is free
-    * to scale; the oracle's global window never sees it. */
-  private[graft] def shardBucketSize(nDocs: Long): Long =
-    math.max(100L, nDocs / 10000L)
+    * the corpus (1e7 buckets at 1e9 docs = 1e14 comparisons). Sized from
+    * the ID-SPACE EXTENT (max doc_id), NOT the row count: buckets are
+    * `doc_id div width`, so with sparse ids (max_id ≫ count) a
+    * count-derived width would mint far more than the ~10k-bucket
+    * design bound and the quadratic returns. Any monotone bucketing
+    * yields identical results, so the width is free to scale; the
+    * oracle's global window never sees it. */
+  private[graft] def shardBucketSize(maxDocId: Long): Long =
+    math.max(100L, (maxDocId + 1) / 10000L)
 
   /** Export-stage shard manifest: documents are laid out in doc_id order
     * and cut into ~[[ShardTokens]]-token shards by exclusive prefix sum
@@ -215,9 +219,10 @@ object Pipeline {
        |FROM laid GROUP BY shard_id ORDER BY shard_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    // bucket width scales with the corpus (driver-side count is parquet-
-    // metadata cheap, same as the semantic-dedup quantizer sizing)
-    val bucketSize = shardBucketSize(Tables.documents(s, d).count())
+    // bucket width scales with the id space (driver-side max() reads
+    // parquet column statistics — as cheap as the count it replaces)
+    val bucketSize = shardBucketSize(
+      Tables.documents(s, d).agg(max($"doc_id")).head().getLong(0))
     val t = Tables
       .documents(s, d)
       .select($"doc_id", words($"text").as("w"))

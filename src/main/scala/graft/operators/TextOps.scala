@@ -359,14 +359,18 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
-  /** PII scrubbing (emails / URLs / phone-shaped tokens → typed redaction
-    * tags). The fixture text carries no PII, so each document first gets a
-    * deterministic doc_id-derived contact line planted — the scrubber is
-    * then verified end-to-end: per-type match counts, the redacted text,
-    * and the planted line provably gone. Patterns stay in the common
-    * Java-regex ∩ RE2 dialect so both engines match identically; the
-    * whole operator is three codegen'd regexp passes inside the scan — no
-    * shuffle except the gate's ORDER BY. */
+  /** Pattern-based PII redaction (emails / URLs / phone-shaped tokens →
+    * typed redaction tags). The fixture text carries no PII, so each
+    * document first gets a deterministic doc_id-derived contact line
+    * planted — the redactor is then verified end-to-end: per-type match
+    * counts, the redacted text, and the planted line provably gone.
+    * Patterns cover the common real-world shapes (mixed case, '+'/'%'
+    * tags and '-' in email locals/domains, digit-group phone formats)
+    * while staying in the Java-regex ∩ RE2 dialect so both engines match
+    * identically — but this is pattern-based redaction, not an NER-grade
+    * PII system (the capability docs say the same). The whole operator is
+    * three codegen'd regexp passes inside the scan — no shuffle except
+    * the gate's ORDER BY. */
   val qPiiScrub = QueryDef.sql(
     "q_pii_scrub",
     """WITH planted AS (
@@ -377,18 +381,21 @@ object TextOps {
       |  FROM documents),
       |scrubbed AS (
       |  SELECT doc_id,
-      |         CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]'))
+      |         CAST(len(regexp_extract_all(t,
+      |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z]'))
       |              AS INT) AS n_emails,
       |         CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT)
       |           AS n_urls,
-      |         CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS INT)
+      |         CAST(len(regexp_extract_all(t,
+      |                '[0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?')) AS INT)
       |           AS n_phones,
       |         regexp_replace(
       |           regexp_replace(
-      |             regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]',
+      |             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z]',
       |                            '<EMAIL>', 'g'),
       |             'https?://[^ ]+', '<URL>', 'g'),
-      |           '555-[0-9]+', '<PHONE>', 'g') AS clean_text
+      |           '[0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?', '<PHONE>', 'g')
+      |           AS clean_text
       |  FROM planted)
       |SELECT doc_id, n_emails, n_urls, n_phones, clean_text,
       |       CAST(CASE WHEN clean_text LIKE '%example.com%'
@@ -400,9 +407,9 @@ object TextOps {
     val t = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
       lit("@example.com or call 555-01"), ($"doc_id" % 100).cast("string"),
       lit(" see https://ex.com/p/"), $"doc_id".cast("string"))
-    val emailPat = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z]"
     val urlPat = "https?://[^ ]+"
-    val phonePat = "555-[0-9]+"
+    val phonePat = "[0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?"
     Tables
       .documents(s, d)
       .select($"doc_id", t.as("t"))

@@ -78,6 +78,50 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("Lloyd training: cohesion is monotone; trained index recall >= seeded") {
+    val res = graft.operators.Curation
+      .lloydTrain(Tables.embeddings(spark, sf), 16, maxRounds = 6)
+    info(s"cohesion per round: ${res.cohesionPerRound.map(c => f"$c%.5f")}")
+    assert(res.cohesionPerRound.nonEmpty)
+    // spherical k-means: both half-steps improve the objective, so the
+    // assignment-time cohesion can never decrease (fp epsilon slack)
+    res.cohesionPerRound.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-9, s"cohesion fell: $a -> $b")
+      case _         =>
+    }
+    // the trained quantizer must not LOSE recall vs the first-k seed at
+    // the same probe budget (it should gain: tighter cells concentrate a
+    // query's neighborhood in fewer probes)
+    val tdir = Files.createTempDirectory("embidxt").toString + "/index"
+    val trained = new EmbeddingIndex(spark, tdir, nCells = 16)
+    trained.buildTrained(Tables.embeddings(spark, sf), maxRounds = 6)
+    def avgRecall(idx: EmbeddingIndex): Double = {
+      val qids = Seq(1L, 5L, 7L, 11L, 13L)
+      qids.map { qid =>
+        val q = queryVec(qid)
+        val got =
+          idx.search(q, 10, nProbe = 4).select($"vec_id").as[Long].collect().toSet
+        val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+        val qCol = array(q.map(v => lit(v.toDouble / qn)): _*)
+        val brute = Tables
+          .embeddings(spark, sf)
+          .select($"vec_id", (dot($"embedding", qCol) / norm($"embedding")).as("c"))
+          .orderBy($"c".desc, $"vec_id")
+          .limit(10)
+          .select($"vec_id")
+          .as[Long]
+          .collect()
+          .toSet
+        (got & brute).size / 10.0
+      }.sum / qids.size
+    }
+    val seededRecall = avgRecall(index)
+    val trainedRecall = avgRecall(trained)
+    info(s"recall@10 nProbe=4: seeded $seededRecall, trained $trainedRecall")
+    assert(trainedRecall >= seededRecall,
+      s"training must not lose recall: $trainedRecall < $seededRecall")
+  }
+
   private lazy val qdir = Files.createTempDirectory("embidxq").toString + "/index"
   private lazy val qindex = {
     val idx = new graft.sources.QuantizedEmbeddingIndex(spark, qdir, nCells = 16)

@@ -227,15 +227,22 @@ class ScoringSpec extends SparkSpec {
     assert(recall >= 0.5, s"suspiciously low LSH recall $recall")
   }
 
-  test("shard prefix-sum bucket count stays bounded at any corpus size") {
+  test("shard prefix-sum bucket count stays bounded at any id-space size") {
     import graft.operators.Pipeline.shardBucketSize
-    // the offsets join is O(buckets²): totals must stay aggregate-sized
-    for (n <- Seq(500L, 1000000L, 1000000000L, 1000000000000L)) {
-      val buckets = n / shardBucketSize(n) + 1
-      assert(buckets <= 10001L, s"$buckets buckets at n=$n")
+    // the offsets join is O(buckets²): totals must stay aggregate-sized.
+    // Buckets are doc_id div width, so the bound must hold over the ID
+    // SPACE — including SPARSE ids (max_id ≫ row count), where a
+    // count-derived width would blow past the design bound
+    for (maxId <- Seq(500L, 1000000L, 1000000000L, 1000000000000L)) {
+      val buckets = maxId / shardBucketSize(maxId) + 1
+      assert(buckets <= 10001L, s"$buckets buckets at max_id=$maxId")
     }
     assert(shardBucketSize(500) === 100)
-    assert(shardBucketSize(1000000000L) === 100000L)
+    assert(shardBucketSize(999999999L) === 100000L)
+    // sparse fixture: 1000 rows scattered over a 10^12 id space must
+    // still yield ≤ ~10k buckets because the width follows max_id
+    val sparseWidth = shardBucketSize(1000000000000L)
+    assert(1000000000000L / sparseWidth + 1 <= 10001L)
   }
 
   test("shard manifest conserves the corpus and cuts contiguous ranges") {
