@@ -379,7 +379,47 @@ object Corpus {
     * global sums (documents carries no such column). */
   private val ReservedTot = "__graft_tot"
 
+  /** Deterministic train/val/test split (980/10/10‰): each document's
+    * salted id-hash band decides its split — disjoint, exhaustive, and
+    * STABLE under corpus growth (appending documents never moves an old
+    * one between splits, which ntile/row_number splits cannot promise).
+    * The gate reports per-split document/char counts plus an id-sum
+    * checksum so membership — not just cardinality — is hash-checked.
+    * Pure per-row predicate feeding one map-side-combined aggregate:
+    * a single scan at any corpus size. Library form:
+    * [[CorpusOps.datasetSplit]]. */
+  val qTrainValSplit = QueryDef.sql(
+    "q_train_val_split",
+    """WITH a AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(concat('0x', substr(md5('spl|' || doc_id), 1, 15))
+      |              AS BIGINT) % 1000 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN h < 980 THEN 'train'
+      |              WHEN h < 990 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM a)
+      |SELECT split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .datasetSplit(Tables.documents(s, d), "doc_id")
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"split")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
-      qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix)
+      qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
+      qTrainValSplit)
 }

@@ -313,6 +313,31 @@ object CorpusOps {
           .as("dup_token_frac"))
   }
 
+  /** Deterministic dataset split (train/val/test): each row's salted
+    * per-id hash in [0, 1000) falls into one of the cumulative permille
+    * bands — a pure per-row predicate, so the split is disjoint,
+    * exhaustive, reproducible on any engine at any parallelism, and
+    * STABLE under corpus growth (a new document never moves an old one
+    * between splits, unlike ntile/row_number splits). Narrow — no
+    * shuffle. `splits` are (name, permille) with permilles summing to
+    * 1000. Adds a `split` column. */
+  def datasetSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 980, "val" -> 10,
+        "test" -> 10),
+      salt: String = "spl"): DataFrame = {
+    checkReserved(df)
+    require(splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000: $splits")
+    val h = sampleHash(col(idCol), salt)
+    val cumulative = splits.scanLeft(("", 0)) { case ((_, acc), (n, p)) =>
+      (n, acc + p)
+    }.tail
+    val expr = cumulative.init.foldLeft(when(lit(false), "")) {
+      case (acc, (name, cum)) => acc.when(h < cum, name)
+    }.otherwise(cumulative.last._1)
+    df.withColumn("split", expr)
+  }
+
   /** Out-of-vocabulary statistics per row against the corpus's own top-V
     * vocabulary (count-desc, word-asc tie-break). The V-row vocabulary
     * broadcasts to the token stream; the only shuffles are the wordcount

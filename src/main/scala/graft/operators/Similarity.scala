@@ -581,7 +581,68 @@ object Similarity {
       .orderBy($"qid")
   }
 
+  /** Embedding-level dedup groups: connected components over the LSH
+    * near-duplicate pair graph ([[qEmbedNearDupLsh]]) — every vector gets
+    * the minimum vec_id reachable through near-dup edges as its
+    * `group_id` (the SemDeDup-style "keep one per cluster" assignment,
+    * but from the exact-verified LSH graph rather than IVF cells).
+    * Composes the banded equi-join candidate path with the iterative
+    * min-label propagation of [[Dedup.connectedComponents]] (join +
+    * min-agg rounds, lineage cuts, diameter-bounded) — both pieces
+    * already hold at 100 TB, and so does their composition. Oracle:
+    * the same inlined-hyperplane CTE chain feeding a recursive-CTE
+    * transitive closure, exactly like q_dedup_groups' oracle. */
+  val qEmbedDedupGroups = QueryDef.sql(
+    "q_embed_dedup_groups",
+    s"""WITH RECURSIVE ${lshBucketsCte(12, 6, 64)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+       |  FROM b a JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |   AND a.vec_id < b2.vec_id),
+       |verified AS (
+       |  SELECT p.v1, p.v2
+       |  FROM cand p
+       |    JOIN embeddings e1 ON e1.vec_id = p.v1
+       |    JOIN embeddings e2 ON e2.vec_id = p.v2
+       |  WHERE round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+       |                                     CAST(e2.embedding AS DOUBLE[])),
+       |              4) > 0.45),
+       |sym AS (
+       |  SELECT v1 AS a, v2 AS b FROM verified
+       |  UNION
+       |  SELECT v2, v1 FROM verified),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lbl AS (SELECT a AS vec_id, min(b) AS m FROM reach GROUP BY a),
+       |grp AS (
+       |  SELECT e.vec_id,
+       |         least(coalesce(l.m, e.vec_id), e.vec_id) AS group_id
+       |  FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id)
+       |SELECT vec_id, group_id,
+       |       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+       |         AS n_members
+       |FROM grp
+       |ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val pairs = qEmbedNearDupLsh.fn(s, d)
+      .select($"v1".as("d1"), $"v2".as("d2"))
+    val labels = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "lnode")
+    Tables.embeddings(s, d)
+      .select($"vec_id")
+      .join(labels, $"vec_id" === $"lnode", "left")
+      .select($"vec_id",
+        least(coalesce($"label", $"vec_id"), $"vec_id").as("group_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"group_id")))
+      .orderBy($"vec_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
-      qEmbedQuantize, qLangEmbedStats, qAnnRecall)
+      qEmbedQuantize, qLangEmbedStats, qAnnRecall, qEmbedDedupGroups)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, CorpusOps, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the corpus-curation operators: connected-components
@@ -183,5 +183,31 @@ class CorpusSpec extends SparkSpec {
       assert(ratio >= 0.0 && ratio <= 1.0)
       assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
     }
+  }
+
+  test("dataset split: disjoint, exhaustive, and stable under corpus growth") {
+    val docs = Tables.documents(spark, sf)
+    val split = CorpusOps.datasetSplit(docs, "doc_id")
+    // exhaustive: every row lands in exactly one split (column is total)
+    assert(split.count() === docs.count())
+    assert(split.filter($"split".isin("train", "val", "test")).count()
+      === docs.count())
+    // deterministic under re-evaluation and different partitioning
+    val a = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = CorpusOps
+      .datasetSplit(docs.repartition(7), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    // STABLE under growth: the assignment of a document is a pure
+    // function of its id — restricting the corpus must not move anyone
+    val subset = CorpusOps
+      .datasetSplit(docs.filter($"doc_id" < 100), "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, sp) => assert(a(id) === sp) }
+    // permilles must sum to 1000
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.datasetSplit(docs, "doc_id", Seq("train" -> 900, "val" -> 50))
+    }
+    assert(e.getMessage.contains("sum to 1000"))
   }
 }
