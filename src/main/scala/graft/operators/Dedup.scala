@@ -255,9 +255,15 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val sym = pairs
+    // checkpoint the EDGE LIST before symmetrizing: the union's two
+    // branches are two selects of `pairs`, and without the cut the whole
+    // upstream candidate join (MinHash banding / LSH verify) executes
+    // twice — no exchange boundary sits between the join and the union,
+    // so ReuseExchange cannot dedupe it
+    val edges = pairs.select($"d1", $"d2").localCheckpoint()
+    val sym = edges
       .select($"d1".as("src"), $"d2".as("dst"))
-      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      .union(edges.select($"d2".as("src"), $"d1".as("dst")))
       .localCheckpoint()
     // seed with the round-1 fixpoint state directly: label(n) =
     // min(n, min direct neighbor). One groupBy replaces the
