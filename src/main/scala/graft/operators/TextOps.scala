@@ -534,6 +534,76 @@ object TextOps {
       .orderBy($"phase", $"rnk")
   }
 
+  /** Result of a BPE training run ([[bpeTrain]]): the learned merge
+    * sequence as (spaced pair, count-at-merge-time), in merge order. */
+  final case class BpeResult(merges: Seq[(String, Long)])
+
+  /** Multi-round BPE training loop — the full tokenizer-induction inner
+    * loop on top of the one-round [[qBpeMergeStep]] (the same relation
+    * lloydTrain bears to q_kmeans_step): repeat (score all adjacent
+    * symbol pairs → take the most frequent → apply the merge) `nMerges`
+    * times, stopping early when no pair repeats (count < 2 — a merge
+    * with count 1 compresses nothing).
+    *
+    * Scale (the Sennrich formulation): training runs on the WORD
+    * HISTOGRAM — after the one map-side-combined wordcount shuffle,
+    * every round is a vocab-sized pair aggregate (orderBy+limit(1)
+    * lowers to per-partition heaps, so nothing vocab-sized transits a
+    * single task) plus a narrow two-pass delimiter replace, with a
+    * lineage cut per round. The per-round driver collect is ONE row
+    * (the winning pair) — aggregate-sized, like lloydTrain's cohesion.
+    * Merge application is the same deterministic maximal
+    * non-overlapping two-pass replace as the gated single step (and its
+    * documented divergence on runs like 'aaaaa'); the spec replays the
+    * identical recipe in plain Scala as a third engine and asserts the
+    * full merge sequence matches. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      nMerges: Int): BpeResult = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var rep = docs
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+      .select($"c",
+        concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("sp"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, Long)]
+    var exhausted = false
+    var round = 0
+    while (round < nMerges && !exhausted) {
+      val top = rep
+        .select($"c", split(trim($"sp"), " +").as("s"))
+        .filter(size($"s") >= 2)
+        .select($"c",
+          explode(transform(sequence(lit(1), size($"s") - 1),
+            i => concat(element_at($"s", i), lit(" "),
+              element_at($"s", i + 1)))).as("p"))
+        .groupBy($"p")
+        .agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"p")
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) exhausted = true
+      else {
+        val bp = top.head.getAs[String]("p")
+        val cnt = top.head.getAs[Long]("cnt")
+        merges += ((bp, cnt))
+        val spaced = " " + bp + " "
+        val fused = " " + bp.replace(" ", "") + " "
+        // Spark 3.5+ literal replace (codegen'd, no regex escaping
+        // hazards for tokens carrying regex metacharacters)
+        def lr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          org.apache.spark.sql.functions.replace(c, lit(spaced), lit(fused))
+        rep = rep
+          .withColumn("sp", lr(lr($"sp")))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    BpeResult(merges.result())
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub,

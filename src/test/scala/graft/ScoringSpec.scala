@@ -227,6 +227,68 @@ class ScoringSpec extends SparkSpec {
     assert(recall >= 0.5, s"suspiciously low LSH recall $recall")
   }
 
+  /** Plain-Scala BPE trainer over a word histogram — the same spaced-form
+    * + two-pass maximal non-overlapping replace recipe as
+    * TextOps.bpeTrain, with (count desc, pair asc) tie-breaks. */
+  private def refBpeTrain(wordCounts: Map[String, Long],
+      nMerges: Int): Seq[(String, Long)] = {
+    var rep: Seq[(String, Long)] = wordCounts.toSeq.map { case (w, c) =>
+      (" " + w.toCharArray.mkString("", " ", " "), c)
+    }
+    val merges = Seq.newBuilder[(String, Long)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      rep.foreach { case (sp, c) =>
+        val toks = sp.trim.split(" +")
+        if (toks.length >= 2)
+          toks.sliding(2).foreach(p =>
+            counts(p.mkString(" ")) = counts.getOrElse(p.mkString(" "), 0L) + c)
+      }
+      val best = counts.toSeq.sortBy { case (p, c) => (-c, p) }.headOption
+      best match {
+        case Some((bp, cnt)) if cnt >= 2 =>
+          merges += ((bp, cnt))
+          val spaced = " " + bp + " "
+          val fused = " " + bp.replace(" ", "") + " "
+          rep = rep.map { case (sp, c) =>
+            (sp.replace(spaced, fused).replace(spaced, fused), c)
+          }
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  test("BPE training loop matches the plain-Scala trainer merge-for-merge") {
+    // a synthetic corpus with a KNOWN merge structure: 'the' dominates
+    val docs = Seq(
+      "the theme of the thesis", "the other thesis theme",
+      "there the theme goes", "lathe the the").toDF("text")
+    val got = TextOps.bpeTrain(docs, 6).merges
+    val wc = docs.as[String].collect()
+      .flatMap(_.trim.split(" +"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = refBpeTrain(wc, 6)
+    assert(got === want, s"spark $got vs reference $want")
+    // 'h e' and 't h' tie at count 14; the (count desc, pair asc)
+    // tie-break picks 'h e', then 't he' completes the 'the' token
+    assert(got.take(2).map(_._1) === Seq("h e", "t he"), got.toString)
+    // counts at merge time are non-increasing is NOT guaranteed for BPE,
+    // but every recorded merge must have compressed something
+    got.foreach { case (_, c) => assert(c >= 2) }
+  }
+
+  test("BPE training's first merge equals the gated single step's top pair") {
+    val first = TextOps.bpeTrain(Tables.documents(spark, sf), 1).merges.head
+    val step = TextOps.qBpeMergeStep.fn(spark, sf)
+      .filter($"phase" === "before" && $"rnk" === 1)
+      .select($"pair", $"wcount").as[(String, Long)].head()
+    assert(first === step)
+  }
+
   test("shard prefix-sum bucket count stays bounded at any id-space size") {
     import graft.operators.Pipeline.shardBucketSize
     // the offsets join is O(buckets²): totals must stay aggregate-sized.
