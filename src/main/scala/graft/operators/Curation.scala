@@ -559,8 +559,10 @@ object Curation {
     var cohesions = Vector.empty[Double]
     var round = 0
     var converged = false
+    var lastAssigned: org.apache.spark.sql.DataFrame = null
     while (round < maxRounds && !converged) {
       val assigned = assign(centroids)
+      lastAssigned = assigned
       val coh = assigned.agg(avg($"cs")).head().getDouble(0)
       converged = cohesions.nonEmpty && coh - cohesions.last < tol
       cohesions = cohesions :+ coh
@@ -582,8 +584,16 @@ object Curation {
       }
       round += 1
     }
+    // converged exit: centroids were NOT updated after the last
+    // assignment, so it is already the final one — recomputing would
+    // replay a full corpus scan for an identical answer. Only the
+    // round-cap exit (centroids updated, then loop ended) needs a
+    // fresh assignment.
+    val finalAssigned =
+      if (converged && lastAssigned != null) lastAssigned
+      else assign(centroids)
     LloydResult(
-      assignment = assign(centroids).select($"vec_id", $"uv".as("unit_vec"),
+      assignment = finalAssigned.select($"vec_id", $"uv".as("unit_vec"),
         $"cell"),
       centroids = centroids,
       cohesionPerRound = cohesions)

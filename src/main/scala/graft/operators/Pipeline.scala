@@ -220,9 +220,12 @@ object Pipeline {
   ) { (s, d) =>
     import s.implicits._
     // bucket width scales with the id space (driver-side max() reads
-    // parquet column statistics — as cheap as the count it replaces)
+    // parquet column statistics — as cheap as the count it replaces);
+    // coalesce guards the empty-table null → the query degrades to an
+    // empty manifest instead of an NPE
     val bucketSize = shardBucketSize(
-      Tables.documents(s, d).agg(max($"doc_id")).head().getLong(0))
+      Tables.documents(s, d)
+        .agg(coalesce(max($"doc_id"), lit(0L))).head().getLong(0))
     val t = Tables
       .documents(s, d)
       .select($"doc_id", words($"text").as("w"))

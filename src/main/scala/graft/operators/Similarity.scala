@@ -84,9 +84,11 @@ object Similarity {
     * tiny fixtures keep a multi-row sample rather than swallowing the
     * whole corpus. Mirrored digit-for-digit in the oracle CTE via
     * DuckDB's integer `//`. */
-  private[graft] def nearDupSamplePpb(n: Long): Long =
+  private[graft] def nearDupSamplePpb(n: Long): Long = {
+    val nn = math.max(1L, n) // empty corpus: no rows to sample anyway
     math.min(NearDupSampleMod / 2,
-      math.max(1L, (NearDupSampleTarget * NearDupSampleMod + n - 1) / n))
+      math.max(1L, (NearDupSampleTarget * NearDupSampleMod + nn - 1) / nn))
+  }
 
   /** The deterministic keep-predicate for the near-dup ground-truth
     * sample (DuckDB twin: `CAST(concat('0x', substr(md5('nd|' || vec_id),
@@ -108,8 +110,9 @@ object Similarity {
     "q_embed_neardup",
     s"""WITH pp AS (
       |  SELECT least(${NearDupSampleMod / 2}, greatest(1,
-      |           (${NearDupSampleTarget * NearDupSampleMod} + count(*) - 1)
-      |             // count(*))) AS p
+      |           (${NearDupSampleTarget * NearDupSampleMod}
+      |              + greatest(count(*), 1) - 1)
+      |             // greatest(count(*), 1))) AS p
       |  FROM embeddings),
       |s AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -543,7 +546,7 @@ object Similarity {
       |    FROM icands) WHERE rnk <= 10)
       |SELECT b.qid,
       |       count(i.nid) AS n_hits,
-      |       round(count(i.nid) * 1.0 / 10, 2) AS recall_at_10
+      |       round(count(i.nid) * 1.0 / count(*), 2) AS recall_at_10
       |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.nid = i.nid
       |GROUP BY b.qid
       |ORDER BY b.qid""".stripMargin
@@ -572,12 +575,16 @@ object Similarity {
     val brute = cosineKnnPairs(emb).select($"qid", $"nid")
     val ivf = annIvfPairs(emb)
       .select($"qid".as("iqid"), $"nid".as("inid"))
+    // denominator = the per-query TRUTH size (≤ 10), not a literal 10:
+    // on a slice with fewer than 10 non-query vectors the truncated
+    // recall@k definition keeps a perfect result at 1.0 instead of
+    // capping at |truth|/10
     brute
       .join(ivf, $"qid" === $"iqid" && $"nid" === $"inid", "left")
       .groupBy($"qid")
-      .agg(count($"inid").as("n_hits"))
+      .agg(count($"inid").as("n_hits"), count(lit(1)).as("n_truth"))
       .select($"qid", $"n_hits",
-        round($"n_hits" * lit(1.0) / 10, 2).as("recall_at_10"))
+        round($"n_hits" * lit(1.0) / $"n_truth", 2).as("recall_at_10"))
       .orderBy($"qid")
   }
 

@@ -25,7 +25,7 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
 
   /** One-pass index build from an (vec_id, embedding) DataFrame: store
     * unit vectors so search is one dot per candidate. */
-  def build(embeddings: DataFrame): Unit =
+  def build(embeddings: DataFrame): Unit = {
     EmbeddingIndex
       .assignCells(embeddings, nCells)
       .select($"vec_id", $"unit_vec", $"cell")
@@ -33,6 +33,13 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
       .partitionBy("cell")
       .mode("overwrite")
       .parquet(indexDir)
+    // a stale trained-centroid sidecar from a prior buildTrained on the
+    // same dir would otherwise win over the first-k read-back and rank
+    // probes against centroids that no longer match the stored cells
+    val cPath = new org.apache.hadoop.fs.Path(centroidDir)
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cPath)) fs.delete(cPath, true)
+  }
 
   /** TRAINED build: cells come from the spherical k-means loop
     * ([[graft.operators.Curation.lloydTrain]]) instead of the first-k

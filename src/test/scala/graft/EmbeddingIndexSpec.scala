@@ -122,6 +122,20 @@ class EmbeddingIndexSpec extends SparkSpec {
       s"training must not lose recall: $trainedRecall < $seededRecall")
   }
 
+  test("seeded rebuild removes a stale trained-centroid sidecar") {
+    val dir = Files.createTempDirectory("embidxs").toString + "/index"
+    val idx = new EmbeddingIndex(spark, dir, nCells = 16)
+    idx.buildTrained(Tables.embeddings(spark, sf), maxRounds = 2)
+    assert(new java.io.File(dir + ".centroids").exists)
+    // rebuilding seeded must drop the sidecar — otherwise search would
+    // rank probes against centroids that no longer match the cells
+    idx.build(Tables.embeddings(spark, sf))
+    assert(!new java.io.File(dir + ".centroids").exists)
+    val fresh = new EmbeddingIndex(spark, dir, nCells = 16)
+    val top = fresh.search(queryVec(7), k = 1).collect()
+    assert(top.head.getAs[Long]("vec_id") === 7L)
+  }
+
   private lazy val qdir = Files.createTempDirectory("embidxq").toString + "/index"
   private lazy val qindex = {
     val idx = new graft.sources.QuantizedEmbeddingIndex(spark, qdir, nCells = 16)
