@@ -195,6 +195,66 @@ object CorpusOps {
         when(score >= 0.5, 1).otherwise(0).cast("int").as("keep"))
   }
 
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): unigram
+    * bag-of-words models for the target slice and the raw corpus over
+    * `buckets` hashed feature buckets; each document scores the
+    * length-normalized log importance
+    * avg_t [ln p_target(b(t)) − ln p_raw(b(t))] with add-1 smoothing,
+    * and the top-k by (rounded score, id) are flagged `selected` — the
+    * deterministic stand-in for DSIR's Gumbel-top-k resample.
+    *
+    * Scale (100 TB): both feature models live in ONE `buckets`-row table
+    * (raw + target counts in the same aggregate — a single count-shuffle,
+    * not two), which BROADCASTs back into the token stream; totals are an
+    * aggregate over that table, not a second corpus pass. The per-doc
+    * aggregate shuffles once on the id; selection is ORDER BY + LIMIT
+    * (per-partition heaps, no global sort) and the k-row winner set
+    * broadcasts into the flag join. No corpus-sized state anywhere.
+    * Returns (idCol, n_tokens, log_importance, selected). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, topK: Int = 100,
+      salt: String = "ds"): DataFrame = {
+    checkReserved(df)
+    val tok = ReservedPrefix + "token"
+    val b = ReservedPrefix + "b"
+    val tgt = ReservedPrefix + "tgt"
+    val lw = ReservedPrefix + "lw"
+    val selId = ReservedPrefix + "sel_id"
+    val hb = df
+      .select(col(idCol), isTarget.as(tgt),
+        explode(words(col(textCol))).as(tok))
+      .select(col(idCol), col(tgt),
+        (stableHash60(concat(lit(salt + "|"), col(tok))) %
+          buckets.toLong).as(b))
+    // one bucket table carries BOTH models: cr = raw count, ct = target
+    val bkt = hb
+      .groupBy(col(b))
+      .agg(
+        count(lit(1)).as("cr"),
+        sum(when(col(tgt), 1L).otherwise(0L)).as("ct"))
+    val tot = bkt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val w = bkt
+      .crossJoin(broadcast(tot))
+      .select(col(b),
+        (log((col("ct") + 1.0) / (col("nt") + buckets.toDouble)) -
+          log((col("cr") + 1.0) / (col("nr") + buckets.toDouble))).as(lw))
+    val perDoc = hb
+      .join(broadcast(w), b)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col(lw)), 4).as("log_importance"))
+    val top = perDoc
+      .orderBy(col("log_importance").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol).as(selId))
+    perDoc
+      .join(broadcast(top), col(idCol) === col(selId), "left")
+      .select(col(idCol), col("n_tokens"), col("log_importance"),
+        when(col(selId).isNotNull, 1).otherwise(0).cast("int").as("selected"))
+  }
+
   /** Overlapping sliding-window retrieval chunks (q_rag_chunks): windows
     * of `size` words every `stride`, tail chunks kept. Narrow — each
     * task chunks its own split. Returns (idCol, chunk_idx, start_word,

@@ -172,6 +172,57 @@ object Scoring {
       .orderBy($"lang")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023): score every
+    * document by how much more likely its hashed unigram bag is under the
+    * target-slice model (lang = 'en' here) than under the raw-corpus
+    * model, then flag the top-100 as the selected training slice — the
+    * hashed-n-gram importance-resampling recipe, with the Gumbel draw
+    * replaced by a deterministic (score, id) top-k so both engines pick
+    * identical rows. Delegates to [[CorpusOps.dsirWeights]]; see there
+    * for the 100 TB layout (single B-row bucket table broadcast both
+    * ways, ORDER BY + LIMIT selection). */
+  val qDsirWeights = QueryDef.sql(
+    "q_dsir_weights",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(w) AS token FROM t),
+      |hb AS (
+      |  SELECT doc_id, lang,
+      |         CAST(concat('0x', substr(md5('ds|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS b
+      |  FROM tok),
+      |bkt AS (
+      |  SELECT b, count(*) AS cr,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      |  FROM hb GROUP BY b),
+      |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bkt),
+      |w AS (
+      |  SELECT b,
+      |         ln((ct + 1.0) / (nt + 1024.0))
+      |       - ln((cr + 1.0) / (nr + 1024.0)) AS lw
+      |  FROM bkt CROSS JOIN tot),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         round(avg(lw), 4) AS log_importance
+      |  FROM hb JOIN w USING (b) GROUP BY doc_id),
+      |top AS (
+      |  SELECT doc_id FROM perdoc
+      |  ORDER BY log_importance DESC, doc_id LIMIT 100)
+      |SELECT p.doc_id, p.n_tokens, p.log_importance,
+      |       CAST(CASE WHEN t2.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+      |         AS selected
+      |FROM perdoc p LEFT JOIN top t2 USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        isTarget = $"lang" === "en")
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold)
+    Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold,
+      qDsirWeights)
 }

@@ -342,6 +342,57 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("dsir importance weights match a plain-Scala reimplementation") {
+    val B = 1024
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)]
+      .collect()
+      .map { case (id, lang, t) =>
+        (id, lang == "en", t.trim.split(" +").map(w => hash60("ds|" + w) % B))
+      }
+    val cr = scala.collection.mutable.Map.empty[Long, Long]
+    val ct = scala.collection.mutable.Map.empty[Long, Long]
+    all.foreach { case (_, isTgt, bs) =>
+      bs.foreach { b =>
+        cr(b) = cr.getOrElse(b, 0L) + 1
+        if (isTgt) ct(b) = ct.getOrElse(b, 0L) + 1
+      }
+    }
+    val nr = cr.values.sum.toDouble
+    val nt = ct.values.sum.toDouble
+    def lw(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + B)) -
+        math.log((cr(b) + 1.0) / (nr + B))
+    val expected = all.map { case (id, _, bs) =>
+      id -> (bs.length.toLong, bs.map(lw).sum / bs.length)
+    }.toMap
+    val got = Scoring.qDsirWeights.fn(spark, sf)
+      .select($"doc_id", $"n_tokens", $"log_importance", $"selected")
+      .as[(Long, Long, Double, Int)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, li, _) =>
+      assert(n === expected(id)._1, s"doc $id token count")
+      assert(math.abs(li - expected(id)._2) < 1.5e-4, s"doc $id importance")
+    }
+    // selection = exactly the top-100 by (rounded score desc, id asc)
+    val want = got.sortBy { case (id, _, li, _) => (-li, id) }
+      .take(100).map(_._1).toSet
+    assert(got.count(_._4 == 1) === 100, "exactly 100 selected")
+    got.foreach { case (id, _, _, sel) =>
+      assert((sel == 1) === want(id), s"doc $id selection flag")
+    }
+    // target-language docs must score higher on average: the whole point
+    val (en, rest) = got.partition { case (id, _, _, _) =>
+      all.find(_._1 == id).get._2
+    }
+    val enMean = en.map(_._3).sum / en.length
+    val restMean = rest.map(_._3).sum / rest.length
+    assert(enMean > restMean,
+      s"en mean $enMean not above non-target mean $restMean")
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
