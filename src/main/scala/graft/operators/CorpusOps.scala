@@ -255,6 +255,56 @@ object CorpusOps {
         when(col(selId).isNotNull, 1).otherwise(0).cast("int").as("selected"))
   }
 
+  /** Per-group distribution drift: KL(group ‖ corpus) over `buckets`
+    * hashed unigram buckets with add-1 smoothing — the corpus-audit pass
+    * that catches a source whose token distribution has drifted from the
+    * mix (a scraper gone wrong, a mislabeled dump) before it trains.
+    * KL is summed over the FULL bucket domain (unseen buckets contribute
+    * their smoothed mass), so the score is a true divergence, not a
+    * seen-bucket approximation.
+    *
+    * Scale (100 TB): the ONLY corpus-scale operation is the one
+    * count-shuffle to the (group, bucket) table; group totals and the
+    * corpus model derive from that table (≤ |groups|·B rows), the
+    * B-row domain is generated — never scanned — and every subsequent
+    * join is broadcast. Returns (groupCol, n_tokens, n_buckets,
+    * kl_to_corpus). */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 1024, salt: String = "ds"): DataFrame = {
+    checkReserved(df)
+    val s = df.sparkSession
+    val tok = ReservedPrefix + "token"
+    val b = ReservedPrefix + "b"
+    val sb = df
+      .select(col(groupCol), explode(words(col(textCol))).as(tok))
+      .select(col(groupCol),
+        (stableHash60(concat(lit(salt + "|"), col(tok))) %
+          buckets.toLong).as(b))
+      .groupBy(col(groupCol), col(b))
+      .agg(count(lit(1)).as("c"))
+    // everything below is ≤ |groups|·B rows — derived, not re-scanned
+    val stot = sb.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
+    val cb = sb.groupBy(col(b)).agg(sum(col("c")).as("cbn"))
+    val tot = cb.agg(sum(col("cbn")).as("n"))
+    val dom = stot.crossJoin(
+      broadcast(s.range(buckets).toDF(b)))
+    dom
+      .join(broadcast(sb), Seq(groupCol, b), "left")
+      .join(broadcast(cb), Seq(b), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(groupCol), col("ns"), col("c"),
+        ((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("ns") + buckets.toDouble)).as("q"),
+        ((coalesce(col("cbn"), lit(0L)) + 1.0) /
+          (col("n") + buckets.toDouble)).as("p"))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("ns")).as("n_tokens"),
+        count(col("c")).as("n_buckets"),
+        round(sum(col("q") * log(col("q") / col("p"))), 4)
+          .as("kl_to_corpus"))
+  }
+
   /** Overlapping sliding-window retrieval chunks (q_rag_chunks): windows
     * of `size` words every `stride`, tail chunks kept. Narrow — each
     * task chunks its own split. Returns (idCol, chunk_idx, start_word,

@@ -599,7 +599,52 @@ object Curation {
       cohesionPerRound = cohesions)
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over 1024 hashed
+    * unigram buckets — the audit that catches a drifted source (scraper
+    * regression, mislabeled dump) before it trains. Delegates to
+    * [[CorpusOps.sourceDivergence]]; the only corpus-scale operation is
+    * one count-shuffle, and KL sums the full smoothed bucket domain so
+    * the score is a true divergence. */
+  val qSourceKl = QueryDef.sql(
+    "q_source_kl",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT source, unnest(w) AS token FROM t),
+      |sb AS (
+      |  SELECT source,
+      |         CAST(concat('0x', substr(md5('ds|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(c) AS ns FROM sb GROUP BY source),
+      |cb AS (SELECT b, sum(c) AS cbn FROM sb GROUP BY b),
+      |tot AS (SELECT sum(cbn) AS n FROM cb),
+      |dom AS (
+      |  SELECT source, d.b
+      |  FROM stot CROSS JOIN
+      |       (SELECT unnest(generate_series(0, 1023)) AS b) d),
+      |terms AS (
+      |  SELECT dom.source, stot.ns, sb.c,
+      |         (coalesce(sb.c, 0) + 1.0) / (stot.ns + 1024.0) AS q,
+      |         (coalesce(cb.cbn, 0) + 1.0) / (tot.n + 1024.0) AS p
+      |  FROM dom
+      |  JOIN stot USING (source)
+      |  LEFT JOIN sb ON sb.source = dom.source AND sb.b = dom.b
+      |  LEFT JOIN cb ON cb.b = dom.b
+      |  CROSS JOIN tot)
+      |SELECT source, CAST(any_value(ns) AS BIGINT) AS n_tokens,
+      |       CAST(count(c) AS BIGINT) AS n_buckets,
+      |       round(sum(q * ln(q / p)), 4) AS kl_to_corpus
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .sourceDivergence(Tables.documents(s, d), "source", "text")
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
-      qSubstringDedup, qKmeansStep)
+      qSubstringDedup, qKmeansStep, qSourceKl)
 }

@@ -393,6 +393,43 @@ class ScoringSpec extends SparkSpec {
       s"en mean $enMean not above non-target mean $restMean")
   }
 
+  test("source KL divergence matches a plain-Scala reimplementation") {
+    val B = 1024
+    val all = Tables.documents(spark, sf)
+      .select($"source", $"text")
+      .as[(String, String)]
+      .collect()
+      .map { case (src, t) =>
+        src -> t.trim.split(" +").map(w => hash60("ds|" + w) % B)
+      }
+    val bySrc = all.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val corpus = all.flatMap(_._2)
+    val n = corpus.length.toDouble
+    val cb = corpus.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = bySrc.map { case (src, bs) =>
+      val ns = bs.length.toDouble
+      val sc = bs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val kl = (0 until B).map { b =>
+        val q = (sc.getOrElse(b.toLong, 0L) + 1.0) / (ns + B)
+        val p = (cb.getOrElse(b.toLong, 0L) + 1.0) / (n + B)
+        q * math.log(q / p)
+      }.sum
+      src -> (bs.length.toLong, sc.size.toLong, kl)
+    }
+    val got = graft.operators.Curation.qSourceKl.fn(spark, sf)
+      .as[(String, Long, Long, Double)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (src, nt, nb, kl) =>
+      val (ent, enb, ekl) = expected(src)
+      assert(nt === ent, s"source $src token count")
+      assert(nb === enb, s"source $src bucket count")
+      assert(math.abs(kl - ekl) < 1.5e-4, s"source $src KL")
+      // KL is a true divergence: non-negative by Gibbs' inequality
+      assert(kl >= 0.0, s"source $src negative KL")
+    }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
