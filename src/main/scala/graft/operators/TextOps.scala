@@ -604,8 +604,106 @@ object TextOps {
     BpeResult(merges.result())
   }
 
+  /** Apply a trained BPE merge sequence ([[bpeTrain]]) to a corpus: every
+    * word is segmented into the pieces the merge list produces, and each
+    * document gets its in-order piece sequence — the tokenizer-apply half
+    * of the train→encode lifecycle.
+    *
+    * Scale: encoding runs on the DISTINCT WORD VOCABULARY, not the token
+    * stream (Zipf: |vocab| ≪ corpus), so the k merge applications — each
+    * a narrow codegen'd literal replace, same deterministic maximal
+    * non-overlapping two-pass recipe as training — iterate over a
+    * vocab-sized table with a lineage cut every 8 rounds to bound plan
+    * depth. The corpus is touched exactly twice: once to build the vocab,
+    * once to join the encoded pieces back on the word key (broadcast when
+    * the vocab fits, shuffle otherwise — Spark's planner decides from
+    * stats). Piece order inside a document is reconstructed from
+    * posexplode positions via sort_array, not collect_list order.
+    * Returns (doc_id, n_words, n_pieces, pieces). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var vocab = docs
+      .select(explode(words($"text")).as("word"))
+      .distinct()
+      .select($"word",
+        concat(lit(" "), regexp_replace($"word", "(.)", "$1 ")).as("sp"))
+    merges.zipWithIndex.foreach { case (bp, i) =>
+      val spaced = " " + bp + " "
+      val fused = " " + bp.replace(" ", "") + " "
+      def lr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.replace(c, lit(spaced), lit(fused))
+      vocab = vocab.withColumn("sp", lr(lr($"sp")))
+      if ((i + 1) % 8 == 0) vocab = vocab.localCheckpoint()
+    }
+    val enc = vocab.select($"word", split(trim($"sp"), " +").as("wp"))
+    docs
+      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "word")))
+      .join(enc, "word")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        flatten(sort_array(collect_list(struct($"pos", $"wp")))("wp"))
+          .as("pieces"))
+      .select($"doc_id", $"n_words",
+        size($"pieces").cast("long").as("n_pieces"), $"pieces")
+  }
+
+  /** Per-document Shannon entropy of the token distribution — the
+    * information-theoretic gibberish/boilerplate signal (near-zero
+    * entropy = one token repeated; entropy ≈ log2(n_types) = maximally
+    * diverse). Computed via the aggregate identity
+    * H = log2(n) − (Σ c·log2 c)/n, so the whole metric is ONE pair of
+    * linear shuffles — (doc, token) counts, then the per-doc sum — with
+    * no quadratic per-array scan, and stays correct for arbitrarily long
+    * documents (an array-side histogram would be O(len²) per row).
+    * `norm_entropy` divides by log2(n_types): 1.0 = uniform over the
+    * doc's own vocabulary, defined as 0 for single-type docs. */
+  val qTokenEntropy = QueryDef.sql(
+    "q_token_entropy",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+      |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, sum(c) AS n, count(*) AS n_types,
+      |         sum(c * log2(c * 1.0)) AS s
+      |  FROM tc GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(n_types AS BIGINT) AS n_types,
+      |       round(log2(n * 1.0) - s / n, 4) AS token_entropy,
+      |       CASE WHEN n_types = 1 THEN 0.0
+      |            ELSE round((log2(n * 1.0) - s / n)
+      |                       / log2(n_types * 1.0), 4) END AS norm_entropy
+      |FROM ag ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tc = Tables.documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("c"))
+    val h = log2($"n" * lit(1.0)) - $"s" / $"n"
+    tc.groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * log2($"c" * lit(1.0))).as("s"))
+      .select(
+        $"doc_id",
+        $"n".cast("long").as("n_tokens"),
+        $"n_types".cast("long").as("n_types"),
+        round(h, 4).as("token_entropy"),
+        when($"n_types" === 1, 0.0)
+          .otherwise(round(h / log2($"n_types" * lit(1.0)), 4))
+          .as("norm_entropy"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub,
-      qBpeMergeStep)
+      qBpeMergeStep, qTokenEntropy)
 }

@@ -289,6 +289,44 @@ class ScoringSpec extends SparkSpec {
     assert(first === step)
   }
 
+  test("BPE encode applies trained merges word-for-word (plain-Scala ref)") {
+    val corpus = Seq(
+      (0L, "the theme of the thesis"), (1L, "the other thesis theme"),
+      (2L, "there the theme goes"), (3L, "lathe the the"))
+    val df = corpus.toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(df, 6).merges.map(_._1)
+    assert(merges.nonEmpty)
+    // plain-Scala apply: same spaced-form two-pass maximal replace
+    def encodeWord(w: String): Seq[String] = {
+      var sp = " " + w.toCharArray.mkString("", " ", " ")
+      merges.foreach { bp =>
+        val spaced = " " + bp + " "
+        val fused = " " + bp.replace(" ", "") + " "
+        sp = sp.replace(spaced, fused).replace(spaced, fused)
+      }
+      sp.trim.split(" +").toSeq
+    }
+    val expected = corpus.map { case (id, t) =>
+      id -> t.trim.split(" +").toSeq.flatMap(encodeWord)
+    }.toMap
+    val got = TextOps.bpeEncode(df, merges)
+      .select($"doc_id", $"n_words", $"n_pieces", $"pieces")
+      .as[(Long, Long, Long, Seq[String])]
+      .collect()
+    assert(got.length === corpus.length)
+    got.foreach { case (id, nw, np, pieces) =>
+      assert(nw === corpus.find(_._1 == id).get._2.trim.split(" +").length.toLong)
+      assert(np === pieces.length.toLong)
+      assert(pieces === expected(id), s"doc $id piece sequence")
+      // lossless: pieces reconstruct the original text modulo spaces
+      assert(pieces.mkString === corpus.find(_._1 == id).get._2.replace(" ", ""),
+        s"doc $id reconstruction")
+    }
+    // the merges actually compressed something: fewer pieces than chars
+    val totalChars = corpus.map(_._2.replace(" ", "").length).sum
+    assert(got.map(_._3).sum < totalChars, "no compression happened")
+  }
+
   test("shard prefix-sum bucket count stays bounded at any id-space size") {
     import graft.operators.Pipeline.shardBucketSize
     // the offsets join is O(buckets²): totals must stay aggregate-sized.
@@ -427,6 +465,31 @@ class ScoringSpec extends SparkSpec {
       assert(math.abs(kl - ekl) < 1.5e-4, s"source $src KL")
       // KL is a true divergence: non-negative by Gibbs' inequality
       assert(kl >= 0.0, s"source $src negative KL")
+    }
+  }
+
+  test("token entropy matches a plain-Scala Shannon computation") {
+    val expected = docs().map { case (id, w) =>
+      val counts = w.groupBy(identity).map(_._2.length)
+      val n = w.length.toDouble
+      // direct -Σ p log2 p, NOT the engine's log2(n) - Σc·log2(c)/n
+      // identity — algebraically equal, so agreement cross-checks both
+      val h = -counts.map { c => c / n * (math.log(c / n) / math.log(2)) }.sum
+      val types = counts.size
+      id -> (w.length.toLong, types.toLong, h,
+        if (types == 1) 0.0 else h / (math.log(types) / math.log(2)))
+    }.toMap
+    val got = TextOps.qTokenEntropy.fn(spark, sf)
+      .as[(Long, Long, Long, Double, Double)]
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, n, types, h, nh) =>
+      val (en, et, eh, enh) = expected(id)
+      assert(n === en, s"doc $id token count")
+      assert(types === et, s"doc $id type count")
+      assert(math.abs(h - eh) < 1.5e-4, s"doc $id entropy")
+      assert(math.abs(nh - enh) < 1.5e-4, s"doc $id normalized entropy")
+      assert(h >= 0.0 && nh >= 0.0 && nh <= 1.0 + 1e-9, s"doc $id bounds")
     }
   }
 
