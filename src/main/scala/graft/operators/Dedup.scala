@@ -426,7 +426,56 @@ object Dedup {
           .as("pair_precision"))
   }
 
+  /** N-gram novelty: the fraction of each document's distinct 3-gram
+    * shingles whose globally-first owner (min doc_id) is that document —
+    * the marginal-contribution metric a curation pass ranks documents by
+    * (a doc whose shingles all appeared earlier adds nothing; dedup's
+    * complement, scored per-doc instead of per-pair).
+    *
+    * Scale: the postings list is hash-partitioned ONCE on the shingle so
+    * the ownership aggregate and the ownership join read the same
+    * exchange (ReusedExchange, like [[ngramJaccardPairs]]); the final
+    * per-doc rollup is the only other shuffle. No pair joins anywhere —
+    * cost is linear in total shingle volume at any corpus size. Docs
+    * under 3 words carry no shingles and are excluded, matching the
+    * other shingle-family queries. */
+  val qNgramNovelty = QueryDef.sql(
+    "q_ngram_novelty",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |own AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s)
+       |SELECT ds.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_shingles,
+       |       CAST(sum(CASE WHEN own.first_doc = ds.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       round(sum(CASE WHEN own.first_doc = ds.doc_id
+       |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+       |         AS novelty
+       |FROM ds JOIN own USING (s)
+       |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition($"s")
+    val own = ds.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+    val novel = sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+    ds.join(own, "s")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        novel.as("n_novel"),
+        round(novel * lit(1.0) / count(lit(1)), 4).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
-      qLshRecall)
+      qLshRecall, qNgramNovelty)
 }

@@ -73,4 +73,33 @@ class DedupSpec extends SparkSpec {
     assert(precision >= 0.0 && precision <= 1.0)
     assert(sliceIds.size < Tables.documents(spark, sf).count())
   }
+
+  test("ngram novelty matches a plain-Scala first-owner computation") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.trim.split(" +").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty)
+    val firstOwner = all.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = all.map { case (id, ss) =>
+      val novel = ss.count(firstOwner(_) == id)
+      id -> (ss.size.toLong, novel.toLong)
+    }.toMap
+    val got = Dedup.qNgramNovelty.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (id, ns, nn, ratio) =>
+      val (ens, enn) = expected(id)
+      assert(ns === ens, s"doc $id shingle count")
+      assert(nn === enn, s"doc $id novel count")
+      assert(math.abs(ratio - nn.toDouble / ns) < 1e-4, s"doc $id ratio")
+    }
+    // the metric must separate docs: the fixture has both dup and
+    // original content, so novelty cannot be constant
+    assert(got.map(_._4).distinct.length > 1, "novelty is degenerate")
+  }
 }
