@@ -649,7 +649,89 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-space outlier report: assign every vector to its nearest
+    * seeded centroid (the q_kmeans_step assignment, round-4 ranked with
+    * cid tiebreak), then per cell flag vectors whose cosine similarity
+    * falls below the cell's own p10 — the distribution-aware screen that
+    * catches corrupt or off-manifold embeddings before they poison a
+    * semantic-dedup or ANN pass (a global cut would over-flag whichever
+    * cell is naturally loosest, the same argument as
+    * q_quality_threshold's per-language cuts).
+    *
+    * Scale: k centroids broadcast against a never-shuffled corpus scan;
+    * the percentile aggregate shuffles (cell, sim)-sized rows and its
+    * k-row cut table broadcasts back. The outlier decision compares the
+    * ROUNDED similarity against the interpolated percentile, the exact
+    * comparison q_quality_threshold already proved engine-stable. */
+  val qEmbedOutliers = QueryDef.sql(
+    "q_embed_outliers",
+    s"""WITH kk AS (
+       |  SELECT greatest(16, CAST(ceil(count(*) / ${Curation.SemanticCellTarget}.0)
+       |                           AS BIGINT)) AS k
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM kk)
+       |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> x * x)) > 0),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> x * x)) > 0),
+       |a0 AS (
+       |  SELECT vec_id, cid, cs4 FROM (
+       |    SELECT v.vec_id, c0.cid,
+       |           round(list_cosine_similarity(v.v, c0.cv), 4) AS cs4,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY round(list_cosine_similarity(v.v, c0.cv), 4) DESC,
+       |                      c0.cid) AS rk
+       |    FROM v CROSS JOIN c0) WHERE rk = 1),
+       |cuts AS (
+       |  SELECT cid, quantile_cont(cs4, 0.1) AS p10 FROM a0 GROUP BY cid)
+       |SELECT a0.cid,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(any_value(p10), 4) AS p10_sim,
+       |       CAST(sum(CASE WHEN cs4 < p10 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_outliers,
+       |       min(cs4) AS min_sim
+       |FROM a0 JOIN cuts USING (cid)
+       |GROUP BY a0.cid ORDER BY a0.cid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = Curation.semanticCellCount(emb.count())
+    val centroids = emb
+      .filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+      .filter($"cn" =!= 0.0)
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"cs4".desc, $"cid")
+    val a0 = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"cid",
+        round(dot($"embedding", $"cv") / ($"vn" * $"cn"), 4).as("cs4"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"cid", $"cs4")
+    val cuts = a0.groupBy($"cid")
+      .agg(expr("percentile(cs4, 0.1)").as("p10"))
+    a0.join(broadcast(cuts), "cid")
+      .groupBy($"cid")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(first($"p10"), 4).as("p10_sim"),
+        sum(when($"cs4" < $"p10", 1L).otherwise(0L)).as("n_outliers"),
+        min($"cs4").as("min_sim"))
+      .orderBy($"cid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
-      qEmbedQuantize, qLangEmbedStats, qAnnRecall, qEmbedDedupGroups)
+      qEmbedQuantize, qLangEmbedStats, qAnnRecall, qEmbedDedupGroups,
+      qEmbedOutliers)
 }

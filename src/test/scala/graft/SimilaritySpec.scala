@@ -151,4 +151,25 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(nSliced < nFull)
   }
+
+  test("embed outlier report: conservation, bounds, and p10 semantics") {
+    val got = operators.Similarity.qEmbedOutliers.fn(spark, sf)
+      .as[(Int, Long, Double, Long, Double)]
+      .collect()
+    assert(got.nonEmpty)
+    // every nonzero vector lands in exactly one cell
+    val nonzero = Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorFunctions.norm($"embedding") =!= 0.0)
+      .count()
+    assert(got.map(_._2).sum === nonzero, "assignment conserves vectors")
+    got.foreach { case (cid, n, p10, outliers, minSim) =>
+      assert(minSim <= p10 + 1e-9, s"cell $cid min above p10")
+      // strictly-below-p10 mass is ≤10% by the quantile definition
+      assert(outliers <= math.ceil(n * 0.1).toLong + 1,
+        s"cell $cid flags $outliers of $n")
+      assert(p10 >= -1.0 && p10 <= 1.0, s"cell $cid p10 out of range")
+    }
+    // the screen must actually flag something at fixture scale
+    assert(got.map(_._4).sum > 0, "no outliers flagged anywhere")
+  }
 }
