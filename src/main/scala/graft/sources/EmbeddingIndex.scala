@@ -65,6 +65,44 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
     res.cohesionPerRound
   }
 
+  /** Incremental append: assign a NEW batch of vectors to the EXISTING
+    * (frozen) cells and append into the same partition layout — the
+    * log-structured ingest path. A growing corpus never rebuilds the
+    * index: one broadcast-assign pass over the batch (the corpus on disk
+    * is not read at all) plus an append-mode write into the matching
+    * cell directories, each of which stays independently splittable.
+    * Centroids are read from the trained sidecar when present, else the
+    * seeded first-k read-back — identical to what [[search]] probes, so
+    * appended vectors land exactly where a full rebuild would put them.
+    * Caller contract: batch vec_ids must be new (append is an ingest
+    * primitive, not an upsert), and for a SEEDED index they must sort
+    * after the first `nCells` stored ids — the seeded centroid read-back
+    * is "first k by vec_id", which an id below that range would
+    * displace. Trained indexes (centroid sidecar) have no id
+    * constraint beyond uniqueness. */
+  def append(batch: DataFrame): Unit = {
+    val cdf = broadcast(
+      spark.createDataFrame(centroidRows.toIndexedSeq)
+        .toDF("cell", "cv"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cell")
+    batch
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .join(cdf, lit(true))
+      .select($"vec_id", $"embedding", $"vn", $"cell",
+        (dot($"embedding", $"cv") / ($"vn" * norm($"cv"))).as("cs"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select(
+        $"vec_id",
+        transform($"embedding", x => x / $"vn").as("unit_vec"),
+        $"cell")
+      .write
+      .partitionBy("cell")
+      .mode("append")
+      .parquet(indexDir)
+  }
+
   private def centroidDir: String = s"$indexDir.centroids"
 
   /** Trained indexes read the persisted centroid sidecar; seeded legacy

@@ -175,6 +175,29 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(qb < fb, s"quantized index must be smaller: $qb vs $fb")
   }
 
+  test("incremental append equals a full rebuild (search-identical)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cut = 100L
+    val incDir = Files.createTempDirectory("embidx_inc").toString + "/index"
+    val inc = new EmbeddingIndex(spark, incDir, nCells = 16)
+    inc.build(emb.filter($"vec_id" < cut))
+    inc.append(emb.filter($"vec_id" >= cut))
+    // same row count and same per-cell layout as the full build
+    val full = spark.read.parquet(dir)
+      .groupBy($"cell").count().as[(Int, Long)].collect().sortBy(_._1)
+    val grown = spark.read.parquet(incDir)
+      .groupBy($"cell").count().as[(Int, Long)].collect().sortBy(_._1)
+    assert(grown.toSeq === full.toSeq, "cell layout diverged from rebuild")
+    // search answers are identical to the rebuilt index for many queries
+    for (q <- Seq(0L, 3L, 7L, 42L, 150L)) {
+      val a = index.search(queryVec(q), k = 10, nProbe = 4)
+        .as[(Long, Double)].collect().toSeq
+      val b = inc.search(queryVec(q), k = 10, nProbe = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert(a === b, s"query $q diverged after append")
+    }
+  }
+
   test("quantized search prunes to the probed cell partitions too") {
     val df = qindex.search(queryVec(3), k = 5, nProbe = 2)
     df.collect()
