@@ -213,4 +213,32 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
       s"only the per-doc aggregate may shuffle in:\n$p")
   }
+
+  test("ngram novelty shares the postings exchange between agg and join") {
+    // first-owner aggregate and ownership join read the SAME
+    // shingle-partitioned stream; recomputing the explode per branch
+    // would double the dominant cost at 100 TB
+    val p = plan(q("q_ngram_novelty"))
+    assert("ReusedExchange".r.findAllIn(p).length >= 1,
+      s"expected ReusedExchange in:\n$p")
+  }
+
+  test("dsir weights broadcast the bucket models, never shuffle by token") {
+    // the 1024-row bucket table must come back as a broadcast; the token
+    // stream itself may only shuffle for the per-doc aggregate
+    val p = finalPlan(plan(q("q_dsir_weights")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket model must broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing may sort-merge join in:\n$p")
+  }
+
+  test("embed outliers broadcast centroids and the per-cell cuts") {
+    val p = finalPlan(plan(q("q_embed_outliers")))
+    assert(!p.contains("SortMergeJoin"),
+      s"centroids and cuts are aggregate-sized; no sort-merge join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n$p")
+  }
 }
