@@ -106,4 +106,10 @@ class GraftEngine(
     * of the oracle-gated q_sample_* / q_dedup_groups / q_text_* queries).
     */
   val corpus: graft.operators.CorpusOps.type = graft.operators.CorpusOps
+
+  /** Tokenizer lifecycle: [[graft.operators.TextOps.bpeTrain]] (merge
+    * induction on the word histogram) and
+    * [[graft.operators.TextOps.bpeEncode]] (apply trained merges over the
+    * distinct vocabulary) — train on a corpus slice, encode the corpus. */
+  val text: graft.operators.TextOps.type = graft.operators.TextOps
 }

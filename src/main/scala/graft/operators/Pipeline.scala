@@ -261,5 +261,97 @@ object Pipeline {
       .orderBy($"shard_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qCleanCorpus, qTrainingMix, qShardManifest)
+  /** The full r6 signal stack fused into one per-document curation
+    * verdict: hashed quality score, normalized token entropy, and n-gram
+    * novelty, each computed by the SAME oracle-gated building block it is
+    * gated under, joined on the id and reduced to a keep flag plus a
+    * '|'-separated reason list — the decision table a curation run
+    * actually materializes before dropping documents.
+    *
+    * Thresholds compare ROUNDED signals (an ulp cannot flip a verdict);
+    * docs too short to shingle count as fully novel. Scale: the three
+    * signals are independent linear passes that join on the id — no
+    * signal ever sees another's corpus-sized intermediate state. */
+  val qCurationReport = QueryDef.sql(
+    "q_curation_report",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+      |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id, n,
+      |         CASE WHEN n_types = 1 THEN 0.0
+      |              ELSE round((log2(n * 1.0) - s / n)
+      |                         / log2(n_types * 1.0), 4) END AS norm_entropy
+      |  FROM (SELECT doc_id, sum(c) AS n, count(*) AS n_types,
+      |               sum(c * log2(c * 1.0)) AS s
+      |        FROM tc GROUP BY doc_id)),
+      |feat AS (
+      |  SELECT doc_id, count(*) AS nt,
+      |         sum((CAST(concat('0x', substr(md5('qw|' || token), 1, 15))
+      |              AS BIGINT) % 2001) - 1000) AS zsum
+      |  FROM tok GROUP BY doc_id),
+      |qual AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN 1.0 / (1.0 + exp(-(zsum / (1000.0 * nt)))) >= 0.5
+      |                   THEN 1 ELSE 0 END AS INT) AS keep_quality
+      |  FROM feat),
+      |ds AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |own AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s),
+      |nov AS (
+      |  SELECT ds.doc_id,
+      |         round(sum(CASE WHEN own.first_doc = ds.doc_id
+      |                        THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |           AS novelty
+      |  FROM ds JOIN own USING (s) GROUP BY ds.doc_id),
+      |verdict AS (
+      |  SELECT e.doc_id,
+      |         CAST(e.n AS BIGINT) AS n_tokens,
+      |         e.norm_entropy,
+      |         coalesce(nov.novelty, 1.0) AS novelty,
+      |         q.keep_quality,
+      |         concat(
+      |           CASE WHEN q.keep_quality = 0 THEN '|low_quality' ELSE '' END,
+      |           CASE WHEN e.norm_entropy < 0.5 THEN '|low_entropy' ELSE '' END,
+      |           CASE WHEN coalesce(nov.novelty, 1.0) < 0.2
+      |                THEN '|low_novelty' ELSE '' END) AS r
+      |  FROM ent e
+      |    JOIN qual q USING (doc_id)
+      |    LEFT JOIN nov USING (doc_id))
+      |SELECT doc_id, n_tokens, norm_entropy, novelty, keep_quality,
+      |       CAST(CASE WHEN r = '' THEN 1 ELSE 0 END AS INT) AS keep,
+      |       CASE WHEN r = '' THEN 'ok' ELSE substr(r, 2) END AS reasons
+      |FROM verdict ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ent = graft.operators.TextOps.qTokenEntropy.fn(s, d)
+      .select($"doc_id", $"n_tokens", $"norm_entropy")
+    val qual = CorpusOps
+      .qualityScore(Tables.documents(s, d), "doc_id", "text")
+      .select($"doc_id", $"keep".as("keep_quality"))
+    val nov = graft.operators.Dedup.qNgramNovelty.fn(s, d)
+      .select($"doc_id", $"novelty")
+    val novC = coalesce($"novelty", lit(1.0))
+    val r = concat(
+      when($"keep_quality" === 0, "|low_quality").otherwise(""),
+      when($"norm_entropy" < 0.5, "|low_entropy").otherwise(""),
+      when(novC < 0.2, "|low_novelty").otherwise(""))
+    ent
+      .join(qual, "doc_id")
+      .join(nov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"norm_entropy",
+        novC.as("novelty"), $"keep_quality",
+        when(r === "", 1).otherwise(0).cast("int").as("keep"),
+        when(r === "", "ok").otherwise(substring(r, 2, 1000000))
+          .as("reasons"))
+      .orderBy($"doc_id")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qCleanCorpus, qTrainingMix, qShardManifest, qCurationReport)
 }

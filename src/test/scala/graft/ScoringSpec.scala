@@ -493,6 +493,39 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("curation report agrees with its standalone signal queries") {
+    val got = graft.operators.Pipeline.qCurationReport.fn(spark, sf)
+      .as[(Long, Long, Double, Double, Int, Int, String)]
+      .collect()
+    assert(got.length === docs().size)
+    val ent = TextOps.qTokenEntropy.fn(spark, sf)
+      .select($"doc_id", $"norm_entropy").as[(Long, Double)].collect().toMap
+    val nov = graft.operators.Dedup.qNgramNovelty.fn(spark, sf)
+      .select($"doc_id", $"novelty").as[(Long, Double)].collect().toMap
+    val qual = Scoring.qQualityClassifier.fn(spark, sf)
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+    val validReasons = Set("low_quality", "low_entropy", "low_novelty")
+    got.foreach { case (id, _, ne, nv, kq, keep, reasons) =>
+      assert(ne === ent(id), s"doc $id entropy drifted from q_token_entropy")
+      assert(nv === nov.getOrElse(id, 1.0), s"doc $id novelty drifted")
+      assert(kq === qual(id), s"doc $id quality drifted from classifier")
+      // the verdict is exactly the conjunction of its three reasons
+      val expectFlags =
+        (if (kq == 0) Seq("low_quality") else Nil) ++
+          (if (ne < 0.5) Seq("low_entropy") else Nil) ++
+          (if (nv < 0.2) Seq("low_novelty") else Nil)
+      if (expectFlags.isEmpty) {
+        assert(keep === 1 && reasons === "ok", s"doc $id verdict")
+      } else {
+        assert(keep === 0, s"doc $id must be cut")
+        assert(reasons.split('|').toSeq === expectFlags, s"doc $id reasons")
+        assert(reasons.split('|').forall(validReasons), s"doc $id tags")
+      }
+    }
+    // both verdicts must occur at fixture scale or the gate is vacuous
+    assert(got.exists(_._6 == 1) && got.exists(_._6 == 0))
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
