@@ -103,6 +103,17 @@ class EmbeddingIndex(spark: SparkSession, indexDir: String, nCells: Int = 16) {
       .parquet(indexDir)
   }
 
+  /** Per-cell balance report (cell, n_vecs) — the skew monitor for probe
+    * cost: search I/O is proportional to the probed cells' sizes, so one
+    * overweight cell quietly degrades every query that probes it.
+    * Aggregate-sized (nCells rows); one scan of the index. */
+  def stats(): DataFrame =
+    spark.read
+      .parquet(indexDir)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy($"cell")
+
   private def centroidDir: String = s"$indexDir.centroids"
 
   /** Trained indexes read the persisted centroid sidecar; seeded legacy

@@ -66,6 +66,21 @@ class ShingleIndex(spark: SparkSession, indexDir: String, nBuckets: Int = 64) {
       .mode("append")
       .parquet(indexDir)
 
+  /** Per-bucket balance report: postings, distinct shingles, and distinct
+    * documents per bucket — the monitoring surface that catches bucket
+    * skew (a boilerplate shingle family hashing into one bucket) before
+    * it turns matchBatch's pruned reads into one giant partition.
+    * Aggregate-sized output (≤ nBuckets rows); one scan of the index. */
+  def stats(): DataFrame =
+    spark.read
+      .parquet(indexDir)
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_postings"),
+        countDistinct($"s").as("n_shingles"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"bucket")
+
   /** Near-dup-check an arriving batch against the stored corpus: emits,
     * per batch document with a Jaccard ≥ `minJaccard` match, its best
     * indexed match (highest Jaccard, ties to the smallest doc_id) —

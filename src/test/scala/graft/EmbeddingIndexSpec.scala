@@ -175,6 +175,17 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(qb < fb, s"quantized index must be smaller: $qb vs $fb")
   }
 
+  test("cell stats conserve the corpus and match the partition layout") {
+    index // force build
+    val st = index.stats().as[(Int, Long)].collect()
+    val nonzero = Tables.embeddings(spark, sf)
+      .filter(norm($"embedding") =!= 0.0).count()
+    assert(st.map(_._2).sum === nonzero, "stats must cover every vector")
+    val dirs = new java.io.File(dir).listFiles
+      .map(_.getName).count(_.startsWith("cell="))
+    assert(st.length === dirs, "one stats row per cell partition")
+  }
+
   test("incremental append equals a full rebuild (search-identical)") {
     val emb = Tables.embeddings(spark, sf)
     val cut = 100L

@@ -63,6 +63,21 @@ class ShingleIndexSpec extends SparkSpec {
       s"index scan must prune buckets:\n${scans.mkString("\n")}")
   }
 
+  test("bucket stats account for every posting and spot skew honestly") {
+    val dir = Files.createTempDirectory("shidxs").toString + "/index"
+    val idx = new ShingleIndex(spark, dir)
+    idx.build(docs)
+    val st = idx.stats().as[(Long, Long, Long, Long)].collect()
+    assert(st.nonEmpty && st.length <= 64, "at most nBuckets rows")
+    st.foreach { case (b, np, ns, nd) =>
+      assert(b >= 0 && b < 64)
+      assert(ns <= np && nd <= np, s"bucket $b distincts exceed postings")
+    }
+    // totals reconcile with a direct read of the index
+    val direct = spark.read.parquet(dir).count()
+    assert(st.map(_._2).sum === direct, "postings total diverged")
+  }
+
   test("the query-side DF cap drops shingles hot across index AND batch") {
     val dir = Files.createTempDirectory("shidxc").toString + "/index"
     val idx = new ShingleIndex(spark, dir)
