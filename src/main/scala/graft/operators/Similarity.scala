@@ -649,6 +649,118 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Multi-probe LSH ANN (Lv et al. 2007): each query probes its base
+    * bucket PLUS the two buckets reachable by flipping the query's two
+    * lowest-|margin| hyperplane bits — the sign decisions it was least
+    * confident about, where a true neighbor most likely landed on the
+    * other side. Recall rises at the SAME table count, so the candidate
+    * volume grows ~3× on the query side while the corpus-side index cost
+    * (the dominant term at 100 TB) is unchanged — the standard
+    * alternative to "just add tables", whose cost lands on the corpus.
+    *
+    * Engine parity: margins are |dot| values both engines compute
+    * bit-identically (index-order accumulation, see [[hpValuesSql]]);
+    * the flip choice orders by (margin, bit) so ties cannot diverge, and
+    * bucket arithmetic is exact integer XOR. The probe superset also
+    * guarantees recall ≥ [[qAnnLsh]] per query (spec-asserted). */
+  val qAnnLshMultiprobe = QueryDef.sql(
+    "q_ann_lsh_multiprobe",
+    s"""WITH ${lshBucketsCte(4, 4, 64)},
+       |m AS (
+       |  SELECT e.vec_id, hp.tbl, hp.bit,
+       |         abs(list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.h))
+       |           AS mg,
+       |         CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+       |                                      hp.h) > 0
+       |              THEN 1 << hp.bit ELSE 0 END AS bval
+       |  FROM embeddings e CROSS JOIN hp
+       |  WHERE e.vec_id < 3),
+       |qb AS (
+       |  SELECT vec_id, tbl, CAST(sum(bval) AS BIGINT) AS bucket
+       |  FROM m GROUP BY 1, 2),
+       |flips AS (
+       |  SELECT vec_id, tbl, bit FROM (
+       |    SELECT vec_id, tbl, bit,
+       |           row_number() OVER (PARTITION BY vec_id, tbl
+       |                              ORDER BY mg, bit) AS rk
+       |    FROM m) WHERE rk <= 2),
+       |probes AS (
+       |  SELECT vec_id AS qid, tbl, bucket FROM qb
+       |  UNION
+       |  SELECT f.vec_id, f.tbl, xor(qb.bucket, CAST(1 << f.bit AS BIGINT))
+       |  FROM flips f JOIN qb ON f.vec_id = qb.vec_id AND f.tbl = qb.tbl),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, b.vec_id AS nid
+       |  FROM b JOIN probes p
+       |    ON b.tbl = p.tbl AND CAST(b.bucket AS BIGINT) = p.bucket
+       |   AND b.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.nid,
+       |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+       |                                CAST(en.embedding AS DOUBLE[])) AS c
+       |  FROM cand c
+       |    JOIN embeddings eq ON eq.vec_id = c.qid
+       |    JOIN embeddings en ON en.vec_id = c.nid),
+       |ranked AS (
+       |  SELECT qid, nid, round(c, 4) AS cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY c DESC, nid) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, cos_sim, rnk FROM ranked
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dim = 64
+    val nT = 4
+    val bits = 4
+    val hp = hyperplanes(nT * bits, dim)
+    val bucketed = emb.select(
+      $"vec_id",
+      $"embedding",
+      posexplode(lshBuckets($"embedding", nT, bits, dim))
+        .as(Seq("tbl", "bucket")))
+    // bits is 4, so 2^bit is a tiny exact CASE — no shift-by-column needed
+    def pow2(b: org.apache.spark.sql.Column) =
+      when(b === 0, 1L).when(b === 1, 2L).when(b === 2, 4L).otherwise(8L)
+    val perTable = (0 until nT).map { t =>
+      val contribs = (0 until bits).map { j =>
+        val h = array(hp(t * bits + j).map(lit): _*)
+        (when(dot($"embedding", h) > 0.0, lit(1L << j)).otherwise(lit(0L)),
+          abs(dot($"embedding", h)), j)
+      }
+      val bucket = contribs.map(_._1).reduce(_ + _)
+      // sort_array on (mg, bit) structs == the oracle's ORDER BY mg, bit
+      val margins = sort_array(array(contribs.map { case (_, mg, j) =>
+        struct(mg.as("mg"), lit(j).as("bit"))
+      }: _*))
+      val b1 = margins.getItem(0).getField("bit")
+      val b2 = margins.getItem(1).getField("bit")
+      struct(
+        lit(t).as("tbl"),
+        array(bucket, bucket.bitwiseXOR(pow2(b1)),
+          bucket.bitwiseXOR(pow2(b2))).as("probes"))
+    }
+    val qprobes = emb
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        explode(array(perTable: _*)).as("tp"))
+      .select($"qid", $"qv", $"tp.tbl".as("qt"),
+        explode($"tp.probes").as("qb"))
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    bucketed
+      .join(broadcast(qprobes),
+        $"tbl" === $"qt" && $"bucket" === $"qb" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"qv", $"embedding".as("nv"))
+      .distinct()
+      .select($"qid", $"nid", cosine($"qv", $"nv").as("c"))
+      .select($"qid", $"nid", round($"c", 4).as("cos_sim"),
+        row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 10)
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Embedding-space outlier report: assign every vector to its nearest
     * seeded centroid (the q_kmeans_step assignment, round-4 ranked with
     * cid tiebreak), then per cell flag vectors whose cosine similarity
@@ -733,5 +845,5 @@ object Similarity {
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qLangEmbedStats, qAnnRecall, qEmbedDedupGroups,
-      qEmbedOutliers)
+      qEmbedOutliers, qAnnLshMultiprobe)
 }

@@ -34,6 +34,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("multi-probe LSH recall is >= single-probe at the same table count") {
+    def pairs(q: QueryDef): Set[(Long, Long)] = q
+      .fn(spark, sf)
+      .select($"qid", $"nid")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val brute = pairs(Similarity.qCosineKnn)
+    val single = pairs(Similarity.qAnnLsh)
+    val multi = pairs(Similarity.qAnnLshMultiprobe)
+    val rSingle = (brute & single).size.toDouble / brute.size
+    val rMulti = (brute & multi).size.toDouble / brute.size
+    info(s"recall single=$rSingle multi=$rMulti")
+    // the probe set is a strict superset of the base bucket, so the
+    // candidate pool — and hence recall@10 — can only grow
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti below single-probe $rSingle")
+    // and the extra probes must actually surface something at fixture
+    // scale, or the margin-flip machinery is dead code
+    assert(multi.size >= single.size)
+  }
+
   test("IVF ANN recall@10 vs brute force is useful (>= 0.4)") {
     val brute = Similarity.qCosineKnn
       .fn(spark, sf)
