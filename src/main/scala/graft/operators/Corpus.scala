@@ -418,8 +418,32 @@ object Corpus {
       .orderBy($"split")
   }
 
+  /** Deterministic training-order shuffle ([[CorpusOps.trainingOrder]]):
+    * a salted hash permutation assigns every document a (shard, pos)
+    * coordinate — the reproducible global shuffle a training run reads
+    * in, with per-epoch re-permutation by salt. One shuffle on the shard
+    * key, per-shard parallel ordering, no global sort. */
+  val qTrainingOrder = QueryDef.sql(
+    "q_training_order",
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5('ord|' || doc_id), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(h % 16 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY h % 16
+      |                               ORDER BY h, doc_id) AS INT) AS pos
+      |FROM a ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .trainingOrder(Tables.documents(s, d), "doc_id")
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
-      qTrainValSplit)
+      qTrainValSplit, qTrainingOrder)
 }

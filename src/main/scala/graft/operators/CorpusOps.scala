@@ -305,6 +305,26 @@ object CorpusOps {
           .as("kl_to_corpus"))
   }
 
+  /** Deterministic training-order shuffle: every row gets a (shard, pos)
+    * coordinate from a salted hash permutation — the reproducible "global
+    * shuffle" a training run needs (change the salt per epoch for a fresh
+    * permutation, replay the same salt to recover byte-identical order).
+    * One shuffle on the shard key; each shard orders its own n/nShards
+    * slice in parallel (no global sort, no single-partition window).
+    * Returns (idCol, shard, pos). */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int = 16,
+      salt: String = "ord"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val h = ReservedPrefix + "h"
+    val w = Window.partitionBy(col("shard")).orderBy(col(h), col(idCol))
+    df.select(col(idCol),
+        stableHash60(concat(lit(salt + "|"), col(idCol).cast("string"))).as(h))
+      .withColumn("shard", pmod(col(h), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Overlapping sliding-window retrieval chunks (q_rag_chunks): windows
     * of `size` words every `stride`, tail chunks kept. Narrow — each
     * task chunks its own split. Returns (idCol, chunk_idx, start_word,

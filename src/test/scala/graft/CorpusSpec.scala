@@ -210,4 +210,29 @@ class CorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("sum to 1000"))
   }
+
+  test("training order is a replay-stable per-epoch permutation") {
+    val docs = Tables.documents(spark, sf)
+    val a = CorpusOps.trainingOrder(docs, "doc_id")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // total function: every doc gets exactly one coordinate
+    assert(a.length === docs.count())
+    // positions within each shard are dense 1..|shard|
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not dense")
+    }
+    // replay-identical with the same salt
+    val b = CorpusOps.trainingOrder(docs, "doc_id")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // a different salt is a genuinely different permutation
+    val c = CorpusOps.trainingOrder(docs, "doc_id", salt = "epoch2")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(a.toSeq !== c.toSeq, "epoch salt must reshuffle")
+    // and the doc's neighbors change: ordering is not id-correlated
+    val firstShardOrder = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(firstShardOrder.toSeq !== firstShardOrder.sorted.toSeq,
+      "hash order must not degenerate to id order")
+  }
 }
