@@ -38,6 +38,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("source divergence is non-negative and zero for a self-identical corpus") {
+    import org.apache.spark.sql.functions._
+    // random corpora over random vocabularies: KL(group ‖ corpus) ≥ 0
+    // always (Gibbs), and a single-group corpus IS the corpus → KL = 0
+    val vocabGen = Gen.listOfN(30, Gen.identifier.suchThat(_.nonEmpty))
+    samples(vocabGen, 3).zipWithIndex.foreach { case (vocab, vi) =>
+      val words = samples(Gen.oneOf(vocab), 400)
+      val docs = words.grouped(20).zipWithIndex.map { case (ws, i) =>
+        (i.toLong, s"s${i % 4}", ws.mkString(" "))
+      }.toSeq.toDF("doc_id", "source", "text")
+      val kl = operators.CorpusOps
+        .sourceDivergence(docs, "source", "text")
+        .select($"kl_to_corpus").as[Double].collect()
+      kl.foreach(v => assert(v >= 0.0, s"vocab $vi: negative KL $v"))
+      // one group == the whole corpus: divergence must vanish
+      val solo = operators.CorpusOps
+        .sourceDivergence(docs.withColumn("source", lit("all")),
+          "source", "text")
+        .select($"kl_to_corpus").as[Double].head()
+      assert(math.abs(solo) < 1e-9, s"vocab $vi: self-KL $solo not 0")
+    }
+  }
+
+  test("dsir importance weights are invariant to corpus row order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(200)
+    def run(df: org.apache.spark.sql.DataFrame) = operators.CorpusOps
+      .dsirWeights(df, "doc_id", "text", isTarget = $"lang" === "en",
+        topK = 20)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    val a = run(docs)
+    val b = run(docs.orderBy(rand(7)))  // adversarial physical order
+    assert(a === b, "importance weights must not depend on row order")
+  }
+
   test("readdir pagination concatenates to the full listing for any page size") {
     var cat = graft.meta.InodeCatalog.empty(spark)
     val names = samples(Gen.identifier.suchThat(_.nonEmpty), 12).distinct.take(9)
