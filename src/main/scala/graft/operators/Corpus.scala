@@ -442,8 +442,55 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary coverage curve: the token share covered by the top-10 /
+    * top-100 / top-1000 words — the Zipf saturation measurement that
+    * sizes a tokenizer's vocabulary (where the curve flattens, extra
+    * vocab buys nothing). The vocab table is Zipf-bounded but NOT
+    * assumed small: the top-1000 slice comes from ORDER BY + LIMIT
+    * (per-partition heaps), ranks from [[CorpusOps.boundedRank]] over
+    * those ≤1000 rows, totals from one aggregate — nothing vocab-sized
+    * ever transits a single-partition window. */
+  val qVocabCoverage = QueryDef.sql(
+    "q_vocab_coverage",
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
+      |wc AS (SELECT unnest(w) AS word FROM t),
+      |cnt AS (SELECT word, count(*) AS c FROM wc GROUP BY word),
+      |tot AS (SELECT sum(c) AS t FROM cnt),
+      |top AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 1000),
+      |ranked AS (
+      |  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rnk
+      |  FROM top),
+      |n AS (SELECT unnest([10, 100, 1000]) AS n_vocab)
+      |SELECT n_vocab,
+      |       CAST(sum(c) AS BIGINT) AS covered_tokens,
+      |       round(sum(c) * 1.0 / any_value(t), 4) AS coverage
+      |FROM ranked CROSS JOIN n CROSS JOIN tot
+      |WHERE rnk <= n_vocab
+      |GROUP BY n_vocab ORDER BY n_vocab""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val cnt = Tables.documents(s, d)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum($"c").as("t"))
+    val top = cnt.orderBy($"c".desc, $"word").limit(1000)
+    CorpusOps
+      .boundedRank(top, struct((-$"c").as("nc"), $"word"), "rnk")
+      .select($"c", $"rnk",
+        explode(array(lit(10), lit(100), lit(1000))).as("n_vocab"))
+      .filter($"rnk" <= $"n_vocab")
+      .groupBy($"n_vocab")
+      .agg(sum($"c").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"n_vocab", $"covered_tokens",
+        round($"covered_tokens" * lit(1.0) / $"t", 4).as("coverage"))
+      .orderBy($"n_vocab")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
-      qTrainValSplit, qTrainingOrder)
+      qTrainValSplit, qTrainingOrder, qVocabCoverage)
 }

@@ -235,4 +235,26 @@ class CorpusSpec extends SparkSpec {
     assert(firstShardOrder.toSeq !== firstShardOrder.sorted.toSeq,
       "hash order must not degenerate to id order")
   }
+
+  test("vocab coverage: monotone in n_vocab, bounded by 1, counts consistent") {
+    val rows = Corpus.qVocabCoverage.fn(spark, sf)
+      .orderBy($"n_vocab").collect()
+    assert(rows.map(_.getAs[Int]("n_vocab")).toSeq === Seq(10, 100, 1000))
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words($"text")).as("w"))
+      .count()
+    var prevCovered = 0L
+    var prevCoverage = 0.0
+    rows.foreach { r =>
+      val covered = r.getAs[Long]("covered_tokens")
+      val coverage = r.getAs[Double]("coverage")
+      // a bigger vocabulary can only cover more tokens
+      assert(covered >= prevCovered && coverage >= prevCoverage)
+      assert(covered <= totalTokens)
+      assert(coverage > 0.0 && coverage <= 1.0)
+      prevCovered = covered; prevCoverage = coverage
+    }
+    // the top-10 slice must not already saturate (Zipf head < full corpus)
+    assert(rows.head.getAs[Double]("coverage") < 1.0)
+  }
 }

@@ -177,6 +177,17 @@ class PlanSpec extends SparkSpec {
       s"ORDER BY key LIMIT k must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("vocab coverage takes the top-1000 via per-partition heaps, no window") {
+    // the vocab relation is unbounded at scale; only the ≤1000-row
+    // post-limit slice may be ranked, and that via boundedRank (joins),
+    // never a WindowExec
+    val p = finalPlan(plan(q("q_vocab_coverage")))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-1000 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window ["),
+      s"vocab coverage must not plan a WindowExec:\n$p")
+  }
+
   test("kmeans step broadcasts centroids; corpus is never re-shuffled") {
     // both the seed assignment and the re-assignment are broadcast joins
     // of k centroid rows against the embedding scan; the (cid, dim) mean
