@@ -134,6 +134,100 @@ object CorpusOps {
         least(coalesce(col(label), col(idCol)), col(idCol)).as("group_id"))
   }
 
+  /** Canonical-document selection per dedup group — the step after
+    * [[dedupGroups]] in a real pipeline: which duplicate do we KEEP?
+    * The canonical member is the one maximizing `scoreCol` (ties break
+    * to the smallest id, so the choice is total and deterministic).
+    * Returns every input row with `group_id`, `canonical_doc`, a `keep`
+    * flag, and `n_members`.
+    *
+    * Scale shape: two hash aggregates and two joins, all keyed on
+    * `group_id` — the exchange is planted once and reused. The
+    * max-score/min-id selection is expressed as aggregate + join-back
+    * (not `max_by` over a struct) so the exact same arithmetic runs on
+    * any ANSI engine. */
+  def canonicalPerGroup(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    checkReserved(df)
+    val mx = ReservedPrefix + "mx"
+    val scored = dedupGroups(df, idCol, textCol)
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val stat = scored
+      .groupBy(col("group_id"))
+      .agg(max(col(scoreCol)).as(mx), count(lit(1)).as("n_members"))
+    val canon = scored
+      .join(stat.select(col("group_id"), col(mx)), Seq("group_id"))
+      .filter(col(scoreCol) === col(mx))
+      .groupBy(col("group_id"))
+      .agg(min(col(idCol)).as("canonical_doc"))
+    scored
+      .join(canon, Seq("group_id"))
+      .join(stat.select(col("group_id"), col("n_members")), Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("canonical_doc"),
+        (col(idCol) === col("canonical_doc")).as("keep"), col("n_members"))
+  }
+
+  /** Context-window packing layout (q_pack_sequences): per shard, a
+    * running token prefix-sum assigns each document a (bin, offset,
+    * span_bins) coordinate in a stream of fixed `binTokens` windows.
+    * The window partitions by the shard column, so shards pack in
+    * parallel — the deterministic scalable alternative to a global
+    * sequential packer. */
+  def packLayout(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, binTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val w = Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol),
+        size(words(col(textCol))).as("n_tokens"))
+      .withColumn("start_tok",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .select(
+        col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"start_tok div $binTokens").cast("int").as("bin"),
+        (col("start_tok") % binTokens).cast("int").as("offset"),
+        (expr(s"(start_tok + n_tokens - 1) div $binTokens")
+          - expr(s"start_tok div $binTokens") + 1).cast("int")
+          .as("span_bins"))
+  }
+
+  /** Packing-efficiency report over [[packLayout]]: per shard, the bins
+    * used, fill ratio against capacity, and how many documents straddle
+    * a window boundary (the rows a training loader must split across
+    * contexts). One |shards|-row aggregate over the layout — the
+    * measurement a pipeline watches to pick its context length. The
+    * fill ratio uses the tie-safe floor(x·10⁴+0.5) rounding. */
+  def packEfficiency(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, binTokens: Int = 512): DataFrame = {
+    val lastBin = expr(s"(start_tok + n_tokens - 1) div $binTokens")
+    val firstBin = expr(s"start_tok div $binTokens")
+    val layout = df.select(col(idCol), col(shardCol),
+        size(words(col(textCol))).as("n_tokens"))
+      .withColumn("start_tok", {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col(shardCol))
+          .orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long")
+      })
+    val bins = (max(lastBin) + 1).cast("long")
+    layout
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        bins.as("bins_used"),
+        (bins * binTokens).as("capacity"),
+        (floor(sum(col("n_tokens")) * lit(10000.0) /
+          (bins * binTokens) + lit(0.5)) / 10000.0).as("fill_ratio"),
+        count(when(lastBin > firstBin, 1)).as("straddle_docs"),
+        sum(lastBin - firstBin).cast("long").as("boundary_crossings"))
+  }
+
   /** Gopher-style repetition metrics per row: word count, duplicate-word
     * fraction (1 − type-token ratio) and the token share of the single
     * most-repeated bigram, with a banded verdict on ROUNDED margins (an

@@ -355,6 +355,54 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Canonical-keeper selection over the dedup groups — the decision a
+    * pipeline actually ships: for every near-dup group, KEEP the longest
+    * member (ties to the smallest doc_id) and drop the rest. Composes
+    * [[CorpusOps.dedupGroups]] (iterative min-label CC) with a
+    * max-score/min-id argmax expressed as aggregate + join-back, all
+    * keyed on group_id so the exchange is reused. The oracle recomputes
+    * the same fixpoint via the recursive transitive closure and the same
+    * two-aggregate argmax. */
+  val qDedupCanonical = QueryDef.sql(
+    "q_dedup_canonical",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |sym AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lbl AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+       |grp AS (
+       |  SELECT d.doc_id,
+       |         least(coalesce(l.m, d.doc_id), d.doc_id) AS group_id,
+       |         d.n_chars
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |st AS (
+       |  SELECT group_id, max(n_chars) AS mx,
+       |         CAST(count(*) AS BIGINT) AS n_members
+       |  FROM grp GROUP BY group_id),
+       |canon AS (
+       |  SELECT g.group_id, min(g.doc_id) AS canonical_doc
+       |  FROM grp g JOIN st ON g.group_id = st.group_id
+       |                    AND g.n_chars = st.mx
+       |  GROUP BY g.group_id)
+       |SELECT g.doc_id, g.group_id, c.canonical_doc,
+       |       g.doc_id = c.canonical_doc AS keep,
+       |       st.n_members
+       |FROM grp g
+       |  JOIN canon c ON g.group_id = c.group_id
+       |  JOIN st     ON g.group_id = st.group_id
+       |ORDER BY g.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .canonicalPerGroup(Tables.documents(s, d), "doc_id", "text", "n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** LSH dedup quality measurement (the dedup twin of q_ann_recall):
     * MinHash-LSH candidate pairs scored against the exact Jaccard ≥ 0.8
     * ground truth — recall (how many true near-dup pairs the bands
@@ -477,5 +525,5 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
-      qLshRecall, qNgramNovelty)
+      qDedupCanonical, qLshRecall, qNgramNovelty)
 }

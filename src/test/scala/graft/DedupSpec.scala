@@ -102,4 +102,31 @@ class DedupSpec extends SparkSpec {
     // original content, so novelty cannot be constant
     assert(got.map(_._4).distinct.length > 1, "novelty is degenerate")
   }
+
+  test("canonical selection keeps exactly one member per group, the argmax") {
+    import spark.implicits._
+    val rows = Dedup.qDedupCanonical.fn(spark, sf)
+      .as[(Long, Long, Long, Boolean, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(rows.length === docs.size, "selection must be total")
+    rows.groupBy(_._2).foreach { case (gid, members) =>
+      // group bookkeeping is consistent
+      assert(members.forall(_._5 == members.length), s"group $gid n_members")
+      val canon = members.map(_._3).distinct
+      assert(canon.length === 1, s"group $gid canonical not unique")
+      // exactly one keeper, and it IS the canonical doc
+      val keepers = members.filter(_._4)
+      assert(keepers.length === 1, s"group $gid keeper count")
+      assert(keepers.head._1 === canon.head)
+      // the keeper maximizes the score; ties break to the smallest id
+      val best = members.map(m => (docs(m._1), m._1)).max
+      val expected = members.map(_._1).filter(docs(_) == best._1).min
+      assert(canon.head === expected, s"group $gid argmax")
+    }
+    // singletons keep themselves
+    rows.filter(_._5 == 1).foreach { r => assert(r._4 && r._3 == r._1) }
+    // the fixture has real dup groups, so some docs must be dropped
+    assert(rows.count(!_._4) > 0, "no docs dropped — fixture degenerate?")
+  }
 }
