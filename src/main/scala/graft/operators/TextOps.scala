@@ -233,23 +233,52 @@ object TextOps {
       |ORDER BY lang, doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy($"lang")
-      .orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables
-      .documents(s, d)
-      .select($"doc_id", $"lang", size(words($"text")).as("n_tokens"))
-      .withColumn("start_tok",
-        (sum($"n_tokens").over(w) - $"n_tokens").cast("long"))
-      .select(
-        $"doc_id", $"lang", $"n_tokens",
-        expr("start_tok div 512").cast("int").as("bin"),
-        ($"start_tok" % 512).cast("int").as("offset"),
-        (expr("(start_tok + n_tokens - 1) div 512")
-          - expr("start_tok div 512") + 1).cast("int").as("span_bins"))
+    CorpusOps
+      .packLayout(Tables.documents(s, d), "doc_id", "text", "lang")
       .orderBy($"lang", $"doc_id")
+  }
+
+  /** Packing-efficiency report over the q_pack_sequences layout: per
+    * language shard — bins used, capacity, fill ratio, and the count of
+    * boundary-straddling documents (rows a loader must split across
+    * context windows). The measurement that picks a context length:
+    * raise the window and straddling drops but tail waste grows. One
+    * |langs|-row aggregate over the layout; delegates to
+    * [[CorpusOps.packEfficiency]]. */
+  val qPackEfficiency = QueryDef.sql(
+    "q_pack_efficiency",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         len(string_split_regex(trim(text), ' +')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - n_tokens AS start_tok
+      |  FROM t)
+      |SELECT lang,
+      |  CAST(count(*) AS BIGINT)      AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(max((start_tok + n_tokens - 1) // 512) + 1 AS BIGINT)
+      |    AS bins_used,
+      |  CAST((max((start_tok + n_tokens - 1) // 512) + 1) * 512 AS BIGINT)
+      |    AS capacity,
+      |  floor(sum(n_tokens) * 10000.0 /
+      |        ((max((start_tok + n_tokens - 1) // 512) + 1) * 512) + 0.5)
+      |    / 10000.0 AS fill_ratio,
+      |  CAST(count(*) FILTER (WHERE (start_tok + n_tokens - 1) // 512
+      |                              > start_tok // 512) AS BIGINT)
+      |    AS straddle_docs,
+      |  CAST(sum((start_tok + n_tokens - 1) // 512 - start_tok // 512)
+      |       AS BIGINT) AS boundary_crossings
+      |FROM packed
+      |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .packEfficiency(Tables.documents(s, d), "doc_id", "text", "lang")
+      .orderBy($"lang")
   }
 
   /** Bigram language-model statistics: for each of the 30 most frequent
@@ -704,6 +733,6 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences, qBigramLm, qRagChunks, qPiiScrub,
-      qBpeMergeStep, qTokenEntropy)
+      qTokenize, qPackSequences, qPackEfficiency, qBigramLm, qRagChunks,
+      qPiiScrub, qBpeMergeStep, qTokenEntropy)
 }

@@ -257,4 +257,31 @@ class CorpusSpec extends SparkSpec {
     // the top-10 slice must not already saturate (Zipf head < full corpus)
     assert(rows.head.getAs[Double]("coverage") < 1.0)
   }
+
+  test("pack efficiency is consistent with the pack layout it reports on") {
+    val docs = Tables.documents(spark, sf)
+    val layout = CorpusOps.packLayout(docs, "doc_id", "text", "lang")
+      .select($"lang", $"n_tokens", $"bin", $"span_bins")
+      .as[(String, Int, Int, Int)].collect().groupBy(_._1)
+    val eff = CorpusOps.packEfficiency(docs, "doc_id", "text", "lang")
+      .collect()
+    assert(eff.map(_.getAs[String]("lang")).toSet === layout.keySet)
+    eff.foreach { r =>
+      val shard = layout(r.getAs[String]("lang"))
+      val capacity = r.getAs[Long]("capacity")
+      val total = r.getAs[Long]("total_tokens")
+      assert(r.getAs[Long]("n_docs") === shard.length)
+      assert(total === shard.map(_._2.toLong).sum)
+      assert(capacity === r.getAs[Long]("bins_used") * 512)
+      assert(total <= capacity)
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(r.getAs[Long]("straddle_docs") === shard.count(_._4 > 1))
+      assert(r.getAs[Long]("boundary_crossings")
+        === shard.map(_._4 - 1L).sum)
+      // bins_used covers the last touched bin exactly
+      assert(r.getAs[Long]("bins_used")
+        === shard.map(x => x._3 + x._4 - 1).max + 1)
+    }
+  }
 }
