@@ -228,6 +228,55 @@ object CorpusOps {
         sum(lastBin - firstBin).cast("long").as("boundary_crossings"))
   }
 
+  /** The small stopword set the Gopher rule-filter requires documents to
+    * draw from (Rae et al. 2021 use a similar ~8-word list; natural text
+    * nearly always contains ≥2 of these, machine gibberish rarely). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1, C4
+    * family): per document, five independent pass/fail rules and their
+    * conjunction —
+    *  - `r_len`: word count within [minWords, maxWords];
+    *  - `r_wordlen`: mean word length within [3, 10] characters;
+    *  - `r_symbols`: symbol-to-word ratio below 10%;
+    *  - `r_stopwords`: at least 2 distinct [[GopherStopwords]] present;
+    *  - `r_repetition`: distinct-word fraction at least 40%.
+    * Every rule is evaluated in INTEGER arithmetic (e.g. mean word
+    * length ∈ [3,10] as `3·n ≤ Σlen ≤ 10·n`), so no float boundary can
+    * flip a verdict between engines. Pure per-row projection — scoring
+    * fuses into the scan's codegen span, no shuffle, no model table. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 25, maxWords: Int = 1000): DataFrame = {
+    checkReserved(df)
+    val w = ReservedPrefix + "w"
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val withW = df.select(col(idCol), col(textCol),
+      words(col(textCol)).as(w))
+    val n = size(col(w))
+    val sl = aggregate(transform(col(w), x => length(x)), lit(0),
+      (acc, x) => acc + x)
+    val sym = size(expr(
+      s"regexp_extract_all($textCol, '[^\\\\w\\\\s]', 0)"))
+    val nstop = size(filter(array_distinct(col(w)),
+      x => array_contains(stopArr, x)))
+    val nd = size(array_distinct(col(w)))
+    val rLen = n.between(minWords, maxWords)
+    val rWordlen = sl >= n * 3 && sl <= n * 10
+    val rSymbols = sym * 10 < n
+    val rStopwords = nstop >= 2
+    val rRepetition = nd * 5 >= n * 2
+    withW.select(
+      col(idCol),
+      rLen.as("r_len"),
+      rWordlen.as("r_wordlen"),
+      rSymbols.as("r_symbols"),
+      rStopwords.as("r_stopwords"),
+      rRepetition.as("r_repetition"),
+      (rLen && rWordlen && rSymbols && rStopwords && rRepetition)
+        .as("pass"))
+  }
+
   /** Gopher-style repetition metrics per row: word count, duplicate-word
     * fraction (1 − type-token ratio) and the token share of the single
     * most-repeated bigram, with a banded verdict on ROUNDED margins (an

@@ -222,7 +222,47 @@ object Scoring {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style composite rule filter (Rae et al. 2021 §A1.1): five
+    * independent pass/fail quality rules per document and their
+    * conjunction, each evaluated in integer arithmetic so no float
+    * boundary can flip a verdict between engines (mean word length
+    * ∈ [3,10] is `3·n ≤ Σlen ≤ 10·n`, repetition is `5·distinct ≥ 2·n`).
+    * Pure per-row projection — the whole filter fuses into the parquet
+    * scan's codegen span; delegates to [[CorpusOps.gopherRules]]. */
+  val qGopherRules = QueryDef.sql(
+    "q_gopher_rules",
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(w) AS n,
+       |         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sl,
+       |         len(regexp_extract_all(text, '[^\\w\\s]')) AS sym,
+       |         len(list_filter(list_distinct(w),
+       |           x -> x IN (${CorpusOps.GopherStopwords
+                   .map("'" + _ + "'").mkString(",")}))) AS nstop,
+       |         len(list_distinct(w)) AS nd
+       |  FROM t)
+       |SELECT doc_id,
+       |       n BETWEEN 25 AND 1000              AS r_len,
+       |       sl >= 3 * n AND sl <= 10 * n       AS r_wordlen,
+       |       10 * sym < n                       AS r_symbols,
+       |       nstop >= 2                         AS r_stopwords,
+       |       5 * nd >= 2 * n                    AS r_repetition,
+       |       (n BETWEEN 25 AND 1000) AND sl >= 3 * n AND sl <= 10 * n
+       |         AND 10 * sym < n AND nstop >= 2 AND 5 * nd >= 2 * n
+       |                                          AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .gopherRules(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold,
-      qDsirWeights)
+      qDsirWeights, qGopherRules)
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   */
 class ScoringSpec extends SparkSpec {
   import spark.implicits._
+  import graft.operators.CorpusOps
 
   /** Plain-JVM stable_hash60: first 15 hex chars of md5 as a long —
     * must match graft.plans.StableHash60 / the DuckDB formulation. */
@@ -524,6 +525,53 @@ class ScoringSpec extends SparkSpec {
     }
     // both verdicts must occur at fixture scale or the gate is vacuous
     assert(got.exists(_._6 == 1) && got.exists(_._6 == 0))
+  }
+
+  test("gopher rules match a plain-Scala recomputation and discriminate") {
+    val got = Scoring.qGopherRules.fn(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length === texts.size)
+    got.foreach { case (id, rLen, rWl, rSym, rStop, rRep, pass) =>
+      val w = texts(id).trim.split(" +")
+      val n = w.length
+      val sl = w.map(_.length).sum
+      val sym = "[^\\w\\s]".r.findAllIn(texts(id)).length
+      val nstop = w.distinct.count(CorpusOps.GopherStopwords.contains)
+      val nd = w.distinct.length
+      assert(rLen === (n >= 25 && n <= 1000), s"doc $id r_len")
+      assert(rWl === (sl >= 3 * n && sl <= 10 * n), s"doc $id r_wordlen")
+      assert(rSym === (10 * sym < n), s"doc $id r_symbols")
+      assert(rStop === (nstop >= 2), s"doc $id r_stopwords")
+      assert(rRep === (5 * nd >= 2 * n), s"doc $id r_repetition")
+      assert(pass === (rLen && rWl && rSym && rStop && rRep), s"doc $id pass")
+    }
+    // the filter must discriminate at fixture scale
+    assert(got.exists(_._7) && got.exists(!_._7), "gopher filter vacuous")
+  }
+
+  test("gopher word-length and symbol rules fire on crafted documents") {
+    // the fixture's synthetic vocabulary never violates r_wordlen or
+    // r_symbols, so exercise both boundaries with crafted rows
+    val base = ((1 to 30).map(i => s"word$i") ++ Seq("the", "of"))
+      .mkString(" ")
+    val crafted = Seq(
+      (1L, base),                                   // all rules pass
+      (2L, Seq.fill(40)("xy").mkString(" ") + " the of"),  // mean len < 3
+      (3L, Seq.fill(30)("extraordinarily").mkString(" ") + " the of"), // >10
+      (4L, base + " " + Seq.fill(20)("!!!").mkString(" "))  // symbol-heavy
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.gopherRules(crafted, "doc_id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L)._7, "baseline crafted doc must pass all rules")
+    assert(!r(2L)._3, "short-word doc must fail r_wordlen")
+    assert(!r(3L)._3, "long-word doc must fail r_wordlen")
+    assert(!r(4L)._4, "symbol-heavy doc must fail r_symbols")
+    // failing one rule must fail the conjunction
+    Seq(2L, 3L, 4L).foreach(id => assert(!r(id)._7))
   }
 
   test("pii scrub leaves no unredacted pattern behind") {
