@@ -471,6 +471,63 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Output dimensionality of the random projection. */
+  val RpDimOut = 16
+
+  /** The ±1 Rademacher sign for projection row j, input dim i — parity
+    * of stableHash60("rp|j|i"), identical to the DuckDB md5 formula. */
+  private def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp|$j|$i".getBytes("UTF-8"))
+    val h = java.lang.Long
+      .parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    if (h % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection dimensionality reduction (Achlioptas 2003 /
+    * Johnson–Lindenstrauss): y = R·x / √d_out with a ±1 Rademacher
+    * matrix derived from stableHash60("rp|j|i") parity, 64 → 16 dims.
+    * The cheap first stage before clustering or coarse ANN — 4× smaller
+    * vectors with bounded pairwise-distance distortion.
+    *
+    * Scale design: the 16×64 sign matrix is a pure function of (j, i),
+    * so the Spark side folds it into the plan as a LITERAL nested array
+    * — no per-row hashing, no model relation, no broadcast; the whole
+    * projection is one narrow codegen'd pass over the scan. The oracle
+    * recomputes every sign from md5 per element (cost irrelevant
+    * there), proving the fold matches the formula. Sums run as
+    * sequential folds over the same doubles in both engines. */
+  val qEmbedProject = QueryDef.sql(
+    "q_embed_project",
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |SELECT vec_id,
+       |       [round(list_sum(
+       |          [e[i + 1] * (CASE WHEN CAST(concat('0x',
+       |               substr(md5('rp|' || CAST(j - 1 AS VARCHAR) || '|'
+       |                          || CAST(i AS VARCHAR)), 1, 15))
+       |             AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+       |           for i in range(0, 64)]) / 4, 4)
+       |        for j in range(1, ${RpDimOut + 1})] AS proj
+       |FROM v ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val signs = array((0 until RpDimOut).map { j =>
+      array((0 until 64).map(i => lit(rpSign(j, i))): _*)
+    }: _*)
+    Tables
+      .embeddings(s, d)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("e"))
+      .select(
+        $"vec_id",
+        transform(sequence(lit(1), lit(RpDimOut)), j =>
+          round(
+            aggregate(zip_with($"e", element_at(signs, j), (a, b) => a * b),
+              lit(0.0d), _ + _) / 4, 4)).as("proj"))
+      .orderBy($"vec_id")
+  }
+
   /** Cross-table join of the LLM tables: mean embedding norm and vector
     * count per document language (doc_id = vec_id). Exercises vector
     * math composed with a relational join + aggregation. */
@@ -844,6 +901,6 @@ object Similarity {
 
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
-      qEmbedQuantize, qLangEmbedStats, qAnnRecall, qEmbedDedupGroups,
-      qEmbedOutliers, qAnnLshMultiprobe)
+      qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
+      qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe)
 }

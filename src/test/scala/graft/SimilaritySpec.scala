@@ -194,4 +194,48 @@ class SimilaritySpec extends SparkSpec {
     // the screen must actually flag something at fixture scale
     assert(got.map(_._4).sum > 0, "no outliers flagged anywhere")
   }
+
+  test("random projection matches plain Scala and preserves norms (JL)") {
+    import spark.implicits._
+    val proj = Similarity.qEmbedProject.fn(spark, sf)
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    assert(proj.keySet === orig.keySet)
+    assert(proj.values.forall(_.length === Similarity.RpDimOut))
+    // exact recomputation of the first few vectors from the md5 formula
+    def sign(j: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp|$j|$i".getBytes("UTF-8"))
+      val h = java.lang.Long
+        .parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+    orig.toSeq.sortBy(_._1).take(5).foreach { case (id, e) =>
+      val expect = (0 until Similarity.RpDimOut).map { j =>
+        val s = e.indices.foldLeft(0.0)((acc, i) =>
+          acc + e(i).toDouble * sign(j, i))
+        math.floor(s / 4 * 1e4 + (if (s >= 0) 0.5 else -0.5)) / 1e4
+      }
+      proj(id).zip(expect).zipWithIndex.foreach { case ((got, exp), j) =>
+        assert(math.abs(got - exp) < 2e-4, s"vec $id dim $j: $got vs $exp")
+      }
+    }
+    // JL property: squared pairwise distances are preserved in
+    // expectation (E||ya-yb||^2 = ||a-b||^2 for y = Rx/sqrt(dout));
+    // the MEAN ratio over many pairs concentrates near 1
+    val ids = orig.keySet.toSeq.sorted.take(60)
+    val ratios = for {
+      Seq(a, b) <- ids.combinations(2).toSeq.take(500)
+      da = orig(a).zip(orig(b)).map { case (x, y) => (x - y).toDouble }
+            .map(d => d * d).sum
+      if da > 1e-9
+      dp = proj(a).zip(proj(b)).map { case (x, y) => x - y }
+            .map(d => d * d).sum
+    } yield dp / da
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3,
+      s"JL mean distortion $mean out of range over ${ratios.length} pairs")
+  }
 }
