@@ -375,6 +375,64 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Token budget for the mix planner — the size of the training run the
+    * allocation is solved for. */
+  val MixBudgetTokens = 100000L
+
+  /** Temperature-mix BUDGET PLANNER: turns the smoothed shares of
+    * [[qTemperatureMix]] into the concrete per-source plan for a
+    * [[MixBudgetTokens]]-token run — allocated tokens, the epoch factor
+    * (allocation / available; > 1 means the source must repeat), the
+    * single-epoch-clipped sampling rate, and the token deficit the clip
+    * leaves unfilled. This is the number a pipeline actually configures
+    * its samplers with. Same dataflow as the mix: one wordcount
+    * aggregate, two broadcast 1-row totals, |sources| rows end to end. */
+  val qMixBudget = QueryDef.sql(
+    "q_mix_budget",
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY source),
+       |shares AS (
+       |  SELECT source, n_tokens,
+       |         pow(n_tokens * 1.0 / sum(n_tokens) OVER (), $MixAlpha) AS pw
+       |  FROM per_src),
+       |alloc AS (
+       |  SELECT source, n_tokens,
+       |         pw / sum(pw) OVER () * $MixBudgetTokens AS a
+       |  FROM shares)
+       |SELECT source, n_tokens,
+       |       CAST(floor(a + 0.5) AS BIGINT)            AS alloc_tokens,
+       |       round(a / n_tokens, 4)                    AS epochs,
+       |       round(least(1.0, a / n_tokens), 4)        AS clipped_rate,
+       |       CAST(greatest(0, floor(a + 0.5) - n_tokens) AS BIGINT)
+       |         AS deficit_tokens
+       |FROM alloc ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tot = ReservedTot
+    val perSrc = Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(sum(size(words($"text")).cast("long")).as("n_tokens"))
+    val shares = perSrc
+      .crossJoin(broadcast(perSrc.agg(sum($"n_tokens").as(tot))))
+      .withColumn("pw", pow($"n_tokens" * lit(1.0) / col(tot), MixAlpha))
+    shares
+      .crossJoin(broadcast(shares.agg(sum($"pw").as(tot + "pw"))))
+      .withColumn("a",
+        $"pw" / col(tot + "pw") * lit(MixBudgetTokens.toDouble))
+      .select(
+        $"source", $"n_tokens",
+        floor($"a" + 0.5).cast("long").as("alloc_tokens"),
+        round($"a" / $"n_tokens", 4).as("epochs"),
+        round(least(lit(1.0), $"a" / $"n_tokens"), 4).as("clipped_rate"),
+        greatest(lit(0L), floor($"a" + 0.5).cast("long") - $"n_tokens")
+          .as("deficit_tokens"))
+      .orderBy($"source")
+  }
+
   /** Internal total-column name for [[qTemperatureMix]]'s broadcast
     * global sums (documents carries no such column). */
   private val ReservedTot = "__graft_tot"
@@ -492,5 +550,5 @@ object Corpus {
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
-      qTrainValSplit, qTrainingOrder, qVocabCoverage)
+      qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, CorpusOps, Dedup}
+import graft.operators.{Corpus, CorpusOps, Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Semantics of the corpus-curation operators: connected-components
@@ -256,6 +256,53 @@ class CorpusSpec extends SparkSpec {
     }
     // the top-10 slice must not already saturate (Zipf head < full corpus)
     assert(rows.head.getAs[Double]("coverage") < 1.0)
+  }
+
+  test("mix budget plan: allocations sum to the budget and clip correctly") {
+    val rows = Corpus.qMixBudget.fn(spark, sf).collect()
+    val budget = Corpus.MixBudgetTokens
+    val allocSum = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    // per-source rounding moves the total by at most |sources|/2 tokens
+    assert(math.abs(allocSum - budget) <= rows.length,
+      s"allocations sum to $allocSum, budget $budget")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val epochs = r.getAs[Double]("epochs")
+      val rate = r.getAs[Double]("clipped_rate")
+      val deficit = r.getAs[Long]("deficit_tokens")
+      assert(n > 0 && alloc > 0)
+      assert(math.abs(epochs - alloc.toDouble / n) < 1e-3)
+      assert(rate <= 1.0 + 1e-9 && rate > 0.0)
+      assert(math.abs(rate - math.min(1.0, epochs)) < 1e-3)
+      assert(deficit === math.max(0L, alloc - n))
+      // the clip and the deficit must agree on which regime we're in
+      assert((deficit > 0) === (epochs > 1.0))
+    }
+    // temperature flattening: smaller sources get proportionally MORE
+    // than their natural share, so epochs ordering inverts size ordering
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("epochs")
+      >= bySize.last.getAs[Double]("epochs") - 1e-9)
+  }
+
+  test("batch padding buckets partition the corpus with correct waste math") {
+    val rows = TextOps.qBatchPadding.fn(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total,
+      "buckets must partition the corpus")
+    rows.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val padTo = r.getAs[Long]("pad_to")
+      assert(padTo === (bucket + 1) * 16)
+      // every doc in the band fits under its ceiling and above its floor
+      assert(r.getAs[Long]("min_tokens") >= bucket * 16)
+      assert(r.getAs[Long]("max_tokens") < padTo)
+      assert(r.getAs[Long]("pad_tokens")
+        === padTo * r.getAs[Long]("n_docs") - r.getAs[Long]("total_tokens"))
+      val fill = r.getAs[Double]("fill_frac")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
   }
 
   test("pack efficiency is consistent with the pack layout it reports on") {
