@@ -281,6 +281,54 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Padding-waste report for length-bucketed batch shaping: bucket
+    * documents into fixed 16-token length bands and report, per band,
+    * the tokens a loader would PAD if it batched that band to its
+    * ceiling — the measurement behind dynamic batching (bucketed
+    * batches trade a little padding for no cross-length mixing; the
+    * report says how much). Pure scan → one aggregate keyed on the
+    * band; the fill fraction uses tie-safe floor(x·10⁴+0.5) rounding. */
+  val qBatchPadding = QueryDef.sql(
+    "q_batch_padding",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(trim(text), ' +')) AS n
+      |  FROM documents),
+      |b AS (SELECT doc_id, n, n // 16 AS bucket FROM t)
+      |SELECT bucket,
+      |       CAST((bucket + 1) * 16 AS BIGINT)  AS pad_to,
+      |       CAST(count(*) AS BIGINT)           AS n_docs,
+      |       CAST(min(n) AS BIGINT)             AS min_tokens,
+      |       CAST(max(n) AS BIGINT)             AS max_tokens,
+      |       CAST(sum(n) AS BIGINT)             AS total_tokens,
+      |       CAST((bucket + 1) * 16 * count(*) - sum(n) AS BIGINT)
+      |         AS pad_tokens,
+      |       floor(sum(n) * 10000.0 / ((bucket + 1) * 16 * count(*)) + 0.5)
+      |         / 10000.0 AS fill_frac
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .select(size(words($"text")).as("n"))
+      .withColumn("bucket", expr("n div 16"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n").cast("long").as("min_tokens"),
+        max($"n").cast("long").as("max_tokens"),
+        sum($"n").cast("long").as("total_tokens"))
+      .withColumn("pad_to", (($"bucket" + 1) * 16).cast("long"))
+      .withColumn("pad_tokens",
+        ($"pad_to" * $"n_docs" - $"total_tokens").cast("long"))
+      .withColumn("fill_frac",
+        floor($"total_tokens" * lit(10000.0) /
+          ($"pad_to" * $"n_docs") + lit(0.5)) / 10000.0)
+      .select($"bucket", $"pad_to", $"n_docs", $"min_tokens",
+        $"max_tokens", $"total_tokens", $"pad_tokens", $"fill_frac")
+      .orderBy($"bucket")
+  }
+
   /** Bigram language-model statistics: for each of the 30 most frequent
     * head words, its most likely successor and the conditional
     * probability P(next|head) — the count-based n-gram LM a data
@@ -733,6 +781,6 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences, qPackEfficiency, qBigramLm, qRagChunks,
-      qPiiScrub, qBpeMergeStep, qTokenEntropy)
+      qTokenize, qPackSequences, qPackEfficiency, qBatchPadding, qBigramLm,
+      qRagChunks, qPiiScrub, qBpeMergeStep, qTokenEntropy)
 }
