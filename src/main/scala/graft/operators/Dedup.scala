@@ -139,7 +139,12 @@ object Dedup {
     * silently diverge. Declared BEFORE both consumers: object vals
     * initialize in declaration order, and a forward reference here would
     * interpolate null into the SQL. */
-  private[operators] val minhashPairsCtes: String = {
+  /** The MinHash-LSH candidate-pair CTE chain over an arbitrary
+    * (doc_id, w) words relation — `wordsRel` must be a parenthesized
+    * relation or CTE name. Lets composites run the chain on a FILTERED
+    * document set (e.g. q_pipeline_curate_pack's rule survivors) while
+    * the canonical `documents` chain stays byte-identical. */
+  private[operators] def minhashPairsCtesOver(wordsRel: String): String = {
     val permSql = MinhashPerms.zipWithIndex
       .map { case ((a, b), i) =>
         s"min((h * $a + $b) % $MinhashP) AS sig_$i"
@@ -155,7 +160,7 @@ object Dedup {
        |  SELECT DISTINCT doc_id,
        |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |                 for i in range(1, len(w)-1)]) AS s
-       |  FROM $duckShingles
+       |  FROM $wordsRel
        |  WHERE len(w) >= 3),
        |hashed AS (
        |  SELECT doc_id,
@@ -173,6 +178,9 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private[operators] val minhashPairsCtes: String =
+    minhashPairsCtesOver(duckShingles)
 
   /** MinHash + LSH candidate generation: 16 permutations over md5-derived
     * shingle hashes, 4 bands x 4 rows; pairs sharing >= 1 band. This is

@@ -352,6 +352,106 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** The r6 curation composite: Gopher rule filter → canonical-keeper
+    * near-dedup → per-shard packing report, as ONE dataflow — the
+    * "filter, dedup, pack" spine of a pretraining data build, assembled
+    * from the individually-gated operators (q_gopher_rules,
+    * q_dedup_canonical, q_pack_efficiency) so the composition itself is
+    * oracle-proven end to end.
+    *
+    * Scale shape: the rule filter is a narrow projection that SHRINKS
+    * the corpus before any wide op runs; dedup's banding joins and the
+    * canonical argmax see only survivors; the final report is a
+    * |shards|-row aggregate. Each stage's 100 TB argument is made at
+    * its own gate — this query proves they compose. */
+  val qCuratePack = QueryDef.sql(
+    "q_pipeline_curate_pack",
+    s"""WITH RECURSIVE gw AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |         string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id, lang, n_chars, w, len(w) AS n,
+       |         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sl,
+       |         len(regexp_extract_all(text, '[^\\w\\s]')) AS sym,
+       |         len(list_filter(list_distinct(w),
+       |           x -> x IN (${CorpusOps.GopherStopwords
+                   .map("'" + _ + "'").mkString(",")}))) AS nstop,
+       |         len(list_distinct(w)) AS nd
+       |  FROM gw),
+       |surv AS (
+       |  SELECT doc_id, lang, n_chars, w FROM gm
+       |  WHERE n BETWEEN 25 AND 1000 AND sl >= 3 * n AND sl <= 10 * n
+       |    AND 10 * sym < n AND nstop >= 2 AND 5 * nd >= 2 * n),
+       |${Dedup.minhashPairsCtesOver("surv")},
+       |cc_sym AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM cc_sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN cc_sym s ON r.b = s.a),
+       |lbl AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+       |grp AS (
+       |  SELECT s.doc_id,
+       |         least(coalesce(l.m, s.doc_id), s.doc_id) AS group_id,
+       |         s.n_chars
+       |  FROM surv s LEFT JOIN lbl l ON s.doc_id = l.doc_id),
+       |st AS (SELECT group_id, max(n_chars) AS mx FROM grp GROUP BY group_id),
+       |canon AS (
+       |  SELECT g.group_id, min(g.doc_id) AS canonical_doc
+       |  FROM grp g JOIN st ON g.group_id = st.group_id
+       |                    AND g.n_chars = st.mx
+       |  GROUP BY g.group_id),
+       |kept AS (
+       |  SELECT s.doc_id, s.lang, len(s.w) AS n_tokens
+       |  FROM surv s
+       |    JOIN grp g ON s.doc_id = g.doc_id
+       |    JOIN canon c ON g.group_id = c.group_id
+       |  WHERE s.doc_id = c.canonical_doc),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tokens AS start_tok
+       |  FROM kept)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT)      AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(max((start_tok + n_tokens - 1) // 512) + 1 AS BIGINT)
+       |    AS bins_used,
+       |  CAST((max((start_tok + n_tokens - 1) // 512) + 1) * 512 AS BIGINT)
+       |    AS capacity,
+       |  floor(sum(n_tokens) * 10000.0 /
+       |        ((max((start_tok + n_tokens - 1) // 512) + 1) * 512) + 0.5)
+       |    / 10000.0 AS fill_ratio,
+       |  CAST(count(*) FILTER (WHERE (start_tok + n_tokens - 1) // 512
+       |                              > start_tok // 512) AS BIGINT)
+       |    AS straddle_docs,
+       |  CAST(sum((start_tok + n_tokens - 1) // 512 - start_tok // 512)
+       |       AS BIGINT) AS boundary_crossings
+       |FROM packed
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pass = CorpusOps
+      .gopherRules(docs, "doc_id", "text")
+      .filter($"pass")
+      .select($"doc_id")
+    val surv = docs.join(pass, Seq("doc_id"))
+    val keepIds = CorpusOps
+      .canonicalPerGroup(surv, "doc_id", "text", "n_chars")
+      .filter($"keep")
+      .select($"doc_id")
+    CorpusOps
+      .packEfficiency(surv.join(keepIds, Seq("doc_id")),
+        "doc_id", "text", "lang")
+      .orderBy($"lang")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qCleanCorpus, qTrainingMix, qShardManifest, qCurationReport)
+    Seq(qCleanCorpus, qTrainingMix, qShardManifest, qCurationReport,
+      qCuratePack)
 }

@@ -574,6 +574,33 @@ class ScoringSpec extends SparkSpec {
     Seq(2L, 3L, 4L).foreach(id => assert(!r(id)._7))
   }
 
+  test("curate-pack composite: the funnel shrinks and stages agree") {
+    import graft.operators.{CorpusOps, Pipeline}
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val report = Pipeline.qCuratePack.fn(spark, sf).collect()
+    val kept = report.map(_.getAs[Long]("n_docs")).sum
+    // stage 1 recomputed independently: the rule filter must shrink
+    val passers = CorpusOps.gopherRules(docs, "doc_id", "text")
+      .filter($"pass").count()
+    assert(passers < total, "rule filter must reject something")
+    // stage 2: canonical keepers of the survivor set, recomputed
+    val surv = docs.join(
+      CorpusOps.gopherRules(docs, "doc_id", "text")
+        .filter($"pass").select($"doc_id"), Seq("doc_id"))
+    val keepers = CorpusOps
+      .canonicalPerGroup(surv, "doc_id", "text", "n_chars")
+      .filter($"keep").count()
+    assert(keepers < passers, "dedup must drop a survivor dup")
+    assert(kept === keepers, "report totals must equal the keeper count")
+    // the report is well-formed per shard
+    report.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") <= r.getAs[Long]("capacity"))
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")
