@@ -382,4 +382,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
     assert(got.count(_._1 == 1L) === 5) // 10 words, size 4 stride 2
   }
+
+  test("library rule filter runs unchanged on a stream (batch/stream parity)") {
+    // CorpusOps.gopherRules is a pure projection, so the exact library
+    // call that gates a batch corpus gates a readStream micro-batch —
+    // the shape a streaming ingest quality gate actually has.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, ((1 to 30).map(i => s"word$i") ++ Seq("the", "of"))
+        .mkString(" ")), // passes all rules
+      (2L, "too short"), // fails the word-count floor
+      (3L, Seq.fill(40)("dup").mkString(" ") + " the of")) // repetitive
+    in.addData(docs: _*)
+    val streamed = operators.CorpusOps.gopherRules(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runToMemory(streamed, "rules_out")
+    val got = spark.table("rules_out")
+      .select($"doc_id", $"pass").as[(Long, Boolean)]
+      .collect().sortBy(_._1)
+    val batch = operators.CorpusOps.gopherRules(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"pass").as[(Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === batch.toSeq)
+    assert(got.toMap === Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }
