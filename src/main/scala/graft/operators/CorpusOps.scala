@@ -277,6 +277,38 @@ object CorpusOps {
         .as("pass"))
   }
 
+  /** Winnowing fingerprint sketch (Schleimer, Wilkerson, Aiken 2003):
+    * 3-word shingle hashes, sliding window of `windowSize` positions,
+    * each window selecting its minimum (hash, position) pair (leftmost
+    * tie-break), distinct selections = the sketch. Returns
+    * (idCol, sel_pos, h). Documents winnow in parallel — the window
+    * partitions by the id; positions cap at 2²⁰ words per document
+    * (the packed-key construction). */
+  def winnowSketch(df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val sh = df
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col(idCol), (size(col("w")) - 2).cast("long").as("n_sh"),
+        posexplode(shingles(col("w"), 3)).as(Seq("pos0", "sgl")))
+      .select(col(idCol), col("n_sh"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        (pmod(stableHash60(col("sgl")), lit(1099511627776L)) * 1048576L
+          + col("pos0") + 1).as("k"))
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, windowSize - 1)
+    sh.withColumn("mk", min(col("k")).over(w))
+      .filter(col("pos") <= col("n_sh") - (windowSize - 1))
+      .select(col(idCol), expr("mk div 1048576").as("h"),
+        (col("mk") % 1048576L).as("sel_pos"))
+      .distinct()
+      .select(col(idCol), col("sel_pos"), col("h"))
+  }
+
   /** Gopher-style repetition metrics per row: word count, duplicate-word
     * fraction (1 − type-token ratio) and the token share of the single
     * most-repeated bigram, with a banded verdict on ROUNDED margins (an

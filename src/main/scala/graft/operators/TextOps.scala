@@ -281,6 +281,57 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Winnowing fingerprint (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * local fingerprinting algorithm): 3-word shingle hashes, sliding
+    * window of 4 consecutive positions, each window selects its minimum
+    * (hash, position) pair — ties break to the LEFTMOST occurrence so
+    * selection is total — and the distinct selections form the sketch.
+    * Any shared word run of ≥ 6 words between two documents is
+    * guaranteed to share a fingerprint, at ~2/(w+1) the shingle volume
+    * — the robust middle ground between whole-doc hashing
+    * (q_text_fingerprint) and full shingle postings.
+    *
+    * Scale shape: one (doc, pos, hash) explode, a window PARTITIONED BY
+    * doc_id (documents winnow in parallel; no global ordering
+    * anywhere), one distinct. The (hash, pos) pair is packed into one
+    * BIGINT (40-bit hash, 20-bit position) so the frame minimum is a
+    * plain `min` in both engines; positions cap at 2²⁰ ≈ 1M words per
+    * document. */
+  val qWinnowFingerprint = QueryDef.sql(
+    "q_winnow_fingerprint",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, len(w) - 2 AS n_sh,
+      |         unnest([{'pos': i,
+      |                  'h': CAST(concat('0x',
+      |                         substr(md5(w[i] || ' ' || w[i+1] || ' '
+      |                                    || w[i+2]), 1, 15)) AS BIGINT)
+      |                       % 1099511627776}
+      |                 for i in range(1, len(w) - 1)]) AS u
+      |  FROM t WHERE len(w) >= 3),
+      |keyed AS (
+      |  SELECT doc_id, n_sh, u.pos AS pos,
+      |         u.h * 1048576 + u.pos AS k
+      |  FROM sh),
+      |win AS (
+      |  SELECT doc_id, pos, n_sh,
+      |         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |  FROM keyed),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, mk // 1048576 AS h, mk % 1048576 AS sel_pos
+      |  FROM win WHERE pos <= n_sh - 3)
+      |SELECT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, h
+      |FROM sel ORDER BY doc_id, sel_pos""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .winnowSketch(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id", $"sel_pos")
+  }
+
   /** Padding-waste report for length-bucketed batch shaping: bucket
     * documents into fixed 16-token length bands and report, per band,
     * the tokens a loader would PAD if it batched that band to its
@@ -781,6 +832,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
-      qTokenize, qPackSequences, qPackEfficiency, qBatchPadding, qBigramLm,
-      qRagChunks, qPiiScrub, qBpeMergeStep, qTokenEntropy)
+      qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
+      qWinnowFingerprint, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
+      qTokenEntropy)
 }

@@ -63,4 +63,62 @@ class TextFunctionsSpec extends SparkSpec {
       .getString(0)
     assert(got === "hello world")
   }
+
+  test("winnowing matches a plain-Scala reference implementation") {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(50)
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def winnowRef(text: String, w: Int = 4): Set[(Long, Long)] = {
+      val words = text.trim.split(" +")
+      if (words.length < 3) return Set.empty
+      val hs = words.sliding(3).map(_.mkString(" "))
+        .map(s => ((hash60(s) % 1099511627776L) + 1099511627776L)
+          % 1099511627776L)
+        .toArray
+      (0 to hs.length - w).flatMap { p =>
+        val keys = (p until p + w).map(j => hs(j) * 1048576L + (j + 1))
+        val mk = keys.min
+        Some((mk % 1048576L, mk / 1048576L)) // (sel_pos, h)
+      }.toSet
+    }
+    val got = CorpusOps
+      .winnowSketch(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val expect = winnowRef(text)
+      assert(got.getOrElse(id, Set.empty) === expect, s"doc $id sketch")
+    }
+  }
+
+  test("winnowing guarantees shared fingerprints for shared 6-word runs") {
+    import graft.operators.CorpusOps
+    // two documents sharing an 8-word run embedded in different contexts:
+    // the MOSS guarantee (t = w + k - 1 = 6 words here) says they MUST
+    // share at least one selected hash
+    val shared = "quick brown foxes jump over seven lazy dogs"
+    val crafted = Seq(
+      (1L, s"intro words before anything $shared and trailing text"),
+      (2L, s"completely different opening here $shared with another end"),
+      (3L, "nothing in common with either of the others at all truly"))
+      .toDF("doc_id", "text")
+    val sk = CorpusOps.winnowSketch(crafted, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((sk(1L) intersect sk(2L)).nonEmpty,
+      "docs sharing an 8-word run must share a fingerprint")
+    assert((sk(1L) intersect sk(3L)).isEmpty,
+      "unrelated docs must not collide on this fixture")
+    // density: ~2/(w+1) of the shingle volume, loosely bounded
+    val doc1Shingles = crafted.filter($"doc_id" === 1L)
+      .select(explode(shingles(words($"text"), 3))).count()
+    assert(sk(1L).size <= doc1Shingles,
+      "sketch cannot exceed the shingle count")
+    assert(sk(1L).size >= doc1Shingles / 4 - 1, "sketch too sparse")
+  }
 }
