@@ -297,17 +297,22 @@ object TextOps {
     * BIGINT (40-bit hash, 20-bit position) so the frame minimum is a
     * plain `min` in both engines; positions cap at 2²⁰ ≈ 1M words per
     * document. */
-  val qWinnowFingerprint = QueryDef.sql(
-    "q_winnow_fingerprint",
-    """WITH t AS (
+  /** The winnowing-sketch CTE chain (ends in `sel(doc_id, h, sel_pos)`),
+    * shared by the fingerprint gate and the pair-candidate gate so the
+    * two cannot silently diverge. NOTE: consumers interpolate this into
+    * their own stripMargin strings, so no line here may begin with `|`
+    * after its own margin strip (a leading `||` concat would be eaten
+    * by the consumer's stripMargin). */
+  private val winnowCtes: String =
+    """t AS (
       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, len(w) - 2 AS n_sh,
       |         unnest([{'pos': i,
       |                  'h': CAST(concat('0x',
-      |                         substr(md5(w[i] || ' ' || w[i+1] || ' '
-      |                                    || w[i+2]), 1, 15)) AS BIGINT)
+      |                         substr(md5(concat_ws(' ', w[i], w[i+1],
+      |                                    w[i+2])), 1, 15)) AS BIGINT)
       |                       % 1099511627776}
       |                 for i in range(1, len(w) - 1)]) AS u
       |  FROM t WHERE len(w) >= 3),
@@ -322,14 +327,56 @@ object TextOps {
       |  FROM keyed),
       |sel AS (
       |  SELECT DISTINCT doc_id, mk // 1048576 AS h, mk % 1048576 AS sel_pos
-      |  FROM win WHERE pos <= n_sh - 3)
-      |SELECT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, h
-      |FROM sel ORDER BY doc_id, sel_pos""".stripMargin
+      |  FROM win WHERE pos <= n_sh - 3)""".stripMargin
+
+  val qWinnowFingerprint = QueryDef.sql(
+    "q_winnow_fingerprint",
+    s"""WITH $winnowCtes
+       |SELECT doc_id, CAST(sel_pos AS BIGINT) AS sel_pos, h
+       |FROM sel ORDER BY doc_id, sel_pos""".stripMargin
   ) { (s, d) =>
     import s.implicits._
     CorpusOps
       .winnowSketch(Tables.documents(s, d), "doc_id", "text")
       .orderBy($"doc_id", $"sel_pos")
+  }
+
+  /** Near-dup CANDIDATE pairs from the winnowing sketch: documents
+    * sharing ≥ 2 selected fingerprints, with the shared count — the
+    * cheap screen a plagiarism/overlap detector runs before exact
+    * verification, at ~2/(w+1) the postings volume of the full shingle
+    * index. Same inverted-index + DF-cap shape as q_dedup_ngram_jaccard
+    * (the cap never binds at fixture scale — max fingerprint DF is 7 —
+    * so the capless oracle is exact); delegates the sketch to
+    * [[CorpusOps.winnowSketch]]. */
+  val qWinnowPairs = QueryDef.sql(
+    "q_winnow_pairs",
+    s"""WITH $winnowCtes,
+       |hs AS (SELECT DISTINCT doc_id, h FROM sel),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs WHERE n_shared >= 2
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val sel = Dedup.cappedPostings(
+      CorpusOps
+        .winnowSketch(Tables.documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"h".as("s"))
+        .distinct()
+        .repartition($"s"),
+      1000)
+    sel
+      .as("a")
+      .join(sel.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"d1", $"d2")
   }
 
   /** Padding-waste report for length-bucketed batch shaping: bucket
@@ -833,6 +880,6 @@ object TextOps {
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
-      qWinnowFingerprint, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
+      qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,28 @@ class DedupSpec extends SparkSpec {
     // the metric must separate docs: the fixture has both dup and
     // original content, so novelty cannot be constant
     assert(got.map(_._4).distinct.length > 1, "novelty is degenerate")
+  }
+
+  test("winnow-pair screen catches every true near-dup pair") {
+    import spark.implicits._
+    val candidates = TextOps.qWinnowPairs.fn(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    candidates.foreach { case (d1, d2, n) =>
+      assert(d1 < d2, "pairs must be ordered")
+      assert(n >= 2, "screen threshold is >= 2 shared fingerprints")
+    }
+    val candSet = candidates.map(c => (c._1, c._2)).toSet
+    // recall of the screen: every exact-Jaccard >= 0.8 pair must be a
+    // winnow candidate (shared full content implies shared fingerprints)
+    val truth = Dedup.qNgramJaccard.fn(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(truth.nonEmpty, "fixture must contain true near-dup pairs")
+    truth.foreach { p =>
+      assert(candSet.contains(p), s"true dup pair $p missed by the screen")
+    }
+    // and the screen is a SCREEN, not the answer: it over-generates
+    assert(candidates.length > truth.length,
+      "candidate set should be broader than the verified truth")
   }
 
   test("canonical selection keeps exactly one member per group, the argmax") {
