@@ -433,6 +433,78 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Per-document REPEAT PLAN realizing the [[qMixBudget]] allocation:
+    * a source whose allocation is e = alloc/available epochs repeats
+    * every document floor(e) times, plus one more for the hash-selected
+    * fraction frac(e) of its documents — deterministic oversampling
+    * whose expected token draw equals the allocation exactly. The
+    * fraction is fixed as an integer permille on the tie-safe
+    * floor(x·1000+0.5) margin, and document selection is the same
+    * salted md5 predicate as stratified sampling (salt "rep").
+    *
+    * Scale shape: the |sources|-row plan table broadcasts onto the
+    * corpus scan; the repeat decision is pure per-row arithmetic —
+    * no shuffle anywhere, output in corpus row order. */
+  val qRepeatPlan = QueryDef.sql(
+    "q_repeat_plan",
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+       |           AS n_tokens
+       |  FROM documents GROUP BY source),
+       |shares AS (
+       |  SELECT source, n_tokens,
+       |         pow(n_tokens * 1.0 / sum(n_tokens) OVER (), $MixAlpha) AS pw
+       |  FROM per_src),
+       |alloc AS (
+       |  SELECT source, n_tokens,
+       |         pw / sum(pw) OVER () * $MixBudgetTokens AS a
+       |  FROM shares),
+       |plan AS (
+       |  SELECT source,
+       |         CAST(floor(a / n_tokens) AS BIGINT) AS whole,
+       |         CAST(floor((a / n_tokens - floor(a / n_tokens)) * 1000
+       |              + 0.5) AS BIGINT) AS frac_pm
+       |  FROM alloc)
+       |SELECT d.doc_id, d.source,
+       |       CAST(p.whole +
+       |            CASE WHEN CAST(concat('0x',
+       |                   substr(md5('rep|' || d.doc_id), 1, 15)) AS BIGINT)
+       |                 % 1000 < p.frac_pm
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+       |FROM documents d JOIN plan p ON d.source = p.source
+       |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tot = ReservedTot
+    val perSrc = Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(sum(size(words($"text")).cast("long")).as("n_tokens"))
+    val shares = perSrc
+      .crossJoin(broadcast(perSrc.agg(sum($"n_tokens").as(tot))))
+      .withColumn("pw", pow($"n_tokens" * lit(1.0) / col(tot), MixAlpha))
+    val plan = shares
+      .crossJoin(broadcast(shares.agg(sum($"pw").as(tot + "pw"))))
+      .withColumn("e",
+        $"pw" / col(tot + "pw") * lit(MixBudgetTokens.toDouble)
+          / $"n_tokens")
+      .select(
+        $"source",
+        floor($"e").cast("long").as("whole"),
+        floor(($"e" - floor($"e")) * 1000 + 0.5).cast("long")
+          .as("frac_pm"))
+    Tables
+      .documents(s, d)
+      .join(broadcast(plan), Seq("source"))
+      .select(
+        $"doc_id", $"source",
+        ($"whole" + when(
+          graft.operators.CorpusOps.sampleHash($"doc_id", "rep")
+            < $"frac_pm", 1L).otherwise(0L)).cast("long").as("n_repeats"))
+      .orderBy($"doc_id")
+  }
+
   /** Internal total-column name for [[qTemperatureMix]]'s broadcast
     * global sums (documents carries no such column). */
   private val ReservedTot = "__graft_tot"
@@ -550,5 +622,6 @@ object Corpus {
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
-      qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget)
+      qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
+      qRepeatPlan)
 }

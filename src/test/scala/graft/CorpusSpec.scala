@@ -286,6 +286,40 @@ class CorpusSpec extends SparkSpec {
       >= bySize.last.getAs[Double]("epochs") - 1e-9)
   }
 
+  test("repeat plan realizes the mix-budget allocation per source") {
+    val plan = Corpus.qRepeatPlan.fn(spark, sf).collect()
+    val docTokens = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFunctions.words($"text")).cast("long")
+          .as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val budget = Corpus.qMixBudget.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("n_tokens"))).toMap
+    assert(plan.length === docTokens.size, "plan must be total")
+    plan.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val reps = rows.map(_.getAs[Long]("n_repeats"))
+      // within a source every doc repeats whole or whole+1 times
+      assert(reps.max - reps.min <= 1, s"$src repeat spread")
+      // realized draw concentrates on the allocation: the fractional
+      // epoch is a ~Binomial(n_docs, frac) doc choice, so allow 4 sigma
+      // of the heaviest doc times sqrt(n)
+      val realized = rows.map { r =>
+        r.getAs[Long]("n_repeats") *
+          docTokens(r.getAs[Long]("doc_id"))._2
+      }.sum
+      val (alloc, _) = budget(src)
+      val maxDoc = rows.map(r => docTokens(r.getAs[Long]("doc_id"))._2).max
+      val tol = 4 * maxDoc * math.sqrt(rows.length.toDouble) + maxDoc
+      assert(math.abs(realized - alloc) <= tol,
+        s"$src realized $realized vs alloc $alloc (tol $tol)")
+    }
+    // deterministic across runs
+    val again = Corpus.qRepeatPlan.fn(spark, sf).collect()
+    assert(plan.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("batch padding buckets partition the corpus with correct waste math") {
     val rows = TextOps.qBatchPadding.fn(spark, sf).collect()
     val total = Tables.documents(spark, sf).count()
