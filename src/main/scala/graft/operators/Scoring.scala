@@ -262,7 +262,74 @@ object Scoring {
       .orderBy($"doc_id")
   }
 
+  /** Model-vs-rules calibration report: bucket documents by the hashed
+    * classifier's ROUNDED score into tenth-wide bands and report each
+    * band's Gopher-rule pass rate — the agreement audit that says
+    * whether the cheap model ranks documents the way the hard rules
+    * judge them (a well-calibrated scorer's pass rate rises with the
+    * band). Both signals are per-row/one-aggregate computations joined
+    * on the id; output is ≤ 10 rows. Banding happens on the rounded
+    * score so both engines cut identically; the pass rate uses the
+    * tie-safe floor(x·10⁴+0.5) rounding. */
+  val qScoreCalibration = QueryDef.sql(
+    "q_score_calibration",
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+       |feat AS (
+       |  SELECT doc_id, count(*) AS n,
+       |         sum((CAST(concat('0x', substr(md5('qw|' || token), 1, 15))
+       |              AS BIGINT) % 2001) - 1000) AS zsum
+       |  FROM tok GROUP BY doc_id),
+       |scored AS (
+       |  SELECT doc_id,
+       |         round(1.0 / (1.0 + exp(-(zsum / (1000.0 * n)))), 4) AS score
+       |  FROM feat),
+       |gm AS (
+       |  SELECT doc_id, len(w) AS n,
+       |         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sl,
+       |         len(regexp_extract_all(text, '[^\\w\\s]')) AS sym,
+       |         len(list_filter(list_distinct(w),
+       |           x -> x IN (${CorpusOps.GopherStopwords
+                   .map("'" + _ + "'").mkString(",")}))) AS nstop,
+       |         len(list_distinct(w)) AS nd
+       |  FROM t),
+       |rules AS (
+       |  SELECT doc_id,
+       |         CASE WHEN (n BETWEEN 25 AND 1000) AND sl >= 3 * n
+       |                   AND sl <= 10 * n AND 10 * sym < n
+       |                   AND nstop >= 2 AND 5 * nd >= 2 * n
+       |              THEN 1 ELSE 0 END AS pass
+       |  FROM gm)
+       |SELECT CAST(floor(s.score * 10) AS BIGINT) AS band,
+       |       CAST(count(*) AS BIGINT)            AS n_docs,
+       |       CAST(sum(r.pass) AS BIGINT)         AS n_pass,
+       |       floor(sum(r.pass) * 10000.0 / count(*) + 0.5) / 10000.0
+       |         AS pass_rate
+       |FROM scored s JOIN rules r ON s.doc_id = r.doc_id
+       |GROUP BY 1 ORDER BY band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val scored = CorpusOps
+      .qualityScore(docs, "doc_id", "text")
+      .select($"doc_id", $"score")
+    val rules = CorpusOps
+      .gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", when($"pass", 1L).otherwise(0L).as("pass"))
+    scored
+      .join(rules, Seq("doc_id"))
+      .groupBy(floor($"score" * 10).cast("long").as("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"pass").as("n_pass"),
+        (floor(sum($"pass") * lit(10000.0) / count(lit(1)) + lit(0.5))
+          / 10000.0).as("pass_rate"))
+      .orderBy($"band")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold,
-      qDsirWeights, qGopherRules)
+      qDsirWeights, qGopherRules, qScoreCalibration)
 }

@@ -574,6 +574,30 @@ class ScoringSpec extends SparkSpec {
     Seq(2L, 3L, 4L).foreach(id => assert(!r(id)._7))
   }
 
+  test("score calibration bands partition the corpus and agree with signals") {
+    val bands = Scoring.qScoreCalibration.fn(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(bands.map(_.getAs[Long]("n_docs")).sum === total)
+    // recompute the joint signal directly and compare band-for-band
+    val direct = CorpusOps
+      .qualityScore(Tables.documents(spark, sf), "doc_id", "text")
+      .select($"doc_id", floor($"score" * 10).cast("long").as("band"))
+      .join(
+        CorpusOps.gopherRules(Tables.documents(spark, sf), "doc_id", "text")
+          .select($"doc_id", $"pass"), Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[Long]("band"))
+    bands.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(r.getAs[Long]("n_docs") === direct(b).length, s"band $b size")
+      assert(r.getAs[Long]("n_pass")
+        === direct(b).count(_.getAs[Boolean]("pass")), s"band $b passes")
+      val rate = r.getAs[Double]("pass_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(bands.length > 1, "calibration needs >1 band to say anything")
+  }
+
   test("curate-pack composite: the funnel shrinks and stages agree") {
     import graft.operators.{CorpusOps, Pipeline}
     val docs = Tables.documents(spark, sf)
