@@ -177,6 +177,42 @@ class PlanSpec extends SparkSpec {
       s"ORDER BY key LIMIT k must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("gopher rules fuse into the scan: no join, no aggregate exchange") {
+    // five integer rules are a pure projection — only the presentation
+    // sort may exchange
+    val p = finalPlan(plan(q("q_gopher_rules")))
+    assert(!p.contains("Join"), s"rule filter needs no join:\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"rule filter must not hash-shuffle:\n$p")
+  }
+
+  test("random projection is one narrow pass: literal signs, no join") {
+    // the 16x64 sign matrix is folded into the plan as a literal nested
+    // array, so there is no model relation to join or broadcast
+    val p = finalPlan(plan(q("q_embed_project")))
+    assert(!p.contains("Join"), s"projection needs no model join:\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"projection must not hash-shuffle:\n$p")
+  }
+
+  test("batch padding plans partial aggregation before its one exchange") {
+    val p = finalPlan(plan(q("q_batch_padding")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"only the band aggregate may shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"band counts must combine map-side:\n$p")
+  }
+
+  test("mix budget broadcasts its 1-row totals; corpus scans once") {
+    val p = finalPlan(plan(q("q_mix_budget")))
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).nonEmpty,
+      s"totals must broadcast:\n$p")
+    // the per-source wordcount subtree must be computed once and reused
+    assert(p.contains("ReusedExchange") ||
+      "FileScan parquet".r.findAllIn(p).length === 1,
+      s"corpus must scan once via exchange reuse:\n$p")
+  }
+
   test("vocab coverage takes the top-1000 via per-partition heaps, no window") {
     // the vocab relation is unbounded at scale; only the ≤1000-row
     // post-limit slice may be ranked, and that via boundedRank (joins),
