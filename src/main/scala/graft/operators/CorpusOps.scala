@@ -134,6 +134,61 @@ object CorpusOps {
         least(coalesce(col(label), col(idCol)), col(idCol)).as("group_id"))
   }
 
+  /** Dedup-group size histogram — the audit a dedup pipeline publishes
+    * before committing the drop decision: per near-dup group SIZE, the
+    * group/document counts and that band's corpus share (size 1 = unique
+    * docs; the tail is what dedup removes). [[dedupGroups]] plus two
+    * aggregate-sized rollups; the 1-row corpus total broadcasts back, so
+    * there is no global window and no second corpus scan. */
+  def dedupGroupStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tot = ReservedPrefix + "tot"
+    val sizes = dedupGroups(df, idCol, textCol)
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("group_size"))
+    sizes
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as(tot))))
+      .select(
+        col("group_size"),
+        col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        (floor(col("group_size") * col("n_groups") * lit(10000.0) /
+          col(tot) + lit(0.5)) / 10000.0).as("doc_share"))
+  }
+
+  /** Source-overlap (containment) matrix — for every ordered pair of
+    * values of `groupCol` (A, B): |A ∩ B| / |A| over distinct 3-gram
+    * shingle vocabularies (Broder 1997). The distinct (group, shingle)
+    * stream is hash-partitioned once on the shingle and self-joined
+    * there (ReusedExchange); each shingle contributes ≤ |groups|² pair
+    * rows, so output is bounded by the shingle vocabulary, never the
+    * corpus. */
+  def sourceOverlap(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    checkReserved(df)
+    val sCol = ReservedPrefix + "s"
+    val w = ReservedPrefix + "w"
+    val ss = df
+      .select(col(groupCol), words(col(textCol)).as(w))
+      .select(col(groupCol),
+        explode(array_distinct(shingles(col(w), 3))).as(sCol))
+      .distinct()
+      .repartition(col(sCol))
+    val cnt = ss.groupBy(col(groupCol)).agg(count(lit(1)).as("n_a"))
+    ss.select(col(groupCol).as("src_a"), col(sCol))
+      .join(ss.select(col(groupCol).as("src_b"), col(sCol)), sCol)
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(cnt.withColumnRenamed(groupCol, "src_a")), "src_a")
+      .select(
+        col("src_a"), col("src_b"), col("n_a"), col("n_common"),
+        (floor(col("n_common") * lit(10000.0) / col("n_a") + lit(0.5)) /
+          10000.0).as("containment"))
+  }
+
   /** Canonical-document selection per dedup group — the step after
     * [[dedupGroups]] in a real pipeline: which duplicate do we KEEP?
     * The canonical member is the one maximizing `scoreCol` (ties break

@@ -644,7 +644,50 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Source-overlap matrix — the cross-source contamination audit a
+    * corpus report publishes: for every ordered source pair (A, B), how
+    * much of A's distinct 3-gram shingle vocabulary also appears in B
+    * (Broder's containment, "On the resemblance and containment of
+    * documents", 1997). High containment means B largely re-crawls A —
+    * the signal that drives source-level mixing and dedup-order
+    * decisions before any per-document pass runs.
+    *
+    * Scale: the distinct (source, shingle) stream is computed once,
+    * hash-partitioned on the shingle, and self-joined there — both join
+    * branches read the same exchange (ReusedExchange), and each shingle
+    * contributes at most |sources|² pair rows, so the join output is
+    * bounded by the shingle vocabulary, never the corpus. The
+    * |sources|-row denominators broadcast back; the answer is ≤
+    * |sources|² rows. Containment uses the tie-safe floor(x·10⁴+0.5)
+    * rounding. */
+  val qSourceOverlap = QueryDef.sql(
+    "q_source_overlap",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |ds AS (
+      |  SELECT DISTINCT source,
+      |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM t WHERE len(w) >= 3),
+      |cnt AS (SELECT source, count(*) AS n FROM ds GROUP BY source),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      |  FROM ds a JOIN ds b ON a.s = b.s AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT pr.src_a, pr.src_b, ca.n AS n_a, pr.n_common,
+      |       floor(pr.n_common * 10000.0 / ca.n + 0.5) / 10000.0
+      |         AS containment
+      |FROM pr JOIN cnt ca ON pr.src_a = ca.source
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .sourceOverlap(Tables.documents(s, d), "source", "text")
+      .orderBy($"src_a", $"src_b")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
-      qSubstringDedup, qKmeansStep, qSourceKl)
+      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap)
 }

@@ -482,6 +482,51 @@ object Dedup {
           .as("pair_precision"))
   }
 
+  /** Dedup-group size audit — the report a dedup pipeline publishes
+    * before committing the drop decision: for each near-dup group SIZE,
+    * how many groups and documents fall in it and that band's share of
+    * the corpus (size 1 = unique docs; the tail bands are the mass the
+    * dedup will remove). Composes [[CorpusOps.dedupGroups]] (iterative
+    * min-label CC over the MinHash-LSH candidate graph) with two
+    * aggregate-sized rollups: per-group counts (|groups| rows), then the
+    * size histogram (a handful of rows); the corpus total joins back as
+    * a broadcast 1-row aggregate — no global window, no second corpus
+    * scan. Shares use the tie-safe floor(x·10⁴+0.5) rounding. */
+  val qDedupGroupStats = QueryDef.sql(
+    "q_dedup_group_stats",
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |sym AS (
+       |  SELECT d1 AS a, d2 AS b FROM cand
+       |  UNION
+       |  SELECT d2, d1 FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lbl AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+       |grp AS (
+       |  SELECT d.doc_id,
+       |         least(coalesce(l.m, d.doc_id), d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |sz AS (
+       |  SELECT group_id, count(*) AS group_size FROM grp GROUP BY group_id),
+       |hist AS (
+       |  SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+       |  FROM sz GROUP BY group_size),
+       |tot AS (SELECT count(*) AS n FROM documents)
+       |SELECT group_size, n_groups,
+       |       CAST(group_size * n_groups AS BIGINT) AS n_docs,
+       |       floor(group_size * n_groups * 10000.0 / tot.n + 0.5) / 10000.0
+       |         AS doc_share
+       |FROM hist, tot
+       |ORDER BY group_size""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .dedupGroupStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy($"group_size")
+  }
+
   /** N-gram novelty: the fraction of each document's distinct 3-gram
     * shingles whose globally-first owner (min doc_id) is that document —
     * the marginal-contribution metric a curation pass ranks documents by
@@ -533,5 +578,5 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
-      qDedupCanonical, qLshRecall, qNgramNovelty)
+      qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty)
 }

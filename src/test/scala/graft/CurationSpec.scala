@@ -52,4 +52,40 @@ class CurationSpec extends SparkSpec {
     assert(cells.count() === emb.count()) // fixture has no zero vectors
     assert(cells.select($"vec_id").distinct().count() === emb.count())
   }
+
+  test("source overlap matches a plain-Scala set computation") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "c d e f g", "s2"),
+      (3L, "x y z w q", "s3"),
+      (4L, "a b c x y", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.CorpusOps
+      .sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def sh(ts: String*): Set[String] =
+      ts.flatMap(_.split(" ").sliding(3).map(_.mkString(" "))).toSet
+    val vocab = Map(
+      "s1" -> sh("a b c d e", "a b c x y"),
+      "s2" -> sh("c d e f g"),
+      "s3" -> sh("x y z w q"))
+    for (a <- vocab.keys; b <- vocab.keys if a != b) {
+      val common = (vocab(a) & vocab(b)).size
+      if (common == 0)
+        assert(!got.contains((a, b)), s"($a,$b) shares nothing, no row")
+      else {
+        val (na, nc, cont) = got((a, b))
+        assert(na === vocab(a).size.toLong, s"($a,$b) |A|")
+        assert(nc === common.toLong, s"($a,$b) common")
+        assert(cont ===
+          math.floor(common * 10000.0 / vocab(a).size + 0.5) / 10000.0,
+          s"($a,$b) containment")
+      }
+    }
+    // containment is asymmetric: s1 covers all of s2's overlap but not
+    // vice versa when vocab sizes differ
+    assert(got((("s1"), ("s2")))._3 != got((("s2"), ("s1")))._3 ||
+      vocab("s1").size == vocab("s2").size)
+  }
 }

@@ -125,6 +125,25 @@ class DedupSpec extends SparkSpec {
       "candidate set should be broader than the verified truth")
   }
 
+  test("group-stats bands partition the corpus exactly") {
+    import spark.implicits._
+    val rows = Dedup.qDedupGroupStats.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === n, "n_docs across bands must cover the corpus")
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per size")
+    rows.foreach { case (sz, ng, nd, share) =>
+      assert(nd === sz * ng, s"band $sz bookkeeping")
+      assert(share === math.floor(nd * 10000.0 / n + 0.5) / 10000.0,
+        s"band $sz share")
+    }
+    // the fixture has true near-dups (asserted above), so a size>=2 band
+    // must exist, and unique docs must still dominate
+    assert(rows.exists(_._1 >= 2), "no dup band found")
+    val singles = rows.find(_._1 == 1).map(_._3).getOrElse(0L)
+    assert(singles > n / 2, "unique-doc band should dominate the fixture")
+  }
+
   test("canonical selection keeps exactly one member per group, the argmax") {
     import spark.implicits._
     val rows = Dedup.qDedupCanonical.fn(spark, sf)

@@ -213,6 +213,26 @@ class PlanSpec extends SparkSpec {
       s"corpus must scan once via exchange reuse:\n$p")
   }
 
+  test("source overlap self-joins the shingle stream on one reused exchange") {
+    // the distinct (source, shingle) relation is planted once on the
+    // shingle key; the pair join's second branch must read that exchange,
+    // not recompute the corpus scan
+    val p = finalPlan(plan(q("q_source_overlap")))
+    assert(p.contains("ReusedExchange"),
+      s"self-join must reuse the shingle exchange:\n$p")
+    // denominators are |sources| rows — broadcast, never shuffled wide
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast:\n$p")
+  }
+
+  test("dedup group stats: aggregate-sized rollups, no global window") {
+    val p = finalPlan(plan(q("q_dedup_group_stats")))
+    assert(!p.contains("Window"),
+      s"histogram must come from aggregates, not windows:\n$p")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findFirstIn(p).isDefined,
+      s"the 1-row corpus total must broadcast:\n$p")
+  }
+
   test("vocab coverage takes the top-1000 via per-partition heaps, no window") {
     // the vocab relation is unbounded at scale; only the ≤1000-row
     // post-limit slice may be ranked, and that via boundedRank (joins),
