@@ -21,21 +21,34 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.parquet has a TIMESTAMP(NANOS) column; with
-    * spark.sql.legacy.parquet.nanosAsLong=true it reads as BIGINT
-    * epoch-nanos. Expose both the raw nanos (`ts_ns`) and a µs-truncated
-    * proper timestamp (`ts`) so event-time operators (windows, watermarks)
-    * work on a TimestampType column.
+  /** events.parquet's `ts` column has varied across driver testdata
+    * generations: TIMESTAMP(NANOS) (reads as BIGINT epoch-nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP(µs,
+    * adjusted-to-UTC), and tz-naive TIMESTAMP(µs) (reads as
+    * TIMESTAMP_NTZ in Spark 4). Normalize all three here — sessions run
+    * with spark.sql.session.timeZone=UTC, so casting NTZ→TIMESTAMP
+    * preserves the instant and matches DuckDB's naive-timestamp oracle
+    * semantics. Expose raw nanos (`ts_ns`) and a µs TimestampType `ts`
+    * so event-time operators (windows, watermarks, unix_micros) work
+    * uniformly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    val tsType = raw.schema("ts").dataType.typeName
-    if (tsType == "long" || tsType == "bigint")
-      raw
-        .withColumnRenamed("ts", "ts_ns")
-        // integer DIV, not `/ 1000`: double division of epoch-nanos loses
-        // ulps and can shift the µs by one
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    raw.schema("ts").dataType.typeName match {
+      case "long" | "bigint" =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          // integer DIV, not `/ 1000`: double division of epoch-nanos
+          // loses ulps and can shift the µs by one
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case "timestamp_ntz" =>
+        // keep `ts` NTZ so columns we surface match the naive timestamps
+        // the DuckDB oracle reads from the same file; the cast (exact
+        // under the UTC session tz) exists only to reach epoch-µs
+        raw.withColumn("ts_ns",
+          unix_micros(col("ts").cast("timestamp")) * 1000)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    }
   }
 }

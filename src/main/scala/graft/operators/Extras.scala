@@ -262,16 +262,18 @@ object Extras {
   ) { (s, d) =>
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // epoch-µs comes from the loader's ts_ns (works for LTZ and NTZ
+    // source files alike); unix_micros would reject a TIMESTAMP_NTZ ts
     val w = Window
       .partitionBy($"user_id")
-      .orderBy(unix_micros($"ts"))
+      .orderBy(expr("ts_ns div 1000"))
       .rangeBetween(-300000000L, 0L)
     Tables
       .events(s, d)
       .filter($"user_id" < 20)
       .select(
         $"user_id",
-        unix_micros($"ts").as("ts_us"),
+        expr("ts_ns div 1000").as("ts_us"),
         $"event_id",
         round(sum($"value").over(w), 2).as("mv_sum_5m"),
         count(lit(1)).over(w).as("mv_n_5m"))

@@ -899,8 +899,172 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** Per-cell clustering-quality audit over the seeded-centroid
+    * assignment: the simplified-silhouette margin. For every vector,
+    * a = cosine to its own (nearest) centroid and b = cosine to the
+    * second-nearest; the margin a − b is the vector's separation (0 =
+    * sitting on a cell boundary, large = deep inside its cell). Per cell
+    * we report mean/min margin and mean cohesion — the health check run
+    * after every k-means build to find cells that should be split or
+    * merged before the IVF index inherits them (q_embed_outliers finds
+    * bad VECTORS; this finds bad CELLS).
+    *
+    * Engine determinism: similarities become INTEGERS in 1e-4 units
+    * (floor(c·10⁴ + 0.5)) before any aggregation, so sums are
+    * order-independent and the only floats are final divisions of
+    * identical integers — the q_quality_classifier recipe.
+    *
+    * Scale (100 TB): k centroids broadcast against a never-shuffled
+    * corpus scan (k = corpus-scaled via [[Curation.semanticCellCount]]);
+    * the per-vector window partitions by vec_id (parallel everywhere);
+    * the final rollup is k rows. */
+  val qClusterSilhouette = QueryDef.sql(
+    "q_cluster_silhouette",
+    s"""WITH kk AS (
+       |  SELECT greatest(16, CAST(ceil(count(*) / ${Curation.SemanticCellTarget}.0)
+       |                           AS BIGINT)) AS k
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM kk)
+       |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> x * x)) > 0),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                x -> x * x)) > 0),
+       |r AS (
+       |  SELECT v.vec_id, c0.cid,
+       |         CAST(floor(list_cosine_similarity(v.v, c0.cv) * 10000 + 0.5)
+       |              AS BIGINT) AS cs4i,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY floor(list_cosine_similarity(v.v, c0.cv) * 10000
+       |                          + 0.5) DESC, c0.cid) AS rk
+       |  FROM v CROSS JOIN c0),
+       |ab AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN rk = 1 THEN cid END) AS cid,
+       |         max(CASE WHEN rk = 1 THEN cs4i END) AS a4,
+       |         max(CASE WHEN rk = 2 THEN cs4i END) AS b4
+       |  FROM r WHERE rk <= 2 GROUP BY vec_id)
+       |SELECT cid,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       floor(sum(a4 - b4) * 1.0 / count(*) + 0.5) / 10000.0
+       |         AS mean_margin,
+       |       min(a4 - b4) / 10000.0 AS min_margin,
+       |       floor(sum(a4) * 1.0 / count(*) + 0.5) / 10000.0
+       |         AS mean_cohesion
+       |FROM ab GROUP BY cid ORDER BY cid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    silhouetteReport(Tables.embeddings(s, d)).orderBy($"cid")
+  }
+
+  /** (cid, n_vecs, mean_margin, min_margin, mean_cohesion) per seeded
+    * cell over an arbitrary embeddings slice — the DataFrame-
+    * parameterized body of [[qClusterSilhouette]]. */
+  private[graft] def silhouetteReport(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val k = Curation.semanticCellCount(emb.count())
+    val centroids = emb
+      .filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+      .filter($"cn" =!= 0.0)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cs4i".desc, $"cid")
+    val r = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .filter($"vn" =!= 0.0)
+      .crossJoin(broadcast(centroids))
+      .select($"vec_id", $"cid",
+        floor(dot($"embedding", $"cv") / ($"vn" * $"cn") * 10000.0 + 0.5)
+          .cast("long").as("cs4i"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= 2)
+    val ab = r
+      .groupBy($"vec_id")
+      .agg(
+        max(when($"rk" === 1, $"cid")).as("cid"),
+        max(when($"rk" === 1, $"cs4i")).as("a4"),
+        max(when($"rk" === 2, $"cs4i")).as("b4"))
+    ab.groupBy($"cid")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (floor(sum($"a4" - $"b4") * lit(1.0) / count(lit(1)) + lit(0.5))
+          / 10000.0).as("mean_margin"),
+        (min($"a4" - $"b4") / lit(10000.0)).as("min_margin"),
+        (floor(sum($"a4") * lit(1.0) / count(lit(1)) + lit(0.5))
+          / 10000.0).as("mean_cohesion"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding-model training: for
+    * each query vector, the top-5 most-similar corpus vectors whose
+    * LABEL differs from the query's — exactly the near-miss pairs a
+    * retrieval trainer wants as negatives (the easy random negatives
+    * teach nothing; the high-cosine wrong-label ones carry the
+    * gradient). Brute-force scored so the row set is the exact mining
+    * ground truth; at corpus scale the candidate generation swaps to the
+    * ANN paths (q_ann_ivf / q_ann_lsh_multiprobe) and this definition
+    * becomes their verifier, the same relationship q_ann_recall has to
+    * q_cosine_knn.
+    *
+    * Scale: query side (3 rows + labels) broadcast; the corpus never
+    * shuffles; only top-k rows leave each scan partition via the
+    * per-query window. */
+  val qHardNegatives = QueryDef.sql(
+    "q_hard_negatives",
+    """WITH q AS (
+      |  SELECT vec_id AS qid, label AS qlab,
+      |         CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT qid, e.vec_id AS nid, e.label AS neg_label,
+      |         list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM q JOIN embeddings e ON e.label <> qlab),
+      |ranked AS (
+      |  SELECT qid, nid, neg_label, round(c, 4) AS cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |           ORDER BY c DESC, nid) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT qid, nid, CAST(neg_label AS INT) AS neg_label, cos_sim, rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    hardNegatives(Tables.embeddings(s, d)).orderBy($"qid", $"rnk")
+  }
+
+  /** (qid, nid, neg_label, cos_sim, rnk) top-5 wrong-label neighbors per
+    * query over an arbitrary embeddings slice — the body of
+    * [[qHardNegatives]]. */
+  private[graft] def hardNegatives(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = emb
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"label".as("qlab"),
+        $"embedding".as("qv"), norm($"embedding").as("qn"))
+    val scored = emb
+      .select($"vec_id".as("nid"), $"label".as("neg_label"),
+        $"embedding".as("nv"), norm($"embedding").as("nn"))
+      .join(broadcast(q), $"neg_label" =!= $"qlab")
+      .select($"qid", $"nid", $"neg_label",
+        (dot($"qv", $"nv") / ($"qn" * $"nn")).as("c"))
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    scored
+      .select($"qid", $"nid", $"neg_label".cast("int").as("neg_label"),
+        round($"c", 4).as("cos_sim"), row_number().over(w).as("rnk"))
+      .filter($"rnk" <= 5)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
-      qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe)
+      qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
+      qClusterSilhouette, qHardNegatives)
 }

@@ -27,18 +27,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventPipelines {
 
-  /** Streaming source over an events directory (same schema the batch
-    * Tables.events exposes: ns-epoch long + derived µs timestamp). */
+  /** Streaming source over an events directory, normalized to the same
+    * shape the batch Tables.events exposes (`ts_ns` epoch-nanos +
+    * TimestampType `ts`) regardless of which timestamp physical type the
+    * driver's generator wrote (ns-as-long, µs-adjusted-UTC, or tz-naive
+    * µs → TIMESTAMP_NTZ in Spark 4). The batch read infers the schema —
+    * file sources require one up front — and the branch mirrors
+    * Tables.events exactly so batch/stream parity specs compare like
+    * for like (same `ts` type, same `ts_ns` derivation). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source monitors a DIRECTORY; select just the events table
     // from the sf dir via a glob filter
-    spark.readStream
+    val raw = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    batchSchema("ts").dataType.typeName match {
+      case "long" | "bigint" =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case "timestamp_ntz" =>
+        // watermarks REQUIRE TimestampType (EVENT_TIME_IS_NOT_ON_
+        // TIMESTAMP_TYPE on NTZ), so unlike the batch loader the stream
+        // casts `ts` — instant-preserving under the UTC session tz, so
+        // window boundaries match the batch plane wall-clock for parity
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+    }
   }
 
   /** A1/A2/T5: tumbling 1-minute request rate by event type. */

@@ -308,4 +308,22 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"expected broadcast joins in:\n$p")
   }
+
+  test("cluster silhouette broadcasts the k centroids, never sort-merges") {
+    val p = finalPlan(plan(q("q_cluster_silhouette")))
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid side is k rows; no sort-merge join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast centroid join in:\n$p")
+  }
+
+  test("hard negatives broadcast the query side, never sort-merge") {
+    val p = finalPlan(plan(q("q_hard_negatives")))
+    assert(!p.contains("SortMergeJoin"),
+      s"query side is 3 rows; no sort-merge join in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast query join in:\n$p")
+  }
 }

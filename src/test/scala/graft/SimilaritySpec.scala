@@ -238,4 +238,60 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.7 && mean < 1.3,
       s"JL mean distortion $mean out of range over ${ratios.length} pairs")
   }
+
+  test("cluster silhouette: conservation, margin >= 0, cohesion bounds") {
+    val got = Similarity.qClusterSilhouette.fn(spark, sf)
+      .as[(Int, Long, Double, Double, Double)]
+      .collect()
+    assert(got.nonEmpty)
+    // every nonzero vector lands in exactly one cell (same conservation
+    // law the outlier report obeys — both read the same assignment)
+    val nonzero = Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorFunctions.norm($"embedding") =!= 0.0)
+      .count()
+    assert(got.map(_._2).sum === nonzero, "assignment conserves vectors")
+    got.foreach { case (cid, n, meanM, minM, cohesion) =>
+      // a is the MAX similarity, b the runner-up: margins cannot go
+      // negative, and the per-cell mean dominates the min
+      assert(minM >= 0.0, s"cell $cid min margin $minM < 0")
+      assert(meanM >= minM - 1e-9, s"cell $cid mean $meanM below min $minM")
+      assert(cohesion >= -1.0 && cohesion <= 1.0 + 1e-9,
+        s"cell $cid cohesion $cohesion out of [-1,1]")
+      assert(n > 0)
+    }
+    // the fixture embeddings are near-random, so absolute cohesion is
+    // modest — but every vector chose its NEAREST centroid, so mean
+    // cohesion must at least be positive in some cell, and cells with a
+    // seeded centroid member can't average below zero everywhere
+    assert(got.map(_._5).max > 0.0, "no cell coheres — assignment broken")
+  }
+
+  test("hard negatives: label disjointness, ranking, and determinism") {
+    val got = Similarity.qHardNegatives.fn(spark, sf)
+      .as[(Long, Long, Int, Double, Int)]
+      .collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label".cast("int")).as[(Long, Int)]
+      .collect().toMap
+    // 3 query vectors × top-5 each, ranks dense from 1
+    assert(got.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (1 to 5).toSeq,
+        s"query $qid ranks not dense")
+      // negatives NEVER share the query's label — the whole point
+      rows.foreach { case (_, nid, negLab, _, _) =>
+        assert(negLab !== labels(qid), s"query $qid mined same-label $nid")
+        assert(negLab === labels(nid), "neg_label must be the corpus label")
+      }
+      // cos_sim non-increasing in rank
+      val byRank = rows.sortBy(_._5).map(_._4).toSeq
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a >= b - 1e-9, s"query $qid similarity increases with rank")
+      }
+    }
+    // deterministic: a second run returns the identical row set
+    val again = Similarity.qHardNegatives.fn(spark, sf)
+      .as[(Long, Long, Int, Double, Int)].collect()
+    assert(got.toSet === again.toSet)
+  }
 }
