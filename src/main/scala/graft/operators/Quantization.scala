@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the `embeddings` table — the missing
+  * piece between the IVF index ([[Similarity]], [[graft.sources.EmbeddingIndex]])
+  * and a true 100 TB ANN deployment. IVF prunes *which* vectors a query
+  * scans; PQ shrinks *how much* each scanned vector costs: the 64-dim
+  * float vector (256 B) becomes M=8 one-byte codes (8 B, 32× smaller), and
+  * query-time distance becomes M lookups into a per-query table (ADC —
+  * asymmetric distance computation) instead of a 64-dim float loop. At
+  * cluster scale the codes table is the resident index; raw vectors stay
+  * in cold storage for optional re-ranking.
+  *
+  * Codebooks here are SEEDED (subvectors of the first K vectors), the same
+  * deterministic-training recipe the IVF index uses for its gate
+  * (EmbeddingIndex trains real centroids; the oracle gates the seeded
+  * assignment, and specs gate the trained path's invariants).
+  *
+  * Engine determinism: every distance is quantized to an integer in 1e-4
+  * units (floor(d²·10⁴ + 0.5)) BEFORE any ranking or summation, so the
+  * ADC sums are exact integer arithmetic and argmin tie-breaks on the
+  * centroid id — bit-identical across engines regardless of float
+  * summation order.
+  *
+  * Scale (100 TB): the codebook is M·K = 128 rows (broadcast); code
+  * assignment is a single never-shuffled corpus scan; the per-query LUT
+  * is nq·M·K rows (broadcast); ADC reduces per (qid, vec) with a
+  * map-side-combinable integer sum. Nothing corpus-sized ever moves: the
+  * only shuffle is the aggregate-sized per-query top-k.
+  */
+object Quantization {
+
+  /** Number of subspaces (M): 64 dims → 8 slices of 8. */
+  val PqM = 8
+
+  /** Dims per subspace. */
+  val PqSubDim = 8
+
+  /** Codes per subspace codebook (K). */
+  val PqK = 16
+
+  /** Quantized squared-L2 distance (1e-4 integer units) between two
+    * equal-length double-array columns. */
+  private def d4(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d),
+        _ + _) * 10000.0 + 0.5).cast("long")
+
+  /** (vec_id, s, sv): each vector exploded into its M subvectors. */
+  private[graft] def subvectors(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb
+      .select($"vec_id",
+        transform($"embedding", _.cast("double")).as("e"))
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"e")
+      .select($"vec_id", $"s",
+        slice($"e", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+  }
+
+  /** (vec_id, s, cid, dist4): every subvector scored against its
+    * subspace's K seeded centroids, argmin rank attached. The codebook
+    * side is M·K rows and broadcast. */
+  private[graft] def assignment(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val sv = subvectors(emb)
+    val codebook = sv
+      .filter($"vec_id" < PqK)
+      .select($"vec_id".cast("int").as("cid"), $"s", $"sv".as("cv"))
+    val w = Window.partitionBy($"vec_id", $"s").orderBy($"dist4", $"cid")
+    sv
+      .join(broadcast(codebook), "s")
+      .select($"vec_id", $"s", $"cid", d4($"sv", $"cv").as("dist4"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .drop("rk")
+  }
+
+  /** DuckDB CTE prefix shared by both PQ oracles: subvector explosion,
+    * seeded codebook, quantized distances, argmin assignment. */
+  private val OracleAssign: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |subs AS (SELECT unnest(range(0, $PqM)) AS s),
+       |sv AS (
+       |  SELECT vec_id, s,
+       |         e[(s * $PqSubDim + 1):(s * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM v CROSS JOIN subs),
+       |cb AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, s, sv AS cv
+       |  FROM sv WHERE vec_id < $PqK),
+       |d AS (
+       |  SELECT sv.vec_id, sv.s, cb.cid,
+       |         CAST(floor(list_sum([(sv.sv[i] - cb.cv[i])
+       |                              * (sv.sv[i] - cb.cv[i])
+       |                              for i in range(1, $PqSubDim + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS dist4
+       |  FROM sv JOIN cb ON sv.s = cb.s),
+       |a AS (
+       |  SELECT vec_id, s, cid, dist4,
+       |         row_number() OVER (PARTITION BY vec_id, s
+       |                            ORDER BY dist4, cid) AS rk
+       |  FROM d)""".stripMargin
+
+  /** Per-subspace PQ health report: how many of the K codes each
+    * subspace actually uses and how much quantization error it carries —
+    * the table an index operator reads before trusting a codebook (a
+    * subspace using 3 of 16 codes needs retraining; one with max_dist an
+    * order of magnitude above the mean hides outlier subvectors). */
+  val qPqQuantize = QueryDef.sql(
+    "q_pq_quantize",
+    s"""$OracleAssign
+       |SELECT CAST(s AS INT) AS s,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+       |       floor(sum(dist4) * 1.0 / count(*) + 0.5) / 10000.0
+       |         AS mean_dist,
+       |       max(dist4) / 10000.0 AS max_dist
+       |FROM a WHERE rk = 1
+       |GROUP BY s ORDER BY s""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    assignment(Tables.embeddings(s, d))
+      .groupBy($"s")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct($"cid").as("codes_used"),
+        (floor(sum($"dist4") * lit(1.0) / count(lit(1)) + lit(0.5))
+          / 10000.0).as("mean_dist"),
+        (max($"dist4") / lit(10000.0)).as("max_dist"))
+      .orderBy($"s")
+  }
+
+  /** ADC recall@10: for each query (vec_id < 3), rank the corpus by the
+    * PQ-approximated distance (sum over subspaces of the LUT entry for
+    * that vector's code) and measure overlap with the exact squared-L2
+    * top-10 — the accept/reject measurement run before swapping an index
+    * to PQ codes. The LUT is nq·M·K rows; the exact side exists only as
+    * the verifier (at production scale it runs on a hash-sampled slice,
+    * like q_ann_recall). */
+  val qPqRecall = QueryDef.sql(
+    "q_pq_recall",
+    s"""$OracleAssign,
+       |codes AS (SELECT vec_id, s, cid FROM a WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, s, sv FROM sv WHERE vec_id < 3),
+       |lut AS (
+       |  SELECT q.qid, q.s, cb.cid,
+       |         CAST(floor(list_sum([(q.sv[i] - cb.cv[i])
+       |                              * (q.sv[i] - cb.cv[i])
+       |                              for i in range(1, $PqSubDim + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS d4
+       |  FROM q JOIN cb ON q.s = cb.s),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, sum(l.d4) AS ad4
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+       |  GROUP BY l.qid, c.vec_id),
+       |atop AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ad4, vec_id) AS rk
+       |  FROM adc),
+       |qv AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+       |exact AS (
+       |  SELECT qv.qid, v.vec_id,
+       |         CAST(floor(list_sum([(qv.qe[i] - v.e[i])
+       |                              * (qv.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS ed4
+       |  FROM qv CROSS JOIN v),
+       |etop AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ed4, vec_id) AS rk
+       |  FROM exact)
+       |SELECT e.qid,
+       |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |       count(a.vec_id) / 10.0 AS recall
+       |FROM etop e
+       |LEFT JOIN atop a
+       |  ON a.qid = e.qid AND a.vec_id = e.vec_id AND a.rk <= 10
+       |WHERE e.rk <= 10
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val codes = assignment(emb).select($"vec_id", $"s", $"cid")
+    val sv = subvectors(emb)
+    val codebook = sv
+      .filter($"vec_id" < PqK)
+      .select($"vec_id".cast("int").as("cid"), $"s", $"sv".as("cv"))
+    val lut = sv
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"s", $"sv")
+      .join(broadcast(codebook), "s")
+      .select($"qid", $"s", $"cid", d4($"sv", $"cv").as("d4"))
+    val adc = codes
+      .join(broadcast(lut), Seq("s", "cid"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d4").as("ad4"))
+    val wA = Window.partitionBy($"qid").orderBy($"ad4", $"vec_id")
+    val atop = adc
+      .withColumn("rk", row_number().over(wA))
+      .filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    val full = emb.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("e"))
+    val qv = full.filter($"vec_id" < 3).select($"vec_id".as("qid"),
+      $"e".as("qe"))
+    val wE = Window.partitionBy($"qid").orderBy($"ed4", $"vec_id")
+    val etop = full
+      .crossJoin(broadcast(qv))
+      .select($"qid", $"vec_id", d4($"qe", $"e").as("ed4"))
+      .withColumn("rk", row_number().over(wE))
+      .filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    val atopR = atop
+      .withColumnRenamed("qid", "a_qid")
+      .withColumnRenamed("vec_id", "a_vec")
+    etop
+      .join(atopR,
+        $"a_qid" === $"qid" && $"a_vec" === $"vec_id", "left")
+      .groupBy($"qid")
+      .agg(
+        count($"a_vec").as("hits"),
+        (count($"a_vec") / 10.0).as("recall"))
+      .orderBy($"qid")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall)
+}

@@ -877,9 +877,172 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** How many top-ranked tokens the Zipf fit regresses over. */
+  val ZipfTopN = 1000
+
+  /** Zipf rank-frequency fit: OLS of log10(count) on log10(rank) over the
+    * top-[[ZipfTopN]] tokens. Natural text sits near slope ≈ −1; a corpus
+    * whose slope drifts toward 0 is template/boilerplate-heavy and one
+    * below −1.5 has a starved tail — the single-number distributional
+    * health check run per ingest batch before mixing.
+    *
+    * Engine determinism: both logs are quantized to 1e-5 integer units
+    * BEFORE the regression, so all five OLS sums are exact integer
+    * arithmetic; slope/intercept/r² are then computed with an identical
+    * operation ordering in both engines (double ops on identical inputs
+    * are IEEE-deterministic).
+    *
+    * Scale (100 TB): the wordcount is the map-side-combinable shuffle;
+    * the rank window runs AFTER orderBy().limit(ZipfTopN) (per-partition
+    * top-k heaps), so the single-task window only ever sees ZipfTopN
+    * rows — the weightedSample funnel recipe, not a vocab-sized sort. */
+  val qZipfFit = QueryDef.sql(
+    "q_zipf_fit",
+    s"""WITH tc AS (
+       |  SELECT word, count(*) AS n
+       |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |top AS (SELECT word, n FROM tc ORDER BY n DESC, word LIMIT $ZipfTopN),
+       |rk AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+       |  FROM top),
+       |xy AS (
+       |  SELECT CAST(floor(log10(rank) * 100000 + 0.5) AS BIGINT) AS x,
+       |         CAST(floor(log10(n) * 100000 + 0.5) AS BIGINT) AS y
+       |  FROM rk),
+       |sm AS (
+       |  SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM xy)
+       |SELECT CAST(k AS BIGINT) AS n_ranks,
+       |       round((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)
+       |         AS slope,
+       |       round(sy * 1.0 / k
+       |             - ((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx))
+       |               * (sx * 1.0 / k), 4) AS intercept,
+       |       round(((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx))
+       |             * ((k * sxy - sx * sy) * 1.0
+       |                / (k * syy - sy * sy)), 4) AS r2
+       |FROM sm""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"word")
+    val top = Tables.documents(s, d)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(ZipfTopN)
+    val xy = top
+      // rank window AFTER the limit: sees at most ZipfTopN rows
+      .withColumn("rank", row_number().over(w))
+      .select(
+        floor(log10($"rank") * 100000.0 + 0.5).cast("long").as("x"),
+        floor(log10($"n") * 100000.0 + 0.5).cast("long").as("y"))
+    // identical operation ordering to the oracle: every product stays
+    // integer until the single *1.0 cast, divisions happen last
+    val num = $"k" * $"sxy" - $"sx" * $"sy"
+    val den = $"k" * $"sxx" - $"sx" * $"sx"
+    val deny = $"k" * $"syy" - $"sy" * $"sy"
+    val slope = num * lit(1.0) / den
+    xy.agg(
+        count(lit(1)).as("k"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select(
+        $"k".cast("long").as("n_ranks"),
+        round(slope, 4).as("slope"),
+        round($"sy" * lit(1.0) / $"k" - slope * ($"sx" * lit(1.0) / $"k"), 4)
+          .as("intercept"),
+        round(slope * (num * lit(1.0) / deny), 4).as("r2"))
+  }
+
+  /** PMI collocation mining: the top-20 adjacent token pairs by lift =
+    * c(ab)·N / (c(a)·c(b)) with pair count ≥ 5 — since PMI =
+    * ln(lift · N/T) and N/T is constant per corpus, ranking by lift IS
+    * the PMI ranking, with no logarithm in the gate. Collocations are
+    * what a tokenizer-merge or phrase-mining pass consumes ("new york"
+    * should be one unit; "of the" scores low because both sides are
+    * everywhere).
+    *
+    * Engine determinism: lift's numerator and denominator are products
+    * of exact integer counts evaluated in an identical order in both
+    * engines; the min-count floor keeps the candidate set crisp.
+    *
+    * Scale (100 TB): two wordcount-shaped shuffles (unigrams, bigrams) —
+    * both map-side combinable — then vocab-bounded joins keyed by token;
+    * the final top-20 lowers to TakeOrderedAndProject per-partition
+    * heaps, so nothing bigger than the aggregate tables ever moves. */
+  val qPmiCollocations = QueryDef.sql(
+    "q_pmi_collocations",
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
+      |uc AS (
+      |  SELECT word, count(*) AS n
+      |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+      |nn AS (SELECT sum(n) AS n_tok FROM uc),
+      |bg AS (
+      |  SELECT unnest([{'head': w[i], 'next': w[i+1]}
+      |                 for i in range(1, len(w))]) AS b
+      |  FROM t WHERE len(w) >= 2),
+      |bc AS (
+      |  SELECT b.head AS head, b.next AS next, count(*) AS c
+      |  FROM bg GROUP BY 1, 2),
+      |j AS (
+      |  SELECT bc.head, bc.next, bc.c, a.n AS head_n, z.n AS next_n,
+      |         nn.n_tok
+      |  FROM bc
+      |  JOIN uc a ON bc.head = a.word
+      |  JOIN uc z ON bc.next = z.word
+      |  CROSS JOIN nn
+      |  WHERE bc.c >= 5)
+      |SELECT head, next,
+      |       CAST(c AS BIGINT) AS pair_n,
+      |       CAST(head_n AS BIGINT) AS head_n,
+      |       CAST(next_n AS BIGINT) AS next_n,
+      |       round(c * 1.0 * n_tok / (head_n * 1.0 * next_n), 4) AS lift
+      |FROM j
+      |ORDER BY c * 1.0 * n_tok / (head_n * 1.0 * next_n) DESC, head, next
+      |LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.shingles
+    val t = Tables.documents(s, d).select(words($"text").as("w"))
+    val uc = t
+      .select(explode($"w").as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+    val nn = uc.agg(sum($"n").as("n_tok"))
+    val bc = t
+      .select(explode(shingles($"w", 2)).as("sh"))
+      .select(
+        substring_index($"sh", " ", 1).as("head"),
+        substring_index($"sh", " ", -1).as("next"))
+      .groupBy($"head", $"next")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 5)
+    val lift =
+      $"c" * lit(1.0) * $"n_tok" / ($"head_n" * lit(1.0) * $"next_n")
+    bc
+      .join(uc.select($"word", $"n".as("head_n")), $"head" === $"word")
+      .drop("word")
+      .join(uc.select($"word", $"n".as("next_n")), $"next" === $"word")
+      .drop("word")
+      .crossJoin(broadcast(nn))
+      .orderBy(lift.desc, $"head", $"next")
+      .limit(20)
+      .select($"head", $"next",
+        $"c".cast("long").as("pair_n"),
+        $"head_n".cast("long").as("head_n"),
+        $"next_n".cast("long").as("next_n"),
+        round(lift, 4).as("lift"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
-      qTokenEntropy)
+      qTokenEntropy, qZipfFit, qPmiCollocations)
 }
