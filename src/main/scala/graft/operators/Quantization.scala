@@ -233,5 +233,205 @@ object Quantization {
       .orderBy($"qid")
   }
 
-  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall)
+  /** Coarse IVF cells for the combined index (matches qAnnIvf's seeded
+    * cell count). */
+  val IvfCells = 16
+
+  /** Cells probed per query in the combined index. */
+  val IvfProbes = 4
+
+  /** The full IVF-PQ search, composed end-to-end: a coarse quantizer
+    * assigns every vector to its nearest of [[IvfCells]] seeded cells
+    * (cosine, the qAnnIvf recipe); the RESIDUAL v − centroid is then
+    * PQ-coded against residual codebooks (seeds 16..31 — the coarse
+    * seeds themselves have zero residuals and cannot form a codebook);
+    * a query probes its top-[[IvfProbes]] cells and ranks ONLY the
+    * vectors living there by ADC over the residual LUT. Recall@10 is
+    * measured against the corpus-wide exact ranking, so both failure
+    * modes — a neighbor in an unprobed cell, and ADC misranking inside
+    * a probed cell — count against the index, exactly like a production
+    * recall audit. n_scanned shows the pruning: candidates touched vs
+    * the full corpus.
+    *
+    * Scale (100 TB): cells (16 rows), codebooks (128 rows), probes
+    * (nq·nprobe rows) and the LUT (nq·nprobe·M·K rows) all broadcast;
+    * the corpus is scanned once for assignment and once for coding, and
+    * search touches ~nprobe/nCells of the code table with integer ADC
+    * sums. The exact side exists only as the verifier (sampled at
+    * production scale, like q_ann_recall). */
+  val qAnnIvfPq = QueryDef.sql(
+    "q_ann_ivfpq",
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cc AS (
+       |  SELECT CAST(vec_id AS INT) AS ccid, e AS cv
+       |  FROM v WHERE vec_id < $IvfCells),
+       |sc AS (
+       |  SELECT v.vec_id, v.e, cc.ccid, cc.cv,
+       |         CAST(floor(list_cosine_similarity(v.e, cc.cv) * 10000
+       |                    + 0.5) AS BIGINT) AS cs4
+       |  FROM v CROSS JOIN cc),
+       |asg AS (
+       |  SELECT vec_id, ccid, [e[i] - cv[i]
+       |                        for i in range(1, ${PqM * PqSubDim} + 1)] AS r
+       |  FROM (SELECT vec_id, e, ccid, cv,
+       |               row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cs4 DESC, ccid) AS rk
+       |        FROM sc) WHERE rk = 1),
+       |subs AS (SELECT unnest(range(0, $PqM)) AS s),
+       |rsv AS (
+       |  SELECT vec_id, ccid, s,
+       |         r[(s * $PqSubDim + 1):(s * $PqSubDim + $PqSubDim)] AS sv
+       |  FROM asg CROSS JOIN subs),
+       |cb AS (
+       |  SELECT CAST(vec_id - $IvfCells AS INT) AS cid, s, sv AS cbv
+       |  FROM rsv
+       |  WHERE vec_id >= $IvfCells AND vec_id < ${IvfCells + PqK}),
+       |pd AS (
+       |  SELECT rsv.vec_id, rsv.ccid, rsv.s, cb.cid,
+       |         CAST(floor(list_sum([(rsv.sv[i] - cb.cbv[i])
+       |                              * (rsv.sv[i] - cb.cbv[i])
+       |                              for i in range(1, $PqSubDim + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS pd4
+       |  FROM rsv JOIN cb ON rsv.s = cb.s),
+       |codes AS (
+       |  SELECT vec_id, ccid, s, cid FROM (
+       |    SELECT vec_id, ccid, s, cid,
+       |           row_number() OVER (PARTITION BY vec_id, s
+       |                              ORDER BY pd4, cid) AS rk
+       |    FROM pd) WHERE rk = 1),
+       |pr AS (
+       |  SELECT qid, ccid, qr FROM (
+       |    SELECT vec_id AS qid, ccid,
+       |           [e[i] - cv[i]
+       |            for i in range(1, ${PqM * PqSubDim} + 1)] AS qr,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cs4 DESC, ccid) AS rk
+       |    FROM sc WHERE vec_id < 3) WHERE rk <= $IvfProbes),
+       |qs AS (
+       |  SELECT qid, ccid, s,
+       |         qr[(s * $PqSubDim + 1):(s * $PqSubDim + $PqSubDim)] AS qv
+       |  FROM pr CROSS JOIN subs),
+       |lut AS (
+       |  SELECT q.qid, q.ccid, q.s, cb.cid,
+       |         CAST(floor(list_sum([(q.qv[i] - cb.cbv[i])
+       |                              * (q.qv[i] - cb.cbv[i])
+       |                              for i in range(1, $PqSubDim + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS d4
+       |  FROM qs q JOIN cb ON q.s = cb.s),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, sum(l.d4) AS ad4
+       |  FROM codes c
+       |  JOIN lut l ON l.ccid = c.ccid AND l.s = c.s AND l.cid = c.cid
+       |  GROUP BY l.qid, c.vec_id),
+       |scanned AS (SELECT qid, count(*) AS n_scanned FROM adc GROUP BY qid),
+       |atop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ad4, vec_id) AS rk
+       |    FROM adc) WHERE rk <= 10),
+       |qv2 AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+       |ex AS (
+       |  SELECT qv2.qid, v.vec_id,
+       |         CAST(floor(list_sum([(qv2.qe[i] - v.e[i])
+       |                              * (qv2.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS ed4
+       |  FROM qv2 CROSS JOIN v),
+       |etop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ed4, vec_id) AS rk
+       |    FROM ex) WHERE rk <= 10)
+       |SELECT e.qid,
+       |       CAST(sc2.n_scanned AS BIGINT) AS n_scanned,
+       |       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |       count(a.vec_id) / 10.0 AS recall
+       |FROM etop e
+       |LEFT JOIN atop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |JOIN scanned sc2 ON sc2.qid = e.qid
+       |GROUP BY e.qid, sc2.n_scanned
+       |ORDER BY e.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.VectorFunctions.{dot, norm}
+    val emb = Tables.embeddings(s, d)
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val cc = emb.filter($"vec_id" < IvfCells)
+      .select($"vec_id".cast("int").as("ccid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+    val scored = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .crossJoin(broadcast(cc))
+      .select($"vec_id", $"embedding", $"ccid", $"cv",
+        floor(dot($"embedding", $"cv") / ($"vn" * $"cn") * 10000.0 + 0.5)
+          .cast("long").as("cs4"))
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cs4".desc, $"ccid")
+    val residual =
+      zip_with(toD($"embedding"), toD($"cv"), (x, y) => x - y)
+    val asg = scored
+      .withColumn("rk", row_number().over(wCell))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"ccid", residual.as("r"))
+    val rsv = asg
+      .select($"vec_id", $"ccid",
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"r")
+      .select($"vec_id", $"ccid", $"s",
+        slice($"r", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+    val cb = rsv
+      .filter($"vec_id" >= IvfCells && $"vec_id" < IvfCells + PqK)
+      .select(($"vec_id" - IvfCells).cast("int").as("cid"), $"s",
+        $"sv".as("cbv"))
+    val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"pd4", $"cid")
+    val codes = rsv
+      .join(broadcast(cb), "s")
+      .select($"vec_id", $"ccid", $"s", $"cid", d4($"sv", $"cbv").as("pd4"))
+      .withColumn("rk", row_number().over(wCode))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"ccid", $"s", $"cid")
+    val probes = scored
+      .filter($"vec_id" < 3)
+      .withColumn("rk", row_number().over(wCell))
+      .filter($"rk" <= IvfProbes)
+      .select($"vec_id".as("qid"), $"ccid", residual.as("qr"))
+    val lut = probes
+      .select($"qid", $"ccid",
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"qr")
+      .select($"qid", $"ccid", $"s",
+        slice($"qr", $"s" * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .join(broadcast(cb), "s")
+      .select($"qid", $"ccid", $"s", $"cid", d4($"qsv", $"cbv").as("d4"))
+    val adc = codes
+      .join(broadcast(lut), Seq("ccid", "s", "cid"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d4").as("ad4"))
+    val scanned = adc.groupBy($"qid").agg(count(lit(1)).as("n_scanned"))
+    val wT = Window.partitionBy($"qid").orderBy($"ad4", $"vec_id")
+    val atop = adc
+      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    val full = emb.select($"vec_id", toD($"embedding").as("e"))
+    val qv = full.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"e".as("qe"))
+    val wE = Window.partitionBy($"qid").orderBy($"ed4", $"vec_id")
+    val etop = full
+      .crossJoin(broadcast(qv))
+      .select($"qid", $"vec_id", d4($"qe", $"e").as("ed4"))
+      .withColumn("rk", row_number().over(wE)).filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    val atopR = atop
+      .withColumnRenamed("qid", "a_qid")
+      .withColumnRenamed("vec_id", "a_vec")
+    etop
+      .join(atopR, $"a_qid" === $"qid" && $"a_vec" === $"vec_id", "left")
+      .groupBy($"qid")
+      .agg(count($"a_vec").as("hits"), (count($"a_vec") / 10.0).as("recall"))
+      .join(broadcast(scanned), "qid")
+      .select($"qid", $"n_scanned", $"hits", $"recall")
+      .orderBy($"qid")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall, qAnnIvfPq)
 }

@@ -53,6 +53,24 @@ class QuantizationSpec extends SparkSpec {
     assert(got.map(_._2).sum >= 3, "ADC recall no better than chance")
   }
 
+  test("IVF-PQ: pruning real, recall sane, scanned bounded by corpus") {
+    val got = Quantization.qAnnIvfPq.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    got.foreach { case (qid, scanned, hits, recall) =>
+      // probing nprobe of nCells cells MUST prune: scanning the whole
+      // corpus means the cell routing is broken
+      assert(scanned > 0 && scanned < nVecs,
+        s"query $qid scanned $scanned of $nVecs — no pruning")
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(recall - hits / 10.0) < 1e-12)
+    }
+    // the probed cells contain the query itself and its neighborhood;
+    // across 3 queries the index must beat chance decisively
+    assert(got.map(_._3).sum >= 3, "IVF-PQ recall no better than chance")
+  }
+
   test("PQ plans broadcast the codebook and LUT, never sort-merge") {
     def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
       df.collect() // force AQE finalization
@@ -66,5 +84,8 @@ class QuantizationSpec extends SparkSpec {
     val pr = finalPlan(Quantization.qPqRecall.fn(spark, sf))
     assert(!pr.contains("SortMergeJoin"),
       s"LUT and query sides are tiny; no sort-merge join in:\n$pr")
+    val pi = finalPlan(Quantization.qAnnIvfPq.fn(spark, sf))
+    assert(!pi.contains("SortMergeJoin"),
+      s"cells/codebook/LUT all broadcast; no sort-merge join in:\n$pi")
   }
 }
