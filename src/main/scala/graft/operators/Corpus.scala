@@ -619,9 +619,61 @@ object Corpus {
       .orderBy($"n_vocab")
   }
 
+  /** Per-source corpus dashboard: doc/token volume, language spread,
+    * exact length percentiles, and each source's share of total tokens —
+    * the one-page report a data-mixing decision starts from (q_mix_*
+    * consume these totals; this surfaces them with distribution shape).
+    *
+    * Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * q_events_percentiles recipe) buffer per-group values, so at
+    * production scale the drop-in swap is `approx_percentile` — the
+    * report is |sources| rows either way, and everything else is one
+    * narrow scan + one aggregate + a broadcast 1-row total. */
+  val qSourceReport = QueryDef.sql(
+    "q_source_report",
+    """WITH d AS (
+      |  SELECT source, lang,
+      |         len(string_split_regex(trim(text), ' +')) AS n_tok
+      |  FROM documents),
+      |t AS (SELECT sum(n_tok) AS tot FROM d)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       round(sum(n_tok) * 1.0 / count(*), 2) AS mean_len,
+      |       round(quantile_cont(n_tok, 0.50), 2) AS p50_len,
+      |       round(quantile_cont(n_tok, 0.95), 2) AS p95_len,
+      |       round(sum(n_tok) * 1.0 / (SELECT tot FROM t), 4) AS tok_share
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", $"lang", size(words($"text")).as("n_tok"))
+    val tot = toks.agg(sum($"n_tok").as("tot"))
+    toks
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("sum_tok"),
+        countDistinct($"lang").as("n_langs"),
+        expr("percentile(n_tok, 0.50)").as("p50_raw"),
+        expr("percentile(n_tok, 0.95)").as("p95_raw"))
+      .crossJoin(broadcast(tot))
+      .select(
+        $"source",
+        $"n_docs".cast("long").as("n_docs"),
+        $"sum_tok".cast("long").as("n_tokens"),
+        $"n_langs".cast("long").as("n_langs"),
+        round($"sum_tok" * lit(1.0) / $"n_docs", 2).as("mean_len"),
+        round($"p50_raw", 2).as("p50_len"),
+        round($"p95_raw", 2).as("p95_len"),
+        round($"sum_tok" * lit(1.0) / $"tot", 4).as("tok_share"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
-      qRepeatPlan)
+      qRepeatPlan, qSourceReport)
 }

@@ -365,4 +365,26 @@ class CorpusSpec extends SparkSpec {
         === shard.map(x => x._3 + x._4 - 1).max + 1)
     }
   }
+
+  test("source report: conservation, share sums to 1, percentile order") {
+    val got = Corpus.qSourceReport.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(got.map(_._2).sum === docs.count(), "doc counts must conserve")
+    val totTok = docs
+      .select(size(graft.functions.TextFunctions.words($"text")).as("n"))
+      .agg(sum($"n")).as[Long].collect().head
+    assert(got.map(_._3).sum === totTok, "token counts must conserve")
+    // shares sum to ~1 (each share rounded to 4 places)
+    val shareSum = got.map(_._8).sum
+    assert(math.abs(shareSum - 1.0) < got.length * 1e-4 + 1e-9,
+      s"tok_share sums to $shareSum")
+    got.foreach { case (src, nDocs, nTok, nLangs, mean, p50, p95, share) =>
+      assert(nDocs > 0 && nTok >= 0 && nLangs >= 1)
+      assert(p50 <= p95 + 1e-9, s"$src p50 $p50 above p95 $p95")
+      assert(mean > 0 && share >= 0.0 && share <= 1.0)
+    }
+  }
 }
