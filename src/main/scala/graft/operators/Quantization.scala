@@ -270,7 +270,9 @@ object Quantization {
        |  SELECT v.vec_id, v.e, cc.ccid, cc.cv,
        |         CAST(floor(list_cosine_similarity(v.e, cc.cv) * 10000
        |                    + 0.5) AS BIGINT) AS cs4
-       |  FROM v CROSS JOIN cc),
+       |  FROM v CROSS JOIN cc
+       |  WHERE list_sum(list_transform(v.e, x -> x * x)) > 0
+       |    AND list_sum(list_transform(cc.cv, x -> x * x)) > 0),
        |asg AS (
        |  SELECT vec_id, ccid, [e[i] - cv[i]
        |                        for i in range(1, ${PqM * PqSubDim} + 1)] AS r
@@ -365,6 +367,9 @@ object Quantization {
     val scored = emb
       .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
       .crossJoin(broadcast(cc))
+      // zero-norm convention (same as annIvfPairs): a vector or
+      // centroid with no magnitude has no cosine cell affinity
+      .filter($"vn" * $"cn" =!= 0.0)
       .select($"vec_id", $"embedding", $"ccid", $"cv",
         floor(dot($"embedding", $"cv") / ($"vn" * $"cn") * 10000.0 + 0.5)
           .cast("long").as("cs4"))

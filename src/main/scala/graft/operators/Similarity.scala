@@ -496,35 +496,37 @@ object Similarity {
     * projection is one narrow codegen'd pass over the scan. The oracle
     * recomputes every sign from md5 per element (cost irrelevant
     * there), proving the fold matches the formula. Sums run as
-    * sequential folds over the same doubles in both engines. */
+    * sequential folds over the same doubles in both engines.
+    *
+    * Output shape: one SCALAR column per projection component
+    * (p0..p15) rather than a DOUBLE[] — the driver's oracle harness
+    * sorts/hashes cells and cannot hash array values. */
   val qEmbedProject = QueryDef.sql(
     "q_embed_project",
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
        |SELECT vec_id,
-       |       [round(list_sum(
-       |          [e[i + 1] * (CASE WHEN CAST(concat('0x',
-       |               substr(md5('rp|' || CAST(j - 1 AS VARCHAR) || '|'
-       |                          || CAST(i AS VARCHAR)), 1, 15))
-       |             AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
-       |           for i in range(0, 64)]) / 4, 4)
-       |        for j in range(1, ${RpDimOut + 1})] AS proj
+       |${(0 until RpDimOut).map { j =>
+          s"""       round(list_sum(
+             |          [e[i + 1] * (CASE WHEN CAST(concat('0x',
+             |               substr(md5('rp|$j|' || CAST(i AS VARCHAR)), 1, 15))
+             |             AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+             |           for i in range(0, 64)]) / 4, 4) AS p$j""".stripMargin
+        }.mkString(",\n")}
        |FROM v ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val signs = array((0 until RpDimOut).map { j =>
-      array((0 until 64).map(i => lit(rpSign(j, i))): _*)
-    }: _*)
     Tables
       .embeddings(s, d)
       .select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("e"))
       .select(
-        $"vec_id",
-        transform(sequence(lit(1), lit(RpDimOut)), j =>
+        $"vec_id" +: (0 until RpDimOut).map { j =>
+          val signs = array((0 until 64).map(i => lit(rpSign(j, i))): _*)
           round(
-            aggregate(zip_with($"e", element_at(signs, j), (a, b) => a * b),
-              lit(0.0d), _ + _) / 4, 4)).as("proj"))
+            aggregate(zip_with($"e", signs, (a, b) => a * b),
+              lit(0.0d), _ + _) / 4, 4).as(s"p$j")
+        }: _*)
       .orderBy($"vec_id")
   }
 

@@ -893,9 +893,9 @@ object TextOps {
     * are IEEE-deterministic).
     *
     * Scale (100 TB): the wordcount is the map-side-combinable shuffle;
-    * the rank window runs AFTER orderBy().limit(ZipfTopN) (per-partition
-    * top-k heaps), so the single-task window only ever sees ZipfTopN
-    * rows — the weightedSample funnel recipe, not a vocab-sized sort. */
+    * ranking runs AFTER orderBy().limit(ZipfTopN) (per-partition top-k
+    * heaps) via [[CorpusOps.boundedRank]] over the surviving ZipfTopN
+    * rows — no single-partition window anywhere in the plan. */
   val qZipfFit = QueryDef.sql(
     "q_zipf_fit",
     s"""WITH tc AS (
@@ -927,17 +927,16 @@ object TextOps {
        |FROM sm""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n".desc, $"word")
     val top = Tables.documents(s, d)
       .select(explode(words($"text")).as("word"))
       .groupBy($"word")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"word")
       .limit(ZipfTopN)
-    val xy = top
-      // rank window AFTER the limit: sees at most ZipfTopN rows
-      .withColumn("rank", row_number().over(w))
+    val xy = CorpusOps
+      // rank AFTER the limit (≤ ZipfTopN rows): broadcast-join rank,
+      // not a single-partition window
+      .boundedRank(top, struct((-$"n").as("nn"), $"word"), "rank")
       .select(
         floor(log10($"rank") * 100000.0 + 0.5).cast("long").as("x"),
         floor(log10($"n") * 100000.0 + 0.5).cast("long").as("y"))

@@ -69,11 +69,15 @@ object GraftExtensions {
     })
 
   /** Register on an already-built session (withExtensions only applies
-    * at build time; getOrCreate silently reuses existing sessions). */
+    * at build time; getOrCreate silently reuses existing sessions).
+    * Idempotent: skips names the registry already resolves, so calling
+    * this after extension injection does not log "function replaced"
+    * WARNs from SimpleFunctionRegistry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
     if (!spark.experimental.extraOptimizations.contains(HashRewriteRule))
       spark.experimental.extraOptimizations =

@@ -326,4 +326,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"expected broadcast query join in:\n$p")
   }
+
+  test("NO query plans a partition-less window (all-to-one funnel)") {
+    // a Window with an empty partitionSpec moves the whole input to one
+    // task — the r5 scale-killer class; assert the entire registry is
+    // clean at the optimized-plan level (cheap: no execution)
+    val offenders = SparkEntry.allDefs.flatMap { qd =>
+      val lp = qd.fn(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(qd.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global windows in: ${offenders.mkString(", ")}")
+  }
 }

@@ -198,7 +198,10 @@ class SimilaritySpec extends SparkSpec {
   test("random projection matches plain Scala and preserves norms (JL)") {
     import spark.implicits._
     val proj = Similarity.qEmbedProject.fn(spark, sf)
-      .as[(Long, Seq[Double])].collect().toMap
+      .collect()
+      .map(r => r.getLong(0) ->
+        (1 to Similarity.RpDimOut).map(r.getDouble).toSeq)
+      .toMap
     val orig = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .collect().toMap
