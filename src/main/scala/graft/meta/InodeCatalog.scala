@@ -67,6 +67,38 @@ final case class InodeCatalog(df: DataFrame) {
   private def nextIno: Long =
     df.agg(max(col("ino"))).head().getLong(0) + 1
 
+  /** Apply column updates to every live entry of `ino` (attrs are inode
+    * properties mirrored across its hardlink rows, like nlink). */
+  private def updateIno(d: DataFrame, ino: Long)(
+      updates: (String, Column)*): DataFrame =
+    updates.foldLeft(d) { case (acc, (f, v)) =>
+      acc.withColumn(f,
+        when(col("ino") === ino && col("nlink") > 0, v).otherwise(col(f)))
+    }
+
+  /** Mint a new inode row under `parent` (shared by create / symlink /
+    * mknod): generation bump on path reuse, times = `now`, 0 handles. */
+  private def mint(parent: Long, name: String, kind: String, size: Long,
+      mode: Int, uid: Int, gid: Int, target: String,
+      now: Long): InodeCatalog = {
+    val parentPath = getattr(parent)
+      .map(_.getAs[String]("full_path"))
+      .getOrElse(sys.error(s"no such parent ino $parent"))
+    val fullPath =
+      if (parentPath == "/") s"/$name" else s"$parentPath/$name"
+    val gen = df
+      .filter(col("full_path") === fullPath)
+      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
+      .head()
+      .getLong(0)
+    val row = spark.createDataFrame(
+      java.util.List.of(
+        Row(nextIno, parent, name, fullPath, kind, size, mode, uid, gid, gen,
+          1L, Map.empty[String, Array[Byte]], target, now, now, now, 0L)),
+      schema)
+    InodeCatalog(df.unionByName(row))
+  }
+
   /** Create a child node (file or dir). Recreating a previously seen path
     * bumps `generation` — the reference bumps generation when an ino slot
     * is reused (inode_table.rs:92-101); we key the bump on path reuse
@@ -77,25 +109,11 @@ final case class InodeCatalog(df: DataFrame) {
       kind: String,
       mode: Int = 0x1a4, // 0644
       uid: Int = 0,
-      gid: Int = 0): InodeCatalog = {
+      gid: Int = 0,
+      now: Long = 0L): InodeCatalog = {
     require(name.length <= MaxNameLength, s"name too long: $name") // P9
     require(lookup(parent, name).isEmpty, s"exists: $name")
-    val parentPath = getattr(parent)
-      .map(_.getAs[String]("full_path"))
-      .getOrElse(sys.error(s"no such parent ino $parent"))
-    val fullPath =
-      if (parentPath == "/") s"/$name" else s"$parentPath/$name"
-    val gen = df
-      .filter(col("full_path") === fullPath)
-      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
-      .head()
-      .getLong(0)
-    val row = spark.createDataFrame(
-      java.util.List.of(
-        Row(nextIno, parent, name, fullPath, kind, 0L, mode, uid, gid, gen,
-          1L, Map.empty[String, Array[Byte]], null)),
-      schema)
-    InodeCatalog(df.unionByName(row))
+    mint(parent, name, kind, 0L, mode, uid, gid, null, now)
   }
 
   def mkdir(parent: Long, name: String, mode: Int = 0x1ed): InodeCatalog =
@@ -106,25 +124,59 @@ final case class InodeCatalog(df: DataFrame) {
     * the link content. The target is NOT resolved or validated —
     * dangling links are legal, exactly as in the reference (readlink
     * just returns the stored bytes). */
-  def symlink(parent: Long, name: String, target: String): InodeCatalog = {
+  def symlink(parent: Long, name: String, target: String,
+      now: Long = 0L): InodeCatalog = {
     require(name.length <= MaxNameLength, s"name too long: $name") // P9
     require(lookup(parent, name).isEmpty, s"exists: $name") // EEXIST
-    val parentPath = getattr(parent)
-      .map(_.getAs[String]("full_path"))
-      .getOrElse(sys.error(s"no such parent ino $parent"))
-    val fullPath =
-      if (parentPath == "/") s"/$name" else s"$parentPath/$name"
-    val gen = df
-      .filter(col("full_path") === fullPath)
-      .agg(coalesce(max(col("generation")) + 1, lit(0L)))
-      .head()
-      .getLong(0)
-    val row = spark.createDataFrame(
-      java.util.List.of(
-        Row(nextIno, parent, name, fullPath, "symlink", target.length.toLong,
-          0x1ff, 0, 0, gen, 1L, Map.empty[String, Array[Byte]], target)),
-      schema)
-    InodeCatalog(df.unionByName(row))
+    mint(parent, name, "symlink", target.length.toLong, 0x1ff, 0, 0,
+      target, now)
+  }
+
+  /** mknod (filesystem.rs:740-854 + passthrough/passthrough_fs.rs:517-545):
+    * mint an inode of any supported file kind. SimpleFS itself accepts
+    * only reg/symlink/dir (ENOSYS otherwise, filesystem.rs:752-760); the
+    * passthrough backend also mints fifo and socket nodes via
+    * libc::mknod and names them in its FileType map
+    * (passthrough_fs.rs:35-36). This catalog takes the union: regular /
+    * dir / symlink / fifo / socket mint; char and block devices are
+    * refused with EINVAL (there is no device layer to bind them to);
+    * any other S_IFMT pattern is ENOSYS like SimpleFS.
+    *
+    * Reference semantics mirrored: EEXIST on a live entry, parent W_OK
+    * check (EACCES), suid/sgid stripped from the requested mode for
+    * non-root callers (filesystem.rs:790-792), gid inherited from an
+    * SGID parent (creation_gid, filesystem.rs:118-124), parent
+    * mtime/ctime bumped. */
+  def mknod(parent: Long, name: String, stMode: Int, reqUid: Int = 0,
+      reqGid: Int = 0, now: Long = 0L): Either[String, InodeCatalog] = {
+    val kind = (stMode & 0xF000) match {
+      case 0x8000 => "file"
+      case 0x4000 => "dir"
+      case 0xA000 => "symlink"
+      case 0x1000 => "fifo"
+      case 0xC000 => "socket"
+      case 0x2000 | 0x6000 =>
+        return Left(
+          f"EINVAL: device nodes unsupported (fmt 0x${stMode & 0xF000}%04x)")
+      case other => return Left(f"ENOSYS: unknown file type 0x$other%04x")
+    }
+    if (name.length > MaxNameLength) return Left(s"ENAMETOOLONG: $name")
+    if (lookup(parent, name).isDefined) return Left(s"EEXIST: $name")
+    val p = getattr(parent) match {
+      case Some(r) => r
+      case None => return Left(s"ENOENT: parent ino $parent")
+    }
+    if (!checkAccessScalar(p.getAs[Int]("uid"), p.getAs[Int]("gid"),
+        p.getAs[Int]("mode"), reqUid, reqGid, 2))
+      return Left(s"EACCES: parent ino $parent")
+    var perm = stMode & 0xFFF
+    if (reqUid != 0) perm &= ~(0x800 | 0x400) // strip suid/sgid, :790-792
+    val g =
+      if ((p.getAs[Int]("mode") & 0x400) != 0) p.getAs[Int]("gid")
+      else reqGid // creation_gid
+    val minted = mint(parent, name, kind, 0L, perm, reqUid, g, null, now)
+    Right(InodeCatalog(updateIno(minted.df, parent)(
+      "mtime_us" -> lit(now), "ctime_us" -> lit(now))))
   }
 
   /** Readlink (filesystem.rs:727-739): the stored target of a live
@@ -140,7 +192,8 @@ final case class InodeCatalog(df: DataFrame) {
     * with the source, and the link count bumps on every row of that ino
     * (nlink is an inode attribute, mirrored across its entries).
     * Directories refuse (EPERM) as in POSIX. */
-  def link(ino: Long, newParent: Long, newName: String): InodeCatalog = {
+  def link(ino: Long, newParent: Long, newName: String,
+      now: Long = 0L): InodeCatalog = {
     require(newName.length <= MaxNameLength, s"name too long: $newName") // P9
     require(lookup(newParent, newName).isEmpty, s"exists: $newName") // EEXIST
     val src = getattr(ino).getOrElse(sys.error(s"no such ino $ino"))
@@ -162,12 +215,14 @@ final case class InodeCatalog(df: DataFrame) {
           src.getAs[Long]("size"), src.getAs[Int]("mode"),
           src.getAs[Int]("uid"), src.getAs[Int]("gid"), gen, newCount,
           src.getAs[Map[String, Array[Byte]]]("xattrs"),
-          src.getAs[String]("symlink_target"))),
+          src.getAs[String]("symlink_target"),
+          src.getAs[Long]("atime_us"), src.getAs[Long]("mtime_us"),
+          now, src.getAs[Long]("open_handles"))),
       schema)
-    val bumped = df.withColumn(
-      "nlink",
-      when(col("ino") === ino && col("nlink") > 0, col("nlink") + 1)
-        .otherwise(col("nlink")))
+    // nlink bump mirrors across the ino's rows; ctime too
+    // (link updates last_metadata_changed, filesystem.rs:1316)
+    val bumped = updateIno(df, ino)(
+      "nlink" -> (col("nlink") + 1), "ctime_us" -> lit(now))
     InodeCatalog(bumped.unionByName(row))
   }
 
@@ -263,6 +318,98 @@ final case class InodeCatalog(df: DataFrame) {
       case None => this
     }
 
+  /** rmdir (filesystem.rs:958-1020): remove a directory entry, refusing
+    * a non-empty directory. Reference order mirrored: ENOENT → check
+    * child count (the reference tests `> 2` because SimpleFS stores "."
+    * and ".."; this catalog stores neither, so live children > 0) →
+    * parent W_OK (EACCES) → sticky-bit rule (a sticky parent lets only
+    * root, the parent's owner, or the dir's owner remove it). The
+    * removed dir follows unlink's tombstone protocol (nlink → 0,
+    * survives until [[forget]]); the parent's mtime/ctime bump. */
+  def rmdir(parent: Long, name: String, reqUid: Int = 0, reqGid: Int = 0,
+      now: Long = 0L): Either[String, InodeCatalog] = {
+    val node = lookup(parent, name) match {
+      case Some(r) => r
+      case None => return Left(s"ENOENT: $name")
+    }
+    if (node.getAs[String]("kind") != "dir")
+      return Left(s"ENOTDIR: $name is a ${node.getAs[String]("kind")}")
+    val ino = node.getAs[Long]("ino")
+    val children =
+      df.filter(col("parent") === ino && col("nlink") > 0).count()
+    if (children > 0)
+      return Left(s"ENOTEMPTY: $name has $children entries")
+    val p = getattr(parent) match {
+      case Some(r) => r
+      case None => return Left(s"ENOENT: parent ino $parent")
+    }
+    if (!checkAccessScalar(p.getAs[Int]("uid"), p.getAs[Int]("gid"),
+        p.getAs[Int]("mode"), reqUid, reqGid, 2))
+      return Left(s"EACCES: parent ino $parent")
+    if ((p.getAs[Int]("mode") & 0x200) != 0 && reqUid != 0 &&
+        reqUid != p.getAs[Int]("uid") && reqUid != node.getAs[Int]("uid"))
+      return Left(s"EACCES: sticky parent, uid $reqUid may not remove")
+    val dropped =
+      dropEntry(df, ino, col("parent") === parent && col("name") === name)
+    Right(InodeCatalog(updateIno(dropped, parent)(
+      "mtime_us" -> lit(now), "ctime_us" -> lit(now))))
+  }
+
+  /** open (filesystem.rs:1322-1368): access check against the
+    * flag-derived mask, then the inode's open-handle refcount increments
+    * and the caller gets an fh with the permission bits in its top two
+    * bits (P8/F10). Exactly one of read/write — or both — must be set
+    * (EINVAL otherwise, the reference's O_ACCMODE match). The raw handle
+    * id derives from (ino, new refcount) — the snapshot analog of the
+    * reference's global next_file_handle counter, which is process
+    * state a persistent catalog cannot carry. */
+  def open(ino: Long, read: Boolean, write: Boolean, reqUid: Int = 0,
+      reqGid: Int = 0): Either[String, (Long, InodeCatalog)] = {
+    if (!read && !write) return Left("EINVAL: no access mode")
+    val mask = (if (read) 4 else 0) | (if (write) 2 else 0)
+    val attrs = getattr(ino) match {
+      case Some(r) => r
+      case None => return Left(s"ENOENT: ino $ino")
+    }
+    if (!checkAccessScalar(attrs.getAs[Int]("uid"), attrs.getAs[Int]("gid"),
+        attrs.getAs[Int]("mode"), reqUid, reqGid, mask))
+      return Left(s"EACCES: open ino $ino mask $mask")
+    val newCount = attrs.getAs[Long]("open_handles") + 1
+    val fh = fhEncode((ino << 20) | newCount, read, write)
+    Right((fh, InodeCatalog(
+      updateIno(df, ino)("open_handles" -> lit(newCount)))))
+  }
+
+  /** release (filesystem.rs:1450-1464): the open-handle refcount
+    * decrements; when the LAST handle closes on an inode whose last
+    * link is already gone (nlink 0), the inode is garbage-collected
+    * (tombstoned like [[forget]]) — the reference's gc_inode rule
+    * `hardlinks == 0 && open_file_handles == 0` (filesystem.rs:380-397),
+    * i.e. an unlinked-but-open inode survives until its last release.
+    * NOTE the reference's own release decrements a local copy and never
+    * writes it back (filesystem.rs:1459-1462 has no write_inode) — the
+    * refcount leak is a reference bug; we persist the decrement, which
+    * is the only reading under which gc_inode ever fires from release. */
+  def release(ino: Long): InodeCatalog = {
+    val st = df
+      .filter(col("ino") === ino && col("nlink") >= 0)
+      .agg(max(col("open_handles")), max(col("nlink")))
+      .head()
+    if (st.isNullAt(0)) return this // unknown ino: reference replies ok
+    val handles = math.max(0L, st.getLong(0) - 1)
+    val links = st.getLong(1)
+    val dec = df.withColumn(
+      "open_handles",
+      when(col("ino") === ino && col("nlink") >= 0, lit(handles))
+        .otherwise(col("open_handles")))
+    if (handles == 0 && links == 0)
+      InodeCatalog(dec.withColumn(
+        "nlink",
+        when(col("ino") === ino && col("nlink") === 0, lit(-1L))
+          .otherwise(col("nlink"))))
+    else InodeCatalog(dec)
+  }
+
   /** Forget: the unlinked inode becomes a tombstone (nlink = -1) —
     * invisible to every lookup (which all require nlink > 0) but
     * retaining the (full_path → generation) history that [[create]]
@@ -276,13 +423,128 @@ final case class InodeCatalog(df: DataFrame) {
           .otherwise(col("nlink"))))
 
   /** Write-path size accounting: size = max(size, offset + len)
-    * (filesystem.rs:1429-1432, A7). */
-  def recordWrite(ino: Long, offset: Long, len: Long): InodeCatalog =
-    InodeCatalog(
-      df.withColumn(
-        "size",
-        when(col("ino") === ino, greatest(col("size"), lit(offset + len)))
-          .otherwise(col("size"))))
+    * (filesystem.rs:1429-1432, A7), plus the rest of the reference's
+    * write epilogue — mtime/ctime bump and the unconditional
+    * suid/sgid clear (filesystem.rs:1430-1442). */
+  def recordWrite(ino: Long, offset: Long, len: Long,
+      now: Long = 0L): InodeCatalog =
+    InodeCatalog(updateIno(df, ino)(
+      "size" -> greatest(col("size"), lit(offset + len)),
+      "mode" -> clearSuidSgid(col("mode")),
+      "mtime_us" -> lit(now),
+      "ctime_us" -> lit(now)))
+
+  /** setattr (filesystem.rs:545-739): chmod / chown / truncate / utimens
+    * as one catalog op, mirroring the reference's control flow exactly —
+    * a mode update returns after chmod, uid/gid after chown, and
+    * size/atime/mtime apply cumulatively. Our single-gid requester model
+    * stands in for the reference's get_groups(pid) supplementary-group
+    * lookup (reqGid is the caller's one group).
+    *
+    * - chmod (:571-591): non-owner non-root EPERM; caller outside the
+    *   file's group → SGID stripped from the new mode.
+    * - chown (:593-638): non-root may only chgrp to its own group and
+    *   only no-op chown itself; any exec bit → suid/sgid cleared; uid
+    *   set clears SUID; gid set by non-root clears SGID.
+    * - truncate (:399-431 via :640-663): EFBIG over [[MaxFileSize]]; a
+    *   write-capable fh bypasses the W_OK access check (the handle was
+    *   opened with write permission — chmod after open must not revoke
+    *   it); size is SET (not maxed — shrink is the point), suid/sgid
+    *   clear, mtime+ctime bump.
+    * - utimens (:665-737, special values passthrough_fs.rs:426-446): a
+    *   non-owner may only set `Now` (EPERM on a specific time) and only
+    *   with W_OK access (EACCES); omitted times (None) are untouched —
+    *   the UTIME_OMIT convention. */
+  def setattr(
+      ino: Long,
+      mode: Option[Int] = None,
+      uid: Option[Int] = None,
+      gid: Option[Int] = None,
+      size: Option[Long] = None,
+      atime: Option[TimeOrNow] = None,
+      mtime: Option[TimeOrNow] = None,
+      fh: Option[Long] = None,
+      reqUid: Int = 0,
+      reqGid: Int = 0,
+      now: Long = 0L): Either[String, InodeCatalog] = {
+    val attrs = getattr(ino) match {
+      case Some(r) => r
+      case None => return Left(s"ENOENT: ino $ino")
+    }
+    val aUid = attrs.getAs[Int]("uid")
+    val aGid = attrs.getAs[Int]("gid")
+    val aMode = attrs.getAs[Int]("mode")
+
+    for (m <- mode) { // chmod — reference returns immediately
+      if (reqUid != 0 && reqUid != aUid)
+        return Left(s"EPERM: chmod of ino $ino by uid $reqUid")
+      val newMode = // SGID stripped when the caller is outside the group
+        if (reqUid != 0 && reqGid != aGid) m & ~0x400 else m
+      return Right(InodeCatalog(updateIno(df, ino)(
+        "mode" -> lit(newMode), "ctime_us" -> lit(now))))
+    }
+
+    if (uid.isDefined || gid.isDefined) { // chown — returns immediately
+      for (g <- gid if reqUid != 0 && reqGid != g)
+        return Left(s"EPERM: chgrp to foreign group $g")
+      for (u <- uid if reqUid != 0 && !(u == aUid && reqUid == aUid))
+        return Left(s"EPERM: chown of ino $ino by uid $reqUid")
+      if (gid.isDefined && reqUid != 0 && reqUid != aUid)
+        return Left(s"EPERM: only the owner may chgrp ino $ino")
+      var m = aMode
+      if ((m & 0x49) != 0) m = clearSuidSgidScalar(m) // any exec bit, :617
+      for (_ <- uid) m &= ~0x800 // clear SUID on owner change
+      for (_ <- gid if reqUid != 0) m &= ~0x400 // clear SGID unless root
+      return Right(InodeCatalog(updateIno(df, ino)(
+        "uid" -> lit(uid.getOrElse(aUid)),
+        "gid" -> lit(gid.getOrElse(aGid)),
+        "mode" -> lit(m),
+        "ctime_us" -> lit(now))))
+    }
+
+    var d = df
+    var curMode = aMode
+    for (sz <- size) { // truncate
+      if (sz > MaxFileSize) return Left(s"EFBIG: $sz")
+      fh match {
+        case Some(h) =>
+          if (!fhAllowsWriteScalar(h))
+            return Left(s"EACCES: fh $h not opened for write")
+        case None =>
+          if (!checkAccessScalar(aUid, aGid, aMode, reqUid, reqGid, 2))
+            return Left(s"EACCES: truncate ino $ino by uid $reqUid")
+      }
+      curMode = clearSuidSgidScalar(curMode)
+      d = updateIno(d, ino)(
+        "size" -> lit(sz), "mode" -> lit(curMode),
+        "mtime_us" -> lit(now), "ctime_us" -> lit(now))
+    }
+    for (t <- atime) {
+      if (aUid != reqUid && reqUid != 0 && t != TimeOrNow.Now)
+        return Left(s"EPERM: set atime of ino $ino by uid $reqUid")
+      if (aUid != reqUid &&
+          !checkAccessScalar(aUid, aGid, aMode, reqUid, reqGid, 2))
+        return Left(s"EACCES: set atime of ino $ino by uid $reqUid")
+      val v = t match {
+        case TimeOrNow.SpecificTime(us) => us
+        case TimeOrNow.Now => now
+      }
+      d = updateIno(d, ino)("atime_us" -> lit(v), "ctime_us" -> lit(now))
+    }
+    for (t <- mtime) {
+      if (aUid != reqUid && reqUid != 0 && t != TimeOrNow.Now)
+        return Left(s"EPERM: set mtime of ino $ino by uid $reqUid")
+      if (aUid != reqUid &&
+          !checkAccessScalar(aUid, aGid, aMode, reqUid, reqGid, 2))
+        return Left(s"EACCES: set mtime of ino $ino by uid $reqUid")
+      val v = t match {
+        case TimeOrNow.SpecificTime(us) => us
+        case TimeOrNow.Now => now
+      }
+      d = updateIno(d, ino)("mtime_us" -> lit(v), "ctime_us" -> lit(now))
+    }
+    Right(InodeCatalog(d))
+  }
 
   /** fallocate analog (filesystem.rs:1781-1811): preallocate
     * [offset, offset+len) WITHOUT writing content — unless the
@@ -405,6 +667,17 @@ final case class InodeCatalog(df: DataFrame) {
 
 object InodeCatalog {
   val MaxNameLength = 255 // filesystem.rs:34 (P9)
+  val MaxFileSize = 1024L * 1024 * 1024 * 1024 // filesystem.rs:35 (EFBIG)
+
+  /** utimens time argument (fuser's TimeOrNow, filesystem.rs:665-680):
+    * either an explicit epoch-µs stamp or the server-side "now" — the
+    * distinction matters for permissions (touch-to-now needs only W_OK;
+    * setting a specific time needs ownership). */
+  sealed trait TimeOrNow
+  object TimeOrNow {
+    final case class SpecificTime(micros: Long) extends TimeOrNow
+    case object Now extends TimeOrNow
+  }
 
   /** The stub capacities the reference's statfs reply advertises
     * (filesystem.rs:1562-1566). */
@@ -437,7 +710,16 @@ object InodeCatalog {
     StructField("xattrs", MapType(StringType, BinaryType), nullable = false),
     // symlink inodes store their target here (filesystem.rs:1062 keeps it
     // as the inode's content); NULL for every other kind
-    StructField("symlink_target", StringType, nullable = true)))
+    StructField("symlink_target", StringType, nullable = true),
+    // last_accessed / last_modified / last_metadata_changed
+    // (InodeAttributes, filesystem.rs:204-206) as epoch-µs; ops take an
+    // explicit `now` so snapshots stay deterministic
+    StructField("atime_us", LongType, nullable = false),
+    StructField("mtime_us", LongType, nullable = false),
+    StructField("ctime_us", LongType, nullable = false),
+    // open_file_handles refcount (filesystem.rs:202), mirrored across an
+    // ino's entries like nlink
+    StructField("open_handles", LongType, nullable = false)))
 
   /** Reload a persisted catalog (schema-checked: names AND types, so a
     * wrong-typed parquet fails here rather than deep inside a later
@@ -458,7 +740,7 @@ object InodeCatalog {
       spark.createDataFrame(
         java.util.List.of(
           Row(1L, 0L, "", "/", "dir", 0L, 0x1ed, 0, 0, 0L, 1L,
-            Map.empty[String, Array[Byte]], null)),
+            Map.empty[String, Array[Byte]], null, 0L, 0L, 0L, 0L)),
         schema))
 
   /** P6: POSIX access predicate — mode-bit arithmetic over (uid, gid,
@@ -556,6 +838,14 @@ object InodeCatalog {
     when(noSuid.bitwiseAND(lit(8)) =!= 0,
       noSuid - noSuid.bitwiseAND(lit(0x400)))
       .otherwise(noSuid)
+  }
+
+  /** Scalar twin of [[clearSuidSgid]] for driver-side point ops
+    * (setattr's chown/truncate branches). FsSemanticsSpec asserts
+    * equivalence with the column form over the full 12-bit mode space. */
+  def clearSuidSgidScalar(mode: Int): Int = {
+    val noSuid = mode & ~0x800
+    if ((noSuid & 8) != 0) noSuid & ~0x400 else noSuid
   }
 
   /** F6: st_mode → file type via the full S_IFMT decode chain

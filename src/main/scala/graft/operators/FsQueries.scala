@@ -167,6 +167,92 @@ object FsQueries {
       .orderBy($"ino")
   }
 
+  /** setattr as a BULK relation (filesystem.rs:545-739): every file gets
+    * a derived request — op 0 = chmod to 06755, op 1 = truncate to
+    * size/2, op 2 = touch mtime-to-Now — from a derived requester
+    * (req_uid = ino%4, req_gid = ino%2), and the output is the post-state
+    * under the reference's permission matrix:
+    *  - chmod: owner-or-root; non-root caller outside the file's group
+    *    loses SGID from the requested mode (:571-591);
+    *  - truncate: W_OK access; applied truncate SETS the size and clears
+    *    suid/sgid (:399-431);
+    *  - touch-to-Now: owner, or W_OK for non-owners (:665-737).
+    * Input modes are salted with (ino%4)<<10 so suid/sgid bits actually
+    * occur. The Spark side runs the REAL column functions
+    * ([[graft.meta.InodeCatalog.checkAccess]] / [[graft.meta.InodeCatalog.clearSuidSgid]])
+    * that power the imperative setattr; the oracle re-derives the bit
+    * arithmetic longhand — so the catalog's permission matrix is itself
+    * hash-gated. Scale: one scan, pure codegen'd bit math, no shuffle
+    * before the output sort. */
+  val qFsSetattr = QueryDef.sql(
+    "q_fs_setattr",
+    s"""WITH ino AS $duckInodes,
+       |pre AS (
+       |  SELECT ino, size,
+       |         CAST(mode | ((ino % 4) * 1024) AS INT) AS mode,
+       |         uid, gid,
+       |         CAST(ino % 4 AS INT) AS req_uid,
+       |         CAST(ino % 2 AS INT) AS req_gid,
+       |         CAST(ino % 3 AS INT) AS op
+       |  FROM ino WHERE kind = 'file'),
+       |ap AS (
+       |  SELECT *,
+       |    CASE WHEN op = 0 THEN (req_uid = 0 OR req_uid = uid)
+       |         WHEN op = 1 THEN (req_uid = 0 OR
+       |           (2 & (CASE WHEN uid = req_uid THEN mode // 64
+       |                      WHEN gid = req_gid THEN mode // 8
+       |                      ELSE mode END) & 7) = 2)
+       |         ELSE (uid = req_uid OR req_uid = 0 OR
+       |           (2 & (CASE WHEN uid = req_uid THEN mode // 64
+       |                      WHEN gid = req_gid THEN mode // 8
+       |                      ELSE mode END) & 7) = 2)
+       |    END AS ok
+       |  FROM pre)
+       |SELECT ino, op, ok,
+       |       CAST(CASE WHEN NOT ok THEN mode
+       |            WHEN op = 0 THEN
+       |              CASE WHEN req_uid != 0 AND req_gid != gid
+       |                   THEN 2541 ELSE 3565 END
+       |            WHEN op = 1 THEN
+       |              CASE WHEN ((mode & 2047) & 8) != 0
+       |                   THEN mode & 2047 & 3071
+       |                   ELSE mode & 2047 END
+       |            ELSE mode END AS INT) AS new_mode,
+       |       CAST(CASE WHEN ok AND op = 1 THEN size // 2 ELSE size END
+       |            AS BIGINT) AS new_size
+       |FROM ap ORDER BY ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val pre = inodes(s, d)
+      .filter($"kind" === "file")
+      .select($"ino", $"size",
+        $"mode".bitwiseOR((($"ino" % 4) * 1024).cast("int")).as("mode"),
+        $"uid", $"gid",
+        ($"ino" % 4).cast("int").as("req_uid"),
+        ($"ino" % 2).cast("int").as("req_gid"),
+        ($"ino" % 3).cast("int").as("op"))
+    val w = InodeCatalog.checkAccess($"uid", $"gid", $"mode",
+      $"req_uid", $"req_gid", lit(2))
+    val ok = when($"op" === 0, $"req_uid" === 0 || $"req_uid" === $"uid")
+      .when($"op" === 1, w)
+      .otherwise($"uid" === $"req_uid" || w)
+    val chmodTarget = 0xded // 06755
+    pre
+      .withColumn("ok", ok)
+      .select($"ino", $"op", $"ok",
+        when(!$"ok", $"mode")
+          .when($"op" === 0,
+            when($"req_uid" =!= 0 && $"req_gid" =!= $"gid",
+              lit(chmodTarget & ~0x400)).otherwise(lit(chmodTarget)))
+          .when($"op" === 1, InodeCatalog.clearSuidSgid($"mode"))
+          .otherwise($"mode")
+          .cast("int").as("new_mode"),
+        when($"ok" && $"op" === 1, floor($"size" / 2).cast("long"))
+          .otherwise($"size").as("new_size"))
+      .orderBy($"ino")
+  }
+
   /** F1-F4 + P1 + S3: stable-hash bucket placement, data_path formatting,
     * and URI route dispatch — the KV layout surface as one query.
     * bucket = stableHash60(key) % 1024 mirrors
@@ -472,5 +558,5 @@ object FsQueries {
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
       qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
-      qFsStatfs)
+      qFsStatfs, qFsSetattr)
 }

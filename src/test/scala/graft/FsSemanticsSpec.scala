@@ -74,6 +74,17 @@ class FsSemanticsSpec extends SparkSpec {
     assert(clear(0x1A4) === 0x1A4) // no bits set → unchanged
   }
 
+  test("clearSuidSgid scalar twin agrees with the column form over all 4096 modes") {
+    val got = spark.range(0x1000)
+      .select($"id".cast("int").as("m"))
+      .select($"m", InodeCatalog.clearSuidSgid($"m").as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+    got.foreach { case (m, c) =>
+      assert(c === InodeCatalog.clearSuidSgidScalar(m), f"mode 0x$m%03x")
+    }
+  }
+
   test("S_IFMT decode covers all seven types and nulls unknowns") {
     assert(filetype(0x81A4).contains("file")) // 0100644
     assert(filetype(0x41ED).contains("dir")) // 0040755

@@ -256,6 +256,234 @@ class InodeCatalogSpec extends SparkSpec {
     assert(fewer.inodesUsed === 4L)
   }
 
+  test("setattr chmod: owner-or-root only; outside-group callers lose SGID (filesystem.rs:571)") {
+    val c = tree().create(2, "owned", "file", mode = 0x1a4, uid = 5, gid = 5)
+      .checkpointed()
+    val ino = c.lookup(2, "owned").get.getAs[Long]("ino")
+    // non-owner non-root → EPERM
+    assert(c.setattr(ino, mode = Some(0x1ff), reqUid = 7, reqGid = 7)
+      .left.toOption.get.startsWith("EPERM"))
+    // owner inside the group keeps the full requested mode, ctime bumps
+    val m1 = c.setattr(ino, mode = Some(0xfff), reqUid = 5, reqGid = 5,
+      now = 111L).toOption.get
+    assert(m1.getattr(ino).get.getAs[Int]("mode") === 0xfff)
+    assert(m1.getattr(ino).get.getAs[Long]("ctime_us") === 111L)
+    // owner OUTSIDE the file's group: SGID silently stripped
+    val m2 = c.setattr(ino, mode = Some(0xfff), reqUid = 5, reqGid = 9)
+      .toOption.get
+    assert(m2.getattr(ino).get.getAs[Int]("mode") === (0xfff & ~0x400))
+    // root chmod always allowed, keeps SGID
+    val m3 = c.setattr(ino, mode = Some(0xfff), reqUid = 0).toOption.get
+    assert(m3.getattr(ino).get.getAs[Int]("mode") === 0xfff)
+    assert(c.setattr(999, mode = Some(0x1c0))
+      .left.toOption.get.startsWith("ENOENT"))
+  }
+
+  test("setattr chown mirrors the reference permission matrix (filesystem.rs:593)") {
+    val c = tree().create(2, "o", "file", mode = 0xda4, uid = 5, gid = 5)
+      .checkpointed() // suid+sgid+0644, NO exec bits
+    val ino = c.lookup(2, "o").get.getAs[Long]("ino")
+    // non-root chgrp to a foreign group → EPERM
+    assert(c.setattr(ino, gid = Some(9), reqUid = 5, reqGid = 5)
+      .left.toOption.get.startsWith("EPERM"))
+    // non-root chown to another user → EPERM
+    assert(c.setattr(ino, uid = Some(9), reqUid = 5, reqGid = 5)
+      .left.toOption.get.startsWith("EPERM"))
+    // …but a no-op chown by the owner is fine
+    assert(c.setattr(ino, uid = Some(5), reqUid = 5, reqGid = 5).isRight)
+    // a non-owner may not chgrp even to its own group
+    assert(c.setattr(ino, gid = Some(7), reqUid = 7, reqGid = 7)
+      .left.toOption.get.startsWith("EPERM"))
+    // root chown of a NON-executable file: uid set clears SUID only
+    val r1 = c.setattr(ino, uid = Some(9), reqUid = 0, now = 5L).toOption.get
+    assert(r1.getattr(ino).get.getAs[Int]("uid") === 9)
+    assert(r1.getattr(ino).get.getAs[Int]("mode") === (0xda4 & ~0x800))
+    assert(r1.getattr(ino).get.getAs[Long]("ctime_us") === 5L)
+    // an EXECUTABLE file loses both bits on any chown (clear_suid_sgid)
+    val ex = tree().create(2, "e", "file", mode = 0xfed, uid = 5, gid = 5)
+      .checkpointed()
+    val eIno = ex.lookup(2, "e").get.getAs[Long]("ino")
+    val r2 = ex.setattr(eIno, uid = Some(9), reqUid = 0).toOption.get
+    assert(r2.getattr(eIno).get.getAs[Int]("mode") === (0xfed & ~0xc00))
+    // owner chgrp to own group: allowed, clears SGID (non-root)
+    val r3 = c.setattr(ino, gid = Some(5), reqUid = 5, reqGid = 5)
+      .toOption.get
+    assert(r3.getattr(ino).get.getAs[Int]("mode") === (0xda4 & ~0x400))
+  }
+
+  test("setattr truncate SETS the size; write-fh bypasses a later chmod (filesystem.rs:399,645)") {
+    val f = tree().create(2, "t", "file", mode = 0xfed, uid = 5, gid = 5)
+      .checkpointed()
+    val ino = f.lookup(2, "t").get.getAs[Long]("ino")
+    val g = f.setattr(ino, size = Some(100L), reqUid = 5, reqGid = 5,
+      now = 7L).toOption.get
+    assert(g.getattr(ino).get.getAs[Long]("size") === 100L)
+    // suid+sgid cleared by truncate (group-exec set in 0xfed)
+    assert(g.getattr(ino).get.getAs[Int]("mode") === (0xfed & ~0xc00))
+    assert(g.getattr(ino).get.getAs[Long]("mtime_us") === 7L)
+    // truncate is a SET, not the recordWrite max rule — shrink works
+    val s = g.setattr(ino, size = Some(40L), reqUid = 5, reqGid = 5)
+      .toOption.get
+    assert(s.getattr(ino).get.getAs[Long]("size") === 40L)
+    // non-owner without W_OK (other bits r-x) → EACCES
+    assert(f.setattr(ino, size = Some(10L), reqUid = 7, reqGid = 7)
+      .left.toOption.get.startsWith("EACCES"))
+    // a write-capable fh truncates even after chmod 0 — the handle keeps
+    // the permission it was opened with
+    val locked = f.setattr(ino, mode = Some(0), reqUid = 0).toOption.get
+    val wFh = InodeCatalog.fhEncode(1L, read = false, write = true)
+    assert(locked.setattr(ino, size = Some(10L), fh = Some(wFh),
+      reqUid = 7, reqGid = 7).isRight)
+    val rFh = InodeCatalog.fhEncode(1L, read = true, write = false)
+    assert(locked.setattr(ino, size = Some(10L), fh = Some(rFh),
+      reqUid = 7, reqGid = 7).left.toOption.get.startsWith("EACCES"))
+    assert(f.setattr(ino, size = Some(InodeCatalog.MaxFileSize + 1))
+      .left.toOption.get.startsWith("EFBIG"))
+  }
+
+  test("setattr utimens: specific times need ownership, Now needs W_OK, omit untouched") {
+    import InodeCatalog.TimeOrNow
+    val f = tree().create(2, "u", "file", mode = 0x1b6, uid = 5, gid = 5)
+      .checkpointed() // 0666 — world-writable
+    val ino = f.lookup(2, "u").get.getAs[Long]("ino")
+    // owner sets both specific stamps; ctime follows `now`
+    val t = f.setattr(ino,
+      atime = Some(TimeOrNow.SpecificTime(123L)),
+      mtime = Some(TimeOrNow.SpecificTime(456L)),
+      reqUid = 5, reqGid = 5, now = 999L).toOption.get.checkpointed()
+    val row = t.getattr(ino).get
+    assert(row.getAs[Long]("atime_us") === 123L)
+    assert(row.getAs[Long]("mtime_us") === 456L)
+    assert(row.getAs[Long]("ctime_us") === 999L)
+    // non-owner + specific time → EPERM even on a world-writable file
+    assert(f.setattr(ino, atime = Some(TimeOrNow.SpecificTime(1L)),
+      reqUid = 7, reqGid = 7).left.toOption.get.startsWith("EPERM"))
+    // non-owner touch-to-Now with W_OK is allowed
+    val touched = f.setattr(ino, mtime = Some(TimeOrNow.Now),
+      reqUid = 7, reqGid = 7, now = 555L).toOption.get
+    assert(touched.getattr(ino).get.getAs[Long]("mtime_us") === 555L)
+    // …but not without W_OK
+    val ro = f.setattr(ino, mode = Some(0x124), reqUid = 0).toOption.get
+    assert(ro.setattr(ino, mtime = Some(TimeOrNow.Now),
+      reqUid = 7, reqGid = 7).left.toOption.get.startsWith("EACCES"))
+    // UTIME_OMIT: an omitted mtime stays put when only atime changes
+    val omit = t.setattr(ino, atime = Some(TimeOrNow.SpecificTime(77L)),
+      reqUid = 5, reqGid = 5).toOption.get
+    assert(omit.getattr(ino).get.getAs[Long]("mtime_us") === 456L)
+  }
+
+  test("rmdir: ENOTEMPTY guard, ENOENT/ENOTDIR, sticky parent, parent mtime (filesystem.rs:958)") {
+    val cat = tree()
+    assert(cat.rmdir(1, "a").left.toOption.get.startsWith("ENOTEMPTY"))
+    assert(cat.rmdir(1, "zz").left.toOption.get.startsWith("ENOENT"))
+    assert(cat.rmdir(2, "x").left.toOption.get.startsWith("ENOTDIR"))
+    val ok = cat.rmdir(1, "b", now = 44L).toOption.get.checkpointed()
+    assert(ok.lookup(1, "b").isEmpty)
+    assert(ok.df.filter($"ino" === 5 && $"nlink" === 0).count() === 1,
+      "removed dir pends forget like unlink")
+    assert(ok.getattr(1).get.getAs[Long]("mtime_us") === 44L)
+    // unlinking the children (tombstone rows remain) empties /a
+    val emptied = cat.unlink(2, "x").unlink(2, "y").checkpointed()
+    assert(emptied.rmdir(1, "a").isRight)
+    // sticky parent (uid 3): only root, parent owner, or dir owner remove
+    val sticky = tree()
+      .create(1, "tmp", "dir", mode = 0x3ff, uid = 3, gid = 3)
+      .checkpointed()
+    val tmpIno = sticky.lookup(1, "tmp").get.getAs[Long]("ino")
+    val withD = sticky.create(tmpIno, "d", "dir", mode = 0x1ed, uid = 5,
+      gid = 5).checkpointed()
+    assert(withD.rmdir(tmpIno, "d", reqUid = 7, reqGid = 7)
+      .left.toOption.get.startsWith("EACCES"))
+    assert(withD.rmdir(tmpIno, "d", reqUid = 5, reqGid = 5).isRight,
+      "dir owner removes")
+    assert(withD.rmdir(tmpIno, "d", reqUid = 3, reqGid = 3).isRight,
+      "parent owner removes")
+    assert(withD.rmdir(tmpIno, "d", reqUid = 0, reqGid = 0).isRight,
+      "root removes")
+  }
+
+  test("open/release: refcount lifecycle; unlinked-but-open survives until last release") {
+    val cat = tree().checkpointed()
+    assert(cat.open(3, read = false, write = false)
+      .left.toOption.get.startsWith("EINVAL"))
+    assert(cat.open(999, read = true, write = false)
+      .left.toOption.get.startsWith("ENOENT"))
+    // 0644 root-owned: non-owner write open → EACCES
+    assert(cat.open(3, read = false, write = true, reqUid = 7, reqGid = 7)
+      .left.toOption.get.startsWith("EACCES"))
+    val (fh, opened0) = cat.open(3, read = true, write = true).toOption.get
+    val opened = opened0.checkpointed()
+    assert(InodeCatalog.fhAllowsReadScalar(fh))
+    assert(InodeCatalog.fhAllowsWriteScalar(fh))
+    assert(opened.getattr(3).get.getAs[Long]("open_handles") === 1L)
+    val (fh2, o2raw) = opened.open(3, read = true, write = false)
+      .toOption.get
+    val o2 = o2raw.checkpointed()
+    assert(fh2 !== fh, "handle ids differ per open")
+    assert(!InodeCatalog.fhAllowsWriteScalar(fh2))
+    assert(o2.getattr(3).get.getAs[Long]("open_handles") === 2L)
+    // unlink while open: invisible to lookups, row survives with nlink 0
+    val unlinked = o2.unlink(2, "x").checkpointed()
+    assert(unlinked.getattr(3).isEmpty)
+    assert(unlinked.df.filter($"ino" === 3 && $"nlink" === 0).count() === 1)
+    // first release: still one handle → inode stays
+    val r1 = unlinked.release(3).checkpointed()
+    assert(r1.df.filter($"ino" === 3 && $"nlink" === 0).count() === 1)
+    // LAST release: gc_inode fires (hardlinks == 0 && handles == 0)
+    val r2 = r1.release(3).checkpointed()
+    assert(r2.df.filter($"ino" === 3 && $"nlink" === 0).count() === 0)
+    assert(r2.df.filter($"ino" === 3 && $"nlink" === -1).count() === 1,
+      "tombstoned exactly like forget")
+    // release with live links just decrements — no gc
+    val lively = opened.release(3).checkpointed()
+    assert(lively.getattr(3).get.getAs[Long]("open_handles") === 0L)
+    assert(lively.getattr(3).get.getAs[Long]("nlink") === 1L)
+  }
+
+  test("mknod mints fifo/socket, refuses devices, strips suid/sgid, inherits SGID gid") {
+    val cat = tree().checkpointed()
+    // fifo + socket mint with the FileType names modeToFiletype decodes
+    val fifo = cat.mknod(5, "pipe", 0x1180, now = 9L).toOption.get
+      .checkpointed()
+    assert(fifo.lookup(5, "pipe").get.getAs[String]("kind") === "fifo")
+    assert(fifo.getattr(5).get.getAs[Long]("mtime_us") === 9L,
+      "parent mtime bumps")
+    val sock = cat.mknod(5, "sock", 0xc180).toOption.get
+    assert(sock.lookup(5, "sock").get.getAs[String]("kind") === "socket")
+    // kind strings match the F6 S_IFMT decode (schema consistency)
+    val decoded = spark.range(1)
+      .select(InodeCatalog.modeToFiletype(lit(0x1180)).as("f"),
+        InodeCatalog.modeToFiletype(lit(0xc180)).as("s"))
+      .head()
+    assert(decoded.getString(0) === "fifo" && decoded.getString(1) === "socket")
+    // char/block devices → EINVAL; unknown S_IFMT → ENOSYS
+    assert(cat.mknod(5, "cdev", 0x2180)
+      .left.toOption.get.startsWith("EINVAL"))
+    assert(cat.mknod(5, "bdev", 0x6180)
+      .left.toOption.get.startsWith("EINVAL"))
+    assert(cat.mknod(5, "odd", 0x0180)
+      .left.toOption.get.startsWith("ENOSYS"))
+    // EEXIST and parent EACCES mirror create
+    assert(cat.mknod(2, "x", 0x8180).left.toOption.get.startsWith("EEXIST"))
+    assert(cat.mknod(5, "f", 0x8180, reqUid = 5, reqGid = 5)
+      .left.toOption.get.startsWith("EACCES"), "0755 parent, non-owner")
+    // non-root caller loses suid/sgid from the requested mode
+    val pub = cat.mkdir(1, "pub", mode = 0x1ff).checkpointed()
+    val pubIno = pub.lookup(1, "pub").get.getAs[Long]("ino")
+    val minted = pub.mknod(pubIno, "s", 0x8fff, reqUid = 5, reqGid = 6)
+      .toOption.get.checkpointed()
+    val row = minted.lookup(pubIno, "s").get
+    assert(row.getAs[Int]("mode") === (0xfff & ~0xc00))
+    assert(row.getAs[Int]("uid") === 5 && row.getAs[Int]("gid") === 6)
+    // SGID parent: the minted node inherits the PARENT's gid
+    val sgid = cat.create(1, "g", "dir", mode = 0x5ed, uid = 0, gid = 42)
+      .checkpointed()
+    val gIno = sgid.lookup(1, "g").get.getAs[Long]("ino")
+    val child = sgid.mknod(gIno, "n", 0x8180, reqUid = 0, reqGid = 7)
+      .toOption.get
+    assert(child.lookup(gIno, "n").get.getAs[Int]("gid") === 42)
+  }
+
   test("rename over a multi-link file decrements instead of zeroing (filesystem.rs:1257)") {
     val cat = tree().link(3, 5, "xh").checkpointed() // ino 3 at /a/x and /b/xh
     // /a/y renamed over /b/xh: ino 3 must survive via /a/x with nlink 1
