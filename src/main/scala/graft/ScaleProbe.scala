@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the dedup/ANN family — turns the "scales
+  * ≲ linearly" plan arguments into measured decades.
+  *
+  * Blows the sf0.1 `documents`/`embeddings` tables up by 10× and 100×
+  * with DECORRELATED replicas (replica k's words are salted with k, so
+  * replicas share no shingles; replica k's embeddings get a per-(k, dim)
+  * Rademacher sign flip, which preserves norms but zeroes expected
+  * cross-replica cosine). Plain row replication would be wrong for this
+  * probe: it multiplies duplicate-group sizes, so pair-generation work
+  * grows quadratically as a property of the DATA, masking whether the
+  * OPERATORS scale. Decorrelated replicas keep the per-document duplicate
+  * structure identical at every factor, so wall-time growth measures the
+  * operators alone.
+  *
+  * Runs the bench's five most expensive queries (VERDICT r6 plan-audit
+  * table) at each factor, min-of-N in-JVM passes (same statistic as
+  * Bench), and writes one JSON artifact with per-query seconds and the
+  * per-decade growth ratios.
+  */
+object ScaleProbe {
+
+  /** The r6 plan-audit top-5 by best-of-mins cost. */
+  val ProbeQueries: Seq[String] = Seq(
+    "q_pipeline_curate_pack",
+    "q_winnow_pairs",
+    "q_embed_dedup_groups",
+    "q_dedup_canonical",
+    "q_ann_ivfpq")
+
+  /** Word-salted, sign-flipped `factor`× blow-up of documents+embeddings
+    * into `outDir` (same file layout Tables.load expects). Replica 0 is
+    * the original data byte-for-byte. */
+  def blowUp(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val docReps = (0 until factor).map { k =>
+      val text =
+        if (k == 0) $"text"
+        else array_join(
+          transform(split($"text", " "), w => concat(w, lit(s"~$k"))), " ")
+      docs.select(
+        ($"doc_id" + lit(k.toLong * nDocs)).as("doc_id"),
+        text.as("text"), $"lang", $"source",
+        length(text).cast("long").as("n_chars"))
+    }
+    docReps.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    val embReps = (0 until factor).map { k =>
+      val vec =
+        if (k == 0) $"embedding"
+        else transform($"embedding", (x, i) =>
+          (x * when(pmod(hash(i * 31 + lit(k)), lit(2)) === 0, 1.0f)
+            .otherwise(-1.0f)).cast("float"))
+      emb.select(
+        ($"vec_id" + lit(k.toLong * nVecs)).as("vec_id"),
+        vec.as("embedding"), $"label")
+    }
+    embReps.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "target/scaledata")
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/scaleprobe.json")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs: Seq[(Int, String)] = factors.map { f =>
+      if (f == 1) f -> srcDir
+      else {
+        val d = s"$workDir/x$f"
+        if (!new java.io.File(s"$d/embeddings.parquet").exists()) {
+          System.err.println(s"[scale] building ${f}x blow-up at $d")
+          blowUp(spark, srcDir, d, f)
+        }
+        f -> d
+      }
+    }
+
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // warmup: absorb codegen + file-index cold start before any timing
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    val results: Seq[(Int, Map[String, Double])] = dirs.map { case (f, d) =>
+      val passes = (1 to nPasses).map { _ =>
+        ProbeQueries.map { q =>
+          val t0 = System.nanoTime()
+          val ok =
+            try {
+              SparkEntry.queries(q)(spark, d)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[scale] $q@${f}x failed: ${e.getMessage}")
+                false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          q -> (if (ok) dt else -dt)
+        }.toMap
+      }
+      val mins = ProbeQueries.map { q =>
+        val ok = passes.map(_(q)).filter(_ > 0)
+        q -> (if (ok.nonEmpty) ok.min else passes.head(q))
+      }.toMap
+      mins.foreach { case (q, s) =>
+        System.err.println(f"[scale] ${f}%3dx $q%-28s ${s}%8.3f s")
+      }
+      f -> mins
+    }
+
+    val base = results.head._2
+    val json = results.map { case (f, mins) =>
+      val qs = ProbeQueries.map { q =>
+        val ratio = if (base(q) > 0) mins(q) / base(q) else -1.0
+        s""""$q":{"sec":${f3(mins(q))},"vs_x1":${f3(ratio)}}"""
+      }.mkString(",")
+      s""""x$f":{$qs}"""
+    }.mkString(
+      s"""{"probe":"scale","stat":"min-of-$nPasses","src":"$srcDir","factors":[${
+        factors.mkString(",")}],"results":{""",
+      ",", "}}")
+    val out = java.nio.file.Paths.get(outPath)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

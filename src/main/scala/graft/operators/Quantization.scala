@@ -240,6 +240,127 @@ object Quantization {
   /** Cells probed per query in the combined index. */
   val IvfProbes = 4
 
+  // ---- shared IVF-PQ building blocks -----------------------------------
+  // Used by BOTH the oracle-gated q_ann_ivfpq below and the persistent
+  // [[graft.sources.PqEmbeddingIndex]], so the stored index and the
+  // hash-verified query are one implementation, not two.
+
+  private def toD(c: org.apache.spark.sql.Column) =
+    transform(c, _.cast("double"))
+
+  /** (ccid, cv, cn): the seeded coarse quantizer — the first [[IvfCells]]
+    * corpus vectors, replay-stable like the IVF index's seed path. */
+  private[graft] def seedCoarse(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.norm
+    emb.filter($"vec_id" < IvfCells)
+      .select($"vec_id".cast("int").as("ccid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+  }
+
+  /** (vec_id, embedding, ccid, cv, cs4): every vector scored against every
+    * coarse centroid (broadcast — the centroid table is [[IvfCells]] rows
+    * at any corpus size). Cosine is quantized to 1e-4 integer units before
+    * any ranking; zero-norm pairs are dropped (the annIvfPairs convention:
+    * a vector with no magnitude has no cell affinity). */
+  private[graft] def coarseScored(emb: DataFrame, cc: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import graft.functions.VectorFunctions.{dot, norm}
+    emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .crossJoin(broadcast(cc))
+      .filter($"vn" * $"cn" =!= 0.0)
+      .select($"vec_id", $"embedding", $"ccid", $"cv",
+        floor(dot($"embedding", $"cv") / ($"vn" * $"cn") * 10000.0 + 0.5)
+          .cast("long").as("cs4"))
+  }
+
+  /** (vec_id, ccid, r): winning cell per vector (argmax cs4, ties to the
+    * lower ccid) plus the double-precision residual v − centroid that PQ
+    * codes against. */
+  private[graft] def residualAssign(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cs4".desc, $"ccid")
+    scored
+      .withColumn("rk", row_number().over(wCell))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"ccid",
+        zip_with(toD($"embedding"), toD($"cv"), (x, y) => x - y).as("r"))
+  }
+
+  /** (vec_id, ccid, s, sv): residuals exploded into their M subvectors. */
+  private[graft] def residualSub(asg: DataFrame): DataFrame = {
+    val s = asg.sparkSession
+    import s.implicits._
+    asg
+      .select($"vec_id", $"ccid",
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"r")
+      .select($"vec_id", $"ccid", $"s",
+        slice($"r", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+  }
+
+  /** (cid, s, cbv): residual codebooks seeded from vectors
+    * [[IvfCells]]..[[IvfCells]]+[[PqK]]−1 — the coarse seeds themselves
+    * have zero residuals and cannot form a codebook. */
+  private[graft] def residualCodebook(rsv: DataFrame): DataFrame = {
+    val s = rsv.sparkSession
+    import s.implicits._
+    rsv
+      .filter($"vec_id" >= IvfCells && $"vec_id" < IvfCells + PqK)
+      .select(($"vec_id" - IvfCells).cast("int").as("cid"), $"s",
+        $"sv".as("cbv"))
+  }
+
+  /** (vec_id, ccid, s, cid): argmin PQ coding of each residual subvector
+    * against the broadcast codebook (quantized distance, ties to the
+    * lower cid). */
+  private[graft] def codeAgainst(rsv: DataFrame, cb: DataFrame): DataFrame = {
+    val s = rsv.sparkSession
+    import s.implicits._
+    val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"pd4", $"cid")
+    rsv
+      .join(broadcast(cb), "s")
+      .select($"vec_id", $"ccid", $"s", $"cid", d4($"sv", $"cbv").as("pd4"))
+      .withColumn("rk", row_number().over(wCode))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"ccid", $"s", $"cid")
+  }
+
+  /** (qid, vec_id, ad4): the full ADC table for queries vec_id < nQ —
+    * each query probes its top-[[IvfProbes]] cells and every coded vector
+    * living there is scored by the integer LUT sum. This is the scoring
+    * core of q_ann_ivfpq, and the parity target the stored
+    * [[graft.sources.PqEmbeddingIndex]] is spec-gated against. */
+  private[graft] def ivfPqAdc(emb: DataFrame, nQ: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val scored = coarseScored(emb, seedCoarse(emb))
+    val rsv = residualSub(residualAssign(scored))
+    val cb = residualCodebook(rsv)
+    val codes = codeAgainst(rsv, cb)
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cs4".desc, $"ccid")
+    val probes = scored
+      .filter($"vec_id" < nQ)
+      .withColumn("rk", row_number().over(wCell))
+      .filter($"rk" <= IvfProbes)
+      .select($"vec_id".as("qid"), $"ccid",
+        zip_with(toD($"embedding"), toD($"cv"), (x, y) => x - y).as("qr"))
+    val lut = probes
+      .select($"qid", $"ccid",
+        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"qr")
+      .select($"qid", $"ccid", $"s",
+        slice($"qr", $"s" * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
+      .join(broadcast(cb), "s")
+      .select($"qid", $"ccid", $"s", $"cid", d4($"qsv", $"cbv").as("d4"))
+    codes
+      .join(broadcast(lut), Seq("ccid", "s", "cid"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"d4").as("ad4"))
+  }
+
   /** The full IVF-PQ search, composed end-to-end: a coarse quantizer
     * assigns every vector to its nearest of [[IvfCells]] seeded cells
     * (cosine, the qAnnIvf recipe); the RESIDUAL v − centroid is then
@@ -358,60 +479,9 @@ object Quantization {
        |ORDER BY e.qid""".stripMargin
   ) { (s, d) =>
     import s.implicits._
-    import graft.functions.VectorFunctions.{dot, norm}
     val emb = Tables.embeddings(s, d)
     val toD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
-    val cc = emb.filter($"vec_id" < IvfCells)
-      .select($"vec_id".cast("int").as("ccid"), $"embedding".as("cv"),
-        norm($"embedding").as("cn"))
-    val scored = emb
-      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
-      .crossJoin(broadcast(cc))
-      // zero-norm convention (same as annIvfPairs): a vector or
-      // centroid with no magnitude has no cosine cell affinity
-      .filter($"vn" * $"cn" =!= 0.0)
-      .select($"vec_id", $"embedding", $"ccid", $"cv",
-        floor(dot($"embedding", $"cv") / ($"vn" * $"cn") * 10000.0 + 0.5)
-          .cast("long").as("cs4"))
-    val wCell = Window.partitionBy($"vec_id").orderBy($"cs4".desc, $"ccid")
-    val residual =
-      zip_with(toD($"embedding"), toD($"cv"), (x, y) => x - y)
-    val asg = scored
-      .withColumn("rk", row_number().over(wCell))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"ccid", residual.as("r"))
-    val rsv = asg
-      .select($"vec_id", $"ccid",
-        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"r")
-      .select($"vec_id", $"ccid", $"s",
-        slice($"r", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-    val cb = rsv
-      .filter($"vec_id" >= IvfCells && $"vec_id" < IvfCells + PqK)
-      .select(($"vec_id" - IvfCells).cast("int").as("cid"), $"s",
-        $"sv".as("cbv"))
-    val wCode = Window.partitionBy($"vec_id", $"s").orderBy($"pd4", $"cid")
-    val codes = rsv
-      .join(broadcast(cb), "s")
-      .select($"vec_id", $"ccid", $"s", $"cid", d4($"sv", $"cbv").as("pd4"))
-      .withColumn("rk", row_number().over(wCode))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"ccid", $"s", $"cid")
-    val probes = scored
-      .filter($"vec_id" < 3)
-      .withColumn("rk", row_number().over(wCell))
-      .filter($"rk" <= IvfProbes)
-      .select($"vec_id".as("qid"), $"ccid", residual.as("qr"))
-    val lut = probes
-      .select($"qid", $"ccid",
-        explode(sequence(lit(0), lit(PqM - 1))).as("s"), $"qr")
-      .select($"qid", $"ccid", $"s",
-        slice($"qr", $"s" * PqSubDim + 1, lit(PqSubDim)).as("qsv"))
-      .join(broadcast(cb), "s")
-      .select($"qid", $"ccid", $"s", $"cid", d4($"qsv", $"cbv").as("d4"))
-    val adc = codes
-      .join(broadcast(lut), Seq("ccid", "s", "cid"))
-      .groupBy($"qid", $"vec_id")
-      .agg(sum($"d4").as("ad4"))
+    val adc = ivfPqAdc(emb, nQ = 3)
     val scanned = adc.groupBy($"qid").agg(count(lit(1)).as("n_scanned"))
     val wT = Window.partitionBy($"qid").orderBy($"ad4", $"vec_id")
     val atop = adc

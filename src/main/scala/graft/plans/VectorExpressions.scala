@@ -208,6 +208,73 @@ case class Int8VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC lookup sum for a PQ-coded vector: `codes` (ARRAY<TINYINT|INT>, M
+  * entries, each in [0, K)) indexed into a flattened per-query lookup
+  * table (ARRAY<LONG>, M·K entries, subspace-major): Σₛ lut[s·K + codeₛ].
+  * This is the entire per-candidate cost of an IVF-PQ probe — M integer
+  * loads and adds instead of a 64-dim float loop — so it must stay inside
+  * whole-stage codegen. K is derived from the operand lengths, so one
+  * expression serves any (M, K) codebook shape. */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def isByte: Boolean = left.dataType match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects (ARRAY<TINYINT|INT>, ARRAY<BIGINT>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val k = lut.numElements() / m
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      val c = if (isByte) codes.getByte(s).toInt else codes.getInt(s)
+      acc += lut.getLong(s * k + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val get = if (isByte) s"(int) $a.getByte($s)" else s"$a.getInt($s)"
+      s"""
+         |int $m = $a.numElements();
+         |int $k = $b.numElements() / $m;
+         |long $acc = 0L;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $b.getLong($s * $k + ($get));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FloatVectorDot]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -223,4 +290,9 @@ object VectorExpressions {
   def int8Dot(qv: Column, v: Column): Column =
     ColumnBridge.column(Int8VectorDot(
       ColumnBridge.expression(qv), ColumnBridge.expression(v)))
+
+  /** Column wrapper for [[PqAdcSum]]. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdcSum(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

@@ -216,4 +216,81 @@ class EmbeddingIndexSpec extends SparkSpec {
       .find(_.contains("FileScan")).get
     assert(scanLine.contains("PartitionFilters: [cell"), scanLine)
   }
+
+  private lazy val pqDir = Files.createTempDirectory("embidxpq").toString + "/index"
+  private lazy val pqIndex = {
+    val idx = new graft.sources.PqEmbeddingIndex(spark, pqDir)
+    idx.build(Tables.embeddings(spark, sf))
+    idx
+  }
+
+  test("stored IVF-PQ index: search is bit-identical to the q_ann_ivfpq ADC") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, sf)
+    val adc = Quantization.ivfPqAdc(emb, nQ = 3)
+    for (qid <- 0L to 2L) {
+      val expect = adc
+        .filter($"qid" === qid)
+        .orderBy($"ad4", $"vec_id")
+        .limit(10)
+        .select($"vec_id", $"ad4")
+        .as[(Long, Long)]
+        .collect()
+        .toSeq
+      val got = pqIndex
+        .search(queryVec(qid), k = 10)
+        .select($"vec_id", $"ad4")
+        .as[(Long, Long)]
+        .collect()
+        .toSeq
+      assert(got === expect, s"query $qid diverged from the in-query recipe")
+    }
+  }
+
+  test("stored IVF-PQ index: codes are M bytes per vector, corpus covered once") {
+    pqIndex // force build
+    val codesDf = spark.read.parquet(pqDir)
+    val nonzero = Tables.embeddings(spark, sf)
+      .filter(norm($"embedding") =!= 0.0).count()
+    assert(codesDf.count() === nonzero)
+    assert(codesDf.select($"vec_id").distinct().count() === nonzero)
+    val lens = codesDf.select(size($"codes")).distinct().as[Int].collect()
+    assert(lens.toSeq === Seq(graft.operators.Quantization.PqM))
+    // sidecars: coarse centroids + M*K residual codebook rows
+    assert(spark.read.parquet(pqDir + ".centroids").count() ===
+      graft.operators.Quantization.IvfCells)
+    assert(spark.read.parquet(pqDir + ".codebooks").count() ===
+      graft.operators.Quantization.PqM * graft.operators.Quantization.PqK)
+  }
+
+  test("stored IVF-PQ search prunes to the probed cell partitions") {
+    val df = pqIndex.search(queryVec(2), k = 5, nProbe = 2)
+    df.collect()
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).get
+    assert(scanLine.contains("PartitionFilters: [ccid"), scanLine)
+  }
+
+  test("stored IVF-PQ append equals a full rebuild (search-identical)") {
+    val emb = Tables.embeddings(spark, sf)
+    // seeds (coarse cells 0..15 + codebook donors 16..31) must be in the
+    // base build; everything after streams in through append
+    val cut = 200L
+    val incDir = Files.createTempDirectory("embidxpq_inc").toString + "/index"
+    val inc = new graft.sources.PqEmbeddingIndex(spark, incDir)
+    inc.build(emb.filter($"vec_id" < cut))
+    inc.append(emb.filter($"vec_id" >= cut))
+    val full = spark.read.parquet(pqDir)
+      .groupBy($"ccid").count().as[(Int, Long)].collect().sortBy(_._1)
+    val grown = spark.read.parquet(incDir)
+      .groupBy($"ccid").count().as[(Int, Long)].collect().sortBy(_._1)
+    assert(grown.toSeq === full.toSeq, "cell layout diverged from rebuild")
+    for (q <- Seq(0L, 2L, 7L, 42L, 150L, 300L)) {
+      val a = pqIndex.search(queryVec(q), k = 10)
+        .select($"vec_id", $"ad4").as[(Long, Long)].collect().toSeq
+      val b = inc.search(queryVec(q), k = 10)
+        .select($"vec_id", $"ad4").as[(Long, Long)].collect().toSeq
+      assert(a === b, s"query $q diverged after append")
+    }
+  }
 }
