@@ -671,9 +671,74 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Corpus snapshot diff — the audit an incremental ingest runs between
+    * two corpus versions before re-training: per source, how many
+    * documents were added, removed, changed (content hash differs at the
+    * same id), or untouched. The v2 snapshot is DERIVED deterministically
+    * inside the query (every 17th-residue doc removed, every 13th-residue
+    * text revised, every 19th-residue doc cloned under a fresh id — the
+    * +10⁹ offset clears the fixture id space) so both engines diff the
+    * identical pair; a production caller diffs two real snapshot tables
+    * with the same plan.
+    *
+    * Scale (100 TB): one full-outer shuffle join on the document id with
+    * an md5 CONTENT-hash compare (never the text itself — the hash is
+    * computed scan-side, so only 32-byte digests reach the exchange
+    * alongside the id/source), then an aggregate to ≤ \|sources\|·4 rows. */
+  val qCorpusDiff = QueryDef.sql(
+    "q_corpus_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h, source FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 13 = 4 THEN md5(text || ' [rev2]')
+      |              ELSE md5(text) END AS h,
+      |         source
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, md5(text), source
+      |  FROM documents WHERE doc_id % 19 = 6),
+      |d AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT source, status, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select($"doc_id", md5($"text").as("h"), $"source")
+    val v2 = docs
+      .filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id",
+        when($"doc_id" % 13 === 4, md5(concat($"text", lit(" [rev2]"))))
+          .otherwise(md5($"text")).as("h"),
+        $"source")
+      .unionAll(docs
+        .filter($"doc_id" % 19 === 6)
+        .select(($"doc_id" + 1000000000L).as("doc_id"),
+          md5($"text").as("h"), $"source"))
+    val a = v1.select($"doc_id".as("a_id"), $"h".as("a_h"),
+      $"source".as("a_src"))
+    val b = v2.select($"doc_id".as("b_id"), $"h".as("b_h"),
+      $"source".as("b_src"))
+    a.join(b, $"a_id" === $"b_id", "full_outer")
+      .select(
+        coalesce($"a_src", $"b_src").as("source"),
+        when($"a_id".isNull, "added")
+          .when($"b_id".isNull, "removed")
+          .when($"a_h" =!= $"b_h", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"source", $"status")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
-      qRepeatPlan, qSourceReport)
+      qRepeatPlan, qSourceReport, qCorpusDiff)
 }

@@ -698,6 +698,53 @@ object CorpusOps {
     df.withColumn("split", expr)
   }
 
+  /** Content-defined chunking dedup statistics (q_cdc_dedup): gear-hash
+    * chunking at word granularity — a chunk boundary falls after any word
+    * whose stable hash ≡ 0 mod `divisor` (mean chunk ≈ divisor words), so
+    * boundaries depend only on local content and an edit re-synchronizes
+    * at the next boundary instead of shifting every later chunk (the LBFS
+    * / FastCDC property fixed-width chunking lacks; spec-asserted).
+    * Returns per row: (idCol, n_chunks, n_dup_chunks, chars_saved) where
+    * a dup chunk is any whose text already occurred (by (id, chunk-pos)
+    * order) anywhere in the corpus. The boundary decision is a pure
+    * projection; the chunk-assembly window is per-document; the only
+    * corpus-wide exchange ranks one row per CHUNK (~1/divisor of the
+    * token stream). */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    checkReserved(df)
+    val pos = ReservedPrefix + "pos"
+    val word = ReservedPrefix + "word"
+    val cut = ReservedPrefix + "cut"
+    val chunk = ReservedPrefix + "chunk"
+    val ctext = ReservedPrefix + "ctext"
+    val occ = ReservedPrefix + "occ"
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col(pos))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOcc = Window.partitionBy(md5(col(ctext)))
+      .orderBy(col(idCol), col(chunk))
+    df
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq(pos, word)))
+      .withColumn(cut,
+        when(stableHash60(col(word)) % divisor === 0, 1L).otherwise(0L))
+      .withColumn(chunk, coalesce(sum(col(cut)).over(wRun), lit(0L)))
+      .groupBy(col(idCol), col(chunk))
+      .agg(
+        // collect in document order: (pos, word) structs sort by pos
+        array_join(
+          transform(array_sort(collect_list(struct(col(pos), col(word)))),
+            x => x.getField(word)),
+          " ").as(ctext))
+      .withColumn(occ, row_number().over(wOcc))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col(occ) > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col(occ) > 1, length(col(ctext))).otherwise(0L))
+          .as("chars_saved"))
+  }
+
   /** Out-of-vocabulary statistics per row against the corpus's own top-V
     * vocabulary (count-desc, word-asc tie-break). The V-row vocabulary
     * broadcasts to the token stream; the only shuffles are the wordcount

@@ -687,7 +687,76 @@ object Curation {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Mean chunk length for content-defined chunking: a word ends a chunk
+    * when stable_hash60(word) % CdcDivisor == 0, so chunks average
+    * ~CdcDivisor words. */
+  val CdcDivisor = 16
+
+  /** Content-defined chunking (CDC) dedup — gear-hash chunking at word
+    * granularity: a chunk boundary falls AFTER any word whose stable hash
+    * is ≡ 0 mod [[CdcDivisor]], so boundaries depend only on local
+    * content. That is the property fixed-width chunking (q_paragraph_dedup)
+    * lacks: inserting one word there shifts EVERY later chunk and breaks
+    * all their dedup matches, while CDC re-synchronizes at the next
+    * boundary, so an edit dirties only the chunk containing it
+    * (spec-asserted). This is the storage/transfer dedup recipe (LBFS,
+    * Muthitacharoen et al. 2001; FastCDC) applied to corpus text: per doc,
+    * how many of its chunks are duplicates of an earlier chunk anywhere in
+    * the corpus, and the characters that chunk-level dedup would save.
+    *
+    * Scale (100 TB): the boundary decision is a pure per-word projection
+    * (no model, no join); the chunk-assembly window is per-document
+    * (bounded); the only corpus-wide exchange is the occurrence ranking,
+    * which shuffles one (hash, doc, pos) row per CHUNK — ~1/[[CdcDivisor]]
+    * of the token stream. Min/max chunk bounds of production CDC are
+    * omitted (they only tighten the chunk-size distribution; the dataflow
+    * is identical). */
+  val qCdcDedup = QueryDef.sql(
+    "q_cdc_dedup",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(w) AS word,
+       |         unnest(range(1, len(w) + 1)) AS pos
+       |  FROM t),
+       |b AS (
+       |  SELECT doc_id, pos, word,
+       |         CASE WHEN CAST(concat('0x', substr(md5(word), 1, 15))
+       |                    AS BIGINT) % $CdcDivisor = 0
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM tok),
+       |c AS (
+       |  SELECT doc_id, pos, word,
+       |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                 AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk,
+       |         string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+       |         count(*) AS n_words
+       |  FROM c GROUP BY doc_id, chunk),
+       |r AS (
+       |  SELECT doc_id, chunk, chunk_text,
+       |         row_number() OVER (PARTITION BY md5(chunk_text)
+       |                            ORDER BY doc_id, chunk) AS occ
+       |  FROM ch)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_chunks,
+       |       CAST(sum(CASE WHEN occ > 1 THEN len(chunk_text) ELSE 0 END)
+       |            AS BIGINT) AS chars_saved
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .cdcDedupStats(Tables.documents(s, d), "doc_id", "text", CdcDivisor)
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
-      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap)
+      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup)
 }

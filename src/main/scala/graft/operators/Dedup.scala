@@ -112,6 +112,20 @@ object Dedup {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    ngramJaccardAllPairs(docs)
+      .filter($"jac" >= 0.8)
+      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+  }
+
+  /** Every shingle-sharing pair with its UNFILTERED exact Jaccard
+    * (d1 < d2, jac) — the relation [[ngramJaccardPairs]] thresholds at
+    * 0.8 and [[qDedupThresholdSweep]] sweeps. One postings exchange
+    * (reused by both self-join sides and the doc-count branch), DF cap
+    * bounding any shingle's pair contribution. */
+  private[graft] def ngramJaccardAllPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val ds = cappedPostings(
       docs
         .select($"doc_id", words($"text").as("w"))
@@ -129,8 +143,7 @@ object Dedup {
       .join(cnt.as("ca"), $"d1" === $"ca.doc_id")
       .join(cnt.as("cb"), $"d2" === $"cb.doc_id")
       .withColumn("jac", $"common" * lit(1.0) / ($"ca.n" + $"cb.n" - $"common"))
-      .filter($"jac" >= 0.8)
-      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+      .select($"d1", $"d2", $"jac")
   }
 
   /** The MinHash-LSH candidate-pair CTE chain (ends in `cand(d1, d2)`),
@@ -286,19 +299,40 @@ object Dedup {
     var changed = 1L
     var iter = 0
     val maxIter = 64
-    // min-label propagation to fixpoint: newLabel(n) = min(label(n),
-    // min over neighbors' labels). Deterministic, order-independent.
+    // min-label propagation WITH pointer jumping: newLabel(n) =
+    // min(label(n), min over neighbors' labels, label(label(n))). The
+    // neighbor term alone needs O(diameter) rounds — a long chain (loose
+    // similarity thresholds produce them: the 10x scale probe hit a
+    // >64-hop component) moves its min one hop per round. The
+    // label-of-label shortcut roughly doubles the propagated distance
+    // every round instead (Rastogi et al. 2013 "Finding Connected
+    // Components in Map-Reduce in Logarithmic Rounds"-style), so rounds
+    // ~ log2(diameter): a 10,000-hop chain converges in ~15 rounds, not
+    // 10,000. Every label value is a node id of the same component (it
+    // entered via a neighbor or a shortcut of one), so the label-table
+    // self-join always finds the jump target, and labels can never fall
+    // below the component minimum — the fixpoint is exactly the one the
+    // neighbor-only iteration (and the recursive-CTE oracle) reaches.
     while (changed > 0 && iter < maxIter) {
       val prop = sym
         .join(labels.withColumnRenamed("node", "pnode"), $"dst" === $"pnode")
         .groupBy($"src")
         .agg(min($"label").as("nl"))
+      val jump = labels
+        .join(
+          labels.select($"node".as("jnode"), $"label".as("jl")),
+          $"label" === $"jnode")
+        .select($"node".as("znode"), $"jl")
       // the old label rides along into the checkpoint so change detection
       // is a filter-count on the materialized rows, not a third join
       val next = labels
         .join(prop, $"node" === $"src", "left")
+        .join(jump, $"node" === $"znode", "left")
         .select($"node",
-          least($"label", coalesce($"nl", $"label")).as("label"),
+          least(
+            $"label",
+            least(coalesce($"nl", $"label"), coalesce($"jl", $"label")))
+            .as("label"),
           $"label".as("old"))
         .localCheckpoint()
       changed = next.filter($"label" =!= $"old").count()
@@ -307,14 +341,13 @@ object Dedup {
     }
     // a silent non-converged exit would emit plausible-but-wrong group
     // labels (and diverge from the recursive-CTE oracle); refuse instead.
-    // maxIter bounds the propagation DIAMETER — real near-dup components
-    // are pairs/short chains, so hitting 64 means the candidate graph is
-    // pathological (e.g. sliding-window boilerplate chaining thousands of
-    // docs) and needs a DF-cap-style intervention, not more rounds.
+    // with pointer jumping maxIter bounds the LOG of the propagation
+    // diameter — 64 rounds cover any component a physical graph could
+    // hold, so hitting this means the iteration is broken, not the data.
     require(changed == 0,
       s"connectedComponents did not converge after $maxIter rounds " +
         s"($changed labels still changing); the candidate graph has a " +
-        "component with diameter > maxIter")
+        "component with diameter > 2^maxIter — this cannot be the data")
     labels
   }
 
@@ -323,14 +356,15 @@ object Dedup {
     * reachable through near-dup edges (its canonical "keeper"). Singletons
     * keep their own id; group sizes come from a window over the label.
     *
-    * The Spark side runs iterative min-label propagation — each round is
-    * one equi-join + one min-aggregate, both hash-partitioned on the node
-    * key, and `localCheckpoint` cuts the growing lineage. Rounds needed =
-    * graph diameter, and near-dup components are shallow (pairs/chains of
-    * copies), so this converges in a handful of rounds even at corpus
-    * scale — the same dataflow GraphX's connected components lowers to,
-    * without leaving the DataFrame planner. The oracle computes the same
-    * fixpoint as a recursive transitive closure.
+    * The Spark side runs iterative min-label propagation with pointer
+    * jumping — each round is one edge join + one min-aggregate plus a
+    * label-table self-join (the label(label(n)) shortcut), all
+    * hash-partitioned on the node key, with `localCheckpoint` cutting the
+    * growing lineage. Rounds needed ~ log2(graph diameter), so even a
+    * pathological thousands-hop chain component (loose thresholds create
+    * them) converges in ~15 rounds — the logarithmic-rounds map-reduce CC
+    * recipe, without leaving the DataFrame planner. The oracle computes
+    * the same fixpoint as a recursive transitive closure.
     */
   val qDedupGroups = QueryDef.sql(
     "q_dedup_groups",
@@ -576,7 +610,61 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup threshold sweep — the calibration table a curation run reads
+    * BEFORE committing to a similarity cutoff: for each candidate Jaccard
+    * threshold, how many near-dup pairs fire and how many documents get
+    * linked into some dup relation. The 0.8 the other dedup queries use
+    * is a policy choice; this query shows what 0.5–0.9 would each cost,
+    * from ONE computation of the exact pairwise-Jaccard relation (the
+    * five thresholds scan the same pair table — the pairs are not
+    * recomputed per cutoff).
+    *
+    * Scale (100 TB): the pair relation is the DF-capped postings
+    * self-join every dedup query already pays; the sweep adds a 5-row
+    * broadcast nested-loop against it (5× the pair rows, aggregated
+    * immediately to 5 output rows). Thresholds with zero pairs still
+    * emit a row (left join), so the curve is always complete. */
+  val qDedupThresholdSweep = QueryDef.sql(
+    "q_dedup_threshold_sweep",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT d1, d2, common * 1.0 / (ca.n + cb.n - common) AS jac
+       |  FROM pairs
+       |    JOIN cnt ca ON d1 = ca.doc_id
+       |    JOIN cnt cb ON d2 = cb.doc_id),
+       |dc AS (SELECT jac, unnest([d1, d2]) AS doc FROM j),
+       |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+       |SELECT th.threshold,
+       |       CAST(count(dc.doc) / 2 AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT dc.doc) AS BIGINT) AS n_docs
+       |FROM th LEFT JOIN dc ON dc.jac >= th.threshold
+       |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val dc = ngramJaccardAllPairs(Tables.documents(s, d))
+      .select($"jac", explode(array($"d1", $"d2")).as("doc"))
+    val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    broadcast(th)
+      .join(dc, $"jac" >= $"threshold", "left")
+      .groupBy($"threshold")
+      .agg(
+        (count($"doc") / 2).cast("long").as("n_pairs"),
+        countDistinct($"doc").as("n_docs"))
+      .orderBy($"threshold")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
-      qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty)
+      qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty,
+      qDedupThresholdSweep)
 }

@@ -329,7 +329,80 @@ object Scoring {
       .orderBy($"band")
   }
 
+  /** Interpolated Kneser–Ney smoothing over the corpus bigram model (Kneser
+    * & Ney 1995; Chen & Goodman 1998 eq. 4.24) — the standard n-gram
+    * smoothing a KenLM-style fluency filter actually ships, upgrading the
+    * unsmoothed model of q_doc_cross_entropy: mass discounted from seen
+    * bigrams is redistributed by CONTINUATION probability (how many
+    * distinct contexts a word follows), not raw frequency, which is what
+    * stops high-count-but-context-bound words ("Francisco") from stealing
+    * probability. For the top-20 bigrams (count desc, then head/next):
+    *   P_KN(next|head) = (c − D)/c(head·)
+    *                   + D·N₁₊(head,·)/c(head·) · N₁₊(·,next)/B
+    * with discount D = 0.75, N₁₊ the distinct-continuation counts and B
+    * the distinct-bigram-type total. c ≥ 1 so c − D > 0 and the max(·,0)
+    * clamp of the general form never binds.
+    *
+    * Engine determinism: every input is an exact integer; both engines
+    * evaluate the identical float expression tree (same association, each
+    * step a correctly-rounded IEEE op), then quantize via
+    * floor(x·10⁶ + 0.5). Scale: two wordcount-shaped shuffles on the
+    * bigram key; the model side is vocabulary-bounded (Zipf); N₁₊ tables
+    * aggregate off the same bigram relation; B broadcasts as one row. */
+  val qKneserNey = QueryDef.sql(
+    "q_kneser_ney",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([{'head': w[i], 'next': w[i+1]}
+      |                 for i in range(1, len(w))]) AS b
+      |  FROM t WHERE len(w) >= 2),
+      |bgf AS (SELECT b.head AS head, b.next AS next FROM bg),
+      |bc AS (SELECT head, next, count(*) AS c FROM bgf GROUP BY 1, 2),
+      |hc AS (SELECT head, sum(c) AS hcnt, count(*) AS n1fwd
+      |       FROM bc GROUP BY head),
+      |nc AS (SELECT next, count(*) AS n1bwd FROM bc GROUP BY next),
+      |bt AS (SELECT count(*) AS b FROM bc)
+      |SELECT bc.head, bc.next, CAST(bc.c AS BIGINT) AS c,
+      |       floor((bc.c * 1.0 / hc.hcnt) * 1000000 + 0.5) / 1000000.0
+      |         AS p_mle,
+      |       floor(((bc.c - 0.75) / hc.hcnt
+      |              + 0.75 * hc.n1fwd / hc.hcnt * (nc.n1bwd * 1.0 / bt.b))
+      |             * 1000000 + 0.5) / 1000000.0 AS p_kn
+      |FROM bc JOIN hc USING (head) JOIN nc USING (next) CROSS JOIN bt
+      |ORDER BY c DESC, head, next LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bgf = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(shingles($"w", 2)).as("sp"))
+      .select(
+        substring_index($"sp", " ", 1).as("head"),
+        substring_index($"sp", " ", -1).as("next"))
+    val bc = bgf.groupBy($"head", $"next").agg(count(lit(1)).as("c"))
+    val hc = bc.groupBy($"head")
+      .agg(sum($"c").as("hcnt"), count(lit(1)).as("n1fwd"))
+    val nc = bc.groupBy($"next").agg(count(lit(1)).as("n1bwd"))
+    val bt = bc.agg(count(lit(1)).as("b"))
+    bc
+      .join(hc, Seq("head"))
+      .join(nc, Seq("next"))
+      .crossJoin(broadcast(bt))
+      .select(
+        $"head", $"next", $"c",
+        (floor(($"c" * lit(1.0) / $"hcnt") * 1000000 + 0.5) / 1000000.0)
+          .as("p_mle"),
+        (floor((($"c" - 0.75) / $"hcnt"
+          + lit(0.75) * $"n1fwd" / $"hcnt" * ($"n1bwd" * lit(1.0) / $"b"))
+          * 1000000 + 0.5) / 1000000.0).as("p_kn"))
+      .orderBy($"c".desc, $"head", $"next")
+      .limit(20)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold,
-      qDsirWeights, qGopherRules, qScoreCalibration)
+      qDsirWeights, qGopherRules, qScoreCalibration, qKneserNey)
 }

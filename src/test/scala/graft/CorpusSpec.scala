@@ -37,6 +37,23 @@ class CorpusSpec extends SparkSpec {
     assert(got(20L) === 20L && got(21L) === 20L && got(22L) === 20L)
   }
 
+  test("connectedComponents: a 500-hop chain converges (pointer jumping)") {
+    // a path graph 0-1-2-...-500: neighbor-only min propagation needs
+    // ~500 rounds (> the 64-round guard — exactly how the 10x scale
+    // probe failed on a long-chain LSH component); the label(label(n))
+    // shortcut must collapse it in ~log2(500) ≈ 9 rounds. Shuffled edge
+    // order proves order-independence.
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0L until 500L).map(i => (i, i + 1L)).toList)
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.size === 501)
+    assert(got.values.forall(_ === 0L), "every chain node must label to 0")
+  }
+
   test("q_dedup_groups: labels are idempotent group minima covering all docs") {
     val groups = Dedup.qDedupGroups.fn(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf).count()
