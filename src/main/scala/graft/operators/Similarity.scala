@@ -1064,9 +1064,141 @@ object Similarity {
       .filter($"rnk" <= 5)
   }
 
+  /** IVF probe-budget sweep — the recall-vs-cost tuning curve an index
+    * operator reads before fixing nprobe: for each probe budget
+    * (1/2/4/8/16 of 16 cells) and each query, the candidates scanned and
+    * the recall@10 against corpus-wide brute-force truth. The 4 the other
+    * ANN queries use is a policy choice; this prices every alternative
+    * from ONE cell assignment (the probe list is ranked once to depth 16
+    * and a 5-row budget table selects prefixes — nothing is re-assigned
+    * or re-scored per budget). n_scanned makes the cost axis explicit:
+    * recall buys linearly into scan fraction.
+    *
+    * Scale (100 TB): identical dataflow to q_ann_ivf (broadcast
+    * centroids, cell-pruned candidate join) plus a 5-row broadcast
+    * against the probe list; the brute-force truth side is the verifier
+    * and runs on a hash-sampled slice in production (q_ann_recall's
+    * composition). */
+  val qAnnNprobeSweep = QueryDef.sql(
+    "q_ann_nprobe_sweep",
+    """WITH c AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 16),
+      |scored AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+      |           AS cs
+      |  FROM embeddings e CROSS JOIN c),
+      |assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT vec_id, v, cid,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY cs DESC, cid) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |pr AS (
+      |  SELECT vec_id AS qid, v AS qv, cid AS probe_cid,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY cs DESC, cid) AS rk
+      |  FROM scored WHERE vec_id < 3),
+      |np AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+      |cands AS (
+      |  SELECT np.nprobe, p.qid, a.vec_id AS nid,
+      |         list_cosine_similarity(p.qv, a.v) AS cs2
+      |  FROM np JOIN pr p ON p.rk <= np.nprobe
+      |  JOIN assigned a ON a.cid = p.probe_cid AND a.vec_id <> p.qid),
+      |atop AS (
+      |  SELECT nprobe, qid, nid FROM (
+      |    SELECT nprobe, qid, nid,
+      |           row_number() OVER (PARTITION BY nprobe, qid
+      |                              ORDER BY cs2 DESC, nid) AS rnk
+      |    FROM cands) WHERE rnk <= 10),
+      |sc AS (SELECT nprobe, qid, count(*) AS n_scanned
+      |       FROM cands GROUP BY nprobe, qid),
+      |qv2 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |        FROM embeddings WHERE vec_id < 3),
+      |truth AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.qid, e.vec_id AS nid,
+      |           row_number() OVER (
+      |             PARTITION BY q.qid
+      |             ORDER BY list_cosine_similarity(
+      |                        q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+      |                      e.vec_id) AS rnk
+      |    FROM qv2 q JOIN embeddings e ON e.vec_id <> q.qid)
+      |  WHERE rnk <= 10)
+      |SELECT sc.nprobe, t.qid,
+      |       CAST(sc.n_scanned AS BIGINT) AS n_scanned,
+      |       CAST(count(a.nid) AS BIGINT) AS hits,
+      |       count(a.nid) / 10.0 AS recall
+      |FROM truth t
+      |JOIN sc ON sc.qid = t.qid
+      |LEFT JOIN atop a
+      |  ON a.nprobe = sc.nprobe AND a.qid = t.qid AND a.nid = t.nid
+      |GROUP BY sc.nprobe, t.qid, sc.n_scanned
+      |ORDER BY sc.nprobe, t.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val nCentroids = 16
+    val centroids = emb
+      .filter($"vec_id" < nCentroids)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
+        norm($"embedding").as("cn"))
+    val scoredCells = emb
+      .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
+      .join(broadcast(centroids), $"vn" * $"cn" =!= 0.0)
+      .select($"vec_id", $"embedding", $"vn", $"cid",
+        (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cid")
+    val assigned = scoredCells
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"vn", $"cid")
+    val pr = scoredCells
+      .filter($"vec_id" < 3)
+      .withColumn("rk", row_number().over(wAssign))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"vn".as("qn"),
+        $"cid".as("probe_cid"), $"rk")
+    val np = Seq(1, 2, 4, 8, 16).toDF("nprobe")
+    val prN = broadcast(np).join(pr, $"rk" <= $"nprobe")
+    val cands = assigned
+      .join(broadcast(prN), $"cid" === $"probe_cid" && $"vec_id" =!= $"qid")
+      .select($"nprobe", $"qid", $"vec_id".as("nid"),
+        (dot($"qv", $"embedding") / ($"qn" * $"vn")).as("c"))
+    val wT = Window.partitionBy($"nprobe", $"qid").orderBy($"c".desc, $"nid")
+    val atop = cands
+      .withColumn("rnk", row_number().over(wT))
+      .filter($"rnk" <= 10)
+      .select($"nprobe".as("a_np"), $"qid".as("a_qid"), $"nid".as("a_nid"))
+    val sc = cands.groupBy($"nprobe", $"qid").agg(count(lit(1)).as("n_scanned"))
+    val qv2 = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("tqid"), $"embedding".as("qe"),
+        norm($"embedding").as("qen"))
+    val wB = Window.partitionBy($"tqid").orderBy($"tc".desc, $"tnid")
+    val truth = emb
+      .select($"vec_id".as("tnid"), $"embedding".as("te"),
+        norm($"embedding").as("ten"))
+      .crossJoin(broadcast(qv2))
+      .filter($"tnid" =!= $"tqid")
+      .select($"tqid", $"tnid",
+        (dot($"qe", $"te") / ($"qen" * $"ten")).as("tc"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= 10)
+      .select($"tqid", $"tnid")
+    truth
+      .join(sc, $"qid" === $"tqid")
+      .join(atop,
+        $"a_np" === $"nprobe" && $"a_qid" === $"tqid" && $"a_nid" === $"tnid",
+        "left")
+      .groupBy($"nprobe", $"tqid".as("qid"), $"n_scanned")
+      .agg(count($"a_nid").as("hits"),
+        (count($"a_nid") / lit(10.0)).as("recall"))
+      .orderBy($"nprobe", $"qid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
-      qClusterSilhouette, qHardNegatives)
+      qClusterSilhouette, qHardNegatives, qAnnNprobeSweep)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -252,5 +252,59 @@ object EventPipelines {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("lang"), col("fp"),
         size(w).as("n_words"), col("ts"))
+  }
+
+  /** MinHash bands per streaming document (NumBands × RowsPerBand = the
+    * 16 fixed permutations the batch dedup queries use). */
+  val NearDupBands = 4
+  val NearDupRowsPerBand = 4
+
+  /** Streaming NEAR-dup ingest: [[corpusIngest]] drops exact
+    * (normalized-fingerprint) repeats; this extends the in-horizon tier to
+    * MinHash near-duplicates. Each document computes its 16-permutation
+    * MinHash signature NARROWLY (array transforms over the shingle array —
+    * no per-document explode/groupBy, which would be a second stateful
+    * aggregation) and explodes into [[NearDupBands]] band-key rows; each
+    * band key is deduplicated within the watermark horizon, and a windowed
+    * per-document count reassembles the verdict:
+    *  - all bands survived  → no in-horizon collision anywhere → admitted
+    *  - some bands survived → shares signature slices with an in-horizon
+    *    predecessor → emitted with admitted=false (the near-dup suspect
+    *    stream a downstream exact-verify consumes, mirroring the batch
+    *    LSH verify stage)
+    *  - no bands survived   → near-identical to an in-horizon predecessor
+    *    → dropped in-stream entirely (like corpusIngest's exact tier)
+    * Two chained stateful operators (watermarked dedup → windowed count),
+    * both with watermark-bounded state; documents under 3 words have no
+    * shingles and are filtered (their empty signature would alias). The
+    * beyond-horizon tier stays the batch MinHash pass over the same
+    * signature definition, so stream and batch can never disagree about
+    * what counts as a near-duplicate. */
+  def nearDupIngest(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sh = shingles(words(col("text")), 3)
+    val base = transform(sh, s => stableHash60(s) % MinhashP)
+    def sig(i: Int): Column = {
+      val (a, b) = MinhashPerms(i)
+      array_min(transform(col("__base"), h => (h * a + b) % MinhashP))
+    }
+    val bandKeys = array((0 until NearDupBands).map { j =>
+      concat_ws("_",
+        lit(j) +: (0 until NearDupRowsPerBand)
+          .map(r => sig(j * NearDupRowsPerBand + r)): _*)
+    }: _*)
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("__base", base)
+      .filter(size(col("__base")) > 0)
+      .select(col("doc_id"), col("ts"), explode(bandKeys).as("band_key"))
+      .dropDuplicatesWithinWatermark("band_key")
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_new_bands"))
+      .select(
+        col("window.start").as("ws"),
+        col("doc_id"),
+        col("n_new_bands"),
+        (col("n_new_bands") === NearDupBands).as("admitted"))
   }
 }

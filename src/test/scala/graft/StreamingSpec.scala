@@ -196,6 +196,67 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Int]("n_words") === 24)
   }
 
+  test("streaming near-dup ingest: band dedup admits novel docs, flags near-dups") {
+    val t0 = 1700000000000L
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    // near-dup of a: one word changed → most minhash bands collide
+    val b = a.replace("lazy", "sleepy")
+    // unrelated doc: shares no shingles with a
+    val c = "completely different subject matter entirely about spark query engines and columnar storage formats"
+    in.addData(
+      (1L, a, new Timestamp(t0)),
+      (2L, a, new Timestamp(t0 + 1000)), // exact dup: all bands collide
+      (3L, b, new Timestamp(t0 + 2000)),
+      (4L, c, new Timestamp(t0 + 3000)),
+      (5L, "too short", new Timestamp(t0 + 4000))) // < 3 words: filtered
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = EventPipelines.nearDupIngest(docs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    q.processAllAvailable()
+    // append-mode windowed agg emits only once the watermark passes the
+    // window close: push it there with a late flusher doc (its own open
+    // window is not asserted on)
+    in.addData((6L, c + " flusher", new Timestamp(t0 + 25 * 60 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("neardup_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_new_bands"), r.getAs[Boolean]("admitted")))
+      .toMap
+    // first occurrence admits with every band fresh
+    assert(out(1L) === ((EventPipelines.NearDupBands.toLong, true)))
+    // the exact dup collides on every band → dropped in-stream entirely
+    assert(!out.contains(2L), s"exact dup must vanish: $out")
+    // the unrelated doc shares no shingles → all bands fresh
+    assert(out(4L) === ((EventPipelines.NearDupBands.toLong, true)))
+    // the near-dup loses at least one band to doc 1 → not admitted
+    out.get(3L).foreach { case (n, adm) =>
+      assert(n < EventPipelines.NearDupBands && !adm,
+        s"near-dup must not be admitted: $out")
+    }
+    // the short doc has no shingles → filtered before banding
+    assert(!out.contains(5L), s"shingle-less doc must be filtered: $out")
+    // stream verdicts must agree with the BATCH signature definition:
+    // docs 1 and 3 are band-collision candidates there too
+    import graft.functions.TextFunctions._
+    val batch = Seq((1L, a), (3L, b)).toDF("doc_id", "text")
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .select($"doc_id", minhashBase($"s").as("h"))
+      .groupBy($"doc_id")
+      .agg(min(minhashPerm($"h", 0)).as("sig_0"),
+        (1 until 16).map(i => min(minhashPerm($"h", i)).as(s"sig_$i")): _*)
+    val sigs = batch.collect().map(r => r.getLong(0) ->
+      (1 to 16).map(r.getLong)).toMap
+    val sharedBand = (0 until 4).exists(bnd =>
+      (0 until 4).forall(r => sigs(1L)(bnd * 4 + r) === sigs(3L)(bnd * 4 + r)))
+    assert(sharedBand === (out.get(3L).map(_._1).getOrElse(0L) < 4),
+      "stream and batch must agree that docs 1/3 share a band")
+  }
+
   test("streaming dedup drops exact repeats and matches batch dropDuplicates") {
     val stream = EventPipelines.eventStream(spark, sf)
     runToMemory(EventPipelines.dedupedEvents(stream), "dedup_out")
