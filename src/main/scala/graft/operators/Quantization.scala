@@ -380,9 +380,12 @@ object Quantization {
     * search touches ~nprobe/nCells of the code table with integer ADC
     * sums. The exact side exists only as the verifier (sampled at
     * production scale, like q_ann_recall). */
-  val qAnnIvfPq = QueryDef.sql(
-    "q_ann_ivfpq",
-    s"""WITH v AS (
+  /** DuckDB CTE chain shared by the IVF-PQ oracles: coarse assignment,
+    * residual coding, probe LUTs, and the per-(query, candidate) integer
+    * ADC table `adc(qid, vec_id, ad4)` — the SQL twin of [[ivfPqAdc]].
+    * Ends without a trailing comma so consumers append their own CTEs. */
+  private val OracleAdcCtes: String =
+    s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cc AS (
        |  SELECT CAST(vec_id AS INT) AS ccid, e AS cv
@@ -446,7 +449,11 @@ object Quantization {
        |  SELECT l.qid, c.vec_id, sum(l.d4) AS ad4
        |  FROM codes c
        |  JOIN lut l ON l.ccid = c.ccid AND l.s = c.s AND l.cid = c.cid
-       |  GROUP BY l.qid, c.vec_id),
+       |  GROUP BY l.qid, c.vec_id)""".stripMargin
+
+  val qAnnIvfPq = QueryDef.sql(
+    "q_ann_ivfpq",
+    s"""WITH $OracleAdcCtes,
        |scanned AS (SELECT qid, count(*) AS n_scanned FROM adc GROUP BY qid),
        |atop AS (
        |  SELECT qid, vec_id FROM (
@@ -508,5 +515,117 @@ object Quantization {
       .orderBy($"qid")
   }
 
-  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall, qAnnIvfPq)
+  /** Shortlist size the rerank stage refines (top-N by ADC). */
+  val RerankShortlist = 50
+
+  /** Two-stage retrieval — the full production ANN shape: the IVF-PQ ADC
+    * pass produces a cheap [[RerankShortlist]]-deep shortlist per query,
+    * then ONLY those ids fetch their full-precision vectors for an exact
+    * distance rerank (at cluster scale: point lookups into the cold
+    * vector store, ~50 rows per query against a corpus-sized scan).
+    * Reported per query: recall@10 of the raw ADC ranking vs recall@10
+    * after reranking, against corpus-wide exact truth — the measurement
+    * that justifies (or rejects) paying the rerank I/O: ADC misrankings
+    * inside the shortlist are repaired, misses outside it are not.
+    *
+    * Scale (100 TB): everything up to the shortlist is q_ann_ivfpq's
+    * dataflow (broadcast codebooks/LUTs, cell-pruned code scan); the
+    * rerank joins a (nq·[[RerankShortlist]])-row relation against the
+    * vector table by id — broadcast, never a corpus shuffle. The exact
+    * side below is the verifier (hash-sampled in production). */
+  val qAnnRerank = QueryDef.sql(
+    "q_ann_rerank",
+    s"""WITH $OracleAdcCtes,
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ad4, vec_id) AS rk
+       |    FROM adc) WHERE rk <= $RerankShortlist),
+       |atop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ad4, vec_id) AS rk
+       |    FROM adc) WHERE rk <= 10),
+       |qv2 AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+       |rr AS (
+       |  SELECT s2.qid, s2.vec_id,
+       |         CAST(floor(list_sum([(q.qe[i] - v.e[i])
+       |                              * (q.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS rd4
+       |  FROM short s2
+       |  JOIN v ON v.vec_id = s2.vec_id
+       |  JOIN qv2 q ON q.qid = s2.qid),
+       |rtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY rd4, vec_id) AS rk
+       |    FROM rr) WHERE rk <= 10),
+       |ex AS (
+       |  SELECT qv2.qid, v.vec_id,
+       |         CAST(floor(list_sum([(qv2.qe[i] - v.e[i])
+       |                              * (qv2.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS ed4
+       |  FROM qv2 CROSS JOIN v),
+       |etop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ed4, vec_id) AS rk
+       |    FROM ex) WHERE rk <= 10)
+       |SELECT e.qid,
+       |       CAST(count(a.vec_id) AS BIGINT) AS hits_adc,
+       |       CAST(count(r.vec_id) AS BIGINT) AS hits_rerank,
+       |       count(a.vec_id) / 10.0 AS recall_adc,
+       |       count(r.vec_id) / 10.0 AS recall_rerank
+       |FROM etop e
+       |LEFT JOIN atop a ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |LEFT JOIN rtop r ON r.qid = e.qid AND r.vec_id = e.vec_id
+       |GROUP BY e.qid
+       |ORDER BY e.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val adc = ivfPqAdc(emb, nQ = 3)
+    val wA = Window.partitionBy($"qid").orderBy($"ad4", $"vec_id")
+    val ranked = adc.withColumn("rk", row_number().over(wA))
+    val short = ranked.filter($"rk" <= RerankShortlist).select($"qid", $"vec_id")
+    val atop = ranked.filter($"rk" <= 10)
+      .select($"qid".as("a_qid"), $"vec_id".as("a_vec"))
+    val full = emb.select($"vec_id", toD($"embedding").as("e"))
+    val qv = full.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"e".as("qe"))
+    val wR = Window.partitionBy($"qid").orderBy($"rd4", $"vec_id")
+    val rtop = short
+      .join(full, "vec_id")
+      .join(broadcast(qv), "qid")
+      .select($"qid", $"vec_id", d4($"qe", $"e").as("rd4"))
+      .withColumn("rk", row_number().over(wR))
+      .filter($"rk" <= 10)
+      .select($"qid".as("r_qid"), $"vec_id".as("r_vec"))
+    val wE = Window.partitionBy($"qid").orderBy($"ed4", $"vec_id")
+    val etop = full
+      .crossJoin(broadcast(qv.withColumnRenamed("qid", "eqid")))
+      .select($"eqid".as("qid"), $"vec_id", d4($"qe", $"e").as("ed4"))
+      .withColumn("rk", row_number().over(wE))
+      .filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    etop
+      .join(atop, $"a_qid" === $"qid" && $"a_vec" === $"vec_id", "left")
+      .join(rtop, $"r_qid" === $"qid" && $"r_vec" === $"vec_id", "left")
+      .groupBy($"qid")
+      .agg(
+        count($"a_vec").as("hits_adc"),
+        count($"r_vec").as("hits_rerank"),
+        (count($"a_vec") / 10.0).as("recall_adc"),
+        (count($"r_vec") / 10.0).as("recall_rerank"))
+      .orderBy($"qid")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall, qAnnIvfPq, qAnnRerank)
 }

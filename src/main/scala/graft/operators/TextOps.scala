@@ -1039,9 +1039,75 @@ object TextOps {
         round(lift, 4).as("lift"))
   }
 
+  /** Vocabulary size for the fertility model (top-V by count, word-asc
+    * tie-break — the q_vocab_oov convention). */
+  val FertilityVocab = 1000
+
+  /** Tokenizer fertility by language — the tokenizer-sizing metric read
+    * next to q_vocab_coverage: under a top-[[FertilityVocab]] word
+    * vocabulary with character fallback (an in-vocab word costs 1 piece,
+    * an OOV word decomposes into its len(word) character pieces — the
+    * byte-fallback account every production BPE carries), how many pieces
+    * does each language pay per word? Languages whose fertility stays
+    * near 1 are well-served by the vocabulary; a high-fertility language
+    * is under-represented in it and will consume disproportionate
+    * sequence length in training (the multilingual-tokenizer fairness
+    * metric). Exact integer counts; the two ratios are the only floats.
+    *
+    * Scale (100 TB): one wordcount shuffle builds the vocabulary, which
+    * broadcasts (V rows) back onto the token stream; the per-language
+    * reduce is map-side combinable. */
+  val qTokenizerFertility = QueryDef.sql(
+    "q_tokenizer_fertility",
+    s"""WITH t AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS word
+       |  FROM documents),
+       |v AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS c FROM t GROUP BY word
+       |    ORDER BY c DESC, word LIMIT $FertilityVocab)),
+       |j AS (
+       |  SELECT t.lang, t.word, v.word AS vword
+       |  FROM t LEFT JOIN v ON t.word = v.word)
+       |SELECT lang,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(CASE WHEN vword IS NOT NULL THEN 1
+       |                     ELSE len(word) END) AS BIGINT) AS n_pieces,
+       |       CAST(sum(CASE WHEN vword IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov_words,
+       |       round(sum(CASE WHEN vword IS NOT NULL THEN 1
+       |                      ELSE len(word) END) * 1.0 / count(*), 4)
+       |         AS fertility,
+       |       round(sum(CASE WHEN vword IS NULL THEN 1 ELSE 0 END) * 1.0
+       |             / count(*), 4) AS oov_frac
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"lang", explode(words($"text")).as("word"))
+    val vocab = tok
+      .groupBy($"word")
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"word")
+      .limit(FertilityVocab)
+      .select($"word".as("vword"))
+    tok
+      .join(broadcast(vocab), $"word" === $"vword", "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when($"vword".isNotNull, 1L).otherwise(length($"word")))
+          .as("n_pieces"),
+        sum(when($"vword".isNull, 1L).otherwise(0L)).as("n_oov_words"))
+      .select($"lang", $"n_words", $"n_pieces", $"n_oov_words",
+        round($"n_pieces" * lit(1.0) / $"n_words", 4).as("fertility"),
+        round($"n_oov_words" * lit(1.0) / $"n_words", 4).as("oov_frac"))
+      .orderBy($"lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
-      qTokenEntropy, qZipfFit, qPmiCollocations)
+      qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility)
 }
