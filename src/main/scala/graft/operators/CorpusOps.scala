@@ -710,38 +710,47 @@ object CorpusOps {
     * projection; the chunk-assembly window is per-document; the only
     * corpus-wide exchange ranks one row per CHUNK (~1/divisor of the
     * token stream). */
-  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+  /** Content-defined chunk decomposition (the unit [[cdcDedupStats]]
+    * ranks): per row, the (chunk index, chunk text) list under gear-hash
+    * word boundaries (boundary after any word with stable hash ≡ 0 mod
+    * `divisor`). Returns (idCol, chunk_idx, chunk_text). Boundary
+    * decisions are a pure projection; assembly is a per-document window. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       divisor: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     checkReserved(df)
     val pos = ReservedPrefix + "pos"
     val word = ReservedPrefix + "word"
     val cut = ReservedPrefix + "cut"
-    val chunk = ReservedPrefix + "chunk"
-    val ctext = ReservedPrefix + "ctext"
-    val occ = ReservedPrefix + "occ"
     val wRun = Window.partitionBy(col(idCol)).orderBy(col(pos))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wOcc = Window.partitionBy(md5(col(ctext)))
-      .orderBy(col(idCol), col(chunk))
     df
       .select(col(idCol), posexplode(words(col(textCol))).as(Seq(pos, word)))
       .withColumn(cut,
         when(stableHash60(col(word)) % divisor === 0, 1L).otherwise(0L))
-      .withColumn(chunk, coalesce(sum(col(cut)).over(wRun), lit(0L)))
-      .groupBy(col(idCol), col(chunk))
+      .withColumn("chunk_idx", coalesce(sum(col(cut)).over(wRun), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
       .agg(
         // collect in document order: (pos, word) structs sort by pos
         array_join(
           transform(array_sort(collect_list(struct(col(pos), col(word)))),
             x => x.getField(word)),
-          " ").as(ctext))
+          " ").as("chunk_text"))
+  }
+
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = ReservedPrefix + "occ"
+    val wOcc = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    cdcChunks(df, idCol, textCol, divisor)
       .withColumn(occ, row_number().over(wOcc))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col(occ) > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
-        sum(when(col(occ) > 1, length(col(ctext))).otherwise(0L))
+        sum(when(col(occ) > 1, length(col("chunk_text"))).otherwise(0L))
           .as("chars_saved"))
   }
 

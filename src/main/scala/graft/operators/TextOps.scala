@@ -1039,6 +1039,75 @@ object TextOps {
         round(lift, 4).as("lift"))
   }
 
+  /** WordPiece greedy longest-match-first encoding (Schuster & Nakajima
+    * 2012 — the BERT tokenizer family, complementing [[bpeTrain]]/
+    * [[bpeEncode]]'s merge-list family): each distinct word is segmented
+    * by repeatedly taking the LONGEST vocabulary piece that prefixes the
+    * remaining suffix; non-initial positions match with the `##`
+    * continuation prefix; a word with an unmatchable position encodes to
+    * the single `[UNK]` piece (whole-word fallback, the reference
+    * tokenizer's behavior). Returns (word, pieces, is_unk) over the
+    * corpus's distinct words — the Zipf-bounded vocabulary relation a
+    * doc-level encode joins back to, exactly like [[bpeEncode]].
+    *
+    * Dataflow (100 TB): the piece table broadcasts; each greedy round
+    * advances ALL unfinished words simultaneously — candidate prefixes
+    * (≤ maxPieceLen per word) equi-join the broadcast pieces, argmax
+    * length wins, and the round count is bounded by pieces-per-word
+    * (≤ longest word), never by corpus size. State stays distinct-word
+    * sized; lineage cut every 8 rounds. */
+  def wordpieceEncode(docs: org.apache.spark.sql.DataFrame,
+      pieces: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pieceDf = broadcast(pieces.toDF("piece"))
+    val maxLen = pieces
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    var state = docs
+      .select(explode(words($"text")).as("word"))
+      .distinct()
+      .select($"word", $"word".as("rem"),
+        array().cast("array<string>").as("pieces"),
+        lit(true).as("first"), lit(false).as("failed"))
+    var iter = 0
+    var remaining = 1L
+    val maxIter = 48
+    while (remaining > 0 && iter < maxIter) {
+      val unfinished = state.filter(length($"rem") > 0 && !$"failed")
+      val finishedPart = state.filter(length($"rem") === 0 || $"failed")
+      val cands = unfinished
+        .select($"word", $"rem", $"pieces", $"first",
+          explode(sequence(lit(1), least(lit(maxLen), length($"rem"))))
+            .as("l"))
+        .select($"word", $"rem", $"pieces", $"first", $"l",
+          when($"first", $"rem".substr(lit(1), $"l"))
+            .otherwise(concat(lit("##"), $"rem".substr(lit(1), $"l")))
+            .as("key"))
+        .join(pieceDf, $"key" === $"piece")
+      val best = cands.groupBy($"word").agg(max($"l").as("bl"))
+      val adv = cands
+        .join(best, Seq("word"))
+        .filter($"l" === $"bl")
+        .select($"word",
+          $"rem".substr($"l" + 1, length($"rem")).as("rem"),
+          concat($"pieces", array($"key")).as("pieces"),
+          lit(false).as("first"), lit(false).as("failed"))
+      val unkNew = unfinished
+        .join(best, Seq("word"), "left_anti")
+        .select($"word", lit("").as("rem"),
+          array(lit("[UNK]")).as("pieces"),
+          lit(false).as("first"), lit(true).as("failed"))
+      state = finishedPart.unionByName(adv).unionByName(unkNew)
+      if ((iter + 1) % 8 == 0) state = state.localCheckpoint()
+      remaining = state.filter(length($"rem") > 0 && !$"failed").count()
+      iter += 1
+    }
+    require(remaining == 0,
+      s"wordpieceEncode: $remaining words unfinished after $maxIter " +
+        "rounds (a word needs more pieces than the round bound)")
+    state.select($"word", $"pieces", $"failed".as("is_unk"))
+  }
+
   /** Vocabulary size for the fertility model (top-V by count, word-asc
     * tie-break — the q_vocab_oov convention). */
   val FertilityVocab = 1000

@@ -54,6 +54,33 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.forall(_ === 0L), "every chain node must label to 0")
   }
 
+  test("cdcDedupStats: an insertion dirties only its own chunk; fixed-width shifts everything") {
+    // 200 deterministic pseudo-words; insert ONE word a third of the way in
+    val ws = (0 until 200).map(i => s"tok$i")
+    val base = ws.mkString(" ")
+    val edited = (ws.take(70) ++ Seq("INSERTED") ++ ws.drop(70)).mkString(" ")
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = CorpusOps.cdcChunks(df, "doc_id", "text")
+      .select($"doc_id", $"chunk_text").as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSeq
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSeq
+    // CDC re-synchronizes at the next content boundary: every chunk except
+    // the one containing the insertion is byte-identical across versions
+    val diffA = a.diff(b)
+    val diffB = b.diff(a)
+    info(s"cdc: ${a.size} chunks, ${diffA.size}/${diffB.size} differ after insert")
+    assert(a.size > 5, "fixture must split into several chunks")
+    assert(diffA.size <= 1 && diffB.size <= 1,
+      s"insertion must dirty at most one chunk: $diffA / $diffB")
+    // the fixed-width strawman: 10-word chunks shift at every later
+    // position, so most of the document re-chunks after one insertion
+    def fixed(text: String): Seq[String] =
+      text.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+    val fDiff = fixed(base).diff(fixed(edited))
+    assert(fDiff.size > fixed(base).size / 2,
+      s"fixed-width chunking must shift most chunks (got ${fDiff.size})")
+  }
+
   test("q_dedup_groups: labels are idempotent group minima covering all docs") {
     val groups = Dedup.qDedupGroups.fn(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf).count()

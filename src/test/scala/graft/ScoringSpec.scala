@@ -328,6 +328,59 @@ class ScoringSpec extends SparkSpec {
     assert(got.map(_._3).sum < totalChars, "no compression happened")
   }
 
+  test("WordPiece encode matches plain-Scala greedy longest-match + UNK fallback") {
+    // corpus words over a constructed vocabulary: single chars (raw + ##
+    // continuation) keep everything tokenizable except 'z', which is
+    // deliberately absent so z-words exercise the whole-word [UNK] path
+    val corpus = Seq(
+      (0L, "unhappy runner runs puzzle zap"),
+      (1L, "sun run sunny unrun happy"))
+    val df = corpus.toDF("doc_id", "text")
+    val chars = corpus.flatMap(_._2.replace(" ", "")).distinct.filter(_ != 'z')
+    val vocab = chars.map(_.toString) ++ chars.map("##" + _) ++
+      Seq("un", "##un", "run", "##run", "happy", "##happy", "sun",
+        "##ny", "##er", "##s")
+    val maxLen = vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    def greedy(word: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var rem = word
+      var first = true
+      while (rem.nonEmpty) {
+        var l = math.min(maxLen, rem.length)
+        var found: String = null
+        while (l >= 1 && found == null) {
+          val cand = (if (first) "" else "##") + rem.take(l)
+          if (vocab.contains(cand)) found = cand else l -= 1
+        }
+        if (found == null) return Seq("[UNK]")
+        out += found
+        rem = rem.drop(if (first) found.length else found.length - 2)
+        first = false
+      }
+      out.toSeq
+    }
+    val allWords = corpus.flatMap(_._2.split(" ")).distinct
+    val got = TextOps.wordpieceEncode(df, vocab)
+      .select($"word", $"pieces", $"is_unk")
+      .as[(String, Seq[String], Boolean)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got.keySet === allWords.toSet)
+    allWords.foreach { w =>
+      val exp = greedy(w)
+      assert(got(w)._1 === exp, s"word '$w'")
+      assert(got(w)._2 === (exp == Seq("[UNK]")), s"is_unk for '$w'")
+      // greedy must prefer the longest piece: 'unhappy' = un + ##happy
+      if (w == "unhappy") assert(exp === Seq("un", "##happy"))
+      // lossless reconstruction for non-UNK words
+      if (exp != Seq("[UNK]"))
+        assert(exp.map(_.stripPrefix("##")).mkString === w, s"reconstruct '$w'")
+    }
+    // the z-words really took the fallback
+    assert(got("puzzle")._2 && got("zap")._2)
+  }
+
   test("shard prefix-sum bucket count stays bounded at any id-space size") {
     import graft.operators.Pipeline.shardBucketSize
     // the offsets join is O(buckets²): totals must stay aggregate-sized.
