@@ -18,6 +18,7 @@ object SparkEntry {
     "vector quantization" -> operators.Quantization.defs,
     "multimodal" -> operators.Multimodal.defs,
     "fs / kv metadata" -> operators.FsQueries.defs,
+    "data layout / placement" -> operators.Layout.defs,
     "events / metrics" -> operators.Events.defs,
     "temporal joins" -> operators.Temporal.defs,
     "extras" -> operators.Extras.defs,

@@ -1108,6 +1108,178 @@ object TextOps {
     state.select($"word", $"pieces", $"failed".as("is_unk"))
   }
 
+  /** Max candidate piece length for the unigram LM tokenizer. */
+  val UnigramMaxPieceLen = 6
+
+  /** Log-prob charged for a character absent from the trained inventory
+    * (encode-time novel chars) — far below any trained piece so the
+    * fallback never outbids a real decomposition. */
+  val UnigramUnkLogp: Double = -1e4
+
+  /** Best unigram segmentation of `word` under `logp` (Viterbi DP).
+    * Deterministic: positions scanned left-to-right, candidate lengths
+    * ascending, strict improvement — equal-score splits keep the
+    * shortest final piece. Characters missing from the inventory fall
+    * back to [[UnigramUnkLogp]], so every word segments. Exposed (not
+    * private) because the spec replays it against an independent DP. */
+  def viterbiSegment(
+      word: String,
+      logp: scala.collection.Map[String, Double]): Seq[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(back, -1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val maxL = math.min(UnigramMaxPieceLen, i)
+      var l = 1
+      while (l <= maxL) {
+        logp.get(word.substring(i - l, i)) match {
+          case Some(p) =>
+            val cand = best(i - l) + p
+            if (cand > best(i)) { best(i) = cand; back(i) = l }
+          case None => ()
+        }
+        l += 1
+      }
+      if (back(i) == -1) { // novel char: fallback keeps the DP total
+        best(i) = best(i - 1) + UnigramUnkLogp
+        back(i) = 1
+      }
+      i += 1
+    }
+    val rev = new scala.collection.mutable.ArrayBuffer[String]
+    var pos = n
+    while (pos > 0) {
+      val l = back(pos)
+      rev += word.substring(pos - l, pos)
+      pos -= l
+    }
+    rev.reverse.toSeq
+  }
+
+  /** Unigram-LM tokenizer training (the SentencePiece/Kudo-2018 family
+    * member beside [[bpeTrain]] and [[wordpieceEncode]]): seed a large
+    * substring inventory from the word histogram, then EM — Viterbi-
+    * segment the vocabulary under current piece probabilities (E),
+    * re-estimate probabilities from freq-weighted piece usage and prune
+    * to the target size keeping every observed character (M).
+    * Returns (piece, prob, rank), rank 1 = most probable.
+    *
+    * Scale (100 TB): everything after the ONE map-side-combined
+    * wordcount shuffle runs on the Zipf-bounded DISTINCT-WORD histogram.
+    * Seeding is a distributed substring aggregate with a per-partition-
+    * heap top-k (never a vocab-sized window); each EM round is one
+    * mapPartitions Viterbi pass over the word histogram against the
+    * BROADCAST piece table plus an aggregate-sized usage rollup. Driver
+    * state is only ever the inventory itself (≤ 4×vocabSize rows) —
+    * the corpus is read exactly once. */
+  def unigramTrain(
+      docs: org.apache.spark.sql.DataFrame,
+      vocabSize: Int,
+      emRounds: Int = 3): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hist = docs
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // observed characters: always retained (they are the fallback floor)
+    val charCounts = hist
+      .flatMap { case (w, f) => w.map(c => (c.toString, f)) }
+      .reduceByKey(_ + _)
+      .collect()
+      .toMap
+    // multi-char seed: substrings scored by freq-weighted occurrence ×
+    // (len-1) (compression value), Spark-side top-k via takeOrdered
+    val seedBudget = math.max(vocabSize * 4 - charCounts.size, 0)
+    implicit val ord: Ordering[(Long, String)] =
+      Ordering.Tuple2(Ordering[Long].reverse, Ordering[String])
+    val multiSeed = hist
+      .flatMap { case (w, f) =>
+        for {
+          l <- 2 to math.min(UnigramMaxPieceLen, w.length)
+          st <- 0 to w.length - l
+        } yield (w.substring(st, st + l), f)
+      }
+      .reduceByKey(_ + _)
+      .map { case (p, c) => (c * (p.length - 1), p) }
+      .takeOrdered(seedBudget)
+    var counts: Map[String, Long] =
+      charCounts ++ multiSeed.map { case (sc, p) => p -> sc }.toMap
+    var round = 0
+    while (round < emRounds) {
+      val total = counts.values.sum.toDouble
+      val logp = counts.map { case (p, c) => p -> math.log(c / total) }
+      val bc = s.sparkContext.broadcast(logp)
+      // E: freq-weighted piece usage under Viterbi segmentation
+      val usage = hist
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap
+            .empty[String, Long]
+            .withDefaultValue(0L)
+          it.foreach { case (w, f) =>
+            viterbiSegment(w, bc.value).foreach(p => m(p) += f)
+          }
+          m.iterator
+        }
+        .reduceByKey(_ + _)
+        .collect()
+        .toMap
+      bc.destroy()
+      // M: re-estimate and prune — chars unconditionally (+1 smoothing so
+      // an unused char keeps a finite prob), multis by usage desc
+      val charPart = charCounts.keys.map(c => c -> (usage.getOrElse(c, 0L) + 1L))
+      val multiBudget = math.max(vocabSize - charCounts.size, 0)
+      val keepMultis = usage.iterator
+        .filter { case (p, c) => p.length > 1 && c > 0 }
+        .toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(if (round == emRounds - 1) multiBudget else multiBudget * 2)
+      counts = (charPart ++ keepMultis).toMap
+      round += 1
+    }
+    hist.unpersist()
+    val total = counts.values.sum.toDouble
+    val rows = counts.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex
+      .map { case ((p, c), i) => (p, c / total, i + 1) }
+    s.createDataFrame(rows).toDF("piece", "prob", "rank")
+  }
+
+  /** Apply a trained unigram model ([[unigramTrain]]) to a corpus:
+    * Viterbi-segment the DISTINCT word vocabulary (Zipf-bounded, one
+    * mapPartitions pass against the broadcast model) and return
+    * (word, pieces, n_pieces) — join back on the word key to encode
+    * documents, exactly the [[bpeEncode]] lifecycle. */
+  def unigramEncode(
+      docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val logp = model
+      .select($"piece", $"prob")
+      .as[(String, Double)]
+      .collect()
+      .map { case (p, pr) => p -> math.log(pr) }
+      .toMap
+    val bc = s.sparkContext.broadcast(logp)
+    docs
+      .select(explode(words($"text")).as("word"))
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, viterbiSegment(w, bc.value)))
+      }
+      .toDF("word", "pieces")
+      .withColumn("n_pieces", size($"pieces"))
+  }
+
   /** Vocabulary size for the fertility model (top-V by count, word-asc
     * tie-break — the q_vocab_oov convention). */
   val FertilityVocab = 1000
@@ -1174,9 +1346,108 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Unicode canonicalization audit: NFC-normalize + collapse whitespace
+    * per document, report the byte/char deltas and whether the doc was
+    * already canonical. Runs the native codegen'd [[graft.plans.NfcNormalize]]
+    * expression (a UDF here would cut the scan's codegen span); DuckDB's
+    * `nfc_normalize` is the oracle twin. Pure per-row projection — fused
+    * into the scan, the only exchange is the final ORDER BY. At 100 TB
+    * this is the mandatory pre-pass before any hash-based dedup: NFC-
+    * distinct spellings of the same text must fingerprint identically. */
+  val qTextNormalize = QueryDef.sql(
+    "q_text_normalize",
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm,
+      |         text
+      |  FROM documents)
+      |SELECT doc_id,
+      |       length(norm) AS n_chars_norm,
+      |       CASE WHEN norm = text THEN 1 ELSE 0 END AS canonical,
+      |       CASE WHEN regexp_matches(text, '[^ -~]') THEN 0 ELSE 1 END AS ascii_only,
+      |       md5(norm) AS norm_digest
+      |FROM n ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .withColumn(
+        "norm",
+        trim(regexp_replace(graft.plans.NfcNormalize.nfcNormalize($"text"), "\\s+", " ")))
+      .select(
+        $"doc_id",
+        length($"norm").cast("long").as("n_chars_norm"),
+        when($"norm" === $"text", 1).otherwise(0).as("canonical"),
+        when($"text".rlike("[^ -~]"), 0).otherwise(1).as("ascii_only"),
+        md5(encode($"norm", "UTF-8")).as("norm_digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** Unigram-LM seed inventory — the gated stage of [[unigramTrain]]
+    * (the relation q_bpe_merge_step bears to bpeTrain): over the
+    * freq-weighted word histogram, score every substring of length 2–6
+    * by weighted-occurrence × (len−1) (its compression value) and emit
+    * the top 30 seed pieces. The EM rounds on top are spec-gated
+    * (plain-Scala Viterbi parity in ScoringSpec).
+    *
+    * Scale (100 TB): one wordcount shuffle; substring generation is a
+    * narrow flatten over the Zipf-bounded histogram; the top-30 is
+    * orderBy+limit (per-partition heaps + driver merge — nothing
+    * inventory-sized crosses one task). */
+  val qUnigramInventory = QueryDef.sql(
+    "q_unigram_inventory",
+    """WITH w AS (
+      |  SELECT wd AS word, count(*) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS wd
+      |        FROM documents)
+      |  GROUP BY wd),
+      |subs AS (
+      |  SELECT unnest(flatten([[word[s : s + l - 1]
+      |                          for s in range(1, length(word) - l + 2)]
+      |                         for l in [2, 3, 4, 5, 6]])) AS piece,
+      |         freq
+      |  FROM w),
+      |scored AS (
+      |  SELECT piece,
+      |         CAST(sum(freq) AS BIGINT) AS weight,
+      |         CAST(sum(freq) * (length(piece) - 1) AS BIGINT) AS score
+      |  FROM subs GROUP BY piece)
+      |SELECT piece, weight, score
+      |FROM scored ORDER BY score DESC, piece LIMIT 30""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val hist = Tables
+      .documents(s, d)
+      .select(explode(words($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("freq"))
+    hist
+      .select(
+        $"freq",
+        explode(
+          flatten(
+            transform(
+              sequence(lit(2), lit(UnigramMaxPieceLen)),
+              l =>
+                when(
+                  length($"word") >= l,
+                  transform(
+                    sequence(lit(1), length($"word") - l + 1),
+                    st => $"word".substr(st, l)))
+                  .otherwise(array().cast("array<string>")))))
+          .as("piece"))
+      .groupBy($"piece")
+      .agg(
+        sum($"freq").cast("long").as("weight"),
+        (sum($"freq") * (length($"piece") - 1)).cast("long").as("score"))
+      .orderBy($"score".desc, $"piece")
+      .limit(30)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
-      qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility)
+      qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
+      qTextNormalize, qUnigramInventory)
 }

@@ -678,6 +678,84 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("unigram viterbi matches an independent DP on random inventories") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcd"
+    // random inventory: all chars plus random multi-grams
+    val pieces = (alphabet.map(_.toString) ++
+      Seq.fill(24)((0 until (2 + rng.nextInt(4)))
+        .map(_ => alphabet(rng.nextInt(4))).mkString)).distinct
+    val logp = pieces.zipWithIndex
+      .map { case (p, i) => p -> math.log((i + 1).toDouble / 100) }
+      .toMap
+    // independent DP: forward best-score only, then greedy backtrace by
+    // re-deriving the arg (structured differently from the library's)
+    def refSegment(word: String): Seq[String] = {
+      val n = word.length
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      for (i <- 1 to n; l <- 1 to math.min(TextOps.UnigramMaxPieceLen, i)) {
+        val lp = logp.getOrElse(
+          word.substring(i - l, i),
+          if (l == 1) TextOps.UnigramUnkLogp else Double.NegativeInfinity)
+        if (best(i - l) + lp > best(i)) best(i) = best(i - l) + lp
+      }
+      // backtrace: shortest l whose predecessor reproduces the score
+      // (mirrors the library's ascending-l strict-improvement tie rule)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) {
+        val l = (1 to math.min(TextOps.UnigramMaxPieceLen, pos)).find { l =>
+          val lp = logp.getOrElse(
+            word.substring(pos - l, pos),
+            if (l == 1) TextOps.UnigramUnkLogp else Double.NegativeInfinity)
+          best(pos - l) + lp == best(pos)
+        }.get
+        out.prepend(word.substring(pos - l, pos))
+        pos -= l
+      }
+      out.toSeq
+    }
+    val words = Seq.fill(60)((0 until (1 + rng.nextInt(12)))
+      .map(_ => alphabet(rng.nextInt(4))).mkString) :+ "abcz" // novel char
+    words.foreach { w =>
+      val got = TextOps.viterbiSegment(w, logp)
+      assert(got.mkString === w, s"'$w' must reconstruct")
+      assert(got.map(p => logp.getOrElse(p, TextOps.UnigramUnkLogp)).sum ===
+        refSegment(w).map(p => logp.getOrElse(p, TextOps.UnigramUnkLogp)).sum,
+        s"'$w': score must match the independent DP")
+    }
+  }
+
+  test("unigram train: frequent collocation becomes a piece; encode reconstructs") {
+    val docs = (Seq.fill(30)("the cat sat on the mat") ++
+      Seq.fill(10)("dogs run far") ++
+      Seq("aardvark zebra ate the cat"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = TextOps.unigramTrain(docs, vocabSize = 64, emRounds = 3)
+    val rows = model.as[(String, Double, Int)].collect()
+    assert(rows.length <= 64, "vocab must respect the budget")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9, "probs must normalize")
+    val pieceSet = rows.map(_._1).toSet
+    // every observed character survives pruning (the fallback floor)
+    "thecatsonmdgsrufavkzb ".trim.foreach(c =>
+      assert(pieceSet.contains(c.toString), s"char '$c' must stay"))
+    assert(pieceSet.exists(_.length >= 3),
+      "a frequent multi-char piece must be learned")
+    // ranks are dense 1..n in prob-desc order
+    assert(rows.sortBy(_._3).map(_._3).toSeq === (1 to rows.length))
+    val enc = TextOps.unigramEncode(docs, model)
+      .as[(String, Seq[String], Int)].collect()
+    enc.foreach { case (w, ps, n) =>
+      assert(ps.mkString === w, s"encode of '$w' must reconstruct")
+      assert(n === ps.length)
+    }
+    // the dominant word segments into ONE piece
+    val theSeg = enc.find(_._1 == "the").get
+    assert(theSeg._2 === Seq("the"), s"frequent 'the' got ${theSeg._2}")
+  }
+
   test("pii scrub leaves no unredacted pattern behind") {
     val got = TextOps.qPiiScrub.fn(spark, sf)
       .select($"n_emails", $"n_urls", $"n_phones", $"leak")

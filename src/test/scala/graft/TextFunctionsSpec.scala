@@ -121,4 +121,30 @@ class TextFunctionsSpec extends SparkSpec {
       "sketch cannot exceed the shingle count")
     assert(sk(1L).size >= doc1Shingles / 4 - 1, "sketch too sparse")
   }
+
+  test("NfcNormalize: composes combining marks, ASCII passes through, codegen'd") {
+    import graft.plans.NfcNormalize.nfcNormalize
+    val decomposed = "Café au lait" // e + combining acute
+    val composed = "Café au lait"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "t")
+      .select($"id", nfcNormalize($"t").as("n"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === composed, "NFD input must compose to NFC")
+    assert(out(2L) === composed)
+    assert(out(3L) === "plain ascii")
+    assert(out(4L) === null, "null-safe")
+    // identical strings after normalization hash identically — the dedup
+    // property the expression exists for
+    assert(
+      df.filter($"id" <= 2).select(md5(encode($"n", "UTF-8"))).distinct().count() === 1)
+    // the expression stays inside whole-stage codegen over a real scan
+    // (a local literal table constant-folds, so probe the parquet path)
+    val scanned = Tables
+      .documents(spark, sf)
+      .select(nfcNormalize($"text").as("n"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfcnormalize"), plan)
+    assert(scanned.count() > 0)
+  }
 }
