@@ -325,7 +325,111 @@ object Events {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that; one output row with the user count surviving
+    * each step and the step-to-step conversion rates. Strict ordering is
+    * the point — a purchase before any click does NOT count, which is
+    * what separates a funnel from three filters.
+    *
+    * Scale (100 TB): each step is a user_id-keyed conditional-min
+    * aggregate (map-side combinable) joined to the next step's events on
+    * the SAME user_id key — AQE reuses the exchange partitioning; no
+    * windows, state per user is three longs. */
+  val qFunnel = QueryDef.sql(
+    "q_events_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM s1) AS viewed,
+      |       (SELECT count(*) FROM s2) AS clicked,
+      |       (SELECT count(*) FROM s3) AS purchased,
+      |       round((SELECT count(*) FROM s2) * 1.0
+      |             / (SELECT count(*) FROM s1), 4) AS view_to_click,
+      |       round((SELECT count(*) FROM s3) * 1.0
+      |             / greatest((SELECT count(*) FROM s2), 1), 4) AS click_to_purchase""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts_ns")
+    val s1 = ev
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min($"ts_ns").as("t1"))
+    val s2 = ev
+      .filter($"event_type" === "click")
+      .join(s1, "user_id")
+      .filter($"ts_ns" > $"t1")
+      .groupBy($"user_id")
+      .agg(min($"ts_ns").as("t2"))
+    val s3 = ev
+      .filter($"event_type" === "purchase")
+      .join(s2, "user_id")
+      .filter($"ts_ns" > $"t2")
+      .groupBy($"user_id")
+      .agg(min($"ts_ns").as("t3"))
+    val c1 = s1.agg(count(lit(1)).as("viewed"))
+    val c2 = s2.agg(count(lit(1)).as("clicked"))
+    val c3 = s3.agg(count(lit(1)).as("purchased"))
+    c1.crossJoin(c2)
+      .crossJoin(c3)
+      .select(
+        $"viewed",
+        $"clicked",
+        $"purchased",
+        round($"clicked" * lit(1.0) / $"viewed", 4).as("view_to_click"),
+        round($"purchased" * lit(1.0) / greatest($"clicked", lit(1L)), 4)
+          .as("click_to_purchase"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen epoch-week,
+    * counted distinct per (cohort_week, weeks-since-cohort) — the
+    * engagement decay matrix every events product reads. Integer
+    * epoch-day/week arithmetic on ts_ns (no calendar/timezone surface).
+    *
+    * Scale: first-seen is a user-keyed min; activity days dedupe to
+    * (user, day) before the cohort join (bounding the join at
+    * users × active-days); output is cohorts × offsets, aggregate-sized. */
+  val qCohortRetention = QueryDef.sql(
+    "q_cohort_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, min(day) AS day0 FROM act GROUP BY user_id)
+      |SELECT first.day0 // 7 AS cohort_week,
+      |       (act.day - first.day0) // 7 AS offset_weeks,
+      |       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+      |FROM act JOIN first ON act.user_id = first.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, offset_weeks""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val act = Tables
+      .events(s, d)
+      // integer DIV: epoch-nanos exceed 2^53, double division drops ulps
+      .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("day0"))
+    act
+      .join(first, "user_id")
+      .groupBy(
+        ($"day0" / 7).cast("long").as("cohort_week"),
+        (($"day" - $"day0") / 7).cast("long").as("offset_weeks"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"offset_weeks")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
-      qHistogramSketch, qMetricsRegistry, qAnomaly)
+      qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention)
 }

@@ -1444,10 +1444,51 @@ object TextOps {
       .limit(30)
   }
 
+  /** Exact heavy hitters: every token holding ≥ 1/256 of the corpus
+    * token mass, with count and share — the φ-frequent-items relation.
+    * This exact form is the ORACLE anchor for the SpaceSaving sketch
+    * ([[graft.plans.SpaceSavingAgg]], SQL name `space_saving`): the
+    * sketch's guarantees (est ≥ true ≥ est−err; every φ-heavy item
+    * present at k = 1/φ) are spec-checked against THIS query's output,
+    * while the sketch is what a 100 TB monitor actually ships (k triples
+    * per partial buffer instead of a vocabulary-wide shuffle).
+    *
+    * Scale: one map-side-combined wordcount; the total is a broadcast
+    * 1-row aggregate; threshold + share are per-row arithmetic. */
+  val qHeavyHitters = QueryDef.sql(
+    "q_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |tot AS (SELECT sum(c) AS n FROM cnt)
+      |SELECT t AS token, CAST(c AS BIGINT) AS cnt,
+      |       round(c * 1.0 / n, 6) AS share
+      |FROM cnt, tot
+      |WHERE c * 256 >= n
+      |ORDER BY cnt DESC, token""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val cnt = Tables
+      .documents(s, d)
+      .select(explode(words($"text")).as("t"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum($"c").as("n"))
+    cnt
+      .crossJoin(broadcast(tot))
+      .filter($"c" * 256 >= $"n")
+      .select(
+        $"t".as("token"),
+        $"c".cast("long").as("cnt"),
+        round($"c" * lit(1.0) / $"n", 6).as("share"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
-      qTextNormalize, qUnigramInventory)
+      qTextNormalize, qUnigramInventory, qHeavyHitters)
 }

@@ -66,6 +66,15 @@ object GraftExtensions {
       require(args.length == 2, "simhash_agg expects (col, nBits)")
       SimhashAgg(args(0), intLit(args(1), "simhash_agg nBits"))
         .toAggregateExpression()
+    },
+    "space_saving" -> { args =>
+      require(args.length == 2, "space_saving expects (col, k)")
+      SpaceSavingAgg(args(0), intLit(args(1), "space_saving k"))
+        .toAggregateExpression()
+    },
+    "nfc_normalize" -> { args =>
+      require(args.length == 1, "nfc_normalize expects 1 argument")
+      NfcNormalize(args(0))
     })
 
   /** Register on an already-built session (withExtensions only applies

@@ -83,4 +83,41 @@ class ExtrasSpec extends SparkSpec {
     assert(joined.count() === 50)
     assert(joined.filter($"got" =!= $"want").count() === 0)
   }
+
+  test("funnel steps are monotone and strictly ordered") {
+    val r = operators.Events.qFunnel.fn(spark, sf).collect().head
+    val (viewed, clicked, purchased) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viewed >= clicked && clicked >= purchased,
+      s"funnel must shrink: $viewed/$clicked/$purchased")
+    assert(viewed > 0)
+    // strict ordering bites: users with a purchase but no prior click
+    // must NOT count — compare against the unordered upper bound
+    val loose = Tables
+      .events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id")
+      .distinct()
+      .count()
+    assert(purchased <= loose)
+  }
+
+  test("cohort retention: offset-0 equals cohort size, counts decay-bounded") {
+    val rows = operators.Events.qCohortRetention.fn(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    val totalUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    // offset 0 exists for every cohort (a user is active on their first day)
+    byCohort.foreach { case (c, rs) =>
+      val off = rs.map(_._2)
+      assert(off.contains(0L), s"cohort $c lacks offset 0")
+      val base = rs.find(_._2 == 0L).get._3
+      rs.foreach(r => assert(r._3 <= base,
+        s"cohort $c offset ${r._2}: ${r._3} exceeds base $base"))
+    }
+    // cohorts partition the user population
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === totalUsers)
+  }
 }
