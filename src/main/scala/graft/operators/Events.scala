@@ -429,7 +429,63 @@ object Events {
       .orderBy($"cohort_week", $"offset_weeks")
   }
 
+  /** Gap-filled per-minute rate series: a dense minute spine per
+    * event_type (observed min..max), raw counts where events exist, and
+    * a forward-filled value over the gaps — the resample + LOCF pass a
+    * metrics store runs before rendering or joining sparse series.
+    *
+    * Scale (100 TB): counts aggregate map-side; the spine is generated
+    * from a per-type 2-row bound (broadcast) — never materialized on the
+    * driver; the fill window partitions by event_type, so state per
+    * partition is one running value and no global ordering exists
+    * anywhere. Output is types × minutes (time-bounded), not event-
+    * bounded. */
+  val qGapFill = QueryDef.sql(
+    "q_events_gap_fill",
+    """WITH rate AS (
+      |  SELECT event_type, epoch_ns(ts) // 60000000000 AS m, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, min(m) AS lo, max(m) AS hi
+      |  FROM rate GROUP BY event_type),
+      |spine AS (
+      |  SELECT event_type, unnest(range(lo, hi + 1)) AS m FROM bounds)
+      |SELECT s.event_type, s.m AS minute,
+      |       coalesce(r.cnt, 0) AS cnt_raw,
+      |       CASE WHEN r.cnt IS NULL THEN 1 ELSE 0 END AS filled,
+      |       last_value(r.cnt IGNORE NULLS) OVER (
+      |         PARTITION BY s.event_type ORDER BY s.m
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_locf
+      |FROM spine s LEFT JOIN rate r
+      |  ON s.event_type = r.event_type AND s.m = r.m
+      |ORDER BY s.event_type, minute""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val rate = Tables
+      .events(s, d)
+      .groupBy($"event_type", expr("ts_ns div 60000000000").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = rate
+      .groupBy($"event_type")
+      .agg(min($"m").as("lo"), max($"m").as("hi"))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("m"))
+    val w = Window
+      .partitionBy($"event_type")
+      .orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(rate, Seq("event_type", "m"), "left")
+      .select(
+        $"event_type",
+        $"m".as("minute"),
+        coalesce($"cnt", lit(0L)).as("cnt_raw"),
+        when($"cnt".isNull, 1).otherwise(0).as("filled"),
+        last($"cnt", ignoreNulls = true).over(w).as("cnt_locf"))
+      .orderBy($"event_type", $"minute")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
-      qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention)
+      qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
+      qGapFill)
 }
