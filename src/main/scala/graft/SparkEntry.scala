@@ -21,6 +21,8 @@ object SparkEntry {
     "data layout / placement" -> operators.Layout.defs,
     "events / metrics" -> operators.Events.defs,
     "temporal joins" -> operators.Temporal.defs,
+    "record linkage" -> operators.Linkage.defs,
+    "graph analytics" -> operators.GraphOps.defs,
     "extras" -> operators.Extras.defs,
     "subqueries" -> operators.Subqueries.defs,
     "pipelines" -> operators.Pipeline.defs,

@@ -736,9 +736,89 @@ object Corpus {
       .orderBy($"source", $"status")
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one Group-DRO multiplicative-weights step over the source mixture.
+    * DoReMi upweights domains with high EXCESS loss (proxy-model loss
+    * the reference model doesn't explain); the deterministic stand-in
+    * here is each source's KL(source ‖ corpus) over hashed unigram
+    * buckets ([[CorpusOps.sourceDivergence]] — a drifted source is
+    * exactly one the corpus-wide reference model fits worst). The step:
+    * w̃_s = share_s · exp(η·excess_s) with η = 1, normalized, then
+    * smoothed with the uniform mixture (DoReMi's c·u + (1-c)·w, c=0.1).
+    *
+    * Scale: the only corpus-scale operation is sourceDivergence's one
+    * count-shuffle; everything after is arithmetic on |sources| rows
+    * with two broadcast 1-row totals. The excess term enters the update
+    * at its published 4-decimal rounding, so both engines exponentiate
+    * identical doubles. */
+  val qDomainReweight = QueryDef.sql(
+    "q_domain_reweight",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT source, unnest(w) AS token FROM t),
+      |sb AS (
+      |  SELECT source,
+      |         CAST(concat('0x', substr(md5('ds|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(c) AS ns FROM sb GROUP BY source),
+      |cb AS (SELECT b, sum(c) AS cbn FROM sb GROUP BY b),
+      |tot AS (SELECT sum(cbn) AS n FROM cb),
+      |dom AS (
+      |  SELECT source, d.b
+      |  FROM stot CROSS JOIN
+      |       (SELECT unnest(generate_series(0, 1023)) AS b) d),
+      |terms AS (
+      |  SELECT dom.source, stot.ns,
+      |         (coalesce(sb.c, 0) + 1.0) / (stot.ns + 1024.0) AS q,
+      |         (coalesce(cb.cbn, 0) + 1.0) / (tot.n + 1024.0) AS p
+      |  FROM dom
+      |  JOIN stot USING (source)
+      |  LEFT JOIN sb ON sb.source = dom.source AND sb.b = dom.b
+      |  LEFT JOIN cb ON cb.b = dom.b
+      |  CROSS JOIN tot),
+      |kl AS (
+      |  SELECT source, any_value(ns) AS n_tokens,
+      |         round(sum(q * ln(q / p)), 4) AS excess
+      |  FROM terms GROUP BY source),
+      |shared AS (
+      |  SELECT source, n_tokens, excess,
+      |         n_tokens * 1.0 / (SELECT sum(n_tokens) FROM kl) AS share
+      |  FROM kl),
+      |un AS (SELECT source, n_tokens, excess, share,
+      |              share * exp(excess) AS u FROM shared),
+      |z AS (SELECT sum(u) AS zz, count(*) AS ns FROM un)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       round(share, 4) AS old_share, excess,
+      |       round(0.9 * (u / zz) + 0.1 / ns, 4) AS new_weight
+      |FROM un CROSS JOIN z
+      |ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val kl = CorpusOps
+      .sourceDivergence(Tables.documents(s, d), "source", "text")
+      .select($"source", $"n_tokens", $"kl_to_corpus".as("excess"))
+    val tot = kl.agg(sum($"n_tokens").as("nt"))
+    val un = kl
+      .crossJoin(broadcast(tot))
+      .withColumn("share", $"n_tokens" * lit(1.0) / $"nt")
+      .withColumn("u", $"share" * exp($"excess"))
+    val z = un.agg(sum($"u").as("zz"), count(lit(1)).as("ns"))
+    un.crossJoin(broadcast(z))
+      .select(
+        $"source", $"n_tokens".cast("long").as("n_tokens"),
+        round($"share", 4).as("old_share"), $"excess",
+        round(lit(0.9) * ($"u" / $"zz") + lit(0.1) / $"ns", 4)
+          .as("new_weight"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
-      qRepeatPlan, qSourceReport, qCorpusDiff)
+      qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight)
 }

@@ -219,6 +219,172 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** A chunk is boilerplate within its source when it appears in at
+    * least this many distinct documents of that source. */
+  private val BoilerplateMinDf = 3
+
+  /** Per-source boilerplate stripping (the C4 / RefinedWeb template
+    * pass): a chunk that recurs across ≥ [[BoilerplateMinDf]] distinct
+    * documents OF THE SAME SOURCE is navigation/footer/template text,
+    * not content — remove every occurrence (unlike [[qParagraphDedup]],
+    * which keeps the first) and reassemble each document from its
+    * surviving chunks. 10-word chunks stand in for paragraphs on the
+    * single-line fixture text, as in [[qParagraphDedup]].
+    *
+    * Scale: one exchange keyed on (source, chunk-hash) computes the
+    * document frequencies; only the tiny df ≥ threshold slice joins
+    * back (broadcast at any realistic template count), so the corpus is
+    * scanned once and reassembled with a per-document aggregate. */
+  val qBoilerplateStrip = QueryDef.sql(
+    "q_boilerplate_strip",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |         unnest([i for i in range(0, CAST(ceil(len(w)/10.0) AS INT))])
+       |           AS pos,
+       |         unnest([list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')
+       |                 for i in range(0, CAST(ceil(len(w)/10.0) AS INT))])
+       |           AS chunk
+       |  FROM t),
+       |df AS (
+       |  SELECT source, chunk, count(DISTINCT doc_id) AS df
+       |  FROM c GROUP BY source, chunk),
+       |b AS (SELECT source, chunk FROM df WHERE df >= $BoilerplateMinDf),
+       |m AS (
+       |  SELECT c.doc_id, c.pos, c.chunk,
+       |         (b.chunk IS NOT NULL) AS is_boiler
+       |  FROM c LEFT JOIN b ON b.source = c.source AND b.chunk = c.chunk)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_boiler,
+       |       coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END,
+       |                           ' ' ORDER BY pos), '') AS cleaned_text
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val chunks = Tables
+      .documents(s, d)
+      .select($"doc_id", $"source", words($"text").as("w"))
+      .select($"doc_id", $"source",
+        posexplode(
+          transform(
+            sequence(lit(0), ceil(size($"w") / lit(10.0)).cast("int") - 1),
+            i => array_join(slice($"w", i * 10 + 1, lit(10)), " ")))
+          .as(Seq("pos", "chunk")))
+    val boiler = chunks
+      .groupBy($"source", $"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= BoilerplateMinDf)
+      .select($"source".as("b_source"), $"chunk".as("b_chunk"))
+    chunks
+      .join(broadcast(boiler),
+        $"source" === $"b_source" && $"chunk" === $"b_chunk", "left")
+      .withColumn("is_boiler", $"b_chunk".isNotNull)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"is_boiler", 1L).otherwise(0L)).as("n_boiler"),
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when(!$"is_boiler",
+                struct($"pos", $"chunk")))),
+              x => x.getField("chunk")),
+            " "),
+          lit("")).as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Blocked terms for the term-filter pass (fixture-vocabulary terms so
+    * the filter exercises real hits). */
+  private val Blocklist = Seq("slow", "merge", "window")
+
+  /** Term-blocklist screen (the C4 "bad words" pass): per document,
+    * token count, blocked-token hits, hit share, and the keep verdict
+    * (share < 5%). The blocklist is a LITERAL array folded into the
+    * scan — `array_contains` per token inside one codegen'd projection,
+    * no join, no shuffle, no explode; the per-doc arithmetic never
+    * leaves the row. At 100 TB this pass is I/O-bound by construction
+    * (real deployments compile the list into an Aho–Corasick automaton;
+    * at three terms the array test is the same O(tokens) scan). */
+  val qBlocklistFilter = QueryDef.sql(
+    "q_blocklist_filter",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(w) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(w, x -> list_contains(
+       |         [${Blocklist.map("'" + _ + "'").mkString(", ")}], x)))
+       |         AS BIGINT) AS n_blocked,
+       |       round(len(list_filter(w, x -> list_contains(
+       |         [${Blocklist.map("'" + _ + "'").mkString(", ")}], x)))
+       |         * 1.0 / len(w), 4) AS blocked_share,
+       |       (len(list_filter(w, x -> list_contains(
+       |         [${Blocklist.map("'" + _ + "'").mkString(", ")}], x)))
+       |         * 1.0 / len(w) < 0.05) AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bl = array(Blocklist.map(lit): _*)
+    Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        size(filter($"w", x => array_contains(bl, x))).cast("long")
+          .as("n_blocked"))
+      .select(
+        $"doc_id", $"n_tokens", $"n_blocked",
+        round($"n_blocked" * lit(1.0) / $"n_tokens", 4).as("blocked_share"),
+        ($"n_blocked" * lit(1.0) / $"n_tokens" < 0.05).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** k-anonymity group-size floor: a quasi-identifier combination held
+    * by fewer than k documents is a re-identification risk. */
+  private val KAnonK = 5
+
+  /** k-anonymity audit (Sweeney 2002, "k-Anonymity: a model for
+    * protecting privacy") over the release-style quasi-identifier
+    * (lang, source, length band): every combination's population, its
+    * risk flag (n < k), and the suppression share the release would
+    * pay — the data-governance check a corpus distribution runs beside
+    * [[graft.operators.Scoring]]'s PII scrub. One count-shuffle on the
+    * quasi-identifier; output is O(|QI combinations|). */
+  val qKAnonymity = QueryDef.sql(
+    "q_k_anonymity",
+    s"""WITH g AS (
+       |  SELECT lang, source, n_chars // 256 AS len_band,
+       |         count(*) AS n
+       |  FROM documents GROUP BY 1, 2, 3),
+       |tot AS (SELECT sum(n) AS total FROM g)
+       |SELECT lang, source, CAST(len_band AS BIGINT) AS len_band,
+       |       CAST(n AS BIGINT) AS n,
+       |       (n < $KAnonK) AS risky,
+       |       round(n * 1.0 / total, 4) AS share
+       |FROM g CROSS JOIN tot
+       |ORDER BY lang, source, len_band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val g = Tables
+      .documents(s, d)
+      .groupBy($"lang", $"source",
+        ($"n_chars".cast("long") / 256).cast("long").as("len_band"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum($"n").as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(
+        $"lang", $"source", $"len_band", $"n",
+        ($"n" < KAnonK).as("risky"),
+        round($"n" * lit(1.0) / $"total", 4).as("share"))
+      .orderBy($"lang", $"source", $"len_band")
+  }
+
   /** Target rows per semantic-dedup cell: the within-cell all-pairs cost
     * is O(cellRows²), so holding cellRows constant (and letting the CELL
     * COUNT grow with the corpus — the SemDeDup recipe's ~10⁴-10⁵
@@ -756,7 +922,96 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** KMV sketch size for the sketched overlap audit. */
+  private val KmvK = 128
+
+  /** Sketched cross-source Jaccard: the [[qSourceOverlap]] audit rebuilt
+    * on k-minimum-values sketches (Beyer et al. 2007, "On synopses for
+    * distinct-value estimation under multiset operations") so its cost
+    * stops depending on the shingle vocabulary. Each source's distinct
+    * 3-shingle set is summarized by its k=128 smallest stableHash60
+    * values via the mergeable [[graft.plans.KmvSketchAgg]]; every
+    * pairwise estimate — union cardinality and Jaccard — is then array
+    * arithmetic over two 1 KB rows.
+    *
+    * Estimators: with X = the k smallest of A ∪ B (merge of the two
+    * sketches), ĵ = |X ∩ A ∩ B| / |X|, and û = the [[KmvAgg]] density
+    * formula on X's k-th value (exact when the union never filled k).
+    *
+    * Scale: the exact path shuffles every distinct (source, shingle)
+    * pair and self-joins on the shingle — fine at sf0.1, linear in the
+    * vocabulary at 100 TB. This path ships ≤ k longs per partial
+    * buffer (map-side combining aggregate straight off the scan, no
+    * pre-distinct needed — the buffer dedups), one |sources|-row
+    * result, and a broadcast self-join. The sketch row count never
+    * grows with the corpus. */
+  val qKmvSourceJaccard = QueryDef.sql(
+    "q_kmv_source_jaccard",
+    s"""WITH t AS (
+       |  SELECT source, string_split_regex(trim(text), ' +') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM t WHERE len(w) >= 3),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |  FROM sh),
+       |rk AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM h),
+       |sk AS (
+       |  SELECT source, list(h ORDER BY h) AS sk
+       |  FROM rk WHERE r <= $KmvK GROUP BY source),
+       |m AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb,
+       |         (list_sort(list_distinct(list_concat(a.sk, b.sk))))[:$KmvK] AS mg
+       |  FROM sk a JOIN sk b ON a.source < b.source)
+       |SELECT src_a, src_b,
+       |       CAST(CASE WHEN len(mg) < $KmvK THEN len(mg)
+       |                 ELSE floor(${KmvK - 1}.0 *
+       |                        (1152921504606846976.0 / mg[$KmvK]))
+       |            END AS BIGINT) AS est_union,
+       |       round(len(list_filter(mg,
+       |               x -> list_contains(ska, x) AND list_contains(skb, x)))
+       |             * 1.0 / len(mg), 4) AS est_jaccard
+       |FROM m ORDER BY src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val sketches = Tables
+      .documents(s, d)
+      .select($"source", words($"text").as("w"))
+      .select($"source", explode(shingles($"w", 3)).as("sh"))
+      .select($"source", stableHash60($"sh").as("h"))
+      .groupBy($"source")
+      .agg(graft.plans.KmvSketchAgg.kmvSketch($"h", KmvK).as("sk"))
+    val pairs = sketches
+      .select($"source".as("src_a"), $"sk".as("ska"))
+      .join(
+        broadcast(sketches.select($"source".as("src_b"), $"sk".as("skb"))),
+        $"src_a" < $"src_b")
+      .withColumn("mg",
+        slice(array_sort(array_union($"ska", $"skb")), 1, KmvK))
+    pairs
+      .select(
+        $"src_a", $"src_b",
+        when(size($"mg") < KmvK, size($"mg").cast("long"))
+          .otherwise(
+            floor(lit((KmvK - 1).toDouble) *
+              (lit(graft.plans.KmvAgg.M) / element_at($"mg", KmvK)))
+              .cast("long"))
+          .as("est_union"),
+        round(
+          size(array_intersect($"mg", array_intersect($"ska", $"skb"))) *
+            lit(1.0) / size($"mg"), 4).as("est_jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
-      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup)
+      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup,
+      qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity)
 }

@@ -484,8 +484,83 @@ object Events {
       .orderBy($"event_type", $"minute")
   }
 
+  /** EWMA smoothing constant and window depth (24 finite terms). */
+  private val EwmaAlpha = 0.3
+  private val EwmaDepth = 24
+
+  /** Finite-window EWMA forecast + residual anomaly screen: per event
+    * type and HOUR, the exponentially-weighted mean of the previous 24
+    * hourly means (weights α(1-α)^j, renormalized over the lags that
+    * exist — the truncated-EWMA smoother, numerically safe at any
+    * series length where the recursive closed form overflows) is the
+    * forecast; an hour whose mean deviates > 30% from its forecast is
+    * flagged. The per-window arithmetic is 24 generated lag terms with
+    * LITERAL weights — one window pass per event type, weights folded
+    * into codegen, identical term order in both dialects.
+    *
+    * Scale: hourly rollup first (corpus → O(types·hours) rows in one
+    * count-shuffle), so the window runs over series rows, never events.
+    * The lag window partitions by event_type — each series smooths
+    * independently across the cluster. */
+  val qEwmaForecast = QueryDef.sql(
+    "q_ewma_forecast", {
+      val terms = (0 until EwmaDepth)
+        .map { j =>
+          val w = EwmaAlpha * math.pow(1.0 - EwmaAlpha, j)
+          (s"$w * coalesce(lag(x, ${j + 1}) OVER win, 0.0)",
+            s"CASE WHEN lag(x, ${j + 1}) OVER win IS NULL THEN 0.0 ELSE $w END")
+        }
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         |         avg(value) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sm AS (
+         |  SELECT event_type, h, x,
+         |         ${terms.map(_._1).mkString(" + ")} AS num,
+         |         ${terms.map(_._2).mkString(" + ")} AS den
+         |  FROM hourly
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY h))
+         |SELECT event_type, CAST(h AS BIGINT) AS hour,
+         |       round(x, 4) AS value,
+         |       round(num / den, 4) AS forecast,
+         |       (round(abs(x - round(num / den, 4))
+         |              / round(num / den, 4), 4) > 0.3) AS is_anomaly
+         |FROM sm WHERE den > 0
+         |ORDER BY event_type, hour""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val hourly = Tables
+      .events(s, d)
+      .groupBy($"event_type", expr("ts_ns div 3600000000000").as("h"))
+      .agg(avg($"value").as("x"))
+    val win = Window.partitionBy($"event_type").orderBy($"h")
+    val num = (0 until EwmaDepth)
+      .map { j =>
+        val w = EwmaAlpha * math.pow(1.0 - EwmaAlpha, j)
+        lit(w) * coalesce(lag($"x", j + 1).over(win), lit(0.0))
+      }
+      .reduce(_ + _)
+    val den = (0 until EwmaDepth)
+      .map { j =>
+        val w = EwmaAlpha * math.pow(1.0 - EwmaAlpha, j)
+        when(lag($"x", j + 1).over(win).isNull, lit(0.0)).otherwise(lit(w))
+      }
+      .reduce(_ + _)
+    hourly
+      .select($"event_type", $"h", $"x", num.as("num"), den.as("den"))
+      .filter($"den" > 0)
+      .select(
+        $"event_type", $"h".cast("long").as("hour"),
+        round($"x", 4).as("value"),
+        round($"num" / $"den", 4).as("forecast"),
+        (round(abs($"x" - round($"num" / $"den", 4)) /
+          round($"num" / $"den", 4), 4) > 0.3).as("is_anomaly"))
+      .orderBy($"event_type", $"hour")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
-      qGapFill)
+      qGapFill, qEwmaForecast)
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.words
+import graft.operators.CorpusOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relations derived from the warehouse —
+  * the dataflow family where the plan is a LOOP of join+aggregate rounds
+  * (companion to [[Dedup.connectedComponents]]' min-label propagation).
+  *
+  * Scale design (100 TB): each PageRank round is one equi-join of the
+  * edge relation against the current rank vector (both hash-partitioned
+  * on the join key — on a real cluster the edge side is pre-partitioned
+  * once and every round reuses its layout) plus an O(nodes) aggregate;
+  * the dangling-mass and node-count terms are 1-row broadcasts. Ranks
+  * are `localCheckpoint`ed every round so the lineage never deepens —
+  * the same cut [[Dedup.connectedComponents]] uses.
+  */
+object GraphOps {
+
+  /** Damping factor and iteration count (Page et al. 1999 defaults). */
+  val Damping = 0.85
+  val PrIters = 10
+
+  /** One PageRank power-iteration step as a pure dataflow:
+    * pr'(v) = (1-d)/N + d·(Σ_{u→v} pr(u)·p(u,v) + dangling/N).
+    * `srcs` is None when the graph was detected dangling-free — then the
+    * dangling term is the LITERAL 0.0 (bit-identical to the oracle's
+    * empty-sum coalesce) and the round plans no anti-join and no 1-row
+    * broadcast, halving the per-round job count. */
+  private[operators] def pagerankStep(
+      nodes: DataFrame, // (node)
+      enorm: DataFrame, // (src, dst, p) with Σ_dst p = 1 per src
+      srcs: Option[DataFrame], // distinct (src); None = no dangling nodes
+      n: Long, // node count (aggregate-sized, driver-held)
+      pr: DataFrame): DataFrame = { // (node, pr)
+    val contrib = enorm
+      .join(pr, pr("node") === enorm("src"))
+      .groupBy(col("dst"))
+      .agg(sum(col("pr") * col("p")).as("cin"))
+    val joined = nodes
+      .join(contrib, nodes("node") === contrib("dst"), "left")
+    val withDang = srcs match {
+      case Some(sr) =>
+        joined.crossJoin(broadcast(pr
+          .join(sr, pr("node") === sr("src"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0.0)).as("dang"))))
+      case None => joined.withColumn("dang", lit(0.0))
+    }
+    withDang.select(
+      nodes("node"),
+      (lit((1.0 - Damping) / n) +
+        lit(Damping) *
+        (coalesce(col("cin"), lit(0.0)) + col("dang") / lit(n.toDouble)))
+        .as("pr"))
+  }
+
+  /** The damped power-iteration rounds as generated MATERIALIZED CTEs —
+    * shared by every PageRank-family oracle. Expects CTEs `en(src, dst,
+    * p)` (out-normalized edges), `n(node)`, `nn(cnt)`, and `r0(node,
+    * pr)` to be in scope; materialization is required or DuckDB inlines
+    * each r_k into its ~3 consumers and the expansion is 3^iters. */
+  private def prItersSql(iters: Int): String =
+    (0 until iters)
+      .map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT coalesce(sum(pr), 0.0) AS dang FROM r$k
+           |  WHERE node NOT IN (SELECT src FROM en)),
+           |r${k + 1} AS MATERIALIZED (
+           |  SELECT n.node,
+           |         ${1.0 - Damping} / (SELECT cnt FROM nn)
+           |         + $Damping * (coalesce(c.cin, 0.0)
+           |             + (SELECT dang FROM d$k) / (SELECT cnt FROM nn))
+           |           AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT en.dst AS node, sum(r$k.pr * en.p) AS cin
+           |    FROM en JOIN r$k ON r$k.node = en.src
+           |    GROUP BY en.dst) c ON c.node = n.node)""".stripMargin
+      }
+      .mkString(",\n")
+
+  /** The same rounds as a Spark loop over (node, pr) DataFrames. The
+    * dangling test runs ONCE (one aggregate-sized count): graphs whose
+    * every node has out-edges (both registered graph queries — trade
+    * flows and symmetrized co-occurrence) skip the dangling dataflow in
+    * every round. */
+  private def prIterate(
+      nodes: DataFrame, enorm: DataFrame, n: Long,
+      iters: Int): DataFrame = {
+    val srcsDf = enorm.select(col("src")).distinct()
+      .coalesce(1).localCheckpoint()
+    val hasDangling = nodes
+      .join(srcsDf, nodes("node") === srcsDf("src"), "left_anti")
+      .limit(1).count() > 0
+    val srcs = if (hasDangling) Some(srcsDf) else None
+    var pr = nodes
+      .select(col("node"), lit(1.0 / n).as("pr"))
+      .coalesce(1).localCheckpoint()
+    // lineage cut every 3rd round (not every round): each eager
+    // localCheckpoint is a full job round-trip, and three rounds of
+    // join+agg lineage is still well inside planner comfort — 3x fewer
+    // fixed-cost jobs for the same bounded lineage depth
+    (0 until iters).foreach { i =>
+      val next = pagerankStep(nodes, enorm, srcs, n, pr)
+      pr =
+        if (i % 3 == 2 || i == iters - 1) next.coalesce(1).localCheckpoint()
+        else next
+    }
+    pr
+  }
+
+  /** Weighted PageRank over the nation-level trade graph: an edge
+    * cust-nation → supp-nation per lineitem (via orders/customer/
+    * supplier), weight = lineitem count; 10 damped power iterations
+    * from the uniform vector. The corpus-scale work is the one-time
+    * edge extraction (the 3-way join + group-by); the iteration then
+    * runs on the aggregated graph. The oracle unrolls the same 10
+    * rounds as generated CTEs — identical constants, identical
+    * operation order, so the doubles agree to well inside the
+    * 6-decimal rounding. */
+  val qPagerank = QueryDef.sql(
+    "q_pagerank", {
+      val iters = prItersSql(PrIters)
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+         |en AS MATERIALIZED (SELECT e.src, e.dst, e.w * 1.0 / ow.wout AS p
+         |       FROM e JOIN ow USING (src)),
+         |n AS MATERIALIZED (SELECT n_nationkey AS node, n_name FROM nation),
+         |nn AS MATERIALIZED (SELECT count(*) AS cnt FROM n),
+         |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM n),
+         |$iters
+         |SELECT n.n_name AS nation, round(r.pr, 6) AS pagerank
+         |FROM r$PrIters r JOIN n ON n.node = r.node
+         |ORDER BY nation""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val edges = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val ow = edges.groupBy($"src").agg(sum($"w").as("wout"))
+    // the aggregated graph is O(|nations|²) — checkpoint once so the 10
+    // rounds iterate on it without replaying the corpus joins
+    val enorm = edges
+      .join(ow, "src")
+      .select($"src", $"dst", ($"w" * lit(1.0) / $"wout").as("p"))
+      .coalesce(1).localCheckpoint()
+    val nodes = Tables.nation(s, d).select($"n_nationkey".as("node"))
+    val pr = prIterate(nodes, enorm, nodes.count(), PrIters)
+    Tables
+      .nation(s, d)
+      .join(pr, $"n_nationkey" === $"node")
+      .select($"n_name".as("nation"), round($"pr", 6).as("pagerank"))
+      .orderBy($"nation")
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Texts"): PageRank over the corpus-wide word
+    * co-occurrence graph — nodes are words, an undirected edge per
+    * ADJACENT word pair weighted by its corpus count — surfacing the
+    * words that sit at the center of the corpus' phrase structure
+    * (versus raw frequency). Top 20 by rank.
+    *
+    * Scale: the bigram extraction is the corpus-scale pass (one narrow
+    * explode + count shuffle — the same exchange shape as the PMI
+    * miner); the iteration then runs on the vocabulary-sized graph,
+    * which is exactly how TextRank behaves at 100 TB (vocab grows
+    * ~log-linearly, not with the corpus). */
+  val qTextrankKeywords = QueryDef.sql(
+    "q_textrank_keywords", {
+      val iters = prItersSql(PrIters)
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT string_split_regex(trim(text), ' +') AS w FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT unnest([{'a': w[i], 'b': w[i+1]}
+         |                 for i in range(1, len(w))]) AS p
+         |  FROM t WHERE len(w) >= 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS wt FROM (
+         |    SELECT p.a AS src, p.b AS dst FROM bg
+         |    UNION ALL
+         |    SELECT p.b, p.a FROM bg)
+         |  GROUP BY src, dst),
+         |ow AS MATERIALIZED (SELECT src, sum(wt) AS wout FROM e GROUP BY src),
+         |en AS MATERIALIZED (SELECT e.src, e.dst, e.wt * 1.0 / ow.wout AS p
+         |       FROM e JOIN ow USING (src)),
+         |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |nn AS MATERIALIZED (SELECT count(*) AS cnt FROM n),
+         |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM n),
+         |$iters
+         |SELECT node AS word, round(pr, 6) AS textrank,
+         |       CAST(rnk AS INT) AS rnk
+         |FROM (
+         |  SELECT node, pr,
+         |         row_number() OVER (ORDER BY round(pr, 6) DESC, node) AS rnk
+         |  FROM r$PrIters)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val bigrams = Tables
+      .documents(s, d)
+      .select(words($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(
+        transform(
+          sequence(lit(1), size($"w") - 1),
+          i => struct(element_at($"w", i).as("a"),
+            element_at($"w", i + 1).as("b")))).as("p"))
+    val edges = bigrams
+      .select($"p.a".as("src"), $"p.b".as("dst"))
+      .unionAll(bigrams.select($"p.b".as("src"), $"p.a".as("dst")))
+      .groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("wt"))
+    val ow = edges.groupBy($"src").agg(sum($"wt").as("wout"))
+    val enorm = edges
+      .join(ow, "src")
+      .select($"src", $"dst", ($"wt" * lit(1.0) / $"wout").as("p"))
+      .coalesce(1).localCheckpoint()
+    val nodes = enorm.select($"src".as("node")).distinct()
+      .coalesce(1).localCheckpoint()
+    val pr = prIterate(nodes, enorm, nodes.count(), PrIters)
+    // top-20 via orderBy+limit (per-partition heaps, no vocab-sized
+    // global window), then 1..20 rank over the survivors
+    val top = pr
+      .select($"node", round($"pr", 6).as("textrank"))
+      .orderBy($"textrank".desc, $"node")
+      .limit(20)
+    CorpusOps
+      .boundedRank(top, struct((-$"textrank").as("nt"), $"node"), "rnk")
+      .select($"node".as("word"), $"textrank", $"rnk")
+      .orderBy($"rnk")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qPagerank, qTextrankKeywords)
+}

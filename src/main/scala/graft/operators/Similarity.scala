@@ -1196,9 +1196,261 @@ object Similarity {
       .orderBy($"nprobe", $"qid")
   }
 
+  /** Number of 16-bit sign-code bands (4 × 16 = 64 code bits). */
+  private val HamBands = 4
+
+  /** Spark-side 16-bit sign-code band columns b0..b3: bit j of band i is
+    * set iff embedding[16i+j] > 0. Pure per-row arithmetic fused into the
+    * scan — the 256-byte float vector becomes an 8-byte code. */
+  private def hamBandCols(e: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until HamBands).map { i =>
+      (0 until 16)
+        .map(j =>
+          when(element_at(e, 16 * i + j + 1) > 0f, lit(1L << j))
+            .otherwise(lit(0L)))
+        .reduce(_ + _)
+        .as(s"b$i")
+    }
+
+  /** The same bands in the DuckDB dialect (1-based list index). */
+  private def hamBandsSql: String =
+    (0 until HamBands)
+      .map { i =>
+        val terms = (0 until 16)
+          .map(j => s"(CASE WHEN e[${16 * i + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"($terms) AS b$i"
+      }
+      .mkString(",\n       ")
+
+  private def hamDistSql(a: String, b: String): String =
+    (0 until HamBands)
+      .map(i => s"bit_count(xor($a$i, $b$i))")
+      .mkString(" + ")
+
+  /** Binary-sketch ANN: binarize each 64-dim embedding to a 64-bit sign
+    * code (bit j = dim j > 0 — the 1-bit quantizer, 32× smaller than the
+    * float vector), scan Hamming distance for each query's top-10, and
+    * re-rank the survivors by exact cosine (asymmetric refinement). The
+    * production shape for a first-stage filter at 100 TB: the corpus scan
+    * reads 8 bytes/vector instead of 256, Hamming is a handful of
+    * xor+popcount ALU ops (here: codegen'd bit_count over four 16-bit
+    * bands), the query side broadcasts, and only 10 rows/query pay for
+    * the float reread. (Banded multi-index candidate generation — MIH,
+    * Norouzi & Fleet 2012 — applies when the search radius is below the
+    * band count; this corpus' nearest pairs sit at Hamming ≥ 15 of 64,
+    * so the honest plan is the linear code scan.) */
+  val qAnnHamming = QueryDef.sql(
+    "q_ann_hamming",
+    s"""WITH bands AS (
+       |  SELECT vec_id, e,
+       |       $hamBandsSql
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings)),
+       |q AS (SELECT vec_id AS qid, e AS qe, b0 qb0, b1 qb1, b2 qb2, b3 qb3
+       |      FROM bands WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT qid, c.vec_id AS nid,
+       |         ${hamDistSql("qb", "c.b")} AS hamming,
+       |         list_cosine_similarity(qe, c.e) AS cs
+       |  FROM q JOIN bands c ON c.vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, nid, hamming, round(cs, 4) AS cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY hamming, nid) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(hamming AS BIGINT) AS hamming, cos_sim, rnk
+       |FROM ranked WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bands = Tables
+      .embeddings(s, d)
+      .select(
+        $"vec_id" +: $"embedding" +: norm($"embedding").as("vn") +:
+          hamBandCols($"embedding"): _*)
+    val q = bands
+      .filter($"vec_id" < 3)
+      .select(
+        $"vec_id".as("qid"), $"embedding".as("qe"), $"vn".as("qn"),
+        $"b0".as("qb0"), $"b1".as("qb1"), $"b2".as("qb2"), $"b3".as("qb3"))
+    val ham = (0 until HamBands)
+      .map(i => bit_count(col(s"qb$i").bitwiseXOR(col(s"b$i"))))
+      .reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+    bands
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), ham.cast("long").as("hamming"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"vn"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 10)
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** What the 1-bit code costs: recall@10 of Hamming-code top-10 against
+    * exact-cosine top-10 per query — the audit that decides whether the
+    * 32× binary prefilter needs a wider rerank window before it ships.
+    * Same ground-truth construction as [[qAnnRecall]]. */
+  val qHammingRecall = QueryDef.sql(
+    "q_hamming_recall",
+    s"""WITH bands AS (
+       |  SELECT vec_id, e,
+       |       $hamBandsSql
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings)),
+       |q AS (SELECT vec_id AS qid, e AS qe, b0 qb0, b1 qb1, b2 qb2, b3 qb3
+       |      FROM bands WHERE vec_id < 3),
+       |htop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, c.vec_id AS nid,
+       |           row_number() OVER (
+       |             PARTITION BY qid
+       |             ORDER BY ${hamDistSql("qb", "c.b")}, c.vec_id) AS rnk
+       |    FROM q JOIN bands c ON c.vec_id <> qid)
+       |  WHERE rnk <= 10),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, c.vec_id AS nid,
+       |           row_number() OVER (
+       |             PARTITION BY qid
+       |             ORDER BY list_cosine_similarity(qe, c.e) DESC,
+       |                      c.vec_id) AS rnk
+       |    FROM q JOIN bands c ON c.vec_id <> qid)
+       |  WHERE rnk <= 10)
+       |SELECT t.qid, CAST(count(h.nid) AS BIGINT) AS hits,
+       |       count(h.nid) / 10.0 AS recall
+       |FROM truth t LEFT JOIN htop h ON h.qid = t.qid AND h.nid = t.nid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val bands = Tables
+      .embeddings(s, d)
+      .select(
+        $"vec_id" +: $"embedding" +: norm($"embedding").as("vn") +:
+          hamBandCols($"embedding"): _*)
+    val q = bands
+      .filter($"vec_id" < 3)
+      .select(
+        $"vec_id".as("qid"), $"embedding".as("qe"), $"vn".as("qn"),
+        $"b0".as("qb0"), $"b1".as("qb1"), $"b2".as("qb2"), $"b3".as("qb3"))
+    val scored = bands
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (0 until HamBands)
+          .map(i => bit_count(col(s"qb$i").bitwiseXOR(col(s"b$i"))))
+          .reduce(_ + _).as("hamming"),
+        (dot($"qe", $"embedding") / ($"qn" * $"vn")).as("cs"))
+    val wH = Window.partitionBy($"qid").orderBy($"hamming", $"nid")
+    val wC = Window.partitionBy($"qid").orderBy($"cs".desc, $"nid")
+    val htop = scored
+      .withColumn("rnk", row_number().over(wH))
+      .filter($"rnk" <= 10)
+      .select($"qid".as("h_qid"), $"nid".as("h_nid"))
+    val truth = scored
+      .withColumn("rnk", row_number().over(wC))
+      .filter($"rnk" <= 10)
+      .select($"qid", $"nid")
+    truth
+      .join(htop, $"h_qid" === $"qid" && $"h_nid" === $"nid", "left")
+      .groupBy($"qid")
+      .agg(count($"h_nid").as("hits"),
+        (count($"h_nid") / lit(10.0)).as("recall"))
+      .orderBy($"qid")
+  }
+
+  /** Matryoshka prefix dimensions to audit (full dim last). */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): recall@10 of prefix-dimension cosine
+    * search (first 8/16/32/64 dims) against the full-dimension exact
+    * top-10, per query. The read a pipeline takes before committing to
+    * truncated vectors for its coarse stage — dim 8 is an 8× cheaper
+    * scan IF the recall holds (these fixture embeddings are not
+    * MRL-trained, so the curve also shows what truncating an untrained
+    * space costs). One corpus broadcast-scan computes every prefix
+    * score (the prefix dot is a slice of the same row — no re-read);
+    * zero-norm prefixes are filtered on both engines per the suite's
+    * zero-norm convention. */
+  val qMatryoshkaRecall = QueryDef.sql(
+    "q_matryoshka_recall",
+    s"""WITH dims AS (SELECT unnest([${MrlDims.mkString(", ")}]) AS dim),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT d.dim, q.qid, v.vec_id AS nid,
+       |         list_cosine_similarity(q.qe[1:d.dim], v.e[1:d.dim]) AS cs
+       |  FROM dims d
+       |  CROSS JOIN q JOIN v ON v.vec_id <> q.qid
+       |  WHERE list_sum([x*x for x in v.e[1:d.dim]]) > 0
+       |    AND list_sum([x*x for x in q.qe[1:d.dim]]) > 0),
+       |atop AS (
+       |  SELECT dim, qid, nid FROM (
+       |    SELECT dim, qid, nid,
+       |           row_number() OVER (PARTITION BY dim, qid
+       |                              ORDER BY cs DESC, nid) AS rnk
+       |    FROM scored) WHERE rnk <= 10),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cs DESC, nid) AS rnk
+       |    FROM scored WHERE dim = ${MrlDims.max}) WHERE rnk <= 10)
+       |SELECT d.dim, t.qid,
+       |       CAST(count(a.nid) AS BIGINT) AS hits,
+       |       count(a.nid) / 10.0 AS recall
+       |FROM dims d CROSS JOIN truth t
+       |LEFT JOIN atop a ON a.dim = d.dim AND a.qid = t.qid AND a.nid = t.nid
+       |GROUP BY d.dim, t.qid
+       |ORDER BY d.dim, t.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb
+      .filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dims = MrlDims.toDF("dim")
+    val scored = emb
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .crossJoin(broadcast(dims))
+      .select($"dim", $"qid", $"vec_id".as("nid"),
+        slice($"embedding", lit(1), $"dim").as("ep"),
+        slice($"qe", lit(1), $"dim").as("qp"))
+      .select($"dim", $"qid", $"nid",
+        norm($"ep").as("en"), norm($"qp").as("qn"),
+        dot($"ep", $"qp").as("dp"))
+      .filter($"en" * $"qn" =!= 0.0)
+      .select($"dim", $"qid", $"nid", ($"dp" / ($"en" * $"qn")).as("cs"))
+    val wD = Window.partitionBy($"dim", $"qid").orderBy($"cs".desc, $"nid")
+    val atop = scored
+      .withColumn("rnk", row_number().over(wD))
+      .filter($"rnk" <= 10)
+      .select($"dim".as("a_dim"), $"qid".as("a_qid"), $"nid".as("a_nid"))
+    val truth = scored
+      .filter($"dim" === MrlDims.max)
+      .withColumn("rnk", row_number().over(wD))
+      .filter($"rnk" <= 10)
+      .select($"qid".as("t_qid"), $"nid".as("t_nid"))
+    dims
+      .crossJoin(truth)
+      .join(atop,
+        $"a_dim" === $"dim" && $"a_qid" === $"t_qid" && $"a_nid" === $"t_nid",
+        "left")
+      .groupBy($"dim", $"t_qid".as("qid"))
+      .agg(count($"a_nid").as("hits"),
+        (count($"a_nid") / lit(10.0)).as("recall"))
+      .orderBy($"dim", $"qid")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
-      qClusterSilhouette, qHardNegatives, qAnnNprobeSweep)
+      qClusterSilhouette, qHardNegatives, qAnnNprobeSweep,
+      qAnnHamming, qHammingRecall)
 }

@@ -75,6 +75,15 @@ object GraftExtensions {
     "nfc_normalize" -> { args =>
       require(args.length == 1, "nfc_normalize expects 1 argument")
       NfcNormalize(args(0))
+    },
+    "jaro_winkler" -> { args =>
+      require(args.length == 2, "jaro_winkler expects 2 arguments")
+      JaroWinkler(args(0), args(1))
+    },
+    "kmv_sketch" -> { args =>
+      require(args.length == 2, "kmv_sketch expects (col, k)")
+      KmvSketchAgg(args(0), intLit(args(1), "kmv_sketch k"))
+        .toAggregateExpression()
     })
 
   /** Register on an already-built session (withExtensions only applies

@@ -24,7 +24,7 @@ class RegistrySpec extends AnyFunSuite {
     // crude but effective: every FROM/JOIN target must be a known table,
     // a CTE defined in the same query, or a parenthesized subquery
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s+(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // lookbehind excludes `IS NOT DISTINCT FROM x` (not a table ref)
       val refs = "(?i)(?<!distinct )(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
