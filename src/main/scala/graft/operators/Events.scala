@@ -511,8 +511,13 @@ object Events {
             s"CASE WHEN lag(x, ${j + 1}) OVER win IS NULL THEN 0.0 ELSE $w END")
         }
       s"""WITH hourly AS (
+         |  -- fixture values are exact 2-decimal reals, so the hourly mean
+         |  -- often lands EXACTLY on a rounding boundary; float-sum order
+         |  -- would make round() a per-engine coin flip. Sum exact integer
+         |  -- cents instead: one deterministic division per row.
          |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
-         |         avg(value) AS x
+         |         sum(CAST(round(value * 100) AS BIGINT))
+         |           / (count(*) * 100.0) AS x
          |  FROM events GROUP BY 1, 2),
          |sm AS (
          |  SELECT event_type, h, x,
@@ -521,10 +526,11 @@ object Events {
          |  FROM hourly
          |  WINDOW win AS (PARTITION BY event_type ORDER BY h))
          |SELECT event_type, CAST(h AS BIGINT) AS hour,
-         |       round(x, 4) AS value,
-         |       round(num / den, 4) AS forecast,
-         |       (round(abs(x - round(num / den, 4))
-         |              / round(num / den, 4), 4) > 0.3) AS is_anomaly
+         |       floor(x * 10000 + 0.5) / 10000.0 AS value,
+         |       floor(num / den * 10000 + 0.5) / 10000.0 AS forecast,
+         |       (abs(x - floor(num / den * 10000 + 0.5) / 10000.0)
+         |          / (floor(num / den * 10000 + 0.5) / 10000.0) > 0.3)
+         |         AS is_anomaly
          |FROM sm WHERE den > 0
          |ORDER BY event_type, hour""".stripMargin
     }
@@ -533,7 +539,8 @@ object Events {
     val hourly = Tables
       .events(s, d)
       .groupBy($"event_type", expr("ts_ns div 3600000000000").as("h"))
-      .agg(avg($"value").as("x"))
+      .agg((sum(round($"value" * 100, 0).cast("long")) /
+        (count(lit(1)) * lit(100.0))).as("x"))
     val win = Window.partitionBy($"event_type").orderBy($"h")
     val num = (0 until EwmaDepth)
       .map { j =>
@@ -552,10 +559,14 @@ object Events {
       .filter($"den" > 0)
       .select(
         $"event_type", $"h".cast("long").as("hour"),
-        round($"x", 4).as("value"),
-        round($"num" / $"den", 4).as("forecast"),
-        (round(abs($"x" - round($"num" / $"den", 4)) /
-          round($"num" / $"den", 4), 4) > 0.3).as("is_anomaly"))
+        // tie-safe floor(x*10^4 + 0.5) rounding: the cents-exact means
+        // land ON .00005 boundaries, where Spark's round (HALF_UP on the
+        // shortest decimal repr) and DuckDB's (binary-value) disagree
+        (floor($"x" * 10000 + 0.5) / 10000.0).as("value"),
+        (floor($"num" / $"den" * 10000 + 0.5) / 10000.0).as("forecast"),
+        (abs($"x" - floor($"num" / $"den" * 10000 + 0.5) / 10000.0) /
+          (floor($"num" / $"den" * 10000 + 0.5) / 10000.0) > 0.3)
+          .as("is_anomaly"))
       .orderBy($"event_type", $"hour")
   }
 

@@ -1452,5 +1452,5 @@ object Similarity {
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
       qClusterSilhouette, qHardNegatives, qAnnNprobeSweep,
-      qAnnHamming, qHammingRecall)
+      qAnnHamming, qHammingRecall, qMatryoshkaRecall)
 }
