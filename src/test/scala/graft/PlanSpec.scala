@@ -327,6 +327,48 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast query join in:\n$p")
   }
 
+  test("fuzzy linkage: length blocking plans as a broadcast EQUI-join") {
+    // the length block is written as a join condition, but Catalyst must
+    // recognize length(a) = length(b) as an equi-key: a BroadcastHashJoin
+    // keyed on the lengths, never a cartesian scoring of dirty x master
+    val p = finalPlan(plan(q("q_er_fuzzy_match")))
+    assert(p.contains("BroadcastHashJoin [length("), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("blocklist screen is a pure scan: no join, no aggregate exchange") {
+    val p = finalPlan(plan(q("q_blocklist_filter")))
+    assert(!p.contains("Join"), p)
+    // the only exchange is the deterministic output ordering
+    assert("Exchange".r.findAllIn(p).length === 1, p)
+  }
+
+  test("hamming ANN broadcasts the query side; corpus is never shuffled") {
+    val p = finalPlan(plan(q("q_ann_hamming")))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("kmv source-jaccard aggregates partially before its one exchange") {
+    // KmvSketchAgg is a TypedImperativeAggregate: partial buffers must
+    // combine map-side (ObjectHashAggregate partial + final), shipping
+    // <= k longs per partial — the whole point of the sketch
+    val p = finalPlan(plan(q("q_kmv_source_jaccard")))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("boilerplate strip joins the df-filtered template set by broadcast") {
+    // at sf0.001 no chunk reaches the df threshold and AQE folds the
+    // empty build side into a null projection — equally scale-correct;
+    // what must NEVER appear is a shuffled (sort-merge) template join
+    val p = finalPlan(plan(q("q_boilerplate_strip")))
+    assert(
+      p.contains("BroadcastHashJoin") || p.contains("AS b_chunk"),
+      p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("NO query plans a partition-less window (all-to-one funnel)") {
     // a Window with an empty partitionSpec moves the whole input to one
     // task — the r5 scale-killer class; assert the entire registry is
