@@ -570,8 +570,52 @@ object Events {
       .orderBy($"event_type", $"hour")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next = b | current = a), with each user's events ordered by
+    * (time, id). The behavioral-model view of the event log — funnel
+    * steps, loops, and dead-ends in one relation (row counts bounded by
+    * |event types|²).
+    *
+    * Scale: one window pass partitioned by user (sequences parallelize
+    * per user), then a count-shuffle on the (from, to) pair — the same
+    * shape as the sessionizer. Probabilities use the tie-safe
+    * floor-rounding convention. */
+  val qEventTransitions = QueryDef.sql(
+    "q_event_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS a,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_ns(ts), event_id) AS b
+      |  FROM events),
+      |pairs AS (
+      |  SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL
+      |  GROUP BY a, b),
+      |tot AS (SELECT a, sum(n) AS na FROM pairs GROUP BY a)
+      |SELECT p.a AS from_type, p.b AS to_type,
+      |       CAST(p.n AS BIGINT) AS n,
+      |       floor(p.n * 1000000.0 / t.na + 0.5) / 1000000.0 AS prob
+      |FROM pairs p JOIN tot t ON p.a = t.a
+      |ORDER BY from_type, to_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val pairs = Tables
+      .events(s, d)
+      .select($"user_id", $"event_type".as("a"),
+        lead($"event_type", 1).over(w).as("b"))
+      .filter($"b".isNotNull)
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy($"a").agg(sum($"n").as("na"))
+    pairs
+      .join(broadcast(tot), "a")
+      .select($"a".as("from_type"), $"b".as("to_type"), $"n",
+        (floor($"n" * lit(1000000.0) / $"na" + 0.5) / 1000000.0).as("prob"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
-      qGapFill, qEwmaForecast)
+      qGapFill, qEwmaForecast, qEventTransitions)
 }

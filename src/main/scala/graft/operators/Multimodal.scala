@@ -239,7 +239,109 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Perceptual-hash (average-hash) near-duplicate detection over the
+    * media payloads — the image-dedup pass of a multimodal pipeline
+    * (aHash: resize to a fixed grid, threshold each cell against the
+    * global mean, compare 64-bit codes by Hamming distance; the
+    * classical pHash family's simplest member). The "decode + resize"
+    * is the container's deterministic stub (payload bytes → 64
+    * equal-span segment sums — the same fake-pixel convention as
+    * [[qMediaFeatures]]); everything downstream — code packing, banded
+    * candidate generation, Hamming verification — is the real
+    * production dataflow.
+    *
+    * Scale: codes are 8 bytes/object; candidates come from an EQUI-join
+    * on any of four 16-bit bands (pairs differing in ≤ 10 of 64 bits
+    * almost always agree on one band), so the corpus is never
+    * all-paired; the verify is xor+bit_count on the join output. The
+    * same shape as [[graft.operators.Similarity]]'s LSH, specialized to
+    * Hamming space. */
+  val qMediaPhashNearDup = QueryDef.sql(
+    "q_media_phash_neardup", {
+      val bandsSql = (0 until 4)
+        .map { b =>
+          val terms = (0 until 16)
+            .map(j => s"(CASE WHEN p[${16 * b + j + 1}] > mean THEN ${1 << j} ELSE 0 END)")
+            .mkString(" + ")
+          s"($terms) AS b$b"
+        }
+        .mkString(",\n       ")
+      val ham = (0 until 4)
+        .map(b => s"bit_count(xor(a.b$b, b.b$b))")
+        .mkString(" + ")
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |         [COALESCE(list_sum([ord(text[j:j])
+         |            for j in range(CAST(i * len(text) // 64 AS INT) + 1,
+         |                           CAST((i + 1) * len(text) // 64 AS INT) + 1)]), 0)
+         |          for i in range(0, 64)] AS p
+         |  FROM documents),
+         |m AS (SELECT doc_id, p, list_sum(p) / 64.0 AS mean FROM px),
+         |bands AS (
+         |  SELECT doc_id,
+         |       $bandsSql
+         |  FROM m)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST($ham AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+         |     (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+         |WHERE $ham <= 10
+         |ORDER BY d1, d2""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val n = length($"text")
+    val chars = split($"text", "")
+    val pixels = transform(
+      sequence(lit(0), lit(63)),
+      i => {
+        val start = (i * n / 64).cast("int")
+        val end = ((i + 1) * n / 64).cast("int")
+        coalesce(
+          aggregate(
+            slice(chars, start + 1, end - start),
+            lit(0L),
+            (acc, ch) => acc + ascii(ch)),
+          lit(0L))
+      })
+    val m = Tables
+      .documents(s, d)
+      .select($"doc_id", pixels.as("p"))
+      .select($"doc_id", $"p",
+        (aggregate($"p", lit(0L), _ + _) / lit(64.0)).as("mean"))
+    val bands = m.select(
+      $"doc_id" +: (0 until 4).map { b =>
+        (0 until 16)
+          .map(j =>
+            when(element_at($"p", 16 * b + j + 1) > $"mean", lit(1L << j))
+              .otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as(s"b$b")
+      }: _*)
+    val bandCols = (0 until 4).map(b => col(s"b$b"))
+    val exploded = bands.select(
+      $"doc_id" +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("bi", "bv")): _*)
+    val left = exploded.toDF(
+      (("d1" +: (0 until 4).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
+    val right = exploded.toDF(
+      (("d2" +: (0 until 4).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
+    val ham = (0 until 4)
+      .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
+      .reduce(_ + _)
+    left
+      .join(right, Seq("bi", "bv"))
+      .filter($"d1" < $"d2")
+      .select($"d1" +: $"d2" +:
+        ((0 until 4).map(b => col(s"a$b")) ++
+          (0 until 4).map(b => col(s"c$b"))): _*)
+      .distinct()
+      .select($"d1", $"d2", ham.cast("long").as("hamming"))
+      .filter($"hamming" <= 10)
+      .orderBy($"d1", $"d2")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qBinaryRoundtrip, qMediaFeatures, qFrameSample, qMediaMeta,
-      qMediaResize)
+      qMediaResize, qMediaPhashNearDup)
 }

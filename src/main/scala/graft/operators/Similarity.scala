@@ -1447,10 +1447,80 @@ object Similarity {
       .orderBy($"dim", $"qid")
   }
 
+  /** Embedding-space drift audit between two corpus versions: per label,
+    * the cosine between version-A and version-B centroids (versions =
+    * the deterministic vec_id-parity split, standing in for "last
+    * month's embeddings vs this month's"). The check an embedding
+    * pipeline runs after a model refresh or a re-crawl — a label whose
+    * centroid moved is re-indexed first. Companion to the text-side
+    * `q_corpus_diff`.
+    *
+    * Scale: one exchange keyed (label, version, dim) for the component
+    * means; everything after is |labels|·|dims| rows. Components round
+    * to 4 decimals BEFORE the cosine (the [[Curation]] centroid
+    * convention) so both engines compose identical vectors. */
+  val qEmbedDrift = QueryDef.sql(
+    "q_embed_drift",
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
+      |comp AS (
+      |  SELECT label, ver, u.dim AS dim, round(avg(u.x), 4) AS m FROM (
+      |    SELECT label, vec_id % 2 AS ver,
+      |           unnest([{'dim': i, 'x': v[i]}
+      |                   for i in range(1, len(v)+1)]) AS u
+      |    FROM v) GROUP BY label, ver, u.dim),
+      |cent AS (
+      |  SELECT label, ver, list(m ORDER BY dim) AS cv
+      |  FROM comp GROUP BY label, ver),
+      |cnt AS (
+      |  SELECT label, vec_id % 2 AS ver, count(*) AS n
+      |  FROM v GROUP BY label, vec_id % 2)
+      |SELECT a.label AS label,
+      |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+      |       round(list_cosine_similarity(a.cv, b.cv), 4) AS drift_cos
+      |FROM cent a
+      |JOIN cent b ON a.label = b.label AND a.ver = 0 AND b.ver = 1
+      |JOIN cnt ca ON ca.label = a.label AND ca.ver = 0
+      |JOIN cnt cb ON cb.label = a.label AND cb.ver = 1
+      |ORDER BY a.label""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val v = Tables
+      .embeddings(s, d)
+      .filter(norm($"embedding") > 0)
+      .select($"label", ($"vec_id" % 2).as("ver"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+    val comp = v
+      .select($"label", $"ver", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"ver", $"dim")
+      .agg(round(avg($"x"), 4).as("m"))
+    val cent = comp
+      .groupBy($"label", $"ver")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"m"))),
+        x => x.getField("m")).as("cv"))
+    val cnt = v.groupBy($"label", $"ver").agg(count(lit(1)).as("n"))
+    val a = cent.filter($"ver" === 0).select($"label", $"cv".as("cva"))
+    val b = cent.filter($"ver" === 1)
+      .select($"label".as("lb"), $"cv".as("cvb"))
+    val ca = cnt.filter($"ver" === 0).select($"label".as("la"), $"n".as("n_a"))
+    val cb = cnt.filter($"ver" === 1).select($"label".as("lc"), $"n".as("n_b"))
+    a.join(b, $"label" === $"lb")
+      .join(broadcast(ca), $"label" === $"la")
+      .join(broadcast(cb), $"label" === $"lc")
+      .select($"label", $"n_a".cast("long").as("n_a"),
+        $"n_b".cast("long").as("n_b"),
+        round(dot($"cva", $"cvb") / (norm($"cva") * norm($"cvb")), 4)
+          .as("drift_cos"))
+      .orderBy($"label")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
       qClusterSilhouette, qHardNegatives, qAnnNprobeSweep,
-      qAnnHamming, qHammingRecall, qMatryoshkaRecall)
+      qAnnHamming, qHammingRecall, qMatryoshkaRecall, qEmbedDrift)
 }

@@ -67,5 +67,54 @@ object SqlPlane {
         |ORDER BY vec_id""".stripMargin)
   }
 
-  def defs: Seq[QueryDef] = Seq(qSqlEngine)
+  /** The round-7 registered pieces through the same SQL-text plane:
+    * `jaro_winkler` (codegen'd scoring Expression) powering a SQL-only
+    * fuzzy join, and `kmv_sketch` (the k-minimum-values ARRAY aggregate)
+    * providing the sketch whose 8th value both engines must agree on
+    * bit-for-bit. One length-blocked fuzzy self-pair count per name
+    * length plus the sketch probe — a SQL user composing linkage without
+    * touching the DataFrame API. */
+  val qSqlLinkage = QueryDef.sql(
+    "q_sql_linkage",
+    """WITH m AS (SELECT DISTINCT p_name FROM part),
+      |pairs AS (
+      |  SELECT len(a.p_name) AS name_len,
+      |         count(*) AS n_pairs,
+      |         sum(CASE WHEN round(jaro_winkler_similarity(a.p_name, b.p_name),
+      |                         4) >= 0.85 THEN 1 ELSE 0 END) AS n_similar
+      |  FROM m a JOIN m b
+      |    ON a.p_name < b.p_name AND len(a.p_name) = len(b.p_name)
+      |  GROUP BY 1),
+      |h AS (
+      |  SELECT DISTINCT CAST(concat('0x', substr(md5(p_name), 1, 15))
+      |                       AS BIGINT) AS h
+      |  FROM part),
+      |sk AS (
+      |  SELECT (list_sort(list(h)))[8] AS h8 FROM h)
+      |SELECT name_len, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(n_similar AS BIGINT) AS n_similar,
+      |       (SELECT h8 FROM sk) AS sketch_h8
+      |FROM pairs ORDER BY name_len""".stripMargin
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.part(s, d).createOrReplaceTempView("graft_part")
+    s.sql(
+      """WITH m AS (SELECT DISTINCT p_name FROM graft_part),
+        |pairs AS (
+        |  SELECT length(a.p_name) AS name_len,
+        |         count(*) AS n_pairs,
+        |         sum(CASE WHEN round(jaro_winkler(a.p_name, b.p_name), 4)
+        |                       >= 0.85 THEN 1 ELSE 0 END) AS n_similar
+        |  FROM m a JOIN m b
+        |    ON a.p_name < b.p_name AND length(a.p_name) = length(b.p_name)
+        |  GROUP BY 1),
+        |sk AS (
+        |  SELECT element_at(kmv_sketch(stable_hash60(p_name), 8), 8) AS h8
+        |  FROM graft_part)
+        |SELECT name_len, n_pairs, n_similar,
+        |       (SELECT h8 FROM sk) AS sketch_h8
+        |FROM pairs ORDER BY name_len""".stripMargin)
+  }
+
+  def defs: Seq[QueryDef] = Seq(qSqlEngine, qSqlLinkage)
 }
