@@ -614,8 +614,102 @@ object Events {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** DDSketch gamma: 1.02 → 2% relative-error quantile guarantee. */
+  private val DdGamma = 1.02
+
+  /** Log-bucketed quantile sketch (DDSketch, Masson et al. 2019, "DDSketch:
+    * a fast and fully-mergeable quantile sketch with relative-error
+    * guarantees"): bucket i holds values in (γ^(i-1), γ^i], the quantile
+    * estimate is the bucket midpoint 2γ^i/(γ+1), and the error is
+    * RELATIVE (2%) at every quantile — the property that makes it the
+    * latency-tail sketch (a fixed-width histogram's error explodes in
+    * the tail). Per event type: estimated p50/p95/p99 from the bucket
+    * counts beside the exact percentiles, plus the realized relative
+    * errors — the audit that proves the guarantee holds.
+    *
+    * Scale: the sketch is a (type, bucket)-count aggregate — map-side
+    * combinable, ≤ ~1200 buckets per type at any corpus size, fully
+    * mergeable across partitions/days. Bucket index computed as
+    * ceil(round(ln v/ln γ, 8)) — the 8-decimal round absorbs libm ulp
+    * differences between engines at bucket boundaries. */
+  val qEventsDdsketch = QueryDef.sql(
+    "q_events_ddsketch",
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         CAST(ceil(round(ln(value) / ${math.log(DdGamma)}, 8))
+       |              AS BIGINT) AS bk,
+       |         count(*) AS c
+       |  FROM events WHERE value > 0 GROUP BY 1, 2),
+       |n AS (SELECT event_type, sum(c) AS n FROM b GROUP BY event_type),
+       |cum AS (
+       |  SELECT b.event_type, b.bk, b.c, n.n,
+       |         sum(b.c) OVER (PARTITION BY b.event_type ORDER BY b.bk) AS cc
+       |  FROM b JOIN n ON n.event_type = b.event_type),
+       |est AS (
+       |  SELECT event_type,
+       |         min(CASE WHEN cc >= ceil(0.50 * n) THEN bk END) AS b50,
+       |         min(CASE WHEN cc >= ceil(0.95 * n) THEN bk END) AS b95,
+       |         min(CASE WHEN cc >= ceil(0.99 * n) THEN bk END) AS b99
+       |  FROM cum GROUP BY event_type),
+       |ex AS (
+       |  SELECT event_type,
+       |         quantile_cont(value, 0.50) AS e50,
+       |         quantile_cont(value, 0.95) AS e95,
+       |         quantile_cont(value, 0.99) AS e99
+       |  FROM events WHERE value > 0 GROUP BY event_type)
+       |SELECT est.event_type AS event_type,
+       |       round(2 * pow($DdGamma, b50) / ${DdGamma + 1.0}, 4) AS p50_est,
+       |       round(2 * pow($DdGamma, b95) / ${DdGamma + 1.0}, 4) AS p95_est,
+       |       round(2 * pow($DdGamma, b99) / ${DdGamma + 1.0}, 4) AS p99_est,
+       |       round(e50, 4) AS p50_exact,
+       |       round(abs(2 * pow($DdGamma, b50) / ${DdGamma + 1.0} - e50)
+       |             / e50, 4) AS rel_err_p50,
+       |       round(abs(2 * pow($DdGamma, b99) / ${DdGamma + 1.0} - e99)
+       |             / e99, 4) AS rel_err_p99
+       |FROM est JOIN ex ON ex.event_type = est.event_type
+       |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val lnG = math.log(DdGamma)
+    val ev = Tables.events(s, d).filter($"value" > 0)
+    val b = ev
+      .groupBy($"event_type",
+        ceil(round(log($"value") / lnG, 8)).cast("long").as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val n = b.groupBy($"event_type").agg(sum($"c").as("n"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"bk")
+    val cum = b
+      .join(broadcast(n), "event_type")
+      .withColumn("cc", sum($"c").over(wCum))
+    val est = cum
+      .groupBy($"event_type")
+      .agg(
+        min(when($"cc" >= ceil(lit(0.50) * $"n"), $"bk")).as("b50"),
+        min(when($"cc" >= ceil(lit(0.95) * $"n"), $"bk")).as("b95"),
+        min(when($"cc" >= ceil(lit(0.99) * $"n"), $"bk")).as("b99"))
+    val ex = ev
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.50)").as("e50"),
+        expr("percentile(value, 0.95)").as("e95"),
+        expr("percentile(value, 0.99)").as("e99"))
+    def mid(bk: org.apache.spark.sql.Column) =
+      lit(2.0) * pow(lit(DdGamma), bk) / lit(DdGamma + 1.0)
+    est
+      .join(ex, "event_type")
+      .select(
+        $"event_type",
+        round(mid($"b50"), 4).as("p50_est"),
+        round(mid($"b95"), 4).as("p95_est"),
+        round(mid($"b99"), 4).as("p99_est"),
+        round($"e50", 4).as("p50_exact"),
+        round(abs(mid($"b50") - $"e50") / $"e50", 4).as("rel_err_p50"),
+        round(abs(mid($"b99") - $"e99") / $"e99", 4).as("rel_err_p99"))
+      .orderBy($"event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
-      qGapFill, qEwmaForecast, qEventTransitions)
+      qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch)
 }

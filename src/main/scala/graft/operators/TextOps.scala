@@ -1485,10 +1485,68 @@ object TextOps {
       .orderBy($"cnt".desc, $"token")
   }
 
+  /** Flesch reading-ease score (Flesch 1948) per document — the classic
+    * readability feature a corpus-quality pipeline computes beside the
+    * Gopher rules: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). The fixture text has no sentence
+    * punctuation, so sentences are the suite's 10-word pseudo-sentence
+    * chunks (documented proxy, as in paragraph dedup); syllables are
+    * vowel-group runs with a 1-per-word floor — the standard heuristic.
+    * Pure per-row array arithmetic fused into the scan: no join, no
+    * shuffle before the output sort. */
+  val qReadability = QueryDef.sql(
+    "q_readability",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(w) AS nw,
+      |         CAST(ceil(len(w) / 10.0) AS BIGINT) AS ns,
+      |         CAST(list_sum([greatest(len(regexp_extract_all(x, '[aeiou]+')), 1)
+      |                        for x in w]) AS BIGINT) AS syl
+      |  FROM t)
+      |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, ns AS n_sentences,
+      |       syl AS n_syllables,
+      |       round(206.835 - 1.015 * (nw * 1.0 / ns)
+      |             - 84.6 * (syl * 1.0 / nw), 2) AS flesch,
+      |       CASE WHEN round(206.835 - 1.015 * (nw * 1.0 / ns)
+      |                       - 84.6 * (syl * 1.0 / nw), 2) >= 60 THEN 'easy'
+      |            WHEN round(206.835 - 1.015 * (nw * 1.0 / ns)
+      |                       - 84.6 * (syl * 1.0 / nw), 2) >= 30 THEN 'medium'
+      |            ELSE 'hard' END AS band
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val m = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("nw"),
+        ceil(size($"w") / lit(10.0)).cast("long").as("ns"),
+        aggregate(
+          transform($"w", x =>
+            greatest(
+              size(regexp_extract_all(x, lit("[aeiou]+"), lit(0))).cast("long"),
+              lit(1L))),
+          lit(0L), _ + _).as("syl"))
+    val flesch = round(
+      lit(206.835) - lit(1.015) * ($"nw" * lit(1.0) / $"ns")
+        - lit(84.6) * ($"syl" * lit(1.0) / $"nw"), 2)
+    m.select(
+      $"doc_id", $"nw".as("n_words"), $"ns".as("n_sentences"),
+      $"syl".as("n_syllables"), flesch.as("flesch"),
+      when(flesch >= 60, "easy")
+        .when(flesch >= 30, "medium")
+        .otherwise("hard").as("band"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
-      qTextNormalize, qUnigramInventory, qHeavyHitters)
+      qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability)
 }

@@ -66,6 +66,52 @@ class Round7OpsSpec extends SparkSpec {
     assert(rows.forall(r => r._2 > 0.0 && r._2 <= 1.0 && r._3 > 0))
   }
 
+  test("ddsketch quantile estimates honor the 2% relative-error guarantee") {
+    val rows = Events.qEventsDdsketch
+      .fn(spark, sf)
+      .select($"event_type", $"p50_est".cast("double"),
+        $"p99_est".cast("double"))
+      .as[(String, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    // the gamma bound holds against the rank ELEMENT (the query's
+    // rel_err columns compare to the INTERPOLATED percentile, which
+    // adds slack at fixture n); recompute the rank element here and
+    // assert the sketch's actual guarantee: |est - x|/x <= (γ-1)/... ~2%
+    val vals = Tables.events(spark, sf)
+      .filter($"value" > 0)
+      .select($"event_type", $"value")
+      .as[(String, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (t, vs) => t -> vs.map(_._2).sorted }
+    rows.foreach { case (t, p50, p99) =>
+      val v = vals(t)
+      def rankEl(q: Double) = v(math.ceil(q * v.length).toInt - 1)
+      val e50 = math.abs(p50 - rankEl(0.50)) / rankEl(0.50)
+      val e99 = math.abs(p99 - rankEl(0.99)) / rankEl(0.99)
+      assert(e50 <= 0.0201, s"$t p50 rel err $e50 breaks the gamma bound")
+      assert(e99 <= 0.0201, s"$t p99 rel err $e99 breaks the gamma bound")
+    }
+  }
+
+  test("readability emits a valid flesch decomposition per document") {
+    val rows = graft.operators.TextOps.qReadability
+      .fn(spark, sf)
+      .select($"n_words", $"n_sentences", $"n_syllables",
+        $"flesch".cast("double"), $"band")
+      .as[(Long, Long, Long, Double, String)]
+      .collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { case (nw, ns, syl, fl, band) =>
+      assert(ns === (nw + 9) / 10)
+      assert(syl >= nw, "every word counts at least one syllable")
+      val expected =
+        if (fl >= 60) "easy" else if (fl >= 30) "medium" else "hard"
+      assert(band === expected)
+    }
+  }
+
   test("embedding drift: one row per label, cosine within [-1, 1]") {
     val rows = Similarity.qEmbedDrift
       .fn(spark, sf)
