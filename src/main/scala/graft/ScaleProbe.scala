@@ -36,12 +36,20 @@ object ScaleProbe {
     * count grows with the corpus, within-cell pair work stays bounded),
     * so linear growth is the PASS criterion rather than impossible by
     * construction. The finding itself is recorded in SCALE.md. */
-  val ProbeQueries: Seq[String] = Seq(
+  val DefaultProbeQueries: Seq[String] = Seq(
     "q_pipeline_curate_pack",
     "q_winnow_pairs",
     "q_semantic_dedup",
     "q_dedup_canonical",
     "q_ann_ivfpq")
+
+  /** Probe set — override with SPARK_GRAFT_SCALE_QUERIES (comma list) to
+    * measure a different family (e.g. the r7 additions) on the same
+    * decorrelated blow-ups. */
+  def ProbeQueries: Seq[String] =
+    sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultProbeQueries)
 
   /** Word-salted, sign-flipped `factor`× blow-up of documents+embeddings
     * into `outDir` (same file layout Tables.load expects). Replica 0 is

@@ -663,8 +663,150 @@ object Dedup {
       .orderBy($"threshold")
   }
 
+  /** Band configurations for the S-curve sweep: (bands, rows/band) over
+    * the same 16 MinHash permutations. */
+  private val BandConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** LSH banding S-curve sweep (Leskovec/Rajaraman/Ullman, "Mining of
+    * Massive Datasets" ch.3): one signature matrix (16 MinHash perms),
+    * four band layouts — many narrow bands catch low-similarity pairs
+    * (high recall, many candidates), few wide bands only catch
+    * near-identical pairs (cheap, low recall). For each layout, the
+    * measured candidate count, recall and precision against the exact
+    * Jaccard ≥ 0.7 truth — the table a pipeline reads BEFORE fixing
+    * (b, r) for a 100 TB dedup run, where candidate volume IS the cost.
+    *
+    * Scale: signatures are one shingle exchange + 16 min-aggregates;
+    * all four layouts share it, adding only Σ bands = 30 band-key rows
+    * per doc to the banded equi-join. The exact truth join is the
+    * fixture-scale audit side (a production run would use the sampled
+    * truth path, q_dedup_lsh_recall). */
+  val qLshBandSweep = QueryDef.sql(
+    "q_lsh_band_sweep", {
+      val p = graft.functions.TextFunctions.MinhashP
+      val sigCols = graft.functions.TextFunctions.MinhashPerms.zipWithIndex
+        .map { case ((a, b), i) => s"min((base * $a + $b) % $p) AS m$i" }
+        .mkString(",\n       |         ")
+      val bandSelects = BandConfigs.flatMap { case (nb, r) =>
+        (0 until nb).map { j =>
+          val key = (0 until r).map(k => s"m${j * r + k}").mkString(", ")
+          s"""SELECT doc_id, '${nb}x$r' AS cfg, $j AS bj,
+             |         concat_ws('|', $key) AS bkey FROM sig""".stripMargin
+        }
+      }.mkString("\n       |  UNION ALL\n       |  ")
+      s"""WITH ds AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                 for i in range(1, len(w)-1)]) AS s
+         |  FROM $duckShingles
+         |  WHERE len(w) >= 3),
+         |bh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $p
+         |           AS base
+         |  FROM ds),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM bh GROUP BY doc_id),
+         |bk AS MATERIALIZED (
+         |  $bandSelects),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.cfg, a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bk a JOIN bk b
+         |    ON a.cfg = b.cfg AND a.bj = b.bj AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id),
+         |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT d1, d2
+         |  FROM pairs
+         |    JOIN cnt ca ON d1 = ca.doc_id
+         |    JOIN cnt cb ON d2 = cb.doc_id
+         |  WHERE round(common * 1.0 / (ca.n + cb.n - common), 4) >= 0.7),
+         |tn AS (SELECT count(*) AS n_true FROM truth),
+         |caught AS (
+         |  SELECT c.cfg, count(*) AS n_caught
+         |  FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+         |  GROUP BY c.cfg),
+         |cc AS (SELECT cfg, count(*) AS n_candidates FROM cand GROUP BY cfg)
+         |SELECT cc.cfg AS cfg, CAST(cc.n_candidates AS BIGINT) AS n_candidates,
+         |       CAST((SELECT n_true FROM tn) AS BIGINT) AS n_true,
+         |       CAST(coalesce(caught.n_caught, 0) AS BIGINT) AS n_caught,
+         |       round(coalesce(caught.n_caught, 0) * 1.0
+         |             / greatest((SELECT n_true FROM tn), 1), 4) AS recall,
+         |       round(coalesce(caught.n_caught, 0) * 1.0
+         |             / greatest(cc.n_candidates, 1), 4) AS precision
+         |FROM cc LEFT JOIN caught ON caught.cfg = cc.cfg
+         |ORDER BY cfg""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val bh = Tables
+      .documents(s, d)
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("sh"))
+      .select($"doc_id", minhashBase($"sh").as("base"))
+    val sig = bh
+      .groupBy($"doc_id")
+      .agg(
+        MinhashPerms.zipWithIndex.map { case (_, i) =>
+          min(minhashPerm($"base", i)).as(s"m$i")
+        }.head,
+        MinhashPerms.zipWithIndex.tail.map { case (_, i) =>
+          min(minhashPerm($"base", i)).as(s"m$i")
+        }: _*)
+    val bk = BandConfigs
+      .map { case (nb, r) =>
+        sig.select($"doc_id",
+          explode(array((0 until nb).map { j =>
+            struct(
+              lit(s"${nb}x$r").as("cfg"), lit(j).as("bj"),
+              concat_ws("|",
+                (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
+                .as("bkey"))
+          }: _*)).as("b"))
+          .select($"doc_id", $"b.cfg", $"b.bj", $"b.bkey")
+      }
+      .reduce(_.unionAll(_))
+    val cand = bk
+      .select($"cfg", $"bj", $"bkey", $"doc_id".as("d1"))
+      .join(bk.select($"cfg", $"bj", $"bkey", $"doc_id".as("d2")),
+        Seq("cfg", "bj", "bkey"))
+      .filter($"d1" < $"d2")
+      .select($"cfg", $"d1", $"d2")
+      .distinct()
+    val truth = ngramJaccardAllPairs(Tables.documents(s, d))
+      .filter(round($"jac", 4) >= 0.7)
+      .select($"d1".as("t1"), $"d2".as("t2"))
+      .localCheckpoint()
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val cc = cand.groupBy($"cfg").agg(count(lit(1)).as("n_candidates"))
+    val caught = cand
+      .join(truth, $"d1" === $"t1" && $"d2" === $"t2")
+      .groupBy($"cfg")
+      .agg(count(lit(1)).as("n_caught"))
+    cc.join(caught, Seq("cfg"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(
+        $"cfg", $"n_candidates",
+        $"n_true".cast("long").as("n_true"),
+        coalesce($"n_caught", lit(0L)).cast("long").as("n_caught"),
+        round(coalesce($"n_caught", lit(0L)) * lit(1.0) /
+          greatest($"n_true", lit(1L)), 4).as("recall"),
+        round(coalesce($"n_caught", lit(0L)) * lit(1.0) /
+          greatest($"n_candidates", lit(1L)), 4).as("precision"))
+      .orderBy($"cfg")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
       qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty,
-      qDedupThresholdSweep)
+      qDedupThresholdSweep, qLshBandSweep)
 }

@@ -708,8 +708,105 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** KMV size for the rolling-distinct sketch. */
+  private val RollK = 64
+
+  /** Rolling 7-day distinct users per event type — the WAU metric —
+    * computed two ways: the EXACT rolling count (a 7× re-aggregation of
+    * the user stream: the thing that does not scale), and the estimate
+    * from MERGING seven per-day KMV sketches (union of k-min sets ⊇ the
+    * union's k-min set, so the merged sketch is exactly the sketch of
+    * the union — the mergeability that makes sliding windows, backfill,
+    * and cross-shard rollup O(k) instead of O(users)). The realized
+    * error column audits the estimate against the exact value.
+    *
+    * Scale: the per-day sketch aggregate is map-side combinable and the
+    * rolling merge is a window over O(days) rows of k-long arrays; only
+    * the audit's exact branch re-shuffles users, and a production job
+    * simply drops it. Windows are over observed days per type. */
+  val qRollingDistinct = QueryDef.sql(
+    "q_rolling_distinct",
+    s"""WITH ue AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |         CAST(concat('0x', substr(md5('u|' || user_id), 1, 15))
+       |              AS BIGINT) AS h,
+       |         user_id
+       |  FROM events),
+       |daily AS (
+       |  SELECT event_type, day,
+       |         (list_sort(list(DISTINCT h)))[:$RollK] AS sk
+       |  FROM ue GROUP BY event_type, day),
+       |rolled AS (
+       |  SELECT event_type, day,
+       |         (list_sort(list_distinct(flatten(
+       |            list(sk) OVER (PARTITION BY event_type ORDER BY day
+       |                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |          ))))[:$RollK] AS mg
+       |  FROM daily),
+       |est AS (
+       |  SELECT event_type, day,
+       |         CAST(CASE WHEN len(mg) < $RollK THEN len(mg)
+       |              ELSE floor(${RollK - 1}.0 *
+       |                     (1152921504606846976.0 / mg[$RollK]))
+       |              END AS BIGINT) AS est_users
+       |  FROM rolled),
+       |ex AS (
+       |  SELECT d.event_type, d.day, count(DISTINCT e.user_id) AS exact_users
+       |  FROM (SELECT DISTINCT event_type, day FROM ue) d
+       |  JOIN ue e ON e.event_type = d.event_type
+       |           AND e.day BETWEEN d.day - 6 AND d.day
+       |  GROUP BY d.event_type, d.day)
+       |SELECT est.event_type AS event_type, CAST(est.day AS BIGINT) AS day,
+       |       est.est_users, CAST(ex.exact_users AS BIGINT) AS exact_users,
+       |       round(abs(est.est_users - ex.exact_users) * 1.0
+       |             / ex.exact_users, 4) AS rel_err
+       |FROM est JOIN ex ON ex.event_type = est.event_type
+       |                AND ex.day = est.day
+       |ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ue = Tables
+      .events(s, d)
+      .select($"event_type", expr("ts_ns div 86400000000000").as("day"),
+        graft.functions.TextFunctions.stableHash60(concat(lit("u|"), $"user_id")).as("h"), $"user_id")
+    val daily = ue
+      .groupBy($"event_type", $"day")
+      .agg(graft.plans.KmvSketchAgg.kmvSketch($"h", RollK).as("sk"))
+    val w = Window
+      .partitionBy($"event_type")
+      .orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    val est = daily
+      .withColumn("mg",
+        slice(array_sort(array_distinct(flatten(collect_list($"sk").over(w)))),
+          1, RollK))
+      .select($"event_type", $"day",
+        when(size($"mg") < RollK, size($"mg").cast("long"))
+          .otherwise(
+            floor(lit((RollK - 1).toDouble) *
+              (lit(graft.plans.KmvAgg.M) / element_at($"mg", RollK)))
+              .cast("long"))
+          .as("est_users"))
+    val spine = ue.select($"event_type", $"day").distinct()
+      .select($"event_type".as("s_type"), $"day".as("s_day"))
+    val exact = spine
+      .join(ue,
+        $"event_type" === $"s_type" &&
+          $"day".between($"s_day" - 6, $"s_day"))
+      .groupBy($"s_type", $"s_day")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    est
+      .join(exact, $"event_type" === $"s_type" && $"day" === $"s_day")
+      .select($"event_type", $"day".cast("long").as("day"), $"est_users",
+        $"exact_users".cast("long").as("exact_users"),
+        round(abs($"est_users" - $"exact_users") * lit(1.0) /
+          $"exact_users", 4).as("rel_err"))
+      .orderBy($"event_type", $"day")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
-      qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch)
+      qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
+      qRollingDistinct)
 }

@@ -290,34 +290,48 @@ object Multimodal {
     }
   ) { (s, d) =>
     import s.implicits._
-    val n = length($"text")
-    val chars = split($"text", "")
-    val pixels = transform(
-      sequence(lit(0), lit(63)),
-      i => {
-        val start = (i * n / 64).cast("int")
-        val end = ((i + 1) * n / 64).cast("int")
-        coalesce(
-          aggregate(
-            slice(chars, start + 1, end - start),
-            lit(0L),
-            (acc, ch) => acc + ascii(ch)),
-          lit(0L))
-      })
-    val m = Tables
-      .documents(s, d)
-      .select($"doc_id", pixels.as("p"))
-      .select($"doc_id", $"p",
-        (aggregate($"p", lit(0L), _ + _) / lit(64.0)).as("mean"))
-    val bands = m.select(
-      $"doc_id" +: (0 until 4).map { b =>
-        (0 until 16)
-          .map(j =>
-            when(element_at($"p", 16 * b + j + 1) > $"mean", lit(1L << j))
-              .otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as(s"b$b")
-      }: _*)
+    // pixel computation as ONE codegen'd explode + count-shuffle keyed
+    // (doc, segment) — NOT 64 interpreted slice-aggregates per row (that
+    // form re-evaluated the segment lambda per code bit and cost ~13 s
+    // at sf0.1). Char at 1-based position j belongs to segment
+    // (64j-1) div n — verified identical to the oracle's range slicing
+    // for every n. mean = (Σ ascii)/64 needs no spine: an absent
+    // (doc, seg) row is a 0 pixel and 0 < mean always, so its bit is 0.
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val segSums = base
+      .select($"doc_id", length($"text").as("n"),
+        posexplode(split($"text", "")).as(Seq("pos", "ch")))
+      .select($"doc_id",
+        expr("(64 * pos + 63) div n").cast("int").as("seg"),
+        ascii($"ch").cast("long").as("v"))
+      .groupBy($"doc_id", $"seg")
+      .agg(sum($"v").as("px"))
+    val tot = segSums.groupBy($"doc_id").agg(sum($"px").as("tot"))
+    val bandAgg = segSums
+      .join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(
+        (0 until 4).map { b =>
+          sum(
+            when($"seg" >= 16 * b && $"seg" < 16 * (b + 1) &&
+              $"px" > $"tot" / lit(64.0),
+              pow(lit(2.0), ($"seg" % 16)).cast("long"))
+              .otherwise(lit(0L))).as(s"b$b")
+        }.head,
+        (0 until 4).map { b =>
+          sum(
+            when($"seg" >= 16 * b && $"seg" < 16 * (b + 1) &&
+              $"px" > $"tot" / lit(64.0),
+              pow(lit(2.0), ($"seg" % 16)).cast("long"))
+              .otherwise(lit(0L))).as(s"b$b")
+        }.tail: _*)
+    // docs with empty text produce no char rows: all-zero code, kept
+    val bands = base
+      .select($"doc_id")
+      .join(bandAgg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id" +: (0 until 4).map(b =>
+          coalesce(col(s"b$b"), lit(0L)).as(s"b$b")): _*)
     val bandCols = (0 until 4).map(b => col(s"b$b"))
     val exploded = bands.select(
       $"doc_id" +: bandCols :+

@@ -112,6 +112,45 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh band sweep: nested band layouts give monotone recall and cost") {
+    // an r-row band match implies its sub-bands match, so candidates
+    // (and recall) are nested: 16x1 >= 8x2 >= 4x4 >= 2x8
+    val rows = graft.operators.Dedup.qLshBandSweep
+      .fn(spark, sf)
+      .select($"cfg", $"n_candidates", $"recall".cast("double"))
+      .as[(String, Long, Double)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val order = Seq("16x1", "8x2", "4x4", "2x8")
+    assert(order.forall(rows.contains))
+    order.sliding(2).foreach { case Seq(wide, narrow) =>
+      assert(rows(wide)._1 >= rows(narrow)._1,
+        s"$wide candidates must dominate $narrow")
+      assert(rows(wide)._2 >= rows(narrow)._2 - 1e-9,
+        s"$wide recall must dominate $narrow")
+    }
+  }
+
+  test("rolling distinct: KMV union estimate tracks the exact WAU") {
+    val rows = Events.qRollingDistinct
+      .fn(spark, sf)
+      .select($"est_users", $"exact_users", $"rel_err".cast("double"))
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 > 0 && r._2 > 0))
+    // KMV k=64 has ~1/sqrt(62) ~ 13% standard error; allow generous tail
+    val errs = rows.map(_._3)
+    assert(errs.max <= 0.6, s"worst rel err ${errs.max}")
+    assert(errs.sum / errs.length <= 0.2,
+      s"mean rel err ${errs.sum / errs.length}")
+    // exact when the 7-day population never filled the sketch
+    rows.filter(_._2 <= 64).foreach { case (est, exact, _) =>
+      assert(est === exact, "sub-k windows must be exact")
+    }
+  }
+
   test("embedding drift: one row per label, cosine within [-1, 1]") {
     val rows = Similarity.qEmbedDrift
       .fn(spark, sf)
