@@ -804,9 +804,62 @@ object Events {
       .orderBy($"event_type", $"day")
   }
 
+  /** Robust (median/MAD) outlier screen — the companion to [[qAnomaly]]'s
+    * mean/stddev z-score: the modified z-score 0.6745·|x−med|/MAD
+    * (Iglewicz & Hoaglin 1993, "How to Detect and Handle Outliers")
+    * keeps its cut point when the contamination itself inflates the
+    * spread, which is exactly when the plain z-score goes blind. Flags
+    * |Mᵢ| > 3.5 per event type.
+    *
+    * Scale: two percentile aggregates per type (med, then MAD over the
+    * derived |x−med| stream) — each map-side partial — then a broadcast
+    * of the |types|-row model onto the scan. Thresholding happens on the
+    * ROUNDED score. */
+  val qMadAnomaly = QueryDef.sql(
+    "q_events_mad_anomaly",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type,
+      |         any_value(m.med) AS med,
+      |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM events e JOIN med m ON m.event_type = e.event_type
+      |  GROUP BY e.event_type)
+      |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+      |       floor(0.6745 * abs(e.value - mad.med) / mad.mad * 10000 + 0.5)
+      |         / 10000.0 AS mz
+      |FROM events e JOIN mad ON mad.event_type = e.event_type
+      |WHERE floor(0.6745 * abs(e.value - mad.med) / mad.mad * 10000 + 0.5)
+      |        / 10000.0 > 3.5
+      |ORDER BY e.event_type, e.event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val med = ev
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev
+      .join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        first($"med").as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    // tie-safe floor rounding: the modified z lands exactly on 4-decimal
+    // boundaries for clean-decimal (value, med, mad) triples, where
+    // Spark's shortest-repr HALF_UP and DuckDB's binary round disagree
+    val mz = floor(lit(0.6745) * abs($"value" - $"med") / $"mad" *
+      10000 + 0.5) / 10000.0
+    ev.join(broadcast(mad), "event_type")
+      .filter(mz > 3.5)
+      .select($"event_id", $"event_type", round($"value", 4).as("value"),
+        mz.as("mz"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
-      qRollingDistinct)
+      qRollingDistinct, qMadAnomaly)
 }

@@ -307,4 +307,52 @@ object EventPipelines {
         col("n_new_bands"),
         (col("n_new_bands") === NearDupBands).as("admitted"))
   }
+
+  // ---- streaming distinct-count sketch ----------------------------------
+
+  case class TypedUser(event_type: String, user_id: Long)
+  case class DistinctEstimate(event_type: String, n_seen: Long, est_users: Long)
+
+  /** KMV sketch size for the streaming distinct estimator. */
+  val StreamKmvK = 64
+
+  /** Streaming distinct-user estimate per event type: mapGroupsWithState
+    * maintains the same k-minimum-values buffer [[graft.plans.KmvAgg]]
+    * aggregates in batch — ≤ k longs of state per group FOREVER,
+    * regardless of how many users stream past (an exact streaming
+    * distinct would grow state linearly; dropDuplicates state is
+    * watermark-bounded but this sketch needs no watermark at all). Each
+    * trigger emits the running estimate per type; the batch KMV formula
+    * means the streamed estimate equals the batch `kmv_distinct` over
+    * the same prefix — asserted in StreamingSpec. */
+  def distinctUsersSketch(events: DataFrame): Dataset[DistinctEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id"))
+      .as[TypedUser]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Array[Long], Long), DistinctEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (tpe, rows, state: GroupState[(Array[Long], Long)]) =>
+          val buf = new graft.plans.KmvAgg.Buffer(StreamKmvK)
+          val (prior, priorSeen) =
+            state.getOption.getOrElse((Array.empty[Long], 0L))
+          prior.foreach(buf.add)
+          var seen = priorSeen
+          rows.foreach { r =>
+            seen += 1
+            buf.add(graft.plans.StableHash60.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                s"u|${r.user_id}")))
+          }
+          state.update(
+            (java.util.Arrays.copyOf(buf.values, buf.size), seen))
+          val est =
+            if (buf.size < StreamKmvK) buf.size.toLong
+            else math.floor((StreamKmvK - 1).toDouble *
+              (graft.plans.KmvAgg.M / buf.kth.toDouble)).toLong
+          DistinctEstimate(tpe, seen, est)
+      }
+  }
 }

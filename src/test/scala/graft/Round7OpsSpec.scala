@@ -151,6 +151,36 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("mad anomaly flags agree with an independent recomputation") {
+    val rows = Events.qMadAnomaly
+      .fn(spark, sf)
+      .select($"event_id", $"event_type", $"mz".cast("double"))
+      .as[(Long, String, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 3.5))
+    // robust scores: recompute med/MAD per type in plain Scala and check
+    // every flagged id really exceeds the cut (and none is missed)
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value")
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val flagged = rows.map(r => (r._2, r._1)).toSet
+    vals.foreach { case (t, rs) =>
+      val m = med(rs.map(_._3))
+      val mad = med(rs.map(x => math.abs(x._3 - m)))
+      rs.foreach { case (_, id, v) =>
+        val mz = math.floor(0.6745 * math.abs(v - m) / mad * 10000 + 0.5) / 10000.0
+        assert(flagged.contains((t, id)) === (mz > 3.5),
+          s"flag mismatch for ($t, $id): mz=$mz")
+      }
+    }
+  }
+
   test("embedding drift: one row per label, cosine within [-1, 1]") {
     val rows = Similarity.qEmbedDrift
       .fn(spark, sf)

@@ -469,4 +469,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batch.toSeq)
     assert(got.toMap === Map(1L -> true, 2L -> false, 3L -> false))
   }
+  test("streaming KMV distinct estimate equals the batch sketch") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    val q = EventPipelines.distinctUsersSketch(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_out").start()
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions._
+    // last emitted estimate per type (update mode re-emits per trigger)
+    val streamed = spark.table("kmv_out")
+      .groupBy($"event_type")
+      .agg(max(struct($"n_seen", $"est_users")).as("s"))
+      .select($"event_type", $"s.est_users")
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(graft.plans.KmvAgg.kmvDistinct(
+        graft.functions.TextFunctions.stableHash60(
+          concat(lit("u|"), $"user_id")), 64).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch,
+      "streamed sketch must equal the batch KMV over the same prefix")
+    // and state stays sketch-sized: estimates are positive and bounded
+    assert(streamed.values.forall(_ > 0))
+  }
 }
