@@ -502,8 +502,105 @@ object Extras {
       .orderBy($"source")
   }
 
+  /** Order-independent table fingerprint: per source, the XOR-fold of
+    * each row's stableHash60 content digest plus row count and id
+    * bounds. XOR is commutative/associative with no overflow, so the
+    * digest is identical under ANY partitioning or row order — the
+    * replica/migration check that verifies a 100 TB copy without
+    * sorting or shuffling anything but 8-byte partials (a row-wise
+    * diff ships the table twice; this ships one long per partition).
+    * Companion to `q_corpus_diff` (which localizes differences once
+    * this cheap gate says they exist). */
+  val qTableFingerprint = QueryDef.sql(
+    "q_table_fingerprint",
+    """SELECT source,
+      |       count(*) AS n_rows,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id,
+      |       bit_xor(CAST(concat('0x',
+      |                 substr(md5(doc_id || '|' || lang || '|' || text),
+      |                        1, 15)) AS BIGINT)) AS content_xor
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"doc_id").as("min_id"),
+        max($"doc_id").as("max_id"),
+        bit_xor(graft.functions.TextFunctions.stableHash60(
+          concat($"doc_id".cast("string"), lit("|"), $"lang",
+            lit("|"), $"text"))).as("content_xor"))
+      .orderBy($"source")
+  }
+
+  /** SCD type-2 dimension build + point-in-time join (Kimball's slowly
+    * changing dimension, the warehouse pattern behind "what was this
+    * user's attribute WHEN the fact happened"): each user's `signup`
+    * events form the change log of an attribute (its value column);
+    * lead() closes each version's validity interval, and every
+    * `purchase` fact joins the version whose [from, to) interval covers
+    * its timestamp. Facts before the first version get no match (left
+    * join, version columns null) — the honest early-fact semantics.
+    *
+    * Scale: interval construction is one lag-free window per user;
+    * the PIT join is an equi-join on user plus interval predicates —
+    * at 100 TB both sides hash-partition on the user key and versions
+    * per user are few, so the join never degenerates. (The native
+    * [[graft.plans.AsofJoinPlan]] is the merge-join alternative when
+    * the dimension is version-dense.) */
+  val qScd2Pit = QueryDef.sql(
+    "q_scd2_pit",
+    """WITH dim AS (
+      |  SELECT user_id, value AS attr,
+      |         epoch_ns(ts) AS vfrom,
+      |         lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |                                  ORDER BY epoch_ns(ts), event_id)
+      |           AS vto,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_ns(ts), event_id) AS ver
+      |  FROM events WHERE event_type = 'signup'),
+      |facts AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS fts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id,
+      |       CAST(d.ver AS INT) AS attr_version,
+      |       round(d.attr, 2) AS attr_value
+      |FROM facts f
+      |LEFT JOIN dim d
+      |  ON d.user_id = f.user_id
+      | AND f.fts >= d.vfrom AND (d.vto IS NULL OR f.fts < d.vto)
+      |ORDER BY f.event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val dim = ev
+      .filter($"event_type" === "signup")
+      .select($"user_id".as("d_user"), $"value".as("attr"),
+        $"ts_ns".as("vfrom"),
+        lead($"ts_ns", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id"))
+          .as("vto"),
+        row_number().over(w).cast("int").as("ver"))
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_ns".as("fts"))
+      .join(dim,
+        $"user_id" === $"d_user" && $"fts" >= $"vfrom" &&
+          ($"vto".isNull || $"fts" < $"vto"),
+        "left")
+      .select($"event_id", $"user_id", $"ver".as("attr_version"),
+        round($"attr", 2).as("attr_value"))
+      .orderBy($"event_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
-      qTokenCms, qShingleBloom)
+      qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit)
 }

@@ -27,7 +27,7 @@ class RegistrySpec extends AnyFunSuite {
       val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s+(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // lookbehind excludes `IS NOT DISTINCT FROM x` (not a table ref)
-      val refs = "(?i)(?<!distinct )(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+      val refs = "(?i)(?<!distinct )(?<![a-z0-9_])(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- ctes
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
