@@ -385,6 +385,41 @@ object Curation {
       .orderBy($"lang", $"source", $"len_band")
   }
 
+  /** l-diversity floor: a QI group whose sensitive attribute takes fewer
+    * than l distinct values is homogeneous — membership alone leaks it. */
+  private val LDivL = 2
+
+  /** l-diversity audit (Machanavajjhala et al. 2007, "l-Diversity:
+    * privacy beyond k-anonymity") — the companion check to
+    * [[qKAnonymity]]: a group can be k-large yet still leak when every
+    * member shares the sensitive value. Here QI = (source, length band),
+    * sensitive attribute = lang: per group, its size, the number of
+    * distinct langs, and the homogeneity flag (distinct < l). Same one
+    * count-shuffle shape as the k-anonymity pass. */
+  val qLDiversity = QueryDef.sql(
+    "q_l_diversity",
+    s"""WITH g AS (
+       |  SELECT source, n_chars // 256 AS len_band,
+       |         count(*) AS n,
+       |         count(DISTINCT lang) AS n_langs
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(len_band AS BIGINT) AS len_band,
+       |       CAST(n AS BIGINT) AS n,
+       |       CAST(n_langs AS BIGINT) AS n_langs,
+       |       (n_langs < $LDivL) AS homogeneous
+       |FROM g ORDER BY source, len_band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .documents(s, d)
+      .groupBy($"source",
+        ($"n_chars".cast("long") / 256).cast("long").as("len_band"))
+      .agg(count(lit(1)).as("n"), countDistinct($"lang").as("n_langs"))
+      .select($"source", $"len_band", $"n", $"n_langs",
+        ($"n_langs" < LDivL).as("homogeneous"))
+      .orderBy($"source", $"len_band")
+  }
+
   /** Target rows per semantic-dedup cell: the within-cell all-pairs cost
     * is O(cellRows²), so holding cellRows constant (and letting the CELL
     * COUNT grow with the corpus — the SemDeDup recipe's ~10⁴-10⁵
@@ -1013,5 +1048,6 @@ object Curation {
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
       qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup,
-      qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity)
+      qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity,
+      qLDiversity)
 }
