@@ -451,7 +451,136 @@ object Pipeline {
       .orderBy($"lang")
   }
 
+  /** Governance release gate — the round-7 audits fused into one
+    * per-source verdict a corpus DISTRIBUTION runs before shipping:
+    * blocklist-violation share, boilerplate occurrence rate,
+    * k-anonymity risky-group count and l-diversity homogeneous-group
+    * count, each by its own gated definition, combined into a
+    * release_ok flag (rates compared at their tie-safe rounding). The
+    * composite analog of q_pipeline_clean_corpus for the
+    * privacy/content-policy axis.
+    *
+    * Scale: four independent aggregate passes (token screen fused into
+    * the scan; chunk exchange keyed (source, chunk); two QI
+    * count-shuffles) joined on the |sources|-row key — no corpus-sized
+    * intermediate anywhere. */
+  val qGovernance = QueryDef.sql(
+    "q_pipeline_governance",
+    """WITH t AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |         string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |bl AS (
+      |  SELECT source,
+      |         count(*) AS n_docs,
+      |         sum(CASE WHEN len(list_filter(w, x ->
+      |               list_contains(['slow', 'merge', 'window'], x)))
+      |               * 1.0 / len(w) >= 0.05 THEN 1 ELSE 0 END)
+      |           AS n_blocked
+      |  FROM t GROUP BY source),
+      |c AS (
+      |  SELECT doc_id, source,
+      |         unnest([list_aggregate(w[i*10+1:i*10+10], 'string_agg', ' ')
+      |                 for i in range(0, CAST(ceil(len(w)/10.0) AS INT))])
+      |           AS chunk
+      |  FROM t),
+      |cf AS (
+      |  SELECT source, chunk, count(*) AS occ,
+      |         count(DISTINCT doc_id) AS df
+      |  FROM c GROUP BY source, chunk),
+      |boil AS (
+      |  SELECT source,
+      |         sum(CASE WHEN df >= 3 THEN occ ELSE 0 END) AS boiler_occ,
+      |         sum(occ) AS total_chunks
+      |  FROM cf GROUP BY source),
+      |kan AS (
+      |  SELECT source,
+      |         sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS risky_groups
+      |  FROM (SELECT source, lang, n_chars // 256 AS band, count(*) AS n
+      |        FROM documents GROUP BY 1, 2, 3)
+      |  GROUP BY source),
+      |ld AS (
+      |  SELECT source,
+      |         sum(CASE WHEN nl < 2 THEN 1 ELSE 0 END) AS homog_groups
+      |  FROM (SELECT source, n_chars // 256 AS band,
+      |               count(DISTINCT lang) AS nl
+      |        FROM documents GROUP BY 1, 2)
+      |  GROUP BY source)
+      |SELECT bl.source AS source,
+      |       CAST(bl.n_docs AS BIGINT) AS n_docs,
+      |       CAST(bl.n_blocked AS BIGINT) AS n_blocked,
+      |       floor(boil.boiler_occ * 10000.0 / boil.total_chunks + 0.5)
+      |         / 10000.0 AS boiler_rate,
+      |       CAST(kan.risky_groups AS BIGINT) AS risky_groups,
+      |       CAST(ld.homog_groups AS BIGINT) AS homog_groups,
+      |       (floor(bl.n_blocked * 10000.0 / bl.n_docs + 0.5) / 10000.0
+      |          <= 0.02
+      |        AND floor(boil.boiler_occ * 10000.0 / boil.total_chunks + 0.5)
+      |          / 10000.0 <= 0.05
+      |        AND kan.risky_groups <= 5) AS release_ok
+      |FROM bl
+      |JOIN boil ON boil.source = bl.source
+      |JOIN kan ON kan.source = bl.source
+      |JOIN ld ON ld.source = bl.source
+      |ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.words
+    val t = Tables
+      .documents(s, d)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        words($"text").as("w"))
+    val blTerms = array(Seq("slow", "merge", "window").map(lit): _*)
+    val bl = t
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(
+          size(filter($"w", x => array_contains(blTerms, x))) * lit(1.0) /
+            size($"w") >= 0.05, 1L).otherwise(0L)).as("n_blocked"))
+    val cf = t
+      .select($"doc_id", $"source",
+        explode(
+          transform(
+            sequence(lit(0), ceil(size($"w") / lit(10.0)).cast("int") - 1),
+            i => array_join(slice($"w", i * 10 + 1, lit(10)), " ")))
+          .as("chunk"))
+      .groupBy($"source", $"chunk")
+      .agg(count(lit(1)).as("occ"), countDistinct($"doc_id").as("df"))
+    val boil = cf
+      .groupBy($"source")
+      .agg(
+        sum(when($"df" >= 3, $"occ").otherwise(0L)).as("boiler_occ"),
+        sum($"occ").as("total_chunks"))
+    val docs = Tables.documents(s, d)
+    val kan = docs
+      .groupBy($"source", $"lang",
+        ($"n_chars".cast("long") / 256).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(sum(when($"n" < 5, 1L).otherwise(0L)).as("risky_groups"))
+    val ld = docs
+      .groupBy($"source",
+        ($"n_chars".cast("long") / 256).cast("long").as("band"))
+      .agg(countDistinct($"lang").as("nl"))
+      .groupBy($"source")
+      .agg(sum(when($"nl" < 2, 1L).otherwise(0L)).as("homog_groups"))
+    def rate(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      floor(num * lit(10000.0) / den + 0.5) / 10000.0
+    bl.join(boil, "source")
+      .join(broadcast(kan), "source")
+      .join(broadcast(ld), "source")
+      .select(
+        $"source", $"n_docs", $"n_blocked",
+        rate($"boiler_occ", $"total_chunks").as("boiler_rate"),
+        $"risky_groups", $"homog_groups",
+        (rate($"n_blocked", $"n_docs") <= 0.02 &&
+          rate($"boiler_occ", $"total_chunks") <= 0.05 &&
+          $"risky_groups" <= 5).as("release_ok"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCleanCorpus, qTrainingMix, qShardManifest, qCurationReport,
-      qCuratePack)
+      qCuratePack, qGovernance)
 }

@@ -627,5 +627,105 @@ object Quantization {
       .orderBy($"qid")
   }
 
-  def defs: Seq[QueryDef] = Seq(qPqQuantize, qPqRecall, qAnnIvfPq, qAnnRerank)
+  /** Rerank depths to sweep (shortlist sizes fed to the exact stage). */
+  private val RerankDepths = Seq(10, 25, 50, 100)
+
+  /** Rerank-depth sweep — the second production dial after nprobe
+    * (q_ann_nprobe_sweep): how much recall each additional exactly-
+    * reranked ADC candidate buys. One ADC ranking crossed with the
+    * depth relation; per (depth, query), recall@10 of the exact-rerank
+    * top-10 against the corpus-wide exact truth. Deeper shortlists are
+    * supersets, so recall is monotone in depth (spec-pinned) and the
+    * curve's knee is where a deployment stops paying for exact
+    * distance evaluations. */
+  val qRerankSweep = QueryDef.sql(
+    "q_rerank_sweep",
+    s"""WITH $OracleAdcCtes,
+       |dp AS (SELECT unnest([${RerankDepths.mkString(", ")}]) AS depth),
+       |rkd AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ad4, vec_id) AS rk
+       |  FROM adc),
+       |qv2 AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 3),
+       |rr AS (
+       |  SELECT dp.depth, r.qid, r.vec_id,
+       |         CAST(floor(list_sum([(q.qe[i] - v.e[i])
+       |                              * (q.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS rd4
+       |  FROM dp JOIN rkd r ON r.rk <= dp.depth
+       |  JOIN v ON v.vec_id = r.vec_id
+       |  JOIN qv2 q ON q.qid = r.qid),
+       |rtop AS (
+       |  SELECT depth, qid, vec_id FROM (
+       |    SELECT depth, qid, vec_id,
+       |           row_number() OVER (PARTITION BY depth, qid
+       |                              ORDER BY rd4, vec_id) AS rk
+       |    FROM rr) WHERE rk <= 10),
+       |ex AS (
+       |  SELECT qv2.qid, v.vec_id,
+       |         CAST(floor(list_sum([(qv2.qe[i] - v.e[i])
+       |                              * (qv2.qe[i] - v.e[i])
+       |                              for i in range(1, ${PqM * PqSubDim} + 1)])
+       |                    * 10000 + 0.5) AS BIGINT) AS ed4
+       |  FROM qv2 CROSS JOIN v),
+       |etop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ed4, vec_id) AS rk
+       |    FROM ex) WHERE rk <= 10)
+       |SELECT dp.depth, e.qid,
+       |       CAST(count(r.vec_id) AS BIGINT) AS hits,
+       |       count(r.vec_id) / 10.0 AS recall
+       |FROM dp CROSS JOIN etop e
+       |LEFT JOIN rtop r
+       |  ON r.depth = dp.depth AND r.qid = e.qid AND r.vec_id = e.vec_id
+       |GROUP BY dp.depth, e.qid
+       |ORDER BY dp.depth, e.qid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val adc = ivfPqAdc(emb, nQ = 3)
+    val wA = Window.partitionBy($"qid").orderBy($"ad4", $"vec_id")
+    val ranked = adc.withColumn("rk", row_number().over(wA))
+    val depths = RerankDepths.toDF("depth")
+    val full = emb.select($"vec_id", toD($"embedding").as("e"))
+    val qv = full.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"e".as("qe"))
+    val wR = Window.partitionBy($"depth", $"qid").orderBy($"rd4", $"vec_id")
+    val rtop = ranked
+      .crossJoin(broadcast(depths))
+      .filter($"rk" <= $"depth")
+      .select($"depth", $"qid", $"vec_id")
+      .join(full, "vec_id")
+      .join(broadcast(qv), "qid")
+      .select($"depth", $"qid", $"vec_id", d4($"qe", $"e").as("rd4"))
+      .withColumn("rrk", row_number().over(wR))
+      .filter($"rrk" <= 10)
+      .select($"depth".as("r_depth"), $"qid".as("r_qid"),
+        $"vec_id".as("r_vec"))
+    val wE = Window.partitionBy($"qid").orderBy($"ed4", $"vec_id")
+    val etop = full
+      .crossJoin(broadcast(qv.withColumnRenamed("qid", "eqid")))
+      .select($"eqid".as("qid"), $"vec_id", d4($"qe", $"e").as("ed4"))
+      .withColumn("rk", row_number().over(wE))
+      .filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+    depths
+      .crossJoin(etop)
+      .join(rtop,
+        $"r_depth" === $"depth" && $"r_qid" === $"qid" &&
+          $"r_vec" === $"vec_id",
+        "left")
+      .groupBy($"depth", $"qid")
+      .agg(count($"r_vec").as("hits"),
+        (count($"r_vec") / 10.0).as("recall"))
+      .orderBy($"depth", $"qid")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qPqQuantize, qPqRecall, qAnnIvfPq, qAnnRerank, qRerankSweep)
 }

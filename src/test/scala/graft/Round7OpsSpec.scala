@@ -181,6 +181,45 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("rerank sweep: recall is monotone in shortlist depth") {
+    val rows = graft.operators.Quantization.qRerankSweep
+      .fn(spark, sf)
+      .select($"depth", $"qid", $"recall".cast("double"))
+      .as[(Int, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { g =>
+      val byDepth = g.sortBy(_._1).map(_._3)
+      assert(byDepth.zip(byDepth.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall must not drop as the shortlist deepens: ${g.sortBy(_._1).toSeq}")
+    }
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("governance gate agrees with its component audits") {
+    val rows = graft.operators.Pipeline.qGovernance
+      .fn(spark, sf)
+      .select($"source", $"n_docs", $"n_blocked", $"risky_groups",
+        $"homog_groups", $"release_ok")
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect()
+    val nSources = Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(rows.length === nSources)
+    assert(rows.map(_._2).sum === Tables.documents(spark, sf).count())
+    // risky_groups must match the standalone k-anonymity audit
+    val kan = graft.operators.Curation.qKAnonymity
+      .fn(spark, sf)
+      .filter($"risky")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (src, _, _, risky, _, _) =>
+      assert(risky === kan.getOrElse(src, 0L),
+        s"$src risky-group count diverges from q_k_anonymity")
+    }
+  }
+
   test("embedding drift: one row per label, cosine within [-1, 1]") {
     val rows = Similarity.qEmbedDrift
       .fn(spark, sf)
