@@ -857,9 +857,102 @@ object Events {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Sliding (hopping) windows in batch: 10-minute windows every 5
+    * minutes — each event lands in exactly two overlapping windows, the
+    * smoothing view a dashboard rate panel actually renders (tumbling
+    * windows jitter at the boundary). Spark's `window(ts, len, slide)`
+    * generates the window replicas inside the scan projection; the
+    * oracle replicates with the two closed-form window starts. One
+    * count-shuffle on (window, type). */
+  val qSlidingRate = QueryDef.sql(
+    "q_events_sliding_rate",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |         unnest([us // 300000000 * 300000000 - 300000000,
+      |                 us // 300000000 * 300000000]) AS win_start
+      |  FROM e)
+      |SELECT CAST(win_start AS BIGINT) AS window_start_us, event_type,
+      |       count(*) AS n
+      |FROM w
+      |GROUP BY win_start, event_type
+      |ORDER BY window_start_us, event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables
+      .events(s, d)
+      .groupBy(
+        window($"ts", "10 minutes", "5 minutes").as("w"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      // cast: events.ts may read as TIMESTAMP_NTZ (generation-dependent);
+      // exact under the UTC session tz, and unix_micros requires TIMESTAMP
+      .select(unix_micros($"w.start".cast("timestamp")).as("window_start_us"),
+        $"event_type", $"n")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  /** First-touch attribution: each purchase credited to the user's FIRST
+    * view inside the preceding 24 hours (the marketing-attribution
+    * variant of the as-of join, which credits the LAST touch). Window
+    * scoped per purchase via a range self-join on the user key; the
+    * min-(ts, id) touch is an aggregate, not a sort. Purchases with no
+    * in-window view stay unattributed (left join). */
+  val qFirstTouch = QueryDef.sql(
+    "q_first_touch_attribution",
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, epoch_ns(ts) AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT event_id AS v_id, user_id, epoch_ns(ts) AS v_ts
+      |  FROM events WHERE event_type = 'view'),
+      |m1 AS (
+      |  SELECT p.p_id, p.user_id, min(v.v_ts) AS ft_ts
+      |  FROM p LEFT JOIN v
+      |    ON v.user_id = p.user_id
+      |   AND v.v_ts < p.p_ts
+      |   AND v.v_ts >= p.p_ts - 86400000000000
+      |  GROUP BY p.p_id, p.user_id)
+      |SELECT m1.p_id, m1.user_id,
+      |       CAST(min(v.v_id) AS BIGINT) AS first_view_id,
+      |       (m1.ft_ts IS NULL) AS unattributed
+      |FROM m1 LEFT JOIN v
+      |  ON v.user_id = m1.user_id AND v.v_ts = m1.ft_ts
+      |GROUP BY m1.p_id, m1.user_id, m1.ft_ts
+      |ORDER BY p_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val p = ev
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts_ns".as("p_ts"))
+    val v = ev
+      .filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_user"),
+        $"ts_ns".as("v_ts"))
+    // two-step min, NOT a packed (ts, id) key: epoch-nanos * anything
+    // overflows a long, and DuckDB errors on BIGINT overflow while
+    // Spark wraps — the earliest timestamp first, then the min id
+    // among views at exactly that timestamp (deterministic tiebreak)
+    val m1 = p
+      .join(v,
+        $"v_user" === $"user_id" && $"v_ts" < $"p_ts" &&
+          $"v_ts" >= $"p_ts" - lit(86400000000000L),
+        "left")
+      .groupBy($"p_id", $"user_id")
+      .agg(min($"v_ts").as("ft_ts"))
+    m1.join(v, $"v_user" === $"user_id" && $"v_ts" === $"ft_ts", "left")
+      .groupBy($"p_id", $"user_id", $"ft_ts")
+      .agg(min($"v_id").as("first_view_id"))
+      .select($"p_id", $"user_id", $"first_view_id",
+        $"ft_ts".isNull.as("unattributed"))
+      .orderBy($"p_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
-      qRollingDistinct, qMadAnomaly)
+      qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch)
 }
