@@ -15,6 +15,7 @@ object SparkEntry {
     "text analysis" -> operators.TextOps.defs,
     "dedup" -> operators.Dedup.defs,
     "similarity / ANN" -> operators.Similarity.defs,
+    "spectral decomposition" -> operators.Spectral.defs,
     "vector quantization" -> operators.Quantization.defs,
     "multimodal" -> operators.Multimodal.defs,
     "fs / kv metadata" -> operators.FsQueries.defs,

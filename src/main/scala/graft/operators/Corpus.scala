@@ -816,9 +816,110 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Incremental materialized-view maintenance — the per-source stats
+    * table (docs, chars) a warehouse keeps current between corpus
+    * versions WITHOUT rescanning the corpus: the view over v2 is
+    * computed as view(v1) merged with aggregates of the CHANGE SET only
+    * (added docs add, removed docs subtract, changed docs do both), and
+    * the query audits that algebra by recomputing view(v2) from scratch
+    * and comparing. v1/v2 are derived with the same deterministic
+    * residue edits as [[qCorpusDiff]], so both engines maintain the
+    * identical pair; a production caller feeds its CDC log as the delta.
+    *
+    * Scale (100 TB): the incremental path aggregates only the delta —
+    * at a typical 0.1% daily churn that is a 1000× smaller scan than
+    * refresh-by-recompute (here the from-scratch side exists purely as
+    * the in-query audit). SUM/COUNT are self-maintainable; the merge is
+    * an O(|sources|) outer join of two aggregate-sized relations. */
+  val qMvMaintain = QueryDef.sql(
+    "q_mv_maintain",
+    """WITH v1 AS (SELECT doc_id, source, length(text) AS nc, md5(text) AS h
+      |            FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 13 = 4 THEN length(text || ' [rev2]')
+      |              ELSE length(text) END AS nc,
+      |         CASE WHEN doc_id % 13 = 4 THEN md5(text || ' [rev2]')
+      |              ELSE md5(text) END AS h
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, source, length(text), md5(text)
+      |  FROM documents WHERE doc_id % 19 = 6),
+      |mv1 AS (SELECT source, count(*) AS n1, sum(nc) AS s1
+      |        FROM v1 GROUP BY source),
+      |delta AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         sum(CASE WHEN a.doc_id IS NULL THEN 1
+      |                  WHEN b.doc_id IS NULL THEN -1 ELSE 0 END) AS dn,
+      |         sum(coalesce(b.nc, 0) - coalesce(a.nc, 0)) AS ds
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+      |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+      |  GROUP BY 1),
+      |incr AS (
+      |  SELECT mv1.source,
+      |         mv1.n1 + coalesce(delta.dn, 0) AS n_incr,
+      |         mv1.s1 + coalesce(delta.ds, 0) AS s_incr
+      |  FROM mv1 LEFT JOIN delta ON mv1.source = delta.source),
+      |full_v2 AS (SELECT source, count(*) AS n_full, sum(nc) AS s_full
+      |            FROM v2 GROUP BY source)
+      |SELECT i.source,
+      |       CAST(i.n_incr AS BIGINT) AS n_docs,
+      |       CAST(i.s_incr AS BIGINT) AS sum_chars,
+      |       (i.n_incr = f.n_full AND i.s_incr = f.s_full) AS consistent
+      |FROM incr i JOIN full_v2 f ON i.source = f.source
+      |ORDER BY i.source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select($"doc_id", $"source",
+      length($"text").cast("long").as("nc"), md5($"text").as("h"))
+    val revised = $"doc_id" % 13 === 4
+    val v2 = docs
+      .filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id", $"source",
+        when(revised, length(concat($"text", lit(" [rev2]"))))
+          .otherwise(length($"text")).cast("long").as("nc"),
+        when(revised, md5(concat($"text", lit(" [rev2]"))))
+          .otherwise(md5($"text")).as("h"))
+      .unionAll(docs
+        .filter($"doc_id" % 19 === 6)
+        .select(($"doc_id" + 1000000000L).as("doc_id"), $"source",
+          length($"text").cast("long").as("nc"), md5($"text").as("h")))
+    val mv1 = v1.groupBy($"source")
+      .agg(count(lit(1)).as("n1"), sum($"nc").as("s1"))
+    val a = v1.select($"doc_id".as("a_id"), $"source".as("a_src"),
+      $"nc".as("a_nc"), $"h".as("a_h"))
+    val b = v2.select($"doc_id".as("b_id"), $"source".as("b_src"),
+      $"nc".as("b_nc"), $"h".as("b_h"))
+    val delta = a
+      .join(b, $"a_id" === $"b_id", "full_outer")
+      .filter($"a_id".isNull || $"b_id".isNull || $"a_h" =!= $"b_h")
+      .groupBy(coalesce($"a_src", $"b_src").as("source"))
+      .agg(
+        sum(when($"a_id".isNull, 1L).when($"b_id".isNull, -1L)
+          .otherwise(0L)).as("dn"),
+        sum(coalesce($"b_nc", lit(0L)) - coalesce($"a_nc", lit(0L)))
+          .as("ds"))
+    val incr = mv1
+      .join(delta, Seq("source"), "left")
+      .select($"source",
+        ($"n1" + coalesce($"dn", lit(0L))).as("n_incr"),
+        ($"s1" + coalesce($"ds", lit(0L))).as("s_incr"))
+    val fullV2 = v2.groupBy($"source")
+      .agg(count(lit(1)).as("n_full"), sum($"nc").as("s_full"))
+    incr
+      .join(fullV2, Seq("source"))
+      .select($"source",
+        $"n_incr".cast("long").as("n_docs"),
+        $"s_incr".cast("long").as("sum_chars"),
+        ($"n_incr" === $"n_full" && $"s_incr" === $"s_full")
+          .as("consistent"))
+      .orderBy($"source")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
-      qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight)
+      qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight, qMvMaintain)
 }

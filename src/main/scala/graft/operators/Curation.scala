@@ -420,6 +420,70 @@ object Curation {
       .orderBy($"source", $"len_band")
   }
 
+  /** t-closeness distance ceiling: a QI group whose sensitive-attribute
+    * distribution sits farther than t (total-variation distance) from
+    * the corpus-wide distribution leaks attribute skew. */
+  private val TCloseT = 0.2
+
+  /** t-closeness audit (Li et al. 2007, "t-Closeness: privacy beyond
+    * k-anonymity and l-diversity") — third leg of the governance trio
+    * beside [[qKAnonymity]] and [[qLDiversity]]: l-diversity counts
+    * DISTINCT sensitive values, but a group can be l-diverse and still
+    * skewed (99% one lang); here each QI group (source, length band) is
+    * scored by the total-variation distance 0.5·Σ|p − q| between its
+    * lang distribution p and the corpus-wide distribution q, flagged
+    * when the ROUNDED distance exceeds t. Scale: one count-shuffle on
+    * (source, len_band, lang); the global distribution is a |langs|-row
+    * broadcast, and the group×lang completion grid is O(groups·langs)
+    * output-sized — the corpus is scanned once. */
+  val qTCloseness = QueryDef.sql(
+    "q_t_closeness",
+    s"""WITH g AS (
+       |  SELECT source, n_chars // 256 AS len_band, lang, count(*) AS n
+       |  FROM documents GROUP BY 1, 2, 3),
+       |gt AS (SELECT source, len_band, sum(n) AS gn FROM g GROUP BY 1, 2),
+       |gl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n) AS t FROM gl),
+       |q AS (SELECT lang, n * 1.0 / t AS q FROM gl CROSS JOIN tot),
+       |pairs AS (
+       |  SELECT gt.source, gt.len_band, gt.gn, q.q,
+       |         coalesce(g.n, 0) * 1.0 / gt.gn AS p
+       |  FROM gt CROSS JOIN q
+       |  LEFT JOIN g ON g.source = gt.source AND g.len_band = gt.len_band
+       |             AND g.lang = q.lang)
+       |SELECT source, CAST(len_band AS BIGINT) AS len_band,
+       |       CAST(any_value(gn) AS BIGINT) AS n,
+       |       round(0.5 * sum(abs(p - q)), 4) AS tvd,
+       |       (round(0.5 * sum(abs(p - q)), 4) > $TCloseT) AS leaky
+       |FROM pairs GROUP BY source, len_band
+       |ORDER BY source, len_band""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val g = docs
+      .groupBy($"source",
+        ($"n_chars".cast("long") / 256).cast("long").as("len_band"),
+        $"lang")
+      .agg(count(lit(1)).as("n"))
+    val gt = g.groupBy($"source", $"len_band").agg(sum($"n").as("gn"))
+    val glob = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = glob.agg(sum($"n").as("t"))
+    val q = glob
+      .crossJoin(broadcast(tot))
+      .select($"lang", ($"n" * lit(1.0) / $"t").as("q"))
+    gt.crossJoin(broadcast(q))
+      .join(g, Seq("source", "len_band", "lang"), "left")
+      .select($"source", $"len_band", $"gn", $"q",
+        (coalesce($"n", lit(0L)) * lit(1.0) / $"gn").as("p"))
+      .groupBy($"source", $"len_band")
+      .agg(
+        first($"gn").as("n"),
+        round(lit(0.5) * sum(abs($"p" - $"q")), 4).as("tvd"))
+      .select($"source", $"len_band", $"n", $"tvd",
+        ($"tvd" > TCloseT).as("leaky"))
+      .orderBy($"source", $"len_band")
+  }
+
   /** Target rows per semantic-dedup cell: the within-cell all-pairs cost
     * is O(cellRows²), so holding cellRows constant (and letting the CELL
     * COUNT grow with the corpus — the SemDeDup recipe's ~10⁴-10⁵
@@ -1049,5 +1113,5 @@ object Curation {
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
       qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup,
       qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity,
-      qLDiversity)
+      qLDiversity, qTCloseness)
 }

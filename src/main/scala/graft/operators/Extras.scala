@@ -599,8 +599,169 @@ object Extras {
       .orderBy($"event_id")
   }
 
+  /** One-pass column profiler (the Deequ/Glue-crawler-style table audit a
+    * warehouse runs before trusting a new 100 TB drop): for every column
+    * of `documents` — row count, nulls, exact distinct cardinality,
+    * completeness, and min/max rendered as strings. The whole profile is
+    * ONE aggregate over one scan (the five exact-distinct measures share
+    * it via the standard Expand rewrite); the long-format unpivot then
+    * runs on the single result row, so output is O(#columns) regardless
+    * of corpus size. */
+  val qColumnProfile = QueryDef.sql(
+    "q_column_profile",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |         count(doc_id) AS c1, count(DISTINCT doc_id) AS d1,
+      |         CAST(min(doc_id) AS VARCHAR) AS mi1, CAST(max(doc_id) AS VARCHAR) AS ma1,
+      |         count(text) AS c2, count(DISTINCT text) AS d2,
+      |         CAST(min(text) AS VARCHAR) AS mi2, CAST(max(text) AS VARCHAR) AS ma2,
+      |         count(lang) AS c3, count(DISTINCT lang) AS d3,
+      |         CAST(min(lang) AS VARCHAR) AS mi3, CAST(max(lang) AS VARCHAR) AS ma3,
+      |         count(source) AS c4, count(DISTINCT source) AS d4,
+      |         CAST(min(source) AS VARCHAR) AS mi4, CAST(max(source) AS VARCHAR) AS ma4,
+      |         count(n_chars) AS c5, count(DISTINCT n_chars) AS d5,
+      |         CAST(min(n_chars) AS VARCHAR) AS mi5, CAST(max(n_chars) AS VARCHAR) AS ma5
+      |  FROM documents)
+      |SELECT col_name, n AS n_rows, n - c AS n_nulls, d AS n_distinct,
+      |       round(c * 1.0 / n, 4) AS completeness, mi AS min_v, ma AS max_v
+      |FROM (
+      |  SELECT 'doc_id' AS col_name, n, c1 AS c, d1 AS d, mi1 AS mi, ma1 AS ma FROM a
+      |  UNION ALL SELECT 'lang', n, c3, d3, mi3, ma3 FROM a
+      |  UNION ALL SELECT 'n_chars', n, c5, d5, mi5, ma5 FROM a
+      |  UNION ALL SELECT 'source', n, c4, d4, mi4, ma4 FROM a
+      |  UNION ALL SELECT 'text', n, c2, d2, mi2, ma2 FROM a)
+      |ORDER BY col_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).cast("long").as("n") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).cast("long").as(s"c_$c"),
+        countDistinct(col(c)).cast("long").as(s"d_$c"),
+        min(col(c)).cast("string").as(s"mi_$c"),
+        max(col(c)).cast("string").as(s"ma_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', c_$c, d_$c, mi_$c, ma_$c")
+      .mkString(", ")
+    Tables
+      .documents(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, c, d, mi, ma)")
+      .select(
+        $"col_name", $"n".as("n_rows"),
+        ($"n" - $"c").as("n_nulls"), $"d".as("n_distinct"),
+        round($"c" * lit(1.0) / $"n", 4).as("completeness"),
+        $"mi".as("min_v"), $"ma".as("max_v"))
+      .orderBy($"col_name")
+  }
+
+  /** Bloom-filtered semi-join — the runtime-filter pattern hand-built
+    * and AUDITED: the build side (customers holding an urgent
+    * >450k-price order) is condensed into a 16384-bit / k=2 Bloom
+    * filter (a ≤512-word relation, ~2 KiB broadcast), the probe side is
+    * screened scan-side by bit tests, and only Bloom survivors would
+    * reach the exact verify join. The query emits the audit a planner
+    * wants before trusting the filter: probe population, exact members,
+    * Bloom pass count, false positives, misses (pinned 0 — Blooms never
+    * false-negative), and the realized FP rate against the theoretical
+    * (1−e^(−kn/m))^k ≈ 0.1%.
+    *
+    * Scale (100 TB): this is semi-join pruning without shuffling the
+    * probe side — the filter words are an aggregate over the (already
+    * filtered, distinct) build keys, the probe scan tests 2 bits per
+    * row against the broadcast, and the expensive exact join runs on
+    * the surviving sliver only. The same shape Spark's own runtime
+    * row-group filtering uses, here as an explicit, measurable plan. */
+  val qBloomSemijoin = QueryDef.sql(
+    "q_bloom_semijoin",
+    """WITH ck AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+      |pos AS (
+      |  SELECT ((CAST(concat('0x', substr(md5('bfsj|' || CAST(k AS VARCHAR)), 1, 15))
+      |            AS BIGINT) >> (14 * i)) & 16383) AS p
+      |  FROM ck CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+      |bloom AS (
+      |  SELECT p >> 5 AS widx,
+      |         bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS word
+      |  FROM pos GROUP BY 1),
+      |probe AS (
+      |  SELECT c_custkey,
+      |         (h & 16383) AS p0, ((h >> 14) & 16383) AS p1
+      |  FROM (SELECT c_custkey,
+      |               CAST(concat('0x', substr(md5('bfsj|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+      |                 AS BIGINT) AS h
+      |        FROM customer)),
+      |flags AS (
+      |  SELECT pr.c_custkey,
+      |         (coalesce(b0.word & (1::BIGINT << CAST(pr.p0 & 31 AS INT)), 0) <> 0
+      |          AND coalesce(b1.word & (1::BIGINT << CAST(pr.p1 & 31 AS INT)), 0) <> 0)
+      |           AS maybe,
+      |         EXISTS (SELECT 1 FROM ck WHERE ck.k = pr.c_custkey) AS ex
+      |  FROM probe pr
+      |  LEFT JOIN bloom b0 ON b0.widx = pr.p0 >> 5
+      |  LEFT JOIN bloom b1 ON b1.widx = pr.p1 >> 5)
+      |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+      |       CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+      |       CAST(sum(CASE WHEN ex AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+      |       CAST(sum(CASE WHEN maybe AND NOT ex THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |       round(sum(CASE WHEN maybe AND NOT ex THEN 1 ELSE 0 END) * 1.0 /
+      |             greatest(count(*) - sum(CASE WHEN ex THEN 1 ELSE 0 END), 1), 4)
+      |         AS fp_rate
+      |FROM flags""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val ck = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 450000)
+      .select($"o_custkey".as("k"))
+      .distinct()
+    val h = stableHash60(concat(lit("bfsj|"), $"k".cast("string")))
+    // positions i=0,1: (h >> 14i) & 16383
+    val posn = ck
+      .select(h.as("h"))
+      .select(explode(array($"h".bitwiseAND(16383),
+        expr("(h >> 14) & 16383"))).as("p"))
+    val words = posn
+      .groupBy(expr("p >> 5").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p & 31 as int)))").as("word"))
+    val hp = stableHash60(concat(lit("bfsj|"), $"c_custkey".cast("string")))
+    val probe = Tables.customer(s, d)
+      .select($"c_custkey", hp.as("h"))
+      .select($"c_custkey",
+        $"h".bitwiseAND(16383).as("p0"),
+        expr("(h >> 14) & 16383").as("p1"))
+    val b0 = words.select($"widx".as("w0"), $"word".as("word0"))
+    val b1 = words.select($"widx".as("w1"), $"word".as("word1"))
+    val exact = ck.select($"k".as("ex_k"))
+    val flags = probe
+      .join(broadcast(b0), expr("w0 = (p0 >> 5)"), "left")
+      .join(broadcast(b1), expr("w1 = (p1 >> 5)"), "left")
+      .join(broadcast(exact), $"ex_k" === $"c_custkey", "left")
+      .select(
+        (coalesce(expr("word0 & shiftleft(1L, cast(p0 & 31 as int))"),
+          lit(0L)) =!= 0L &&
+          coalesce(expr("word1 & shiftleft(1L, cast(p1 & 31 as int))"),
+            lit(0L)) =!= 0L).as("maybe"),
+        $"ex_k".isNotNull.as("ex"))
+    flags.agg(
+      count(lit(1)).as("n_probe"),
+      sum(when($"ex", 1L).otherwise(0L)).as("n_exact"),
+      sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_pass"),
+      sum(when($"ex" && !$"maybe", 1L).otherwise(0L)).as("n_missed"),
+      sum(when($"maybe" && !$"ex", 1L).otherwise(0L)).as("n_false_pos"))
+      .select(
+        $"n_probe", $"n_exact", $"n_bloom_pass", $"n_missed",
+        $"n_false_pos",
+        round($"n_false_pos" * lit(1.0) /
+          greatest($"n_probe" - $"n_exact", lit(1L)), 4).as("fp_rate"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
-      qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit)
+      qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
+      qBloomSemijoin)
 }

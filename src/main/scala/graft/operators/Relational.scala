@@ -590,9 +590,41 @@ object Relational {
       .orderBy($"hour", $"rk")
   }
 
+  /** Distribution window functions — percent_rank / cume_dist of each
+    * event's value within its type (the empirical-CDF position an SLO
+    * or scoring pipeline reads per observation). Both functions are
+    * tie-stable: equal values share a rank on every engine, so no
+    * tiebreak column is needed inside the window. Scale: one exchange
+    * on event_type; each partition sorts independently — at 100 TB the
+    * per-type partitions are what AQE splits, not a global sort. */
+  val qWindowDistribution = QueryDef.sql(
+    "q_window_distribution",
+    """SELECT event_type, event_id,
+      |       round(value, 4) AS value,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist()    OVER w, 6) AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+      |ORDER BY event_type, event_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+      .orderBy($"value")
+    graft.Tables
+      .events(s, d)
+      .select(
+        $"event_type", $"event_id",
+        round($"value", 4).as("value"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3JoinTopk, q5StarJoin, qSemiJoin, qAntiJoin,
     qOuterJoin, qWindowRank, qWindowRunning, qWindowLag, qSortLimit,
     qSetOps, qDistinct, qRollup, qCube, qStringFuncs, qDateFuncs,
-    qCaseExpr, qJsonExtract, qHavingSub, qMinCost, qTopkPerWindow)
+    qCaseExpr, qJsonExtract, qHavingSub, qMinCost, qTopkPerWindow,
+    qWindowDistribution)
 }

@@ -1543,10 +1543,69 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Charset / mojibake audit — the encoding-hygiene screen a web-scale
+    * ingest runs before any text operator trusts the bytes: per document,
+    * how many characters are printable ASCII (plus tab/LF/CR), how many
+    * are C0/DEL control characters (a binary-in-text or truncated-
+    * multibyte tell), how many are the U+FFFD replacement character (a
+    * decoder already gave up upstream), and the resulting clean verdict.
+    * Counts are length-differences after character-class strips, so both
+    * engines count codepoints, not bytes. Pure per-row arithmetic fused
+    * into the scan's codegen span — no shuffle before the final sort. */
+  val qCharsetAudit = QueryDef.sql(
+    "q_charset_audit",
+    """SELECT doc_id,
+      |       CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |       CAST(length(text)
+      |            - length(regexp_replace(text, '[\x09\x0a\x0d\x20-\x7e]', '', 'g'))
+      |            AS BIGINT) AS n_ascii,
+      |       CAST(length(regexp_replace(text,
+      |            '[^\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'))
+      |            AS BIGINT) AS n_ctrl,
+      |       CAST(length(text) - length(replace(text, chr(65533), ''))
+      |            AS BIGINT) AS n_repl,
+      |       round((length(text)
+      |              - length(regexp_replace(text, '[\x09\x0a\x0d\x20-\x7e]', '', 'g')))
+      |             * 1.0 / greatest(length(text), 1), 4) AS ascii_share,
+      |       (length(regexp_replace(text,
+      |            '[^\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) = 0
+      |        AND length(text) = length(replace(text, chr(65533), ''))
+      |        AND (length(text)
+      |             - length(regexp_replace(text, '[\x09\x0a\x0d\x20-\x7e]', '', 'g')))
+      |            * 1.0 / greatest(length(text), 1) >= 0.95) AS clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val nAscii = (length($"text") -
+      length(regexp_replace($"text", "[\\x09\\x0A\\x0D\\x20-\\x7E]", "")))
+      .cast("long")
+    val nCtrl = length(regexp_replace($"text",
+      "[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")).cast("long")
+    val nRepl = (length($"text") -
+      length(regexp_replace($"text", "\uFFFD", ""))).cast("long")
+    val share = round(
+      nAscii * lit(1.0) / greatest(length($"text"), lit(1)), 4)
+    Tables
+      .documents(s, d)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_measured"),
+        nAscii.as("n_ascii"),
+        nCtrl.as("n_ctrl"),
+        nRepl.as("n_repl"),
+        share.as("ascii_share"),
+        (nCtrl === 0 && nRepl === 0 &&
+          nAscii * lit(1.0) / greatest(length($"text"), lit(1)) >= 0.95)
+          .as("clean"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
-      qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability)
+      qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
+      qCharsetAudit)
 }

@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.Spectral
+import graft.plans.CovarianceAgg
+import org.apache.spark.sql.functions._
+
+/** Spectral family: one-pass covariance aggregate (third-engine parity,
+  * partition invariance), Jacobi eigendecomposition laws, PCA projection
+  * semantics, and plan shape.
+  */
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = Spectral.Dim
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  /** Plain-Scala two-pass covariance over the collected fixture — the
+    * independent third engine the suite uses for non-SQL math. */
+  private lazy val (refN, refMean, refCov): (Long, Array[Double], Array[Array[Double]]) = {
+    val vecs = emb
+      .filter($"embedding".isNotNull && size($"embedding") === dim)
+      .select($"embedding")
+      .as[Seq[Float]]
+      .collect()
+      .map(_.map(_.toDouble).toArray)
+    val n = vecs.length.toLong
+    val mean = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    }
+    (n, mean, cov)
+  }
+
+  test("covariance moments match a plain-Scala two-pass computation") {
+    val (n, mean, cov) = Spectral.covarianceMatrix(emb)
+    assert(n === refN)
+    for (i <- 0 until dim)
+      assert(math.abs(mean(i) - refMean(i)) < 1e-9, s"mean($i)")
+    for (i <- 0 until dim; j <- 0 until dim)
+      assert(math.abs(cov(i)(j) - refCov(i)(j)) < 1e-8, s"cov($i,$j)")
+  }
+
+  test("moment aggregate is partition-invariant and skips malformed rows") {
+    val base = emb.select($"embedding")
+    val poisoned = base
+      .unionAll(Seq(Seq(1.0f, 2.0f)).toDF("embedding")) // wrong length
+      .unionAll(Seq(Option.empty[Seq[Float]]).toDF("embedding")) // null
+    val one = Spectral.moments(poisoned.repartition(1))
+      .head().getSeq[Double](0)
+    val many = Spectral.moments(poisoned.repartition(7))
+      .head().getSeq[Double](0)
+    assert(one.length === many.length)
+    assert(one.head === refN.toDouble) // poison rows never accumulated
+    one.zip(many).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(math.abs(a - b) <= 1e-7 * math.max(1.0, math.abs(a)), s"idx $k")
+    }
+  }
+
+  test("momentIndex maps the upper triangle without collisions") {
+    val seen = collection.mutable.Set[Int]()
+    for (i <- 0 until dim; j <- i until dim) {
+      val t = CovarianceAgg.momentIndex(dim, i, j)
+      assert(t >= 1 + dim && t < 1 + dim + dim * (dim + 1) / 2)
+      assert(seen.add(t), s"collision at ($i,$j)")
+    }
+    assert(seen.size === dim * (dim + 1) / 2)
+  }
+
+  test("jacobi eigen reconstructs a hand matrix with orthonormal axes") {
+    // symmetric 4x4 with known-distinct eigenvalues
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.0, 0.2),
+      Array(0.5, 0.0, 2.0, 0.1),
+      Array(0.0, 0.2, 0.1, 1.0))
+    val basis = Spectral.jacobiEigen(a)
+    val d = 4
+    // descending eigenvalues
+    assert(basis.values.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // orthonormality of the axes
+    for (p <- 0 until d; q <- 0 until d) {
+      val dot = (0 until d).map(i => basis.vectors(p)(i) * basis.vectors(q)(i)).sum
+      val want = if (p == q) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"axis dot ($p,$q)")
+    }
+    // A == V^T diag(values) V (vectors are rows here)
+    for (i <- 0 until d; j <- 0 until d) {
+      val recon = (0 until d)
+        .map(k => basis.vectors(k)(i) * basis.values(k) * basis.vectors(k)(j))
+        .sum
+      assert(math.abs(recon - a(i)(j)) < 1e-9, s"recon ($i,$j)")
+    }
+  }
+
+  test("pca projection: component variances equal eigenvalues, decorrelated") {
+    val (mean, basis) = Spectral.pcaTrain(emb)
+    val k = 4
+    val proj = Spectral.pcaProject(emb, mean, basis, k)
+    val rows = proj
+      .select((0 until k).map(c => col(s"p$c")): _*)
+      .as[(Double, Double, Double, Double)]
+      .collect()
+      .map(t => Array(t._1, t._2, t._3, t._4))
+    val n = rows.length
+    for (c <- 0 until k) {
+      val xs = rows.map(_(c))
+      val m = xs.sum / n
+      assert(math.abs(m) < 1e-6, s"projected mean p$c should be ~0")
+      val v = xs.map(x => (x - m) * (x - m)).sum / n
+      val rel = math.abs(v - basis.values(c)) / math.max(basis.values(c), 1e-12)
+      assert(rel < 1e-6, s"var(p$c)=$v vs eigenvalue ${basis.values(c)}")
+    }
+    // distinct components are uncorrelated
+    for (c1 <- 0 until k; c2 <- c1 + 1 until k) {
+      val cov = rows.map(r => r(c1) * r(c2)).sum / n -
+        (rows.map(_(c1)).sum / n) * (rows.map(_(c2)).sum / n)
+      assert(math.abs(cov) < 1e-6, s"cov(p$c1,p$c2)=$cov")
+    }
+    // top-k explains monotonically more variance as k grows
+    assert(basis.values.take(8).sum <= basis.values.take(16).sum + 1e-12)
+  }
+
+  test("pca projection plan is one narrow pass — no exchange, no join") {
+    val (mean, basis) = Spectral.pcaTrain(emb)
+    val plan = Spectral.pcaProject(emb, mean, basis, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection should not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"projection should not join:\n$plan")
+  }
+
+  test("q_embed_covariance rows agree with the reference matrix") {
+    val rows = Spectral.qEmbedCovariance
+      .fn(spark, sf)
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(rows.length === 36) // upper triangle of 8x8
+    rows.foreach { case (i, j, c) =>
+      val want = math.rint(refCov(i.toInt)(j.toInt) * 1e6) / 1e6
+      assert(math.abs(c - want) <= 1e-6, s"cov($i,$j)")
+    }
+  }
+}
