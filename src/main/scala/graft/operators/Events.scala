@@ -950,9 +950,93 @@ object Events {
       .orderBy($"p_id")
   }
 
+  /** Hour-of-day seasonal profile + anomaly census — the seasonal
+    * companion to the trend screens ([[qEwmaForecast]] EWMA residuals,
+    * [[qMadAnomaly]] robust z): per (event_type, hour-of-day), the mean
+    * and population-σ of that slot's DAILY counts across the series,
+    * and how many days broke the 2σ band. The day×hour×type grid is
+    * completed with zeros first (a missing hour IS a signal — skipping
+    * empty cells would bias every profile upward).
+    *
+    * Scale: one count-shuffle to (type, day, hour) cells — everything
+    * after runs on the O(types·days·24) aggregate; the grid sides
+    * (distinct days, types, 24 hods) are broadcast. Flags compare the
+    * ROUNDED z-score so an ulp cannot flip a day across the band. */
+  val qSeasonalProfile = QueryDef.sql(
+    "q_seasonal_profile",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(hour(ts) AS BIGINT) AS hod
+      |  FROM events),
+      |c AS (SELECT event_type, day, hod, count(*) AS n FROM e GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT t.event_type, d.day, CAST(h.hod AS BIGINT) AS hod
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT DISTINCT day FROM e) d
+      |  CROSS JOIN (SELECT unnest(range(24)) AS hod) h),
+      |f AS (
+      |  SELECT g.event_type, g.day, g.hod, coalesce(c.n, 0) AS n
+      |  FROM grid g LEFT JOIN c
+      |    ON c.event_type = g.event_type AND c.day = g.day AND c.hod = g.hod),
+      |prof AS (
+      |  SELECT event_type, hod, count(*) AS n_days,
+      |         avg(n) AS mean_n, stddev_pop(n) AS sd_n
+      |  FROM f GROUP BY 1, 2),
+      |anom AS (
+      |  SELECT f.event_type, f.hod,
+      |         sum(CASE WHEN p.sd_n > 0
+      |                   AND round(abs(f.n - p.mean_n) / p.sd_n, 4) > 2
+      |                  THEN 1 ELSE 0 END) AS n_anom
+      |  FROM f JOIN prof p ON p.event_type = f.event_type AND p.hod = f.hod
+      |  GROUP BY 1, 2)
+      |SELECT p.event_type, p.hod,
+      |       CAST(p.n_days AS BIGINT) AS n_days,
+      |       round(p.mean_n, 4) AS mean_n,
+      |       round(p.sd_n, 4) AS sd_n,
+      |       CAST(a.n_anom AS BIGINT) AS n_anomalous
+      |FROM prof p JOIN anom a ON a.event_type = p.event_type AND a.hod = p.hod
+      |ORDER BY p.event_type, p.hod""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        hour($"ts").cast("long").as("hod"))
+    val c = e.groupBy($"event_type", $"day", $"hod")
+      .agg(count(lit(1)).as("n"))
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(broadcast(e.select($"day").distinct()))
+      .crossJoin(broadcast(
+        s.range(24).select($"id".as("hod"))))
+    val f = grid
+      .join(c, Seq("event_type", "day", "hod"), "left")
+      .select($"event_type", $"day", $"hod",
+        coalesce($"n", lit(0L)).as("n"))
+    val prof = f.groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_days"),
+        avg($"n").as("mean_n"), stddev_pop($"n").as("sd_n"))
+    val anom = f
+      .join(broadcast(prof), Seq("event_type", "hod"))
+      .groupBy($"event_type", $"hod")
+      .agg(sum(
+        when($"sd_n" > 0 &&
+          round(abs($"n" - $"mean_n") / $"sd_n", 4) > 2, 1L)
+          .otherwise(0L)).as("n_anom"))
+    prof
+      .join(anom, Seq("event_type", "hod"))
+      .select($"event_type", $"hod",
+        $"n_days".cast("long").as("n_days"),
+        round($"mean_n", 4).as("mean_n"),
+        round($"sd_n", 4).as("sd_n"),
+        $"n_anom".cast("long").as("n_anomalous"))
+      .orderBy($"event_type", $"hod")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
-      qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch)
+      qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
+      qSeasonalProfile)
 }

@@ -111,7 +111,7 @@ object SqlPlane {
         |sk AS (
         |  SELECT element_at(kmv_sketch(stable_hash60(p_name), 8), 8) AS h8
         |  FROM graft_part)
-        |SELECT name_len, n_pairs, n_similar,
+        |SELECT CAST(name_len AS BIGINT) AS name_len, n_pairs, n_similar,
         |       (SELECT h8 FROM sk) AS sketch_h8
         |FROM pairs ORDER BY name_len""".stripMargin)
   }

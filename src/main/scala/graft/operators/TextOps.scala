@@ -1601,11 +1601,87 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** BM25 query terms — fixed for determinism; a production caller
+    * parameterizes them. */
+  private[graft] val Bm25Terms = Seq("hash", "join", "stream")
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75) —
+    * the lexical search baseline a curation pipeline runs for targeted
+    * corpus pulls (and the rerank partner to the ANN queries): top-10
+    * documents for a fixed 3-term query, scored
+    * Σ_t ln(1+(N−df+0.5)/(df+0.5)) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    * The rank key is the ROUNDED score (doc_id tiebreak), so a
+    * summation-order ulp cannot flip the ordering across engines.
+    *
+    * Scale (100 TB): the token scan keeps only QUERY-term postings (a
+    * broadcast isin filter fused into the scan), so the per-(doc, term)
+    * aggregate shuffles a sliver of the corpus; N/avgdl and the per-term
+    * dfs are broadcast 1-row / \|terms\|-row relations; the doc-length
+    * join ships two longs per document; top-10 lowers to per-partition
+    * heaps (TakeOrderedAndProject) + [[CorpusOps.boundedRank]] — no
+    * global sort, no corpus-sized window. */
+  val qBm25Retrieval = QueryDef.sql(
+    "q_bm25_retrieval",
+    """WITH q AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |      FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+      |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS s,
+      |         count(*) AS n_terms
+      |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+      |         round(s, 4) AS bm25,
+      |         CAST(row_number() OVER (ORDER BY round(s, 4) DESC, doc_id)
+      |              AS INT) AS rank
+      |  FROM sc)
+      |SELECT doc_id, n_terms, bm25, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val dl = t.select($"doc_id", size($"w").cast("double").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"), avg($"dl").as("avgdl"))
+    val tf = t
+      .select($"doc_id", explode($"w").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfr = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val sc = tf
+      .join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select($"doc_id",
+        (log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+          * $"tf" * 2.2
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .as("s"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 4).as("bm25"),
+        count(lit(1)).cast("long").as("n_terms"))
+    val top = sc.orderBy($"bm25".desc, $"doc_id").limit(10)
+    CorpusOps
+      .boundedRank(top, struct((-$"bm25").as("ns"), $"doc_id"), "rank")
+      .select($"doc_id", $"n_terms", $"bm25", $"rank")
+      .orderBy($"rank")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit)
+      qCharsetAudit, qBm25Retrieval)
 }

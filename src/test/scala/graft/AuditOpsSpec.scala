@@ -115,6 +115,57 @@ class AuditOpsSpec extends SparkSpec {
     assert(c(4) === Row(5L, 11L, 0L, 0L)) // é is non-ascii, not ctrl/repl
   }
 
+  test("bm25 retrieval matches a plain-Scala scorer") {
+    val top = TextOps.qBm25Retrieval.fn(spark, sf)
+      .select($"doc_id", $"n_terms", $"bm25", $"rank")
+      .as[(Long, Long, Double, Int)]
+      .collect()
+    assert(top.length === 10)
+    assert(top.map(_._4).toSeq === (1 to 10))
+    // rank order follows (rounded score desc, doc_id)
+    top.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+    // third engine: score every doc in plain Scala, same formula
+    val terms = Seq("hash", "join", "stream")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" +").toSeq }
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length).sum / n
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+    val scored = toks.flatMap { case (id, ws) =>
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * ws.length / avgdl))
+      }.sum
+      if (s > 0) Some(id -> (math.rint(s * 1e4) / 1e4)) else None
+    }
+    val want = scored.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(top.map(r => (r._1, r._3)).toSeq === want.toSeq)
+  }
+
+  test("seasonal profile: full grid, day census, and count conservation") {
+    val rows = graft.operators.Events.qSeasonalProfile.fn(spark, sf)
+      .select($"event_type", $"hod", $"n_days", $"mean_n", $"n_anomalous")
+      .as[(String, Long, Long, Double, Long)]
+      .collect()
+    val ev = Tables.events(spark, sf)
+    val nDays = ev.select(date_trunc("day", $"ts")).distinct().count()
+    val types = ev.select($"event_type").distinct().as[String].collect().toSet
+    assert(rows.map(_._1).toSet === types)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (0L until 24L), s"hods of $t")
+      rs.foreach { r => assert(r._3 === nDays); assert(r._5 <= r._3) }
+      // zeros-completed grid conserves the event count: Σ mean·days = n(type)
+      val total = rs.map(r => r._4 * r._3).sum
+      val nt = ev.filter($"event_type" === t).count().toDouble
+      assert(math.abs(total - nt) < 0.1, s"conservation for $t: $total vs $nt")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")

@@ -39,14 +39,14 @@ class Round7OpsSpec extends SparkSpec {
     val rows = SqlPlane.qSqlLinkage
       .fn(spark, sf)
       .select($"name_len", $"n_pairs", $"n_similar", $"sketch_h8")
-      .as[(Int, Long, Long, Long)]
+      .as[(Long, Long, Long, Long)]
       .collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r._3 <= r._2))
     // the sketch probe is one global value, identical on every row
     assert(rows.map(_._4).toSet.size === 1)
     val lens = Tables.part(spark, sf)
-      .select(length($"p_name")).distinct().as[Int].collect().toSet
+      .select(length($"p_name").cast("long")).distinct().as[Long].collect().toSet
     // a length with a single name has no pairs; every emitted length is real
     assert(rows.map(_._1).toSet.subsetOf(lens))
   }

@@ -129,6 +129,26 @@ class SpectralSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"projection should not join:\n$plan")
   }
 
+  test("covariance sketch works as a streaming aggregate (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = emb.select($"embedding").as[Seq[Float]].collect().toSeq
+    val input = MemoryStream[Seq[Float]]
+    input.addData(vecs)
+    val q = input.toDF().withColumnRenamed("value", "embedding")
+      .agg(graft.plans.CovarianceAgg.covMoments($"embedding", dim).as("m"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cov_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cov_stream").head().getSeq[Double](0)
+    val batch = Spectral.moments(emb).head().getSeq[Double](0)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(math.abs(a - b) <= 1e-7 * math.max(1.0, math.abs(b)), s"idx $k")
+    }
+  }
+
   test("q_embed_covariance rows agree with the reference matrix") {
     val rows = Spectral.qEmbedCovariance
       .fn(spark, sf)
