@@ -245,5 +245,102 @@ object GraphOps {
       .orderBy($"rnk")
   }
 
-  def defs: Seq[QueryDef] = Seq(qPagerank, qTextrankKeywords)
+  /** Triangle counting + local clustering coefficient over the nation
+    * trade graph — the community-density audit beside [[qPagerank]]'s
+    * centrality: directed trade edges are aggregated from the corpus,
+    * thresholded to the above-average-weight "strong" partners,
+    * collapsed to undirected (a < b) form, and each node reports its
+    * strong-degree, triangle membership, and clustering coefficient
+    * 2T/(deg·(deg−1)).
+    *
+    * Scale: the corpus-scale pass is the same edge aggregation PageRank
+    * pays (one shuffle to O(|nations|²) rows); triangle enumeration is
+    * the classic ordered three-way self-join (a < b < c, so each
+    * triangle counts exactly once) on the AGGREGATED edge list — at
+    * web-graph scale that join runs on the thresholded edge relation,
+    * never the raw corpus. */
+  val qTriangleCount = QueryDef.sql(
+    "q_triangle_count",
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT avg(w) AS mw FROM e),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e CROSS JOIN m WHERE w > mw AND src <> dst),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+      |  FROM und t1
+      |  JOIN und t2 ON t2.a = t1.b
+      |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
+      |tn AS (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT n.n_name AS nation,
+      |       CAST(deg.deg AS BIGINT) AS strong_degree,
+      |       CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+      |       round(CASE WHEN deg.deg >= 2
+      |                  THEN 2.0 * coalesce(tn.n_tri, 0) / (deg.deg * (deg.deg - 1))
+      |                  ELSE 0.0 END, 4) AS clustering
+      |FROM deg
+      |JOIN nation n ON n.n_nationkey = deg.node
+      |LEFT JOIN tn ON tn.node = deg.node
+      |ORDER BY nation""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = e.agg(avg($"w").as("mw"))
+    val und = e
+      .crossJoin(broadcast(m))
+      .filter($"w" > $"mw" && $"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+      .coalesce(1).localCheckpoint() // aggregate-sized; reused three ways
+    val deg = und.select($"a".as("node"))
+      .unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val t1 = und.select($"a".as("x"), $"b".as("y"))
+    val t2 = und.select($"a".as("y2"), $"b".as("z2"))
+    val t3 = und.select($"a".as("x3"), $"b".as("z3"))
+    val tri = t1
+      .join(t2, $"y2" === $"y")
+      .join(t3, $"x3" === $"x" && $"z3" === $"z2")
+      .select($"x", $"y", $"z2".as("z"))
+    val tn = tri.select($"x".as("node"))
+      .unionAll(tri.select($"y".as("node")))
+      .unionAll(tri.select($"z".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    deg
+      .join(Tables.nation(s, d), $"n_nationkey" === $"node")
+      .join(tn, Seq("node"), "left")
+      .select(
+        $"n_name".as("nation"),
+        $"deg".cast("long").as("strong_degree"),
+        coalesce($"n_tri", lit(0L)).cast("long").as("n_triangles"),
+        round(
+          when($"deg" >= 2,
+            lit(2.0) * coalesce($"n_tri", lit(0L)) /
+              ($"deg" * ($"deg" - 1)))
+            .otherwise(0.0), 4).as("clustering"))
+      .orderBy($"nation")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qPagerank, qTextrankKeywords, qTriangleCount)
 }

@@ -154,5 +154,75 @@ object Temporal {
       .orderBy($"event_id")
   }
 
-  def defs: Seq[QueryDef] = Seq(qAsofJoin, qAsofJoinNative, qRangeJoin)
+  /** Interval concurrency (sweep line): each order is "in fulfillment"
+    * from o_orderdate until its last lineitem ships; per month, the PEAK
+    * number of concurrently open orders plus the start/end censuses —
+    * the operational gauge (warehouse load, open-position count,
+    * concurrent-session peak) computed without an interval self-join.
+    *
+    * Scale (100 TB): a naive overlap self-join is O(n²) in dense
+    * periods; the sweep line is two scans of the interval relation
+    * (±1 events) and ONE running sum. The running sum uses the
+    * two-phase prefix-sum shape from `q_events_gauge`: intra-month
+    * windows (parallel across months) + inter-month offsets from the
+    * per-month totals via a broadcast triangular join — no
+    * single-partition WindowExec anywhere. Within a (ts, delta) tie
+    * block the partial sums form the same multiset under any row order,
+    * so the per-month MAX is deterministic on both engines. */
+  val qIntervalConcurrency = QueryDef.sql(
+    "q_interval_concurrency",
+    """WITH oe AS (
+      |  SELECT o.o_orderkey, o.o_orderdate AS st, max(l.l_shipdate) AS en
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |sweep AS (
+      |  SELECT st AS ts, 1 AS delta FROM oe
+      |  UNION ALL
+      |  SELECT en, -1 FROM oe),
+      |r AS (
+      |  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, delta,
+      |         sum(delta) OVER (ORDER BY ts, delta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl
+      |  FROM sweep)
+      |SELECT month,
+      |       CAST(max(lvl) AS BIGINT) AS peak_open,
+      |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_starts,
+      |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_ends
+      |FROM r GROUP BY month ORDER BY month""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val oe = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(max($"l_shipdate").as("en"))
+      .select($"o_orderdate".as("st"), $"en")
+    val sweep = oe.select($"st".as("ts"), lit(1L).as("delta"))
+      .unionAll(oe.select($"en".as("ts"), lit(-1L).as("delta")))
+      .select($"ts", $"delta",
+        date_format(date_trunc("month", $"ts"), "yyyy-MM").as("month"))
+    val intraW = Window
+      .partitionBy($"month")
+      .orderBy($"ts", $"delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sweep.groupBy($"month").agg(sum($"delta").as("mtotal"))
+    val prior = totals.select($"month".as("pmonth"), $"mtotal".as("ptotal"))
+    val offsets = totals
+      .join(broadcast(prior), $"pmonth" < $"month", "left")
+      .groupBy($"month")
+      .agg(coalesce(sum($"ptotal"), lit(0L)).as("off"))
+    sweep
+      .withColumn("intra", sum($"delta").over(intraW))
+      .join(broadcast(offsets), "month")
+      .groupBy($"month")
+      .agg(
+        max($"intra" + $"off").cast("long").as("peak_open"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when($"delta" === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy($"month")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qAsofJoin, qAsofJoinNative, qRangeJoin, qIntervalConcurrency)
 }

@@ -166,6 +166,80 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("interval concurrency matches a plain-Scala sweep line") {
+    val rows = graft.operators.Temporal.qIntervalConcurrency.fn(spark, sf)
+      .select($"month", $"peak_open", $"n_starts", $"n_ends")
+      .as[(String, Long, Long, Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    // starts and ends balance over the whole series
+    assert(rows.map(_._3).sum === rows.map(_._4).sum)
+    // third engine: brute-force sweep over the collected intervals
+    val oe = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(max($"l_shipdate").as("en"))
+      .select(
+        // NTZ-safe epoch seconds: NTZ→timestamp is exact under the UTC session tz
+        $"o_orderdate".cast("timestamp").cast("long").as("st"),
+        $"en".cast("timestamp").cast("long").as("en"))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._3).sum === oe.length)
+    val sweep = (oe.map(i => (i._1, 1)) ++ oe.map(i => (i._2, -1)))
+      .sortBy(e => (e._1, e._2))
+    var lvl = 0L
+    val peaks = collection.mutable.Map[String, Long]()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+      .withZone(java.time.ZoneOffset.UTC)
+    sweep.foreach { case (ts, d) =>
+      lvl += d
+      val mon = fmt.format(java.time.Instant.ofEpochSecond(ts))
+      peaks(mon) = math.max(peaks.getOrElse(mon, Long.MinValue), lvl)
+    }
+    assert(lvl === 0L)
+    rows.foreach { case (mon, peak, _, _) =>
+      assert(peaks(mon) === peak, s"peak for $mon")
+    }
+  }
+
+  test("triangle count matches brute force over the strong-edge graph") {
+    val rows = graft.operators.GraphOps.qTriangleCount.fn(spark, sf)
+      .select($"nation", $"strong_degree", $"n_triangles", $"clustering")
+      .as[(String, Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, deg, tri, cc) =>
+      assert(cc >= 0.0 && cc <= 1.0)
+      // a node's triangles are bounded by its pairs of strong neighbors
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+    // recompute the undirected strong graph + triangles in plain Scala
+    val e = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .as[(Long, Long, Long)].collect()
+    val mw = e.map(_._3).sum.toDouble / e.length
+    val und = e.filter(x => x._3 > mw && x._1 != x._2)
+      .map(x => (math.min(x._1, x._2), math.max(x._1, x._2))).toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val triOf = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
+    val nationName = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val want = nodes.map(n => nationName(n) ->
+      (und.count(p => p._1 == n || p._2 == n).toLong, triOf(n))).toMap
+    rows.foreach { case (nat, deg, tri, _) =>
+      assert(want(nat) === ((deg, tri)), s"node $nat")
+    }
+    assert(rows.length === want.size)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
