@@ -369,6 +369,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bm25 takes its top-10 via per-partition heaps, not a global sort") {
+    val p = plan(q("q_bm25_retrieval"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the query-term filter must reach the token pipeline before the
+    // (doc, term) aggregate — no corpus-wide tf aggregate
+    assert(!p.contains("Exchange SinglePartition") || p.contains("TakeOrdered"), p)
+  }
+
+  test("bloom semijoin never shuffles the probe side into a sort-merge join") {
+    val p = finalPlan(plan(q("q_bloom_semijoin")))
+    assert(!p.contains("SortMergeJoin"),
+      s"all bloom/exact sides are aggregate-sized broadcasts:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval concurrency prefix sum never single-partitions rows") {
+    val p = plan(q("q_interval_concurrency"))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sweep line must stay two-phase:\n$p")
+  }
+
+  test("column profile runs its multi-distinct via ONE Expand over one scan") {
+    val p = plan(q("q_column_profile"))
+    assert("Expand".r.findAllIn(p).length >= 1, p)
+    assert("FileScan parquet".r.findAllIn(finalPlan(p)).length === 1,
+      s"profile must scan the table once:\n$p")
+  }
+
   test("NO query plans a partition-less window (all-to-one funnel)") {
     // a Window with an empty partitionSpec moves the whole input to one
     // task — the r5 scale-killer class; assert the entire registry is
