@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (north-star LLM pipeline).
@@ -805,8 +806,104 @@ object Dedup {
       .orderBy($"cfg")
   }
 
+  /** Prefix-filter length for a `n`-shingle set at Jaccard 4/5 — exact
+    * integer form of n − ⌈0.8·n⌉ + 1: (4n+4) div 5 is ⌈4n/5⌉ with no
+    * dependence on double rounding (0.8 is not representable; a
+    * float-ceil that ever rounded the product up would silently shorten
+    * the prefix and cost recall, so the correctness-critical bound
+    * stays in integers on both engines). */
+  private[graft] def prefixLen(n: Long): Long = n - ((4 * n + 4) / 5) + 1
+
+  /** Exact Jaccard ≥ 0.8 similarity join via PREFIX FILTERING
+    * (Chaudhuri/Ganjam/Kaushik 2006 "primitive operator for similarity
+    * joins"; Xiao et al. 2008 PPJoin) — the deterministic alternative to
+    * MinHash-LSH candidates: provably NO false negatives, so the output
+    * is bit-identical to the brute-force inverted-index join
+    * (`q_dedup_ngram_jaccard`), which is exactly what the oracle checks.
+    *
+    * Mechanics: shingles get a global rarity order (ascending document
+    * frequency, shingle tiebreak); a doc with ℓ distinct shingles only
+    * indexes its first ℓ − ⌈0.8ℓ⌉ + 1 rarest shingles (the prefix-filter
+    * lemma: two sets with overlap ≥ α must collide within their first
+    * ℓ − α + 1 elements, and J ≥ t forces α ≥ ⌈t·ℓ⌉ on both sides); the
+    * self-join runs on that ~20% sliver, plus the 5n₁ ≥ 4n₂ length
+    * filter, then candidates verify against the full postings.
+    *
+    * Scale (100 TB): postings volume into the self-join drops ~5× at
+    * t=0.8, and — unlike the DF-capped full join — hot boilerplate
+    * shingles are STRUCTURALLY excluded: high-df shingles sort last in
+    * the rarity order and never enter a prefix (no cap heuristic, no
+    * lost pairs). The df ranking reuses the shingle-partitioned
+    * exchange; the per-doc prefix rank and count share one
+    * doc-partitioned window pass. */
+  val qPrefixFilterJoin = QueryDef.sql(
+    "q_prefix_filter_join",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+       |FROM pairs
+       |  JOIN cnt ca ON d1 = ca.doc_id
+       |  JOIN cnt cb ON d2 = cb.doc_id
+       |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    prefixFilterPairs(Tables.documents(s, d)).orderBy($"d1", $"d2")
+  }
+
+  /** The prefix-filtered join body behind [[qPrefixFilterJoin]] —
+    * returns (d1, d2, jaccard) for exact Jaccard ≥ 0.8, d1 < d2. */
+  private[graft] def prefixFilterPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val posts = docs
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition(col("s"))
+    val dfs = posts.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val rarity = byDoc.orderBy($"df", $"s")
+    val ranked = posts
+      .join(dfs, "s")
+      .select($"doc_id", $"s",
+        row_number().over(rarity).as("r"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked
+      // integer div — see prefixLen's double-ceil trap
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .select($"doc_id", $"s", $"n")
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.n".as("n1"), $"b.n".as("n2"))
+      .distinct()
+    val full = posts
+    cands
+      .join(full.as("p1"), $"d1" === $"p1.doc_id")
+      .join(full.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")
+      .groupBy($"d1", $"d2", $"n1", $"n2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        $"common" * lit(1.0) / ($"n1" + $"n2" - $"common"))
+      .filter($"jac" >= 0.8)
+      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
       qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty,
-      qDedupThresholdSweep, qLshBandSweep)
+      qDedupThresholdSweep, qLshBandSweep, qPrefixFilterJoin)
 }

@@ -170,4 +170,40 @@ class DedupSpec extends SparkSpec {
     // the fixture has real dup groups, so some docs must be dropped
     assert(rows.count(!_._4) > 0, "no docs dropped — fixture degenerate?")
   }
+  test("prefix-filter join reproduces the exact jaccard pair set") {
+    val exact = Dedup.ngramJaccardAllPairs(Tables.documents(spark, sf))
+      .filter($"jac" >= 0.8)
+      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixed = Dedup.prefixFilterPairs(Tables.documents(spark, sf))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefixed === exact,
+      "prefix filtering is exact: no false negatives, verify kills false positives")
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
+  test("prefix postings are a strict sliver of the full postings") {
+    val full = postings.count()
+    val pre = postings
+      .join(postings.groupBy($"s").agg(count(lit(1)).as("df")), "s")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"df", $"s")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .count()
+    // t = 0.8 keeps ~n/5 + 1 of each doc's shingles
+    assert(pre < full / 2, s"prefix $pre of $full")
+    assert(pre > 0)
+  }
+
+  test("prefix length is the exact integer ceil at every set size") {
+    for (n <- 1L to 2000L) {
+      val exactCeil = BigDecimal(4 * n)./(BigDecimal(5))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+      assert(Dedup.prefixLen(n) === n - exactCeil + 1, s"n=$n")
+      assert(Dedup.prefixLen(n) >= 1 && Dedup.prefixLen(n) <= n, s"bounds n=$n")
+    }
+  }
 }
