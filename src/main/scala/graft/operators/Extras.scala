@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Coverage-completing operators: bag-semantics set ops, ordered array
@@ -759,9 +760,78 @@ object Extras {
           greatest($"n_probe" - $"n_exact", lit(1L)), 4).as("fp_rate"))
   }
 
+  /** 2-D skyline / Pareto frontier (Börzsönyi et al. 2001, "The Skyline
+    * Operator"): the parts no other part dominates (cheaper-or-equal
+    * price AND larger-or-equal size, strict in one). In 2-D the skyline
+    * reduces to ONE ordered pass: group to per-price max size, then a
+    * price group survives iff its max size strictly beats the running
+    * max over all strictly cheaper groups; rows survive iff they carry
+    * their group's max. Equal (price, size) twins are mutually
+    * non-dominating and all kept.
+    *
+    * Scale (100 TB): the naive NOT EXISTS dominance check is an O(n²)
+    * nested loop; this form is one aggregate to the distinct-price
+    * relation plus a running MAX computed with the `q_events_gauge`
+    * two-phase shape (price-band partitions + broadcast cross-band
+    * offsets — max is associative, so band offsets compose exactly like
+    * the prefix sums), then a join-back on (price, size). Nothing
+    * single-partitions. */
+  val qParetoFrontier = QueryDef.sql(
+    "q_pareto_frontier",
+    """WITH g AS (
+      |  SELECT p_retailprice AS price, max(p_size) AS gmax
+      |  FROM part GROUP BY 1),
+      |r AS (
+      |  SELECT price, gmax,
+      |         max(gmax) OVER (ORDER BY price
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runprev
+      |  FROM g),
+      |k AS (SELECT price, gmax FROM r
+      |      WHERE runprev IS NULL OR gmax > runprev)
+      |SELECT p.p_partkey,
+      |       round(p.p_retailprice, 2) AS price,
+      |       CAST(p.p_size AS BIGINT) AS size
+      |FROM part p
+      |JOIN k ON p.p_retailprice = k.price AND p.p_size = k.gmax
+      |ORDER BY p.p_partkey""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val part = Tables.part(s, d)
+    val g = part
+      .groupBy($"p_retailprice".as("price"))
+      .agg(max($"p_size").as("gmax"))
+      .withColumn("band", floor($"price" / 100).cast("long"))
+    // intra-band running max over STRICTLY cheaper prices (per-price
+    // groups make the ordering tie-free)
+    val intraW = Window
+      .partitionBy($"band")
+      .orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandTot = g.groupBy($"band").agg(max($"gmax").as("bmax"))
+    val prior = bandTot.select($"band".as("pband"), $"bmax".as("pmax"))
+    val offsets = bandTot
+      .join(broadcast(prior), $"pband" < $"band", "left")
+      .groupBy($"band")
+      .agg(max($"pmax").as("off")) // null when no cheaper band exists
+    val keepers = g
+      .withColumn("intra", max($"gmax").over(intraW))
+      .join(broadcast(offsets), "band")
+      .withColumn("runprev", greatest(coalesce($"intra", lit(Int.MinValue)),
+        coalesce($"off", lit(Int.MinValue))))
+      .filter($"gmax" > $"runprev")
+      .select($"price", $"gmax")
+    part
+      .join(broadcast(keepers),
+        $"p_retailprice" === $"price" && $"p_size" === $"gmax")
+      .select($"p_partkey",
+        round($"p_retailprice", 2).as("price"),
+        $"p_size".cast("long").as("size"))
+      .orderBy($"p_partkey")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
-      qBloomSemijoin)
+      qBloomSemijoin, qParetoFrontier)
 }

@@ -240,6 +240,29 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.length === want.size)
   }
 
+  test("pareto frontier equals brute-force dominance over the collected parts") {
+    val sky = Extras.qParetoFrontier.fn(spark, sf)
+      .select($"p_partkey", $"size")
+      .as[(Long, Long)].collect().toMap
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice", $"p_size".cast("long"))
+      .as[(Long, Double, Long)].collect()
+    val want = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        (pr2 < pr && sz2 >= sz) || (pr2 <= pr && sz2 > sz)
+      }
+    }.map(p => p._1 -> p._3).toMap
+    assert(sky === want)
+    assert(sky.nonEmpty)
+    // frontier law: paying more must buy size — sorted by price, sizes rise
+    val fr = parts.filter(p => sky.contains(p._1))
+      .sortBy(p => (p._2, p._3)).map(_._3).toSeq
+    fr.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
