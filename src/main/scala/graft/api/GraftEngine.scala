@@ -112,4 +112,10 @@ class GraftEngine(
     * [[graft.operators.TextOps.bpeEncode]] (apply trained merges over the
     * distinct vocabulary) — train on a corpus slice, encode the corpus. */
   val text: graft.operators.TextOps.type = graft.operators.TextOps
+
+  /** Spectral plane: one-pass covariance moments
+    * ([[graft.plans.CovarianceAgg]]), driver-side Jacobi
+    * eigendecomposition, and literal-folded PCA projection
+    * ([[graft.operators.Spectral.pcaTrain]] / `pcaProject`). */
+  val spectral: graft.operators.Spectral.type = graft.operators.Spectral
 }

@@ -84,6 +84,11 @@ object GraftExtensions {
       require(args.length == 2, "kmv_sketch expects (col, k)")
       KmvSketchAgg(args(0), intLit(args(1), "kmv_sketch k"))
         .toAggregateExpression()
+    },
+    "cov_moments" -> { args =>
+      require(args.length == 2, "cov_moments expects (vec_col, dim)")
+      CovarianceAgg(args(0), intLit(args(1), "cov_moments dim"))
+        .toAggregateExpression()
     })
 
   /** Register on an already-built session (withExtensions only applies

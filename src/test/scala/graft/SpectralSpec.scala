@@ -149,6 +149,19 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("cov_moments is reachable from the SQL plane") {
+    graft.plans.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("spectral_emb")
+    val viaSql = spark
+      .sql(s"SELECT cov_moments(embedding, $dim) AS m FROM spectral_emb")
+      .head().getSeq[Double](0)
+    val viaApi = Spectral.moments(emb).head().getSeq[Double](0)
+    assert(viaSql.length === viaApi.length)
+    viaSql.zip(viaApi).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-7 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("q_embed_covariance rows agree with the reference matrix") {
     val rows = Spectral.qEmbedCovariance
       .fn(spark, sf)
