@@ -829,9 +829,153 @@ object Extras {
       .orderBy($"p_partkey")
   }
 
+  /** Two-feature OLS by SUFFICIENT STATISTICS — line revenue
+    * (extendedprice·(1−discount)) regressed on (extendedprice, discount)
+    * with intercept: the ten normal-equation moments (n, Σx₁, Σx₂, Σy,
+    * Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²) come from ONE aggregate over
+    * one scan (the same mergeable-moment shape as
+    * [[graft.plans.CovarianceAgg]]), and the 3×3 solve is Cramer's rule
+    * written as plain column arithmetic — no iterative solver, no driver
+    * data pull, no ML runtime. The features are near-orthogonal
+    * (price ⟂ discount in the fixture), so the normal equations are
+    * well-conditioned and both engines' determinant trees agree far
+    * inside the rounding. Output: coefficients, R², n.
+    *
+    * Scale: model-fitting cost == one map-side-combinable aggregate;
+    * at 100 TB the ten moments still fit in a closure. */
+  val qOlsFit = QueryDef.sql(
+    "q_ols_fit",
+    """WITH f AS (
+      |  SELECT l_extendedprice * (1 - l_discount) AS y,
+      |         l_extendedprice AS x1,
+      |         l_discount AS x2
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+      |         sum(x1 * x1) AS sx11, sum(x2 * x2) AS sx22,
+      |         sum(x1 * x2) AS sx12, sum(x1 * y) AS sx1y,
+      |         sum(x2 * y) AS sx2y, sum(y * y) AS syy
+      |  FROM f),
+      |s AS (
+      |  SELECT *,
+      |         n * (sx11 * sx22 - sx12 * sx12)
+      |         - sx1 * (sx1 * sx22 - sx12 * sx2)
+      |         + sx2 * (sx1 * sx12 - sx11 * sx2) AS det
+      |  FROM m),
+      |b AS (
+      |  SELECT n, sy, sx1y, sx2y, syy,
+      |         (sy  * (sx11 * sx22 - sx12 * sx12)
+      |          - sx1 * (sx1y * sx22 - sx12 * sx2y)
+      |          + sx2 * (sx1y * sx12 - sx11 * sx2y)) / det AS b0,
+      |         (n   * (sx1y * sx22 - sx12 * sx2y)
+      |          - sy * (sx1 * sx22 - sx12 * sx2)
+      |          + sx2 * (sx1 * sx2y - sx1y * sx2)) / det AS b1,
+      |         (n   * (sx11 * sx2y - sx1y * sx12)
+      |          - sx1 * (sx1 * sx2y - sx1y * sx2)
+      |          + sy * (sx1 * sx12 - sx11 * sx2)) / det AS b2
+      |  FROM s)
+      |SELECT round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+      |       round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
+      |                 / (syy - sy * sy / n), 6) AS r2,
+      |       CAST(n AS BIGINT) AS n
+      |FROM b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val f = Tables.lineitem(s, d)
+      .select(
+        ($"l_extendedprice" * (lit(1) - $"l_discount")).as("y"),
+        $"l_extendedprice".as("x1"),
+        $"l_discount".as("x2"))
+    val m = f.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum($"x1" * $"x1").as("sx11"), sum($"x2" * $"x2").as("sx22"),
+      sum($"x1" * $"x2").as("sx12"), sum($"x1" * $"y").as("sx1y"),
+      sum($"x2" * $"y").as("sx2y"), sum($"y" * $"y").as("syy"))
+    val withDet = m.withColumn("det",
+      $"n" * ($"sx11" * $"sx22" - $"sx12" * $"sx12")
+        - $"sx1" * ($"sx1" * $"sx22" - $"sx12" * $"sx2")
+        + $"sx2" * ($"sx1" * $"sx12" - $"sx11" * $"sx2"))
+    val b = withDet.select(
+      $"n", $"sy", $"sx1y", $"sx2y", $"syy",
+      (($"sy" * ($"sx11" * $"sx22" - $"sx12" * $"sx12")
+        - $"sx1" * ($"sx1y" * $"sx22" - $"sx12" * $"sx2y")
+        + $"sx2" * ($"sx1y" * $"sx12" - $"sx11" * $"sx2y")) / $"det").as("b0"),
+      (($"n" * ($"sx1y" * $"sx22" - $"sx12" * $"sx2y")
+        - $"sy" * ($"sx1" * $"sx22" - $"sx12" * $"sx2")
+        + $"sx2" * ($"sx1" * $"sx2y" - $"sx1y" * $"sx2")) / $"det").as("b1"),
+      (($"n" * ($"sx11" * $"sx2y" - $"sx1y" * $"sx12")
+        - $"sx1" * ($"sx1" * $"sx2y" - $"sx1y" * $"sx2")
+        + $"sy" * ($"sx1" * $"sx12" - $"sx11" * $"sx2")) / $"det").as("b2"))
+    b.select(
+      round($"b0", 6).as("b0"), round($"b1", 6).as("b1"),
+      round($"b2", 6).as("b2"),
+      round(lit(1) - ($"syy" - $"b0" * $"sy" - $"b1" * $"sx1y"
+        - $"b2" * $"sx2y") / ($"syy" - $"sy" * $"sy" / $"n"), 6).as("r2"),
+      $"n".cast("long").as("n"))
+  }
+
+  /** χ² independence audit of lang × source (Pearson) — the corpus-
+    * balance check before stratified splits trust the two labels as
+    * independent dimensions: observed cell counts vs the
+    * rowTotal·colTotal/n expectation over the COMPLETE label grid
+    * (zero cells contribute their full expectation), plus Cramér's V
+    * effect size. One count-shuffle to O(langs·sources) cells; totals
+    * broadcast. */
+  val qChiSquare = QueryDef.sql(
+    "q_chi_square",
+    """WITH o AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS obs
+      |           FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, sum(obs) AS rtot FROM o GROUP BY 1),
+      |ct AS (SELECT source, sum(obs) AS ctot FROM o GROUP BY 1),
+      |n AS (SELECT sum(obs) AS n FROM o),
+      |grid AS (
+      |  SELECT rt.lang, ct.source, rt.rtot, ct.ctot,
+      |         coalesce(o.obs, 0) AS obs,
+      |         rt.rtot * ct.ctot / (SELECT n FROM n) AS exp
+      |  FROM rt CROSS JOIN ct
+      |  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source)
+      |SELECT round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+      |       CAST((count(DISTINCT lang) - 1)
+      |            * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+      |       round(sqrt(sum((obs - exp) * (obs - exp) / exp)
+      |                  / ((SELECT n FROM n)
+      |                     * least(count(DISTINCT lang) - 1,
+      |                             count(DISTINCT source) - 1))), 4)
+      |         AS cramers_v,
+      |       CAST((SELECT n FROM n) AS BIGINT) AS n
+      |FROM grid""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val o = Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).cast("double").as("obs"))
+    val rt = o.groupBy($"lang").agg(sum($"obs").as("rtot"))
+    val ct = o.groupBy($"source").agg(sum($"obs").as("ctot"))
+    val n = o.agg(sum($"obs").as("n"))
+    val grid = rt
+      .crossJoin(broadcast(ct))
+      .join(o, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(n))
+      .select($"lang", $"source",
+        coalesce($"obs", lit(0.0)).as("obs"),
+        ($"rtot" * $"ctot" / $"n").as("exp"),
+        $"n")
+    grid.agg(
+      round(sum(($"obs" - $"exp") * ($"obs" - $"exp") / $"exp"), 4)
+        .as("chi2"),
+      ((countDistinct($"lang") - 1) * (countDistinct($"source") - 1))
+        .cast("long").as("dof"),
+      round(sqrt(sum(($"obs" - $"exp") * ($"obs" - $"exp") / $"exp") /
+        (first($"n") * least(countDistinct($"lang") - 1,
+          countDistinct($"source") - 1))), 4).as("cramers_v"),
+      first($"n").cast("long").as("n"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
-      qBloomSemijoin, qParetoFrontier)
+      qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare)
 }

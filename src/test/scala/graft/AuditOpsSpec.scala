@@ -263,6 +263,57 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("ols fit matches a plain-Scala normal-equations solve") {
+    val r = Extras.qOlsFit.fn(spark, sf)
+      .as[(Double, Double, Double, Double, Long)].head()
+    val rows = Tables.lineitem(spark, sf)
+      .select(($"l_extendedprice" * (lit(1) - $"l_discount")).as("y"),
+        $"l_extendedprice".as("x1"), $"l_discount".as("x2"))
+      .as[(Double, Double, Double)].collect()
+    val n = rows.length.toDouble
+    def s(f: ((Double, Double, Double)) => Double) = rows.map(f).sum
+    val (sx1, sx2, sy) = (s(_._2), s(_._3), s(_._1))
+    val (sx11, sx22, sx12) = (s(r => r._2 * r._2), s(r => r._3 * r._3), s(r => r._2 * r._3))
+    val (sx1y, sx2y, syy) = (s(r => r._2 * r._1), s(r => r._3 * r._1), s(r => r._1 * r._1))
+    val det = n * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val b0 = (sy * (sx11 * sx22 - sx12 * sx12) -
+      sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)) / det
+    val b1 = (n * (sx1y * sx22 - sx12 * sx2y) -
+      sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)) / det
+    val b2 = (n * (sx11 * sx2y - sx1y * sx12) -
+      sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)) / det
+    assert(math.abs(r._1 - b0) < 1e-4, s"b0 ${r._1} vs $b0")
+    assert(math.abs(r._2 - b1) < 1e-6, s"b1 ${r._2} vs $b1")
+    assert(math.abs(r._3 - b2) < 1e-2, s"b2 ${r._3} vs $b2")
+    assert(r._4 >= 0.0 && r._4 <= 1.0)
+    assert(r._4 > 0.9, "revenue is strongly explained by price")
+    assert(r._5 === rows.length.toLong)
+  }
+
+  test("chi-square audit matches a plain-Scala recomputation") {
+    val r = Extras.qChiSquare.fn(spark, sf)
+      .as[(Double, Long, Double, Long)].head()
+    val counts = Tables.documents(spark, sf)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val langs = counts.map(_._1).distinct
+    val sources = counts.map(_._2).distinct
+    val n = counts.map(_._3).sum.toDouble
+    val obs = counts.map(c => (c._1, c._2) -> c._3.toDouble).toMap
+    val rt = langs.map(l => l -> counts.filter(_._1 == l).map(_._3).sum.toDouble).toMap
+    val ct = sources.map(s2 => s2 -> counts.filter(_._2 == s2).map(_._3).sum.toDouble).toMap
+    val chi2 = (for (l <- langs; s2 <- sources) yield {
+      val e = rt(l) * ct(s2) / n
+      val o = obs.getOrElse((l, s2), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(r._1 - math.rint(chi2 * 1e4) / 1e4) <= 1e-3, s"chi2 ${r._1} vs $chi2")
+    assert(r._2 === (langs.length - 1).toLong * (sources.length - 1))
+    assert(r._3 >= 0.0 && r._3 <= 1.0)
+    assert(r._4 === n.toLong)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
