@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -917,9 +918,74 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** Curriculum ordering — easy→hard training order by length band
+    * (short documents first, the standard length-curriculum proxy),
+    * salted-hash shuffled WITHIN each band so each band is still an
+    * unbiased sample stream: band boundaries are the exact length
+    * quartiles (rounded to 2 decimals before comparing, so an
+    * interpolation ulp can't flip a boundary document), and the global
+    * position is band offset + intra-band hash rank.
+    *
+    * Scale: quartiles are one aggregate broadcast back onto the scan;
+    * the intra-band rank windows partition by band (4-way parallel —
+    * at 100 TB use more bands); the band offsets are a 4-row triangular
+    * broadcast join, the same two-phase shape as
+    * [[CorpusOps.trainingOrder]]'s shards — no global sort or window. */
+  val qCurriculumOrder = QueryDef.sql(
+    "q_curriculum_order",
+    """WITH b AS (
+      |  SELECT round(quantile_cont(n_chars, 0.25), 2) AS b25,
+      |         round(quantile_cont(n_chars, 0.50), 2) AS b50,
+      |         round(quantile_cont(n_chars, 0.75), 2) AS b75
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, n_chars,
+      |         CASE WHEN n_chars <= b25 THEN 0
+      |              WHEN n_chars <= b50 THEN 1
+      |              WHEN n_chars <= b75 THEN 2
+      |              ELSE 3 END AS band,
+      |         CAST(concat('0x', substr(md5('cur|' || CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) AS h
+      |  FROM documents CROSS JOIN b)
+      |SELECT doc_id, CAST(band AS BIGINT) AS band,
+      |       CAST(row_number() OVER (ORDER BY band, h, doc_id) AS BIGINT)
+      |         AS pos
+      |FROM banded
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val b = docs.agg(
+      round(expr("percentile(n_chars, 0.25)"), 2).as("b25"),
+      round(expr("percentile(n_chars, 0.50)"), 2).as("b50"),
+      round(expr("percentile(n_chars, 0.75)"), 2).as("b75"))
+    val banded = docs
+      .crossJoin(broadcast(b))
+      .select($"doc_id",
+        when($"n_chars" <= $"b25", 0L)
+          .when($"n_chars" <= $"b50", 1L)
+          .when($"n_chars" <= $"b75", 2L)
+          .otherwise(3L).as("band"),
+        stableHash60(concat(lit("cur|"), $"doc_id".cast("string"))).as("h"))
+    val w = Window.partitionBy($"band").orderBy($"h", $"doc_id")
+    val ranked = banded.withColumn("rk", row_number().over(w))
+    val counts = banded.groupBy($"band").agg(count(lit(1)).as("bn"))
+    val prior = counts.select($"band".as("pband"), $"bn".as("pn"))
+    val offsets = counts
+      .join(broadcast(prior), $"pband" < $"band", "left")
+      .groupBy($"band")
+      .agg(coalesce(sum($"pn"), lit(0L)).as("off"))
+    ranked
+      .join(broadcast(offsets), "band")
+      .select($"doc_id", $"band",
+        ($"off" + $"rk").cast("long").as("pos"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
-      qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight, qMvMaintain)
+      qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight, qMvMaintain,
+      qCurriculumOrder)
 }

@@ -1677,11 +1677,73 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
+    * 2020): deterministically mark ~15% of each document's tokens as
+    * corruption spans (mean length 3) for masked-span pretraining. The
+    * token stream is cut into 20-token blocks; each (doc, block) draws a
+    * hash-derived span start in [0, 17), and the 3 positions from it are
+    * the span — non-overlapping BY CONSTRUCTION (one span per block), no
+    * sequential scan over the document, so every block decides its span
+    * in parallel. Emits the per-doc corruption census a packing stage
+    * consumes (token/span/corrupted counts, realized rate).
+    *
+    * Scale: one narrow posexplode + a per-doc aggregate — the span
+    * decisions are pure hash arithmetic inside the scan; nothing about a
+    * document is sequential, which is exactly why the blocked variant
+    * (vs the paper's sequential Poisson spans) is the 100 TB shape. */
+  val qSpanCorruption = QueryDef.sql(
+    "q_span_corruption",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |           FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(unnest(range(len(w))) AS BIGINT) AS pos
+      |  FROM t),
+      |marked AS (
+      |  SELECT doc_id, pos, pos // 20 AS block,
+      |         pos % 20 AS off,
+      |         CAST(concat('0x', substr(md5('sc|' || CAST(doc_id AS VARCHAR)
+      |              || '|' || CAST(pos // 20 AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 17 AS start
+      |  FROM pos)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN off >= start AND off < start + 3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+      |       CAST(count(DISTINCT CASE WHEN off >= start AND off < start + 3
+      |                                THEN block END) AS BIGINT) AS n_spans,
+      |       round(sum(CASE WHEN off >= start AND off < start + 3
+      |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      |         AS corrupt_rate
+      |FROM marked GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val marked = Tables
+      .documents(s, d)
+      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+      .withColumn("block", expr("pos div 20"))
+      .withColumn("off", $"pos" % 20)
+      .withColumn("start",
+        stableHash60(concat(lit("sc|"), $"doc_id".cast("string"),
+          lit("|"), $"block".cast("string"))) % 17)
+    val hit = $"off" >= $"start" && $"off" < $"start" + 3
+    marked
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_corrupted"),
+        countDistinct(when(hit, $"block")).as("n_spans"),
+        round(sum(when(hit, 1L).otherwise(0L)) * lit(1.0) /
+          count(lit(1)), 4).as("corrupt_rate"))
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit, qBm25Retrieval)
+      qCharsetAudit, qBm25Retrieval, qSpanCorruption)
 }

@@ -314,6 +314,50 @@ class AuditOpsSpec extends SparkSpec {
     assert(r._4 === n.toLong)
   }
 
+  test("span corruption: ~15% rate, one bounded span per block, deterministic") {
+    val rows = TextOps.qSpanCorruption.fn(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_corrupted", $"n_spans", $"corrupt_rate")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nt, nc, ns, rate) =>
+      assert(nc <= nt)
+      assert(ns <= nt / 20 + 1, "at most one span per 20-token block")
+      assert(nc <= ns * 3, "spans are at most 3 tokens")
+      assert(rate >= 0.0 && rate <= 0.2 + 3.0 / math.max(nt, 1L))
+    }
+    // corpus-wide realized rate tracks the 3/20 design point
+    val corpus = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(corpus > 0.10 && corpus < 0.18, s"corpus rate $corpus")
+    // pure hash arithmetic → replay-identical
+    val again = TextOps.qSpanCorruption.fn(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_corrupted", $"n_spans", $"corrupt_rate")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("curriculum order: a permutation with bands in easy-to-hard position blocks") {
+    val rows = Corpus.qCurriculumOrder.fn(spark, sf)
+      .select($"doc_id", $"band", $"pos")
+      .as[(Long, Long, Long)]
+      .collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length === n)
+    assert(rows.map(_._3).sorted.toSeq === (1L to n), "pos is a permutation")
+    // every band occupies a contiguous position block, in band order
+    val byBand = rows.groupBy(_._2).toSeq.sortBy(_._1)
+    byBand.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) =>
+        assert(lo.map(_._3).max < hi.map(_._3).min, "bands must not interleave")
+      case _ =>
+    }
+    // quartile banding: no band holds more than ~40% of the corpus
+    byBand.foreach { case (b, rs) =>
+      assert(rs.length < 0.4 * n, s"band $b size ${rs.length}")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
