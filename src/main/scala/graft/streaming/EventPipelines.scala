@@ -355,4 +355,51 @@ object EventPipelines {
           DistinctEstimate(tpe, seen, est)
       }
   }
+
+  /** Stream-static enrichment join: the event stream left-joined to a
+    * STATIC dimension (per-user attributes) on user_id, plus a derived
+    * spend segment. Spark re-plans the static side each micro-batch (a
+    * broadcast for an aggregate-sized dimension), so dimension updates
+    * between batches are picked up without restarting the query — the
+    * streaming analog of the batch star join, and the standard shape for
+    * enriching a 100 TB/day event firehose against warehouse dims.
+    * Output is append-safe (no aggregation): one enriched row per event. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame = {
+    val dim = userDim.select(
+      col("user_id"), col("segment"), col("user_since"))
+    events
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        coalesce(col("segment"), lit("unknown")).as("segment"),
+        col("user_since"),
+        (col("value") >= 50.0).as("high_value"))
+  }
+
+  /** Streaming incremental stats-view maintenance — the streaming twin
+    * of `q_mv_maintain`: each micro-batch's per-key (count, chars) delta
+    * is MERGED into a persistent stats map via foreachBatch (SUM/COUNT
+    * are self-maintainable, so merge = add). The sink is pluggable (the
+    * spec uses an in-memory map; production uses an upsert-capable
+    * table). Returns the started query; caller owns its lifecycle.
+    * State cost: O(|keys|) in the sink, zero in the stream (stateless
+    * aggregation per batch — the merge carries history). */
+  def statsMaintenance(
+      docs: DataFrame,
+      merge: (String, Long, Long) => Unit,
+      checkpoint: String) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("dn"),
+            sum(length(col("text")).cast("long")).as("ds"))
+          .collect()
+          .foreach(r =>
+            merge(r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      .start()
+  }
 }

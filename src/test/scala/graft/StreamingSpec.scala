@@ -494,4 +494,52 @@ class StreamingSpec extends SparkSpec {
     // and state stays sketch-sized: estimates are positive and bounded
     assert(streamed.values.forall(_ > 0))
   }
+  test("stream-static enrichment join matches the batch join per event") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    val userDim = Tables.events(spark, sf)
+      .select($"user_id").distinct()
+      .select($"user_id",
+        concat(lit("seg"), pmod($"user_id", lit(3))).as("segment"),
+        lit("2023-01-01").as("user_since"))
+    runToMemory(EventPipelines.enrichedEvents(stream, userDim), "enrich_out")
+    val streamed = spark.table("enrich_out")
+      .select($"event_id", $"segment", $"high_value")
+    val batch = EventPipelines.enrichedEvents(
+      Tables.events(spark, sf), userDim)
+      .select($"event_id", $"segment", $"high_value")
+    assert(streamed.count() === Tables.events(spark, sf).count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    // every known user resolved (dim covers all users here)
+    assert(spark.table("enrich_out").filter($"segment" === "unknown").count() === 0)
+  }
+
+  test("streaming stats maintenance converges to the batch recompute") {
+    val state = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_ckpt").toString
+    val q = EventPipelines.statsMaintenance(
+      docs,
+      (src, dn, ds) => state.merge(src, (dn, ds),
+        (a, b) => (a._1 + b._1, a._2 + b._2)),
+      ckpt)
+    val rows = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    // feed in three uneven micro-batches: the merge must be associative
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val batch = Tables.documents(spark, sf)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum(length($"text").cast("long")).as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    import scala.jdk.CollectionConverters._
+    assert(state.asScala.toMap === batch,
+      "incrementally maintained stats must equal the batch recompute")
+  }
 }
