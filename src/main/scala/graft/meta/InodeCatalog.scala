@@ -380,6 +380,31 @@ final case class InodeCatalog(df: DataFrame) {
       updateIno(df, ino)("open_handles" -> lit(newCount)))))
   }
 
+  /** opendir (filesystem.rs:1466-1508): directory handle acquisition —
+    * the same access-mask decode and handle-count bump as [[open]],
+    * with the reference's O_TRUNC-on-read-only EACCES, plus an
+    * ENOTDIR guard (the kernel enforces it for the reference; a
+    * library caller gets the explicit error). Flags mirror open's
+    * (read, write) decode of O_ACCMODE. */
+  def opendir(ino: Long, read: Boolean, write: Boolean,
+      truncate: Boolean = false, reqUid: Int = 0,
+      reqGid: Int = 0): Either[String, (Long, InodeCatalog)] = {
+    if (truncate && read && !write)
+      return Left(s"EACCES: O_TRUNC on read-only opendir of $ino")
+    getattr(ino) match {
+      case None => Left(s"ENOENT: ino $ino")
+      case Some(r) if r.getAs[String]("kind") != "dir" =>
+        Left(s"ENOTDIR: opendir on ${r.getAs[String]("kind")} $ino")
+      case Some(_) => open(ino, read, write, reqUid, reqGid)
+    }
+  }
+
+  /** releasedir (filesystem.rs:1545-1558): the directory handle closes —
+    * same persisted decrement as [[release]] (the reference decrements a
+    * local copy in BOTH release and releasedir and never writes it back;
+    * we persist, the only reading under which gc_inode can fire). */
+  def releasedir(ino: Long): InodeCatalog = release(ino)
+
   /** release (filesystem.rs:1450-1464): the open-handle refcount
     * decrements; when the LAST handle closes on an inode whose last
     * link is already gone (nlink 0), the inode is garbage-collected

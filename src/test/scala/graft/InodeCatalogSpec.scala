@@ -440,6 +440,27 @@ class InodeCatalogSpec extends SparkSpec {
     assert(lively.getattr(3).get.getAs[Long]("nlink") === 1L)
   }
 
+  test("opendir/releasedir: dir-only handles, O_TRUNC EACCES, shared refcount") {
+    val cat = tree().checkpointed()
+    // ENOTDIR on a regular file, ENOENT on a ghost
+    assert(cat.opendir(3, read = true, write = false)
+      .left.toOption.get.startsWith("ENOTDIR"))
+    assert(cat.opendir(999, read = true, write = false)
+      .left.toOption.get.startsWith("ENOENT"))
+    // reference filesystem.rs:1471: O_TRUNC with O_RDONLY -> EACCES
+    assert(cat.opendir(2, read = true, write = false, truncate = true)
+      .left.toOption.get.startsWith("EACCES"))
+    val (fh, od0) = cat.opendir(2, read = true, write = false).toOption.get
+    val od = od0.checkpointed()
+    assert(InodeCatalog.fhAllowsReadScalar(fh))
+    assert(!InodeCatalog.fhAllowsWriteScalar(fh))
+    // the handle count is the same counter open() bumps (filesystem.rs:1496)
+    assert(od.getattr(2).get.getAs[Long]("open_handles") === 1L)
+    val closed = od.releasedir(2).checkpointed()
+    assert(closed.getattr(2).get.getAs[Long]("open_handles") === 0L)
+    assert(closed.getattr(2).get.getAs[Long]("nlink") >= 1L, "dir survives")
+  }
+
   test("mknod mints fifo/socket, refuses devices, strips suid/sgid, inherits SGID gid") {
     val cat = tree().checkpointed()
     // fifo + socket mint with the FileType names modeToFiletype decodes
