@@ -1033,10 +1033,94 @@ object Events {
       .orderBy($"event_type", $"hod")
   }
 
+  /** RFM customer segmentation (Hughes 1994) — the classic marketing
+    * triage: per purchasing user, Recency (µs since last purchase,
+    * anchored at the corpus-wide latest purchase so the result is
+    * replayable), Frequency, and Monetary value, each scored 1–3 by
+    * corpus TERTILES (boundaries rounded to 2 decimals before
+    * comparison, the curriculum-band convention) and fused into the
+    * 'rfm' segment string.
+    *
+    * Scale: one purchase-filtered scan to a per-user aggregate; the six
+    * tertile boundaries + the global anchor are aggregate-sized
+    * broadcasts back onto the per-user relation — no global window, no
+    * ntile. */
+  val qRfmSegments = QueryDef.sql(
+    "q_rfm_segments",
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |u AS (SELECT user_id, max(tus) AS last_t,
+      |             count(*) AS freq, sum(value) AS mon
+      |      FROM p GROUP BY 1),
+      |g AS (SELECT max(last_t) AS now_t FROM u),
+      |u2 AS (SELECT u.*, g.now_t - u.last_t AS rec FROM u CROSS JOIN g),
+      |m AS (
+      |  SELECT round(quantile_cont(rec, 0.33), 2) AS r33,
+      |         round(quantile_cont(rec, 0.67), 2) AS r67,
+      |         round(quantile_cont(freq, 0.33), 2) AS f33,
+      |         round(quantile_cont(freq, 0.67), 2) AS f67,
+      |         round(quantile_cont(mon, 0.33), 2) AS m33,
+      |         round(quantile_cont(mon, 0.67), 2) AS m67
+      |  FROM u2),
+      |sc AS (
+      |  SELECT user_id, rec, freq, mon,
+      |         CASE WHEN rec <= r33 THEN 3 WHEN rec <= r67 THEN 2
+      |              ELSE 1 END AS r_score,
+      |         CASE WHEN freq <= f33 THEN 1 WHEN freq <= f67 THEN 2
+      |              ELSE 3 END AS f_score,
+      |         CASE WHEN mon <= m33 THEN 1 WHEN mon <= m67 THEN 2
+      |              ELSE 3 END AS m_score
+      |  FROM u2 CROSS JOIN m)
+      |SELECT user_id,
+      |       round(rec / 86400000000.0, 2) AS recency_days,
+      |       CAST(freq AS BIGINT) AS freq,
+      |       round(mon, 2) AS monetary,
+      |       CAST(r_score AS INT) AS r_score,
+      |       CAST(f_score AS INT) AS f_score,
+      |       CAST(m_score AS INT) AS m_score,
+      |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |         || CAST(m_score AS VARCHAR) AS segment
+      |FROM sc ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val p = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts_ns div 1000").as("tus"), $"value")
+    val u = p.groupBy($"user_id")
+      .agg(max($"tus").as("last_t"), count(lit(1)).as("freq"),
+        sum($"value").as("mon"))
+    val g = u.agg(max($"last_t").as("now_t"))
+    val u2 = u.crossJoin(broadcast(g))
+      .withColumn("rec", $"now_t" - $"last_t")
+    val m = u2.agg(
+      round(expr("percentile(rec, 0.33)"), 2).as("r33"),
+      round(expr("percentile(rec, 0.67)"), 2).as("r67"),
+      round(expr("percentile(freq, 0.33)"), 2).as("f33"),
+      round(expr("percentile(freq, 0.67)"), 2).as("f67"),
+      round(expr("percentile(mon, 0.33)"), 2).as("m33"),
+      round(expr("percentile(mon, 0.67)"), 2).as("m67"))
+    u2.crossJoin(broadcast(m))
+      .select($"user_id",
+        round($"rec" / 86400000000.0, 2).as("recency_days"),
+        $"freq".cast("long").as("freq"),
+        round($"mon", 2).as("monetary"),
+        when($"rec" <= $"r33", 3).when($"rec" <= $"r67", 2).otherwise(1)
+          .cast("int").as("r_score"),
+        when($"freq" <= $"f33", 1).when($"freq" <= $"f67", 2).otherwise(3)
+          .cast("int").as("f_score"),
+        when($"mon" <= $"m33", 1).when($"mon" <= $"m67", 2).otherwise(3)
+          .cast("int").as("m_score"))
+      .withColumn("segment",
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")))
+      .orderBy($"user_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
-      qSeasonalProfile)
+      qSeasonalProfile, qRfmSegments)
 }

@@ -621,10 +621,69 @@ object Relational {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** Market-basket association mining (Agrawal & Srikant 1994 rule
+    * metrics, without the candidate-generation loop — pairwise rules
+    * only): brand pairs co-purchased within an order, with support,
+    * directional confidence, and lift over the ≥2%-support pairs.
+    * Lift is rank-stable under the ROUNDED value convention.
+    *
+    * Scale: the basket relation is (order, brand) DISTINCT — the pair
+    * self-join is bounded by basket size² per order (TPC-H baskets are
+    * ~4 items), NOT corpus², and the brand-support/total relations are
+    * aggregate-sized broadcasts. The same plan shape at 100 TB: the
+    * only big exchange is the distinct + the orderkey-keyed pair join. */
+  val qMarketBasket = QueryDef.sql(
+    "q_market_basket",
+    """WITH b AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+      |s AS (SELECT brand, count(*) AS nb FROM b GROUP BY 1),
+      |pr AS (
+      |  SELECT a.brand AS b1, c.brand AS b2, count(*) AS n12
+      |  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+      |  GROUP BY 1, 2)
+      |SELECT b1, b2, CAST(n12 AS BIGINT) AS n12,
+      |       round(n12 * 1.0 / n.n_orders, 4) AS support,
+      |       round(n12 * 1.0 / s1.nb, 4) AS confidence,
+      |       round(n12 * 1.0 * n.n_orders / (s1.nb * s2.nb), 4) AS lift
+      |FROM pr
+      |  JOIN s s1 ON s1.brand = b1
+      |  JOIN s s2 ON s2.brand = b2
+      |  CROSS JOIN n
+      |WHERE n12 * 1.0 / n.n_orders >= 0.02
+      |ORDER BY b1, b2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val b = Tables
+      .lineitem(s, d)
+      .join(broadcast(graft.Tables.part(s, d)),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+      .distinct()
+    val n = b.agg(countDistinct($"ok").as("n_orders"))
+    val sup = b.groupBy($"brand").agg(count(lit(1)).as("nb"))
+    val pr = b.as("a")
+      .join(b.as("c"), $"a.ok" === $"c.ok" && $"a.brand" < $"c.brand")
+      .groupBy($"a.brand".as("b1"), $"c.brand".as("b2"))
+      .agg(count(lit(1)).as("n12"))
+    pr
+      .join(broadcast(sup.select($"brand".as("b1"), $"nb".as("nb1"))), "b1")
+      .join(broadcast(sup.select($"brand".as("b2"), $"nb".as("nb2"))), "b2")
+      .crossJoin(broadcast(n))
+      .filter($"n12" * lit(1.0) / $"n_orders" >= 0.02)
+      .select($"b1", $"b2", $"n12".cast("long").as("n12"),
+        round($"n12" * lit(1.0) / $"n_orders", 4).as("support"),
+        round($"n12" * lit(1.0) / $"nb1", 4).as("confidence"),
+        round($"n12" * lit(1.0) * $"n_orders" / ($"nb1" * $"nb2"), 4)
+          .as("lift"))
+      .orderBy($"b1", $"b2")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     q1Agg, q6Filter, q3JoinTopk, q5StarJoin, qSemiJoin, qAntiJoin,
     qOuterJoin, qWindowRank, qWindowRunning, qWindowLag, qSortLimit,
     qSetOps, qDistinct, qRollup, qCube, qStringFuncs, qDateFuncs,
     qCaseExpr, qJsonExtract, qHavingSub, qMinCost, qTopkPerWindow,
-    qWindowDistribution)
+    qWindowDistribution, qMarketBasket)
 }

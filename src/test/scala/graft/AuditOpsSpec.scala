@@ -358,6 +358,69 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("rfm segments: score monotonicity and tertile coverage") {
+    val rows = graft.operators.Events.qRfmSegments.fn(spark, sf)
+      .select($"user_id", $"recency_days", $"freq", $"monetary",
+        $"r_score", $"f_score", $"m_score", $"segment")
+      .as[(Long, Double, Long, Double, Int, Int, Int, String)]
+      .collect()
+    val purchasers = Tables.events(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(rows.length === purchasers)
+    rows.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 3 && r._6 >= 1 && r._6 <= 3 && r._7 >= 1 && r._7 <= 3)
+      assert(r._8 === s"${r._5}${r._6}${r._7}")
+    }
+    // monotone banding: more monetary value never lowers the m score,
+    // more recency (staler) never raises the r score
+    val byMon = rows.sortBy(_._4)
+    byMon.sliding(2).foreach {
+      case Array(a, b) => assert(a._7 <= b._7, s"m_score order ${a._1} ${b._1}")
+      case _ =>
+    }
+    val byRec = rows.sortBy(_._2)
+    byRec.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 >= b._5, s"r_score order ${a._1} ${b._1}")
+      case _ =>
+    }
+    // tertiles: no score value may swallow the population
+    Seq(rows.map(_._5), rows.map(_._6), rows.map(_._7)).foreach { scores =>
+      scores.distinct.foreach { v =>
+        assert(scores.count(_ == v) < 0.7 * rows.length, s"score $v degenerate")
+      }
+    }
+  }
+
+  test("market basket: rule metrics are internally consistent") {
+    val rows = graft.operators.Relational.qMarketBasket.fn(spark, sf)
+      .select($"b1", $"b2", $"n12", $"support", $"confidence", $"lift")
+      .as[(String, String, Long, Double, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    val b = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
+      .distinct()
+    val nOrders = b.select($"ok").distinct().count()
+    val nb = b.groupBy($"brand").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (b1, b2, n12, sup, conf, lift) =>
+      assert(b1 < b2, "pairs are canonical")
+      assert(n12 <= math.min(nb(b1), nb(b2)))
+      assert(math.abs(sup - math.rint(n12.toDouble / nOrders * 1e4) / 1e4) <= 1e-9)
+      assert(conf >= sup - 1e-9, "confidence >= support (nb1 <= n_orders)")
+      assert(lift > 0.0)
+    }
+    // spot-verify one pair's raw co-occurrence count
+    val (b1, b2, n12, _, _, _) = rows.head
+    val direct = b.as("x")
+      .join(b.as("y"), $"x.ok" === $"y.ok")
+      .filter($"x.brand" === b1 && $"y.brand" === b2)
+      .count()
+    assert(direct === n12)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")

@@ -86,4 +86,36 @@ class PropertySpec extends SparkSpec {
       assert(paged === full, s"pageSize=$pageSize must tile the listing")
     }
   }
+  test("prefix-filter lemma: J >= 0.8 pairs always collide inside their prefixes") {
+    // pure-set model of q_prefix_filter_join's pruning: random small
+    // universes, random sets; order by (df, token); any pair with exact
+    // Jaccard >= 0.8 MUST share a token within both prefixes of length
+    // prefixLen(|set|) — the no-false-negative guarantee the oracle
+    // verifies end-to-end, here exercised over thousands of adversarial
+    // shapes the fixture can't contain
+    val rnd = new scala.util.Random(42)
+    var pairsChecked = 0
+    for (_ <- 0 until 400) {
+      val universe = 4 + rnd.nextInt(30)
+      val sets = (0 until 6).map { _ =>
+        val size = 1 + rnd.nextInt(universe)
+        rnd.shuffle((0 until universe).toList).take(size).toSet
+      }
+      val df = (0 until universe).map(t => t -> sets.count(_.contains(t))).toMap
+      def prefix(s0: Set[Int]): Set[Int] = {
+        val ordered = s0.toSeq.sortBy(t => (df(t), t))
+        ordered.take(operators.Dedup.prefixLen(s0.size.toLong).toInt).toSet
+      }
+      for (i <- sets.indices; j <- i + 1 until sets.length) {
+        val (a, b) = (sets(i), sets(j))
+        val jac = (a & b).size.toDouble / (a | b).size
+        if (jac >= 0.8) {
+          pairsChecked += 1
+          assert((prefix(a) & prefix(b)).nonEmpty,
+            s"lemma violated: a=$a b=$b jac=$jac")
+        }
+      }
+    }
+    assert(pairsChecked > 100, s"generator must produce real near-dup pairs ($pairsChecked)")
+  }
 }
