@@ -1117,10 +1117,164 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** A/B metric test (Welch 1947 unequal-variance t) — the
+    * experimentation primitive: users split into arms by stable-hash
+    * parity (the deterministic assignment a real experiment service
+    * ships), per-user purchases-per-view ratio as the metric, and the
+    * Welch t statistic from per-arm (n, mean, population variance);
+    * significance flagged on the ROUNDED |t| so an ulp cannot flip the
+    * verdict. The fixture's split is null (one population) — a t near 0
+    * IS the correct answer; the machinery is the operator under test.
+    *
+    * Scale: two aggregate passes (per-user metric → per-arm moments);
+    * everything after runs on 2 rows. */
+  val qAbTest = QueryDef.sql(
+    "q_ab_test",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(concat('0x', substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 2 AS arm,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS DOUBLE)
+      |           / greatest(sum(CASE WHEN event_type = 'view' THEN 1
+      |                               ELSE 0 END), 1) AS metric
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+      |         avg(metric) AS m,
+      |         avg(metric * metric) - avg(metric) * avg(metric) AS v
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT a0.n AS n0, a0.m AS m0, a0.v AS v0,
+      |         a1.n AS n1, a1.m AS m1, a1.v AS v1
+      |  FROM (SELECT * FROM a WHERE arm = 0) a0
+      |  CROSS JOIN (SELECT * FROM a WHERE arm = 1) a1)
+      |SELECT CAST(n0 AS BIGINT) AS n_a, round(m0, 4) AS mean_a,
+      |       CAST(n1 AS BIGINT) AS n_b, round(m1, 4) AS mean_b,
+      |       round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t,
+      |       (abs(round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4)) > 1.96)
+      |         AS significant
+      |FROM w""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val u = Tables.events(s, d)
+      .groupBy($"user_id",
+        (stableHash60(concat(lit("ab|"), $"user_id".cast("string"))) % 2)
+          .as("arm"))
+      .agg((sum(when($"event_type" === "purchase", 1).otherwise(0))
+        .cast("double") /
+        greatest(sum(when($"event_type" === "view", 1).otherwise(0)),
+          lit(1))).as("metric"))
+    val a = u.groupBy($"arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg($"metric").as("m"),
+        (avg($"metric" * $"metric") - avg($"metric") * avg($"metric"))
+          .as("v"))
+    val a0 = a.filter($"arm" === 0)
+      .select($"n".as("n0"), $"m".as("m0"), $"v".as("v0"))
+    val a1 = a.filter($"arm" === 1)
+      .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
+    val t = ($"m0" - $"m1") / sqrt($"v0" / $"n0" + $"v1" / $"n1")
+    a0.crossJoin(broadcast(a1))
+      .select(
+        $"n0".cast("long").as("n_a"), round($"m0", 4).as("mean_a"),
+        $"n1".cast("long").as("n_b"), round($"m1", 4).as("mean_b"),
+        round(t, 4).as("t"),
+        (abs(round(t, 4)) > 1.96).as("significant"))
+  }
+
+  /** Kaplan–Meier survival of user activity lifetimes (Kaplan & Meier
+    * 1958): lifetime = days between a user's first and last event; a
+    * user still active in the final 3 days of the corpus is CENSORED
+    * (their lifetime is a lower bound, so they leave the risk set
+    * without counting as a death — dropping them instead would bias
+    * survival down). S(t) = Π_{d≤t} (1 − deaths_d/at-risk_d), computed
+    * as exp(Σ ln·) with the same expression on both engines.
+    *
+    * Scale: per-user lifetime aggregate → O(days) day relation; the
+    * cumulative product runs as a triangular broadcast join over the
+    * day relation (no partition-less window), per the gauge/boundedRank
+    * convention. */
+  val qKaplanMeier = QueryDef.sql(
+    "q_kaplan_meier",
+    """WITH life AS (
+      |  SELECT user_id,
+      |         date_diff('day', min(date_trunc('day', ts)),
+      |                   max(date_trunc('day', ts))) AS lifetime,
+      |         max(date_trunc('day', ts)) AS last_day
+      |  FROM events GROUP BY 1),
+      |horizon AS (SELECT max(last_day) AS end_day FROM life),
+      |obs AS (
+      |  SELECT lifetime,
+      |         CASE WHEN date_diff('day', last_day, end_day) >= 3
+      |              THEN 1 ELSE 0 END AS died
+      |  FROM life CROSS JOIN horizon),
+      |days AS (
+      |  SELECT lifetime AS t,
+      |         CAST(sum(died) AS DOUBLE) AS deaths,
+      |         CAST(count(*) - sum(died) AS BIGINT) AS censored
+      |  FROM obs GROUP BY 1),
+      |risk AS (
+      |  SELECT d.t, d.deaths, d.censored,
+      |         CAST((SELECT sum(CASE WHEN o.lifetime >= d.t THEN 1 ELSE 0 END)
+      |               FROM obs o) AS DOUBLE) AS at_risk
+      |  FROM days d),
+      |surv AS (
+      |  SELECT r.t, r.deaths, r.censored, r.at_risk,
+      |         exp((SELECT sum(ln(1 - r2.deaths / r2.at_risk))
+      |              FROM risk r2 WHERE r2.t <= r.t AND r2.deaths > 0))
+      |           AS s_raw
+      |  FROM risk r)
+      |SELECT CAST(t AS BIGINT) AS t,
+      |       CAST(at_risk AS BIGINT) AS at_risk,
+      |       CAST(deaths AS BIGINT) AS deaths,
+      |       censored,
+      |       round(coalesce(s_raw, 1.0), 4) AS survival
+      |FROM surv ORDER BY t""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val life = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        datediff(max(date_trunc("day", $"ts")), min(date_trunc("day", $"ts")))
+          .cast("long").as("lifetime"),
+        max(date_trunc("day", $"ts")).as("last_day"))
+    val horizon = life.agg(max($"last_day").as("end_day"))
+    val obs = life.crossJoin(broadcast(horizon))
+      .select($"lifetime",
+        when(datediff($"end_day", $"last_day") >= 3, 1L).otherwise(0L)
+          .as("died"))
+    val days = obs.groupBy($"lifetime".as("t"))
+      .agg(sum($"died").cast("double").as("deaths"),
+        (count(lit(1)) - sum($"died")).cast("long").as("censored"))
+    val tot = obs.groupBy($"lifetime".as("lt"))
+      .agg(count(lit(1)).cast("double").as("n_lt"))
+    val atRisk = days
+      .join(broadcast(tot), $"lt" >= $"t", "left")
+      .groupBy($"t", $"deaths", $"censored")
+      .agg(sum($"n_lt").as("at_risk"))
+    val steps = atRisk
+      .select($"t".as("t2"),
+        when($"deaths" > 0, log(lit(1) - $"deaths" / $"at_risk"))
+          .as("lnstep"))
+    atRisk
+      .join(broadcast(steps), $"t2" <= $"t", "left")
+      .groupBy($"t", $"deaths", $"censored", $"at_risk")
+      .agg(exp(sum($"lnstep")).as("s_raw"))
+      .select(
+        $"t".cast("long").as("t"),
+        $"at_risk".cast("long").as("at_risk"),
+        $"deaths".cast("long").as("deaths"),
+        $"censored",
+        round(coalesce($"s_raw", lit(1.0)), 4).as("survival"))
+      .orderBy($"t")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
-      qSeasonalProfile, qRfmSegments)
+      qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier)
 }

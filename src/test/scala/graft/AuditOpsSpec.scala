@@ -421,6 +421,49 @@ class AuditOpsSpec extends SparkSpec {
     assert(direct === n12)
   }
 
+  test("ab test: arms partition users, verdict follows the rounded statistic") {
+    val r = graft.operators.Events.qAbTest.fn(spark, sf)
+      .as[(Long, Double, Long, Double, Double, Boolean)].head()
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(r._1 + r._3 === users, "hash arms must partition the users")
+    assert(r._1 > 0 && r._3 > 0, "parity split must populate both arms")
+    assert(r._2 >= 0.0 && r._4 >= 0.0)
+    assert(r._6 === (math.abs(r._5) > 1.96))
+    // null split (same population): the difference should not be extreme
+    assert(math.abs(r._5) < 10.0, s"t=${r._5} implausible for a null split")
+  }
+
+  test("kaplan-meier: monotone survival, shrinking risk set, full census") {
+    val rows = graft.operators.Events.qKaplanMeier.fn(spark, sf)
+      .select($"t", $"at_risk", $"deaths", $"censored", $"survival")
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum === users, "every user dies or censors")
+    assert(rows.head._2 === users, "everyone is at risk at the first lifetime")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2, "risk set strictly shrinks across lifetimes")
+        assert(a._5 >= b._5 - 1e-9, "survival is non-increasing")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+      assert(r._3 + r._4 <= r._2, "exits bounded by the risk set")
+    }
+    // at_risk(t) recomputed: users whose lifetime >= t
+    val lifetimes = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(datediff(max(date_trunc("day", $"ts")),
+        min(date_trunc("day", $"ts"))).cast("long").as("lt"))
+      .as[(Long, Long)].collect().map(_._2)
+    rows.foreach { r =>
+      assert(r._2 === lifetimes.count(_ >= r._1).toLong, s"at_risk(${r._1})")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
