@@ -206,5 +206,59 @@ object Spectral {
     emb.select($"vec_id" +: $"label" +: comps: _*)
   }
 
-  def defs: Seq[QueryDef] = Seq(qEmbedCovariance)
+  /** Row shape for the typed-Aggregator path. */
+  final case class LabeledVec(vec_id: Long, embedding: Seq[Float], label: Int)
+
+  /** Per-label centroids via the TYPED `Aggregator` API
+    * ([[graft.functions.TypedAggregators.VecCentroid]]) — the
+    * Dataset-side extension surface (KeyValueGroupedDataset.agg with an
+    * Encoder-backed mergeable buffer), complementing the Catalyst
+    * TypedImperativeAggregates used elsewhere. The oracle recomputes
+    * each shown component as a per-dimension average; first four
+    * components shown, 6-decimal rounding per the aggregate convention.
+    *
+    * Scale: identical dataflow to any groupBy — partial buffers are
+    * (d doubles, count) per label per partition; merge is vector add. */
+  val qLabelCentroids = QueryDef.sql(
+    "q_label_centroids",
+    """WITH v AS (SELECT label, embedding FROM embeddings
+      |           WHERE embedding IS NOT NULL AND len(embedding) = 64)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(embedding[1]), 6) AS c0,
+      |       round(avg(embedding[2]), 6) AS c1,
+      |       round(avg(embedding[3]), 6) AS c2,
+      |       round(avg(embedding[4]), 6) AS c3
+      |FROM v GROUP BY label
+      |ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val centroid = new graft.functions.TypedAggregators
+      .VecCentroid[LabeledVec](Dim, _.embedding)
+      .toColumn.name("centroid")
+    val nAgg = new org.apache.spark.sql.expressions.Aggregator[LabeledVec, Long, Long] {
+      override def zero: Long = 0L
+      override def reduce(b: Long, v: LabeledVec): Long =
+        if (v.embedding != null && v.embedding.length == Dim) b + 1 else b
+      override def merge(a: Long, b: Long): Long = a + b
+      override def finish(b: Long): Long = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+    }.toColumn.name("n")
+    Tables
+      .embeddings(s, d)
+      .as[LabeledVec]
+      .groupByKey(_.label)
+      .agg(nAgg, centroid)
+      .toDF("label", "n", "centroid")
+      .select($"label", $"n",
+        round(element_at($"centroid", 1), 6).as("c0"),
+        round(element_at($"centroid", 2), 6).as("c1"),
+        round(element_at($"centroid", 3), 6).as("c2"),
+        round(element_at($"centroid", 4), 6).as("c3"))
+      .orderBy($"label")
+  }
+
+  def defs: Seq[QueryDef] = Seq(qEmbedCovariance, qLabelCentroids)
 }

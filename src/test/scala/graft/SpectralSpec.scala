@@ -162,6 +162,67 @@ class SpectralSpec extends SparkSpec {
     }
   }
 
+  test("typed VecCentroid aggregator matches column-arithmetic centroids") {
+    import graft.operators.Spectral.LabeledVec
+    val typed = Spectral.qLabelCentroids.fn(spark, sf)
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val direct = emb
+      .filter($"embedding".isNotNull && size($"embedding") === dim)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        (0 until 4).map(i =>
+          round(avg(element_at($"embedding", i + 1)), 6).as(s"c$i")): _*)
+      .as[(Int, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(typed.keySet === direct.keySet)
+    typed.foreach { case (k, t) =>
+      val d0 = direct(k)
+      assert(t._2 === d0._2, s"n for label $k")
+      Seq(t._3 -> d0._3, t._4 -> d0._4, t._5 -> d0._5, t._6 -> d0._6)
+        .foreach { case (a, b) => assert(math.abs(a - b) <= 1e-6, s"label $k") }
+    }
+    // partition invariance of the typed merge path
+    val one = Tables.embeddings(spark, sf).repartition(1).as[LabeledVec]
+      .groupByKey(_.label)
+      .agg(new graft.functions.TypedAggregators
+        .VecCentroid[LabeledVec](dim, _.embedding).toColumn)
+      .collect().map(r => r._1 -> r._2.toSeq).toMap
+    val many = Tables.embeddings(spark, sf).repartition(7).as[LabeledVec]
+      .groupByKey(_.label)
+      .agg(new graft.functions.TypedAggregators
+        .VecCentroid[LabeledVec](dim, _.embedding).toColumn)
+      .collect().map(r => r._1 -> r._2.toSeq).toMap
+    one.foreach { case (k, v) =>
+      v.zip(many(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)))
+      }
+    }
+  }
+
+  test("space-saving heavy hitters work as a streaming aggregate (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words($"text")).as("w"))
+      .as[String].collect().toSeq
+    val input = MemoryStream[String]
+    input.addData(toks)
+    val q = input.toDF().withColumnRenamed("value", "w")
+      .agg(graft.plans.SpaceSavingAgg.spaceSavingTopK($"w", 64).as("top"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ss_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_stream").head().get(0)
+    val batch = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words($"text")).as("w"))
+      .agg(graft.plans.SpaceSavingAgg.spaceSavingTopK($"w", 64).as("top"))
+      .head().get(0)
+    assert(streamed === batch,
+      "the mergeable sketch must be batch/stream identical")
+  }
+
   test("q_embed_covariance rows agree with the reference matrix") {
     val rows = Spectral.qEmbedCovariance
       .fn(spark, sf)
