@@ -1271,10 +1271,52 @@ object Events {
       .orderBy($"t")
   }
 
+  /** Native session windows — Spark's built-in `session_window(ts, gap)`
+    * aggregation (the batch form of the streaming session operator),
+    * cross-checked against the lag/cumsum reconstruction the oracle
+    * runs: a session closes when the NEXT event is ≥ gap after the
+    * previous one (Spark's [start, last+gap) boundary → the oracle's
+    * `>=` gap test). Complements `q_events_sessionize` (the manual
+    * formulation) by gating the built-in's exact boundary semantics.
+    *
+    * Scale: one exchange on user_id; sessions merge inside each
+    * partition — the same cost as any keyed aggregation. */
+  val qSessionWindowNative = QueryDef.sql(
+    "q_session_window_native",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1, epoch_ns(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= 1800000000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(event_id) AS BIGINT) AS first_event
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"ts".cast("timestamp").as("tss"), $"event_id")
+      .groupBy($"user_id", session_window($"tss", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min($"event_id").as("first_event"))
+      .select($"user_id",
+        date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"n_events", $"first_event".cast("long").as("first_event"))
+      .orderBy($"user_id", $"session_start")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
-      qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier)
+      qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
+      qSessionWindowNative)
 }

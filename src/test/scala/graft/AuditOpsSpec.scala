@@ -464,6 +464,22 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("native session windows agree with the manual lag/cumsum sessionization") {
+    val native = graft.operators.Events.qSessionWindowNative.fn(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val manual = graft.operators.Events.qSessionize.fn(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(native.keySet === manual.keySet)
+    // event totals must agree exactly; session counts may differ ONLY at
+    // exact-gap boundaries (builtin closes at >= gap, manual at > gap)
+    native.foreach { case (u, (ns, ne)) =>
+      assert(ne === manual(u)._2, s"event total for user $u")
+      assert(ns >= manual(u)._1, s"builtin can only split more, user $u")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
