@@ -169,6 +169,9 @@ object Spectral {
   def covarianceMatrix(emb: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
     val m = moments(emb).head().getSeq[Double](0).toArray
     val n = m(0)
+    // an empty (or all-malformed) corpus has no covariance — fail loudly
+    // instead of silently propagating NaN into the eigenproblem
+    require(n > 0, "covarianceMatrix: no valid vectors in the corpus")
     val mean = Array.tabulate(Dim)(i => m(1 + i) / n)
     val cov = Array.ofDim[Double](Dim, Dim)
     for (i <- 0 until Dim; j <- i until Dim) {

@@ -96,4 +96,22 @@ class DegenerateInputSpec extends SparkSpec {
     val got = CorpusOps.weightedSample(tiny, "id", "wgt", k = 100)
     assert(got.count() === 3)
   }
+  test("empty corpus: prefix-filter join, spectral, and typed centroid degenerate cleanly") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.prefixFilterPairs(docs).count() === 0)
+    val emb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // moments buffer is well-formed with n = 0 …
+    val m = graft.operators.Spectral.moments(emb).head().getSeq[Double](0)
+    assert(m.head === 0.0)
+    // … and the eigen path refuses it loudly instead of emitting NaN
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Spectral.covarianceMatrix(emb)
+    }
+    assert(err.getMessage.contains("no valid vectors"))
+    // the typed centroid finishes to the zero vector on an empty group
+    val agg = new graft.functions.TypedAggregators
+      .VecCentroid[Seq[Float]](4, identity)
+    assert(agg.finish(agg.zero).toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+  }
 }
