@@ -982,10 +982,103 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Token-weighted median document length per source — the length a
+    * TOKEN experiences, not the length a document has (mean-vs-weighted
+    * is exactly how long-doc-heavy sources hide in unweighted stats):
+    * smallest length whose cumulative token weight reaches half the
+    * source's tokens.
+    *
+    * Scale: per-source cumulative windows (partitioned by source —
+    * parallel across sources), one count-shuffle before them; output
+    * O(|sources|). */
+  val qWeightedMedian = QueryDef.sql(
+    "q_weighted_median",
+    """WITH f AS (
+      |  SELECT source, n_chars,
+      |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_chars, w,
+      |         sum(w) OVER (PARTITION BY source ORDER BY n_chars, n_chars
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |         sum(w) OVER (PARTITION BY source) AS tw
+      |  FROM f),
+      |q AS (
+      |  SELECT source, min(n_chars) AS wmedian_len
+      |  FROM c WHERE cw * 2 >= tw GROUP BY source),
+      |u AS (
+      |  SELECT source, round(avg(n_chars), 2) AS mean_len,
+      |         round(quantile_cont(n_chars, 0.5), 2) AS median_len
+      |  FROM f GROUP BY source)
+      |SELECT u.source, u.mean_len, u.median_len,
+      |       CAST(q.wmedian_len AS BIGINT) AS wmedian_len
+      |FROM u JOIN q ON q.source = u.source
+      |ORDER BY u.source""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val f = Tables.documents(s, d)
+      .select($"source", $"n_chars",
+        size(words($"text")).cast("long").as("w"))
+    val cum = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"source")
+    val c = f
+      .withColumn("cw", sum($"w").over(cum))
+      .withColumn("tw", sum($"w").over(tot))
+    val q = c.filter($"cw" * 2 >= $"tw")
+      .groupBy($"source").agg(min($"n_chars").as("wmedian_len"))
+    val u = f.groupBy($"source")
+      .agg(round(avg($"n_chars"), 2).as("mean_len"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("median_len"))
+    u.join(q, "source")
+      .select($"source", $"mean_len", $"median_len",
+        $"wmedian_len".cast("long").as("wmedian_len"))
+      .orderBy($"source")
+  }
+
+  /** Gini coefficient of the token share across sources (plus the
+    * max-share concentration read) — the inequality audit behind the
+    * mix planner: a high Gini means a handful of sources carry the
+    * corpus and temperature mixing will fight hard. Computed by the
+    * exact pairwise formula G = ΣᵢΣⱼ|xᵢ−xⱼ| / (2n²µ) on the
+    * AGGREGATED |sources|-row relation — the corpus contributes one
+    * count-shuffle; the n² is 25². */
+  val qGiniSources = QueryDef.sql(
+    "q_gini_sources",
+    """WITH x AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+      |           AS toks
+      |  FROM documents GROUP BY source),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(toks) AS tot FROM x),
+      |p AS (
+      |  SELECT sum(abs(a.toks - b.toks)) AS sd
+      |  FROM x a CROSS JOIN x b)
+      |SELECT CAST(n.n AS BIGINT) AS n_sources,
+      |       round(p.sd / (2 * n.n * n.tot), 4) AS gini,
+      |       round((SELECT max(toks) FROM x) / n.tot, 4) AS top_share
+      |FROM n CROSS JOIN p""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val x = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum(size(words($"text"))).cast("double").as("toks"))
+    val n = x.agg(count(lit(1)).cast("double").as("n"),
+      sum($"toks").as("tot"))
+    val p = x.as("a").crossJoin(x.as("b"))
+      .agg(sum(abs($"a.toks" - $"b.toks")).as("sd"))
+    val mx = x.agg(max($"toks").as("mx"))
+    n.crossJoin(broadcast(p))
+      .crossJoin(broadcast(mx))
+      .select($"n".cast("long").as("n_sources"),
+        round($"sd" / (lit(2) * $"n" * $"tot"), 4).as("gini"),
+        round($"mx" / $"tot", 4).as("top_share"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
       qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight, qMvMaintain,
-      qCurriculumOrder)
+      qCurriculumOrder, qWeightedMedian, qGiniSources)
 }

@@ -480,6 +480,42 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted median matches a plain-Scala computation and sits in range") {
+    val rows = Corpus.qWeightedMedian.fn(spark, sf)
+      .select($"source", $"wmedian_len")
+      .as[(String, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"n_chars".cast("long"),
+        size(graft.functions.TextFunctions.words($"text")).cast("long"))
+      .as[(String, Long, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val tw = sorted.map(_._3).sum
+      var cw = 0L
+      val want = sorted.find { d => cw += d._3; cw * 2 >= tw }.get._2
+      assert(rows(src) === want, s"weighted median for $src")
+      assert(rows(src) >= sorted.head._2 && rows(src) <= sorted.last._2)
+    }
+  }
+
+  test("gini of source token shares matches plain Scala and its bounds") {
+    val r = Corpus.qGiniSources.fn(spark, sf)
+      .as[(Long, Double, Double)].head()
+    val toks = Tables.documents(spark, sf)
+      .select($"source", size(graft.functions.TextFunctions.words($"text"))
+        .cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).sum }.toSeq
+    val n = toks.length.toDouble
+    val tot = toks.sum
+    val sd = (for (a <- toks; b <- toks) yield math.abs(a - b)).sum
+    val gini = sd / (2 * n * tot)
+    assert(r._1 === toks.length.toLong)
+    assert(math.abs(r._2 - math.rint(gini * 1e4) / 1e4) <= 1e-3)
+    assert(r._2 >= 0.0 && r._2 <= 1.0 - 1.0 / n + 1e-9, "Gini bounds")
+    assert(r._3 >= 1.0 / n - 1e-9 && r._3 <= 1.0)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
