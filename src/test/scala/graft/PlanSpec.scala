@@ -397,6 +397,15 @@ class PlanSpec extends SparkSpec {
       s"profile must scan the table once:\n$p")
   }
 
+  test("market basket joins baskets on the order key, never a cartesian") {
+    val p = finalPlan(plan(q("q_market_basket")))
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay keyed on the order:\n$p")
+    // supports and totals ride broadcasts, the pair join is the only
+    // fact-sized exchange
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("NO query plans a partition-less window (all-to-one funnel)") {
     // a Window with an empty partitionSpec moves the whole input to one
     // task — the r5 scale-killer class; assert the entire registry is
