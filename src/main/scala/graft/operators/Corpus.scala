@@ -1075,10 +1075,71 @@ object Corpus {
         round($"mx" / $"tot", 4).as("top_share"))
   }
 
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF recipe, Grootendorst
+    * 2022): each SOURCE is one class document; a term's score in a
+    * class is its in-class rate times ln(1 + A/tf_all) with A = average
+    * class size — surfacing the words that CHARACTERIZE a source rather
+    * than merely occur in it (the domain-fingerprinting read before
+    * mixing decisions). Top 5 terms per source on the ROUNDED score
+    * (term tiebreak).
+    *
+    * Scale: one token count-shuffle to the (source, word) relation;
+    * class totals and corpus term totals are aggregate-sized broadcasts;
+    * the per-source ranking window filters rank ≤ 5, which
+    * InferWindowGroupLimit pushes below the exchange. */
+  val qCtfidfTerms = QueryDef.sql(
+    "q_ctfidf_terms",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS w
+      |  FROM documents),
+      |tf AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS n
+      |       FROM tok GROUP BY 1, 2),
+      |cls AS (SELECT source, sum(n) AS ctot FROM tf GROUP BY 1),
+      |a AS (SELECT avg(ctot) AS avg_cls FROM cls),
+      |wall AS (SELECT w, sum(n) AS n_all FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.source, tf.w,
+      |         round(tf.n / cls.ctot * ln(1 + a.avg_cls / wall.n_all), 6)
+      |           AS ctfidf
+      |  FROM tf
+      |    JOIN cls ON cls.source = tf.source
+      |    JOIN wall ON wall.w = tf.w
+      |    CROSS JOIN a),
+      |rk AS (
+      |  SELECT source, w, ctfidf,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                ORDER BY ctfidf DESC, w) AS INT) AS rnk
+      |  FROM sc)
+      |SELECT source, w AS term, ctfidf, rnk
+      |FROM rk WHERE rnk <= 5
+      |ORDER BY source, rnk""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"source", explode(words($"text")).as("w"))
+      .groupBy($"source", $"w")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val cls = tf.groupBy($"source").agg(sum($"n").as("ctot"))
+    val a = cls.agg(avg($"ctot").as("avg_cls"))
+    val wall = tf.groupBy($"w").agg(sum($"n").as("n_all"))
+    val wnd = Window.partitionBy($"source").orderBy($"ctfidf".desc, $"w")
+    tf
+      .join(broadcast(cls), "source")
+      .join(wall, "w")
+      .crossJoin(broadcast(a))
+      .select($"source", $"w",
+        round($"n" / $"ctot" * log(lit(1) + $"avg_cls" / $"n_all"), 6)
+          .as("ctfidf"))
+      .withColumn("rnk", row_number().over(wnd))
+      .filter($"rnk" <= 5)
+      .select($"source", $"w".as("term"), $"ctfidf", $"rnk")
+      .orderBy($"source", $"rnk")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qSampleStratified, qSamplePerStratumK, qMixSources, qVocabOov,
       qTfidfTopTerms, qTextRepetition, qWeightedSample, qTemperatureMix,
       qTrainValSplit, qTrainingOrder, qVocabCoverage, qMixBudget,
       qRepeatPlan, qSourceReport, qCorpusDiff, qDomainReweight, qMvMaintain,
-      qCurriculumOrder, qWeightedMedian, qGiniSources)
+      qCurriculumOrder, qWeightedMedian, qGiniSources, qCtfidfTerms)
 }

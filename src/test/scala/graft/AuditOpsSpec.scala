@@ -516,6 +516,38 @@ class AuditOpsSpec extends SparkSpec {
     assert(r._3 >= 1.0 / n - 1e-9 && r._3 <= 1.0)
   }
 
+  test("c-tf-idf terms match a plain-Scala recomputation") {
+    val rows = Corpus.qCtfidfTerms.fn(spark, sf)
+      .select($"source", $"term", $"ctfidf", $"rnk")
+      .as[(String, String, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length))
+      assert(rs.length <= 5)
+    }
+    // third engine
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val tf = docs
+      .flatMap { case (src, t) => t.trim.split(" +").map(w => (src, w)) }
+      .groupBy(identity).map { case ((src, w), xs) => (src, w, xs.length.toDouble) }
+      .toSeq
+    val ctot = tf.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val avgCls = ctot.values.sum / ctot.size
+    val nAll = tf.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._3).sum }
+    val want = tf
+      .map { case (s0, w, n) =>
+        (s0, w, math.rint(n / ctot(s0) * math.log(1 + avgCls / nAll(w)) * 1e6) / 1e6)
+      }
+      .groupBy(_._1)
+      .flatMap { case (s0, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex
+          .map { case ((_, w, c), i) => (s0, w, c, i + 1) }
+      }
+      .toSet
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet === want)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
