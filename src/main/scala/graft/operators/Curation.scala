@@ -484,6 +484,64 @@ object Curation {
       .orderBy($"source", $"len_band")
   }
 
+  /** DP release privacy budget (ε) and the Laplace scale for a count
+    * query (sensitivity 1 → b = 1/ε). */
+  private val DpEpsilon = 1.0
+
+  /** Differentially-private count release (Dwork et al. 2006, Laplace
+    * mechanism) — the fourth leg of the governance family beside
+    * [[qKAnonymity]]/[[qLDiversity]]/[[qTCloseness]]: per-language
+    * document counts released with Laplace(1/ε) noise. The noise is
+    * DETERMINISTIC here — u ~ hash-uniform per cell, inverse-CDF
+    * transform −b·sign(u−½)·ln(1−2|u−½|) — which is what makes the
+    * release oracle-checkable; a production caller swaps the hash
+    * uniform for a secret-seeded one and the plan is unchanged. True
+    * counts are emitted BESIDE the release as the calibration audit
+    * (the gate checks the mechanism, not a real disclosure).
+    *
+    * Scale: one count-shuffle to O(|langs|) cells; the noise transform
+    * is per-cell arithmetic. */
+  val qDpRelease = QueryDef.sql(
+    "q_dp_release",
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+       |           FROM documents GROUP BY 1),
+       |u AS (
+       |  SELECT lang, n,
+       |         (CAST(concat('0x', substr(md5('dp|' || lang), 1, 15))
+       |            AS BIGINT) % 1000000) / 1000000.0 + 0.0000005 AS uu
+       |  FROM c),
+       |z AS (
+       |  SELECT lang, n,
+       |         -(1.0 / $DpEpsilon)
+       |           * CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END
+       |           * ln(1 - 2 * abs(uu - 0.5)) AS noise
+       |  FROM u)
+       |SELECT lang,
+       |       CAST(n AS BIGINT) AS true_n,
+       |       round(n + noise, 2) AS released_n,
+       |       round(noise, 2) AS noise,
+       |       $DpEpsilon AS epsilon
+       |FROM z ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val c = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).cast("double").as("n"))
+    val uu = (stableHash60(concat(lit("dp|"), $"lang")) % 1000000) /
+      lit(1000000.0) + 0.0000005
+    val noise = (lit(-1.0 / DpEpsilon) *
+      when($"uu" >= 0.5, 1.0).otherwise(-1.0) *
+      log(lit(1) - lit(2) * abs($"uu" - 0.5)))
+    c.withColumn("uu", uu)
+      .withColumn("noise", noise)
+      .select($"lang",
+        $"n".cast("long").as("true_n"),
+        round($"n" + $"noise", 2).as("released_n"),
+        round($"noise", 2).as("noise"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy($"lang")
+  }
+
   /** Target rows per semantic-dedup cell: the within-cell all-pairs cost
     * is O(cellRows²), so holding cellRows constant (and letting the CELL
     * COUNT grow with the corpus — the SemDeDup recipe's ~10⁴-10⁵
@@ -1113,5 +1171,5 @@ object Curation {
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
       qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup,
       qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity,
-      qLDiversity, qTCloseness)
+      qLDiversity, qTCloseness, qDpRelease)
 }

@@ -548,6 +548,26 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet === want)
   }
 
+  test("dp release: calibrated noise, replay-deterministic, cells complete") {
+    val rows = Curation.qDpRelease.fn(spark, sf)
+      .select($"lang", $"true_n", $"released_n", $"noise", $"epsilon")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val langs = Tables.documents(spark, sf)
+      .select($"lang").distinct().as[String].collect().toSet
+    assert(rows.map(_._1).toSet === langs)
+    rows.foreach { r =>
+      assert(r._5 === 1.0)
+      // release = true + noise under the output rounding
+      assert(math.abs(r._3 - (r._2 + r._4)) <= 0.011, s"${r._1}")
+      // Laplace(1) tail: |noise| beyond 14 ~ e^-14 — a hash-uniform can't
+      // land there with ~meaningful probability; bound guards the CDF math
+      assert(math.abs(r._4) < 14.0, s"noise ${r._4} implausible")
+    }
+    val again = Curation.qDpRelease.fn(spark, sf)
+      .select($"lang", $"released_n").as[(String, Double)].collect().toMap
+    rows.foreach(r => assert(again(r._1) === r._3, "replay-deterministic"))
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
