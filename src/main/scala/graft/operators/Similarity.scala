@@ -1517,10 +1517,92 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** kNN classification accuracy — the label-propagation evaluation an
+    * embedding pipeline runs before trusting its space: every 10th
+    * vector is held out, classified by the majority label of its 5
+    * nearest training neighbors (exact cosine; ties → smaller label),
+    * and accuracy is reported per true label. The exact scorer doubles
+    * as the verifier for an IVF-routed variant at scale (swap the
+    * broadcast-exact candidate set for the index probe — the ANN
+    * queries' established upgrade path).
+    *
+    * Scale: the held-out side is the broadcast (fixed sampling rate of
+    * the corpus — at 100 TB classify in batches); the training corpus
+    * scans once, never shuffles; neighbor ranking is per-query. */
+  val qKnnClassify = QueryDef.sql(
+    "q_knn_classify",
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |         label AS true_label
+      |  FROM embeddings
+      |  WHERE vec_id % 10 = 0 AND len(embedding) = 64
+      |    AND list_sum([x * x for x in embedding]) > 0),
+      |t AS (
+      |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv, label
+      |  FROM embeddings
+      |  WHERE vec_id % 10 <> 0 AND len(embedding) = 64
+      |    AND list_sum([x * x for x in embedding]) > 0),
+      |ranked AS (
+      |  SELECT qid, true_label, label,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |                ORDER BY list_cosine_similarity(qv, nv) DESC, nid)
+      |              AS INT) AS rnk
+      |  FROM q JOIN t ON true),
+      |votes AS (
+      |  SELECT qid, true_label, label, count(*) AS v
+      |  FROM ranked WHERE rnk <= 5
+      |  GROUP BY 1, 2, 3),
+      |winner AS (
+      |  SELECT qid, true_label, label AS pred FROM (
+      |    SELECT qid, true_label, label,
+      |           row_number() OVER (PARTITION BY qid
+      |             ORDER BY v DESC, label) AS wr
+      |    FROM votes) WHERE wr = 1)
+      |SELECT true_label AS label,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_correct,
+      |       round(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+      |             * 1.0 / count(*), 4) AS accuracy
+      |FROM winner GROUP BY 1 ORDER BY label""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val base = Tables.embeddings(s, d)
+      .filter(size($"embedding") === 64 && norm($"embedding") =!= 0.0)
+    val q = base.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        norm($"embedding").as("qn"), $"label".as("true_label"))
+    val t = base.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("nid"), $"embedding".as("nv"),
+        norm($"embedding").as("nn"), $"label")
+    val w = Window.partitionBy($"qid")
+      .orderBy((dot($"qv", $"nv") / ($"qn" * $"nn")).desc, $"nid")
+    val votes = t
+      .crossJoin(broadcast(q))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("v"))
+    val wWin = Window.partitionBy($"qid").orderBy($"v".desc, $"label")
+    votes
+      .withColumn("wr", row_number().over(wWin))
+      .filter($"wr" === 1)
+      .select($"true_label", $"label".as("pred"))
+      .groupBy($"true_label")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when($"pred" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"))
+      .select($"true_label".as("label"), $"n_queries", $"n_correct",
+        round($"n_correct" * lit(1.0) / $"n_queries", 4).as("accuracy"))
+      .orderBy($"label")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
       qClusterSilhouette, qHardNegatives, qAnnNprobeSweep,
-      qAnnHamming, qHammingRecall, qMatryoshkaRecall, qEmbedDrift)
+      qAnnHamming, qHammingRecall, qMatryoshkaRecall, qEmbedDrift,
+      qKnnClassify)
 }

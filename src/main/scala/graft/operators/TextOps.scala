@@ -1739,11 +1739,101 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Classifier evaluation metrics — per-class precision/recall/F1 of
+    * the language-ID heuristic against the fixture's true labels,
+    * derived from the same confusion cells `q_text_langid` emits (tp =
+    * diagonal, precision over the predicted column, recall over the
+    * true row; F1 on the ROUNDED components per the flag convention).
+    * The evaluation-harness op every curation classifier needs beside
+    * its scores.
+    *
+    * Scale: the per-doc scoring is the scan-fused langid arithmetic;
+    * the metrics run on the O(classes²) confusion relation. */
+  val qLangidMetrics = QueryDef.sql(
+    "q_langid_metrics", {
+      val scoresSql = langStops
+        .map { case (l, ws) =>
+          s"len(list_intersect(list_distinct(string_split_regex(trim(text), ' +')), [${ws
+              .map("'" + _ + "'").mkString(",")}])) AS s_$l"
+        }
+        .mkString(",\n         ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         $scoresSql
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |         CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+         |              WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |              WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |              WHEN s_es >= s_de THEN 'es'
+         |              ELSE 'de' END AS predicted
+         |  FROM scored),
+         |cells AS (SELECT lang, predicted, count(*) AS n
+         |          FROM pred GROUP BY 1, 2),
+         |classes AS (SELECT DISTINCT lang AS c FROM cells),
+         |m AS (
+         |  SELECT c,
+         |         coalesce((SELECT sum(n) FROM cells
+         |                   WHERE lang = c AND predicted = c), 0) AS tp,
+         |         coalesce((SELECT sum(n) FROM cells WHERE lang = c), 0) AS trues,
+         |         coalesce((SELECT sum(n) FROM cells WHERE predicted = c), 0)
+         |           AS preds
+         |  FROM classes)
+         |SELECT c AS lang,
+         |       CAST(trues AS BIGINT) AS n_true,
+         |       CAST(tp AS BIGINT) AS tp,
+         |       round(tp * 1.0 / greatest(preds, 1), 4) AS precision,
+         |       round(tp * 1.0 / greatest(trues, 1), 4) AS recall,
+         |       round(2.0 * tp / greatest(preds + trues, 1), 4) AS f1
+         |FROM m ORDER BY lang""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val distinctW = array_distinct(words($"text"))
+    val scores = langStops.map { case (l, ws) =>
+      l -> size(array_intersect(distinctW, array(ws.map(lit): _*)))
+    }
+    val m = scores.toMap
+    val predicted = when(
+      m("en") === 0 && m("fr") === 0 && m("es") === 0 && m("de") === 0,
+      "unknown")
+      .when(m("en") >= m("fr") && m("en") >= m("es") && m("en") >= m("de"), "en")
+      .when(m("fr") >= m("es") && m("fr") >= m("de"), "fr")
+      .when(m("es") >= m("de"), "es")
+      .otherwise("de")
+    val cells = Tables.documents(s, d)
+      .select($"lang", predicted.as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // O(classes²); reused by three rollups
+    val classes = cells.select($"lang".as("c")).distinct()
+    val tp = cells.filter($"lang" === $"predicted")
+      .select($"lang".as("c"), $"n".as("tp"))
+    val trues = cells.groupBy($"lang".as("c")).agg(sum($"n").as("trues"))
+    val preds = cells.groupBy($"predicted".as("c")).agg(sum($"n").as("preds"))
+    classes
+      .join(tp, Seq("c"), "left")
+      .join(trues, Seq("c"), "left")
+      .join(preds, Seq("c"), "left")
+      .select($"c".as("lang"),
+        coalesce($"trues", lit(0L)).cast("long").as("n_true"),
+        coalesce($"tp", lit(0L)).cast("long").as("tp"),
+        round(coalesce($"tp", lit(0L)) * lit(1.0) /
+          greatest(coalesce($"preds", lit(0L)), lit(1L)), 4).as("precision"),
+        round(coalesce($"tp", lit(0L)) * lit(1.0) /
+          greatest(coalesce($"trues", lit(0L)), lit(1L)), 4).as("recall"),
+        round(lit(2.0) * coalesce($"tp", lit(0L)) /
+          greatest(coalesce($"preds", lit(0L)) + coalesce($"trues", lit(0L)),
+            lit(1L)), 4).as("f1"))
+      .orderBy($"lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qTextStats, qTextQuality, qTextLangid, qFingerprint, qTokenHistogram,
       qTokenize, qPackSequences, qPackEfficiency, qBatchPadding,
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit, qBm25Retrieval, qSpanCorruption)
+      qCharsetAudit, qBm25Retrieval, qSpanCorruption, qLangidMetrics)
 }

@@ -568,6 +568,45 @@ class AuditOpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r._1) === r._3, "replay-deterministic"))
   }
 
+  test("langid metrics: derived consistently from the confusion cells") {
+    val metrics = TextOps.qLangidMetrics.fn(spark, sf)
+      .select($"lang", $"n_true", $"tp", $"precision", $"recall", $"f1")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    val cells = TextOps.qTextLangid.fn(spark, sf)
+      .select($"lang", $"predicted", $"n")
+      .as[(String, String, Long)].collect()
+    metrics.foreach { case (c, nTrue, tp, prec, rec, f1) =>
+      val trues = cells.filter(_._1 == c).map(_._3).sum
+      val preds = cells.filter(_._2 == c).map(_._3).sum
+      val diag = cells.filter(x => x._1 == c && x._2 == c).map(_._3).sum
+      assert(nTrue === trues && tp === diag, s"class $c")
+      assert(prec === math.rint(diag.toDouble / math.max(preds, 1) * 1e4) / 1e4)
+      assert(rec === math.rint(diag.toDouble / math.max(trues, 1) * 1e4) / 1e4)
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      assert(tp <= nTrue)
+    }
+    assert(metrics.map(_._2).sum === Tables.documents(spark, sf).count())
+  }
+
+  test("knn classifier: census complete, accuracy in bounds, exact recount for one query") {
+    val rows = graft.operators.Similarity.qKnnClassify.fn(spark, sf)
+      .select($"label", $"n_queries", $"n_correct", $"accuracy")
+      .as[(Int, Long, Long, Double)].collect()
+    val held = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 10 === 0).count()
+    assert(rows.map(_._2).sum === held, "every held-out vector classified")
+    rows.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 === math.rint(r._3.toDouble / r._2 * 1e4) / 1e4)
+    }
+    // chance floor: with ~uniform labels, majority-of-5 beats 1/|labels|
+    val nLabels = Tables.embeddings(spark, sf)
+      .select($"label").distinct().count().toDouble
+    val overall = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(overall > 1.0 / nLabels * 0.5,
+      s"overall accuracy $overall implausibly below chance")
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
