@@ -1312,11 +1312,84 @@ object Events {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** CUSUM changepoint detection (Page 1954) — the mean-shift screen
+    * beside the point-outlier detectors (z, MAD) and the trend/seasonal
+    * ones (EWMA, seasonal profile): per event type, the cumulative sum
+    * of daily-count deviations from the series mean; the |CUSUM| peak
+    * locates the most likely level-shift day, flagged when the ROUNDED
+    * normalized peak |CUSUM|/(σ·√n) exceeds the 1.36 Kolmogorov-style
+    * band. A flat series walks like a bridge and stays inside the band
+    * — on this fixture un-flagged is the expected answer; the operator
+    * is the machinery.
+    *
+    * Scale: one count-shuffle to O(types·days) cells; the cumulative
+    * window partitions by type (parallel across types); means/σ are
+    * broadcast per-type aggregates. */
+  val qCusumChangepoint = QueryDef.sql(
+    "q_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, avg(n) AS mean_n,
+      |         stddev_pop(n) AS sd_n, count(*) AS n_days
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT d.event_type, d.day,
+      |         sum(d.n - st.mean_n) OVER (PARTITION BY d.event_type
+      |           ORDER BY d.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+      |         st.sd_n, st.n_days
+      |  FROM daily d JOIN st ON st.event_type = d.event_type),
+      |peak AS (
+      |  SELECT event_type,
+      |         max_by(day, printf('%020.6f', round(abs(cusum), 6))
+      |                     || '|' || day) AS cp_day,
+      |         max(round(abs(cusum), 6)) AS peak_cusum,
+      |         any_value(sd_n) AS sd_n, any_value(n_days) AS n_days
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, cp_day,
+      |       round(peak_cusum, 2) AS peak_cusum,
+      |       round(peak_cusum / (sd_n * sqrt(n_days)), 4) AS norm_peak,
+      |       (round(peak_cusum / (sd_n * sqrt(n_days)), 4) > 1.36)
+      |         AS shifted
+      |FROM peak ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val st = daily.groupBy($"event_type")
+      .agg(avg($"n").as("mean_n"), stddev_pop($"n").as("sd_n"),
+        count(lit(1)).as("n_days"))
+    val cum = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily
+      .join(broadcast(st), "event_type")
+      .withColumn("cusum", sum($"n" - $"mean_n").over(cum))
+    c.groupBy($"event_type")
+      .agg(
+        max_by($"day", concat(format_string("%020.6f", round(abs($"cusum"), 6)),
+          lit("|"), $"day")).as("cp_day"),
+        max(round(abs($"cusum"), 6)).as("peak_cusum"),
+        first($"sd_n").as("sd_n"),
+        first($"n_days").as("n_days"))
+      .select($"event_type", $"cp_day",
+        round($"peak_cusum", 2).as("peak_cusum"),
+        round($"peak_cusum" / ($"sd_n" * sqrt($"n_days")), 4).as("norm_peak"),
+        (round($"peak_cusum" / ($"sd_n" * sqrt($"n_days")), 4) > 1.36)
+          .as("shifted"))
+      .orderBy($"event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
-      qSessionWindowNative)
+      qSessionWindowNative, qCusumChangepoint)
 }

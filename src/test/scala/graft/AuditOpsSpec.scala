@@ -607,6 +607,31 @@ class AuditOpsSpec extends SparkSpec {
       s"overall accuracy $overall implausibly below chance")
   }
 
+  test("cusum changepoint matches a plain-Scala bridge walk") {
+    val rows = graft.operators.Events.qCusumChangepoint.fn(spark, sf)
+      .select($"event_type", $"cp_day", $"peak_cusum", $"norm_peak", $"shifted")
+      .as[(String, String, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .as[(String, String, Double)].collect()
+    rows.foreach { case (tpe, cpDay, peak, normPeak, shifted) =>
+      val series = daily.filter(_._1 == tpe).sortBy(_._2)
+      val mean = series.map(_._3).sum / series.length
+      var c = 0.0
+      val walk = series.map { d => c += d._3 - mean; (d._2, math.rint(math.abs(c) * 1e6) / 1e6) }
+      val want = walk.maxBy { case (day, v) => (v, day) }
+      assert(want._1 === cpDay, s"cp day for $tpe")
+      assert(math.abs(peak - math.rint(want._2 * 1e2) / 1e2) <= 0.011, s"peak for $tpe")
+      // the walk returns to ~0 at the end (bridge property)
+      assert(math.abs(c) < 1e-6, s"cusum of deviations must telescope to 0")
+      assert(normPeak >= 0.0)
+      assert(shifted === (normPeak > 1.36))
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
