@@ -406,6 +406,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("c-tf-idf pushes its rank<=5 below the window exchange") {
+    val p = plan(q("q_ctfidf_terms"))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit in:\n$p")
+  }
+
   test("NO query plans a partition-less window (all-to-one funnel)") {
     // a Window with an empty partitionSpec moves the whole input to one
     // task — the r5 scale-killer class; assert the entire registry is
