@@ -1385,11 +1385,77 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Autocorrelation function (lags 1–7) of the daily count series per
+    * event type — the diagnostic read before choosing between the
+    * trend (EWMA), seasonal (hour-of-day), and changepoint (CUSUM)
+    * screens: a weekly corpus shows its period as an ACF spike at lag
+    * 7. ρ_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² with the day-index join
+    * (not date arithmetic) so gaps cannot misalign lags.
+    *
+    * Scale: the series is the O(types·days) aggregate; lag alignment is
+    * an equi-join on (type, day_idx+k) over it; output O(types·7). */
+  val qAcf = QueryDef.sql(
+    "q_acf",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, n,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |st AS (
+      |  SELECT event_type, avg(n) AS m,
+      |         sum(n * n) - sum(n) * sum(n) / count(*) AS ss
+      |  FROM idx GROUP BY event_type),
+      |lags AS (SELECT unnest(range(1, 8)) AS k),
+      |acf AS (
+      |  SELECT a.event_type, l.k,
+      |         sum((a.n - st.m) * (b.n - st.m)) / any_value(st.ss) AS rho
+      |  FROM idx a
+      |  CROSS JOIN lags l
+      |  JOIN idx b ON b.event_type = a.event_type AND b.i = a.i + l.k
+      |  JOIN st ON st.event_type = a.event_type
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(k AS BIGINT) AS lag,
+      |       round(rho, 4) AS rho
+      |FROM acf ORDER BY event_type, lag""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val wIdx = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = daily
+      .withColumn("i", row_number().over(wIdx))
+      .select($"event_type", $"n", $"i")
+      .localCheckpoint() // O(types·days); reused by moments + both join sides
+    val st = idx
+      .groupBy($"event_type")
+      .agg(avg($"n").as("m"), count(lit(1)).as("cnt"),
+        sum($"n" * $"n").as("snn"), sum($"n").as("sn"))
+      .select($"event_type", $"m",
+        ($"snn" - $"sn" * $"sn" / $"cnt").as("ss"))
+    val lags = s.range(1, 8).select($"id".as("k"))
+    val a = idx.select($"event_type", $"n".as("na"), $"i".as("ia"))
+    val b = idx.select($"event_type".as("et_b"), $"n".as("nb"), $"i".as("ib"))
+    a.crossJoin(broadcast(lags))
+      .join(b, $"et_b" === $"event_type" && $"ib" === $"ia" + $"k")
+      .join(broadcast(st), "event_type")
+      .groupBy($"event_type", $"k")
+      .agg((sum(($"na" - $"m") * ($"nb" - $"m")) / first($"ss")).as("rho"))
+      .select($"event_type", $"k".cast("long").as("lag"),
+        round($"rho", 4).as("rho"))
+      .orderBy($"event_type", $"lag")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
-      qSessionWindowNative, qCusumChangepoint)
+      qSessionWindowNative, qCusumChangepoint, qAcf)
 }

@@ -632,6 +632,30 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("acf matches a plain-Scala computation and stays in [-1, 1]") {
+    val rows = graft.operators.Events.qAcf.fn(spark, sf)
+      .select($"event_type", $"lag", $"rho")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .as[(String, String, Double)].collect()
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val xs = daily.filter(_._1 == tpe).sortBy(_._2).map(_._3)
+      val m = xs.sum / xs.length
+      val ss = xs.map(x => (x - m) * (x - m)).sum
+      rs.foreach { case (_, k, rho) =>
+        val num = (0 until xs.length - k.toInt)
+          .map(i => (xs(i) - m) * (xs(i + k.toInt) - m)).sum
+        val want = math.rint(num / ss * 1e4) / 1e4
+        assert(math.abs(rho - want) <= 1e-3, s"acf($tpe, $k)")
+      }
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
