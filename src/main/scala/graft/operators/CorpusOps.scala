@@ -535,6 +535,55 @@ object CorpusOps {
           .as("kl_to_corpus"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between the groups' hashed-
+    * unigram distributions — the SYMMETRIC, bounded ([0, ln 2]) partner
+    * of [[sourceDivergence]]'s KL-to-corpus: for every unordered group
+    * pair, JSD(P,Q) = ½ Σ p·ln(2p/(p+q)) + ½ Σ q·ln(2q/(p+q)) over the
+    * same add-one-smoothed `buckets`-bucket token distributions (same
+    * salt, so the two reports share hashing). The mixing/contamination
+    * audit reads this as a distance matrix: near-0 pairs are the same
+    * distribution crawled twice, near-ln 2 pairs are disjoint registers.
+    *
+    * Scale: one corpus-scale token count-shuffle to |groups|·buckets
+    * rows; the pair join runs on that aggregate keyed by bucket —
+    * ≤ |groups|²·buckets/2 rows, corpus-independent. */
+  def sourceJsd(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 1024, salt: String = "ds"): DataFrame = {
+    checkReserved(df)
+    val s = df.sparkSession
+    val tok = ReservedPrefix + "token"
+    val b = ReservedPrefix + "b"
+    val sb = df
+      .select(col(groupCol), explode(words(col(textCol))).as(tok))
+      .select(col(groupCol),
+        (stableHash60(concat(lit(salt + "|"), col(tok))) %
+          buckets.toLong).as(b))
+      .groupBy(col(groupCol), col(b))
+      .agg(count(lit(1)).as("c"))
+    val stot = sb.groupBy(col(groupCol)).agg(sum(col("c")).as("ns"))
+    // smoothed distribution on the FULL bucket domain per group —
+    // |groups|·buckets rows, all derived from the one token shuffle
+    val dom = stot
+      .crossJoin(broadcast(s.range(buckets).toDF(b)))
+      .join(broadcast(sb), Seq(groupCol, b), "left")
+      .select(col(groupCol), col(b),
+        ((coalesce(col("c"), lit(0L)) + 1.0) /
+          (col("ns") + buckets.toDouble)).as("p"))
+    val right = dom.select(col(groupCol).as("src_b"), col(b),
+      col("p").as("q"))
+    dom
+      .select(col(groupCol).as("src_a"), col(b), col("p"))
+      .join(right, Seq(b))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(
+        (sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))) +
+          sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))))
+          * 0.5, 4).as("jsd"))
+      .select(col("src_a"), col("src_b"), col("jsd"),
+        round(col("jsd") / math.log(2.0), 4).as("jsd_bits"))
+  }
+
   /** Deterministic training-order shuffle: every row gets a (shard, pos)
     * coordinate from a salted hash permutation — the reproducible "global
     * shuffle" a training run needs (change the salt per epoch for a fresh

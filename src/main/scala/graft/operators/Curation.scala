@@ -967,6 +967,53 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions (Lin 1991) — the symmetric, bounded distance matrix
+    * beside [[qSourceKl]]'s KL-to-corpus: same 1024-bucket hashed
+    * distributions and add-one smoothing (same salt, shared hashing),
+    * ½KL(P‖M) + ½KL(Q‖M) with M the midpoint, reported in nats and
+    * bits. Near-0 = same distribution crawled twice; near-ln 2 =
+    * disjoint vocabularies. The matrix is what a mixing planner
+    * clusters sources by before assigning dedup order and weights.
+    *
+    * Scale: one corpus token count-shuffle to |sources|·1024 rows; the
+    * pair join runs on that aggregate keyed by bucket —
+    * ≤ |sources|²·1024/2 rows, corpus-independent. */
+  val qSourceJsd = QueryDef.sql(
+    "q_source_jsd",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), ' +') AS w
+      |  FROM documents),
+      |tok AS (SELECT source, unnest(w) AS token FROM t),
+      |sb AS (
+      |  SELECT source,
+      |         CAST(concat('0x', substr(md5('ds|' || token), 1, 15))
+      |              AS BIGINT) % 1024 AS b,
+      |         count(*) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(c) AS ns FROM sb GROUP BY source),
+      |dom AS (
+      |  SELECT stot.source, d.b,
+      |         (coalesce(sb.c, 0) + 1.0) / (stot.ns + 1024.0) AS p
+      |  FROM stot CROSS JOIN
+      |       (SELECT unnest(generate_series(0, 1023)) AS b) d
+      |  LEFT JOIN sb ON sb.source = stot.source AND sb.b = d.b),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         round((sum(a.p * ln(2.0 * a.p / (a.p + b.p)))
+      |                + sum(b.p * ln(2.0 * b.p / (a.p + b.p)))) * 0.5, 4)
+      |           AS jsd
+      |  FROM dom a JOIN dom b ON a.b = b.b AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, jsd, round(jsd / ln(2.0), 4) AS jsd_bits
+      |FROM pairs ORDER BY src_a, src_b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    CorpusOps
+      .sourceJsd(Tables.documents(s, d), "source", "text")
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Source-overlap matrix — the cross-source contamination audit a
     * corpus report publishes: for every ordered source pair (A, B), how
     * much of A's distinct 3-gram shingle vocabulary also appears in B
@@ -1169,7 +1216,7 @@ object Curation {
 
   def defs: Seq[QueryDef] =
     Seq(qDecontaminate, qCrossCorpusDedup, qParagraphDedup, qSemanticDedup,
-      qSubstringDedup, qKmeansStep, qSourceKl, qSourceOverlap, qCdcDedup,
-      qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter, qKAnonymity,
-      qLDiversity, qTCloseness, qDpRelease)
+      qSubstringDedup, qKmeansStep, qSourceKl, qSourceJsd, qSourceOverlap,
+      qCdcDedup, qKmvSourceJaccard, qBoilerplateStrip, qBlocklistFilter,
+      qKAnonymity, qLDiversity, qTCloseness, qDpRelease)
 }

@@ -1451,11 +1451,105 @@ object Events {
       .orderBy($"event_type", $"lag")
   }
 
+  /** Mann-Kendall trend test + Theil-Sen slope (Mann 1945, Kendall 1975,
+    * Sen 1968) per event type over the daily count series — the
+    * nonparametric monotone-trend screen beside [[qCusumChangepoint]]'s
+    * level-shift and [[qAcf]]'s periodicity reads: S = Σ_{i<j}
+    * sign(x_j − x_i), τ = S/(n(n−1)/2), slope = median of the pairwise
+    * slopes (x_j − x_i)/(j − i), Z from the continuity-corrected normal
+    * approximation Var(S) = n(n−1)(2n+5)/18 (no tie correction — both
+    * engines apply the same formula), trending at |Z| > 1.96.
+    *
+    * Scale: the pairwise self-join is O(days²) per type on the
+    * AGGREGATED daily series — ~n²/2 rows per type-year, never corpus
+    * rows; the day-index join keys both sides so gaps cannot skew the
+    * slope denominator. */
+  val qTrendMk = QueryDef.sql(
+    "q_trend_mk",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, n,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |              AS DOUBLE) AS i
+      |  FROM daily),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |         sign(b.n - a.n) AS sg,
+      |         (b.n - a.n) / (b.i - a.i) AS slope
+      |  FROM idx a JOIN idx b
+      |    ON b.event_type = a.event_type AND b.i > a.i),
+      |nd AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nn
+      |       FROM idx GROUP BY 1),
+      |st AS (
+      |  SELECT p.event_type, sum(p.sg) AS s,
+      |         median(p.slope::DOUBLE) AS ts_slope,
+      |         any_value(nd.nn) AS nn
+      |  FROM pairs p JOIN nd ON nd.event_type = p.event_type
+      |  GROUP BY p.event_type),
+      |z AS (
+      |  SELECT event_type, s, ts_slope, nn,
+      |         sqrt(nn * (nn - 1) * (2 * nn + 5) / 18.0) AS sd
+      |  FROM st)
+      |SELECT event_type,
+      |       CAST(nn AS BIGINT) AS n_days,
+      |       CAST(s AS BIGINT) AS s_stat,
+      |       round(s / (nn * (nn - 1) / 2.0), 4) AS tau,
+      |       round(ts_slope, 4) AS theil_sen,
+      |       round(CASE WHEN s > 0 THEN (s - 1) / sd
+      |                  WHEN s < 0 THEN (s + 1) / sd
+      |                  ELSE 0.0 END, 4) AS z,
+      |       (abs(CASE WHEN s > 0 THEN (s - 1) / sd
+      |                 WHEN s < 0 THEN (s + 1) / sd
+      |                 ELSE 0.0 END) > 1.96) AS trending
+      |FROM z ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val wIdx = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = daily
+      .withColumn("i", row_number().over(wIdx).cast("double"))
+      .select($"event_type", $"n", $"i")
+      .localCheckpoint() // O(types·days); both sides of the pair join
+    val b = idx.select($"event_type".as("et_b"), $"n".as("nb"), $"i".as("ib"))
+    val pairs = idx
+      .join(b, $"et_b" === $"event_type" && $"ib" > $"i")
+      .select($"event_type", signum($"nb" - $"n").as("sg"),
+        (($"nb" - $"n") / ($"ib" - $"i")).as("slope"))
+    val nd = idx.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("nn"))
+    val st = pairs
+      .join(broadcast(nd), "event_type")
+      .groupBy($"event_type")
+      .agg(sum($"sg").as("s"),
+        expr("percentile(slope, 0.5)").as("ts_slope"),
+        first($"nn").as("nn"))
+    val sd = sqrt($"nn" * ($"nn" - 1) * (lit(2) * $"nn" + 5) / 18.0)
+    val zc = when($"s" > 0, ($"s" - 1) / sd)
+      .when($"s" < 0, ($"s" + 1) / sd)
+      .otherwise(0.0)
+    st.select(
+        $"event_type",
+        $"nn".cast("long").as("n_days"),
+        $"s".cast("long").as("s_stat"),
+        round($"s" / ($"nn" * ($"nn" - 1) / 2.0), 4).as("tau"),
+        round($"ts_slope", 4).as("theil_sen"),
+        round(zc, 4).as("z"),
+        (abs(zc) > 1.96).as("trending"))
+      .orderBy($"event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
-      qSessionWindowNative, qCusumChangepoint, qAcf)
+      qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk)
 }

@@ -128,6 +128,136 @@ object Extras {
       .orderBy($"l_returnflag")
   }
 
+  /** HyperLogLog distinct estimate (Flajolet et al. 2007) beside
+    * [[qApproxDistinct]]'s KMV: m = 256 registers from the 60-bit stable
+    * hash (bucket = h mod 256, register value = leading-zero rank of the
+    * remaining 52 bits), harmonic-mean raw estimate
+    * α·m²/Σ2^(−M_j) with the standard small-range linear-counting
+    * correction (E ≤ 2.5m and empty registers present → m·ln(m/V)).
+    * The per-group register table is 256 longs regardless of input size
+    * — the shuffle carries ≤ groups·256 rows where count(DISTINCT)
+    * shuffles every distinct value.
+    *
+    * The 2^(−M) terms are dyadic with a narrow exponent span, so the
+    * sum is exact in double under ANY addition order — the estimate is
+    * bit-identical across engines and partitionings. */
+  val qHllDistinct = QueryDef.sql(
+    "q_hll_distinct",
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         CAST(concat('0x',
+      |                substr(md5('hll|' || CAST(l_partkey AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM lineitem),
+      |reg AS (
+      |  SELECT l_returnflag, h % 256 AS b,
+      |         max(CASE WHEN h // 256 = 0 THEN 53
+      |                  ELSE 53 - length(bin(h // 256)) END) AS m
+      |  FROM h GROUP BY 1, 2),
+      |s AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n_filled,
+      |         256 - count(*) AS v,
+      |         (256 - count(*)) * 1.0 + sum(power(2.0, -m)) AS ssum
+      |  FROM reg GROUP BY 1),
+      |e AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+      |  FROM lineitem GROUP BY 1),
+      |est AS (
+      |  SELECT e.l_returnflag, e.exact_parts, s.n_filled, s.v,
+      |         CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.ssum
+      |                   <= 640.0 AND s.v > 0
+      |              THEN 256.0 * ln(256.0 / s.v)
+      |              ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / s.ssum
+      |         END AS raw
+      |  FROM e JOIN s USING (l_returnflag))
+      |SELECT l_returnflag,
+      |       CAST(exact_parts AS BIGINT) AS exact_parts,
+      |       CAST(n_filled AS BIGINT) AS n_filled,
+      |       round(raw, 2) AS hll_est,
+      |       round(abs(raw - exact_parts) / exact_parts, 4) AS rel_err
+      |FROM est ORDER BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val h = Tables
+      .lineitem(s, d)
+      .select($"l_returnflag",
+        stableHash60(concat(lit("hll|"), $"l_partkey".cast("string"))).as("h"))
+    val reg = h
+      .groupBy($"l_returnflag", ($"h" % 256).as("b"))
+      .agg(max(when(expr("h div 256") === 0, 53)
+        .otherwise(lit(53) - length(bin(expr("h div 256"))))).as("m"))
+    val st = reg
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_filled"),
+        (lit(256) - count(lit(1))).as("v"),
+        ((lit(256) - count(lit(1))) * 1.0 +
+          sum(pow(lit(2.0), -$"m"))).as("ssum"))
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    val rawE = lit(alpha) * 65536.0 / $"ssum"
+    val est = when(rawE <= 640.0 && $"v" > 0,
+      lit(256.0) * log(lit(256.0) / $"v")).otherwise(rawE)
+    Tables
+      .lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+      .join(st, "l_returnflag")
+      .select($"l_returnflag",
+        $"exact_parts".cast("long").as("exact_parts"),
+        $"n_filled".cast("long").as("n_filled"),
+        round(est, 2).as("hll_est"),
+        round(abs(est - $"exact_parts") / $"exact_parts", 4).as("rel_err"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Benford first-digit audit (Benford 1938, Hill 1995) over order
+    * totals — the fraud/synthetic-data screen a warehouse runs on any
+    * naturally-multiplicative numeric column: observed leading-digit
+    * shares vs the log10(1 + 1/d) law, with each digit's χ² contribution.
+    * The digit is taken from the CENTS integer (round(x·100)) so no
+    * float log10 sits on a power-of-ten boundary.
+    *
+    * Scale: the digit extraction fuses into the scan; the aggregate is
+    * 9 groups — one count-shuffle of ≤ 9·partitions rows. */
+  val qBenford = QueryDef.sql(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT sum(n) AS tot FROM c)
+      |SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+      |       round(c.n * 1.0 / t.tot, 4) AS share,
+      |       round(log10(1.0 + 1.0 / c.digit), 4) AS benford,
+      |       round(c.n * 1.0 / t.tot - log10(1.0 + 1.0 / c.digit), 4)
+      |         AS diff,
+      |       round(power(c.n * 1.0 / t.tot - log10(1.0 + 1.0 / c.digit), 2)
+      |             / log10(1.0 + 1.0 / c.digit) * t.tot, 4) AS chi2_term
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val digits = Tables
+      .orders(s, d)
+      .filter($"o_totalprice" > 0)
+      .select(substring(round($"o_totalprice" * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum($"n").as("tot"))
+    val share = $"n" * lit(1.0) / $"tot"
+    val law = log10(lit(1.0) + lit(1.0) / $"digit")
+    digits
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n".cast("long").as("n"),
+        round(share, 4).as("share"),
+        round(law, 4).as("benford"),
+        round(share - law, 4).as("diff"),
+        round(pow(share - law, 2) / law * $"tot", 4).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -977,5 +1107,6 @@ object Extras {
     Seq(qSetOpsAll, qArrayAgg, qArgMax, qApproxDistinct, qSaltedHistogram,
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
-      qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare)
+      qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
+      qBenford)
 }

@@ -342,5 +342,117 @@ object GraphOps {
       .orderBy($"nation")
   }
 
-  def defs: Seq[QueryDef] = Seq(qPagerank, qTextrankKeywords, qTriangleCount)
+  /** Rounds of BFS relaxation — enough to cover any diameter of the
+    * ≤|nations|-node strong-trade graph. */
+  val BfsRounds = 8
+
+  /** One min-plus relaxation round as SQL: dist_{k+1}(v) =
+    * min(dist_k(v), min over edges (u,v) of dist_k(u)+1). Expects CTEs
+    * `sym(src, dst)` (symmetrized edges) and `b$k(node, dist)`. */
+  private def bfsItersSql(iters: Int): String =
+    (0 until iters)
+      .map { k =>
+        s"""b${k + 1} AS MATERIALIZED (
+           |  SELECT b.node,
+           |         least(b.dist, coalesce(r.relax, 9223372036854775807))
+           |           AS dist
+           |  FROM b$k b LEFT JOIN (
+           |    SELECT sym.dst AS node, min(b$k.dist + 1) AS relax
+           |    FROM sym JOIN b$k ON b$k.node = sym.src
+           |    WHERE b$k.dist < 99
+           |    GROUP BY sym.dst) r ON r.node = b.node)""".stripMargin
+      }
+      .mkString(",\n")
+
+  /** BFS hop distance (single-source shortest path, unit weights) over
+    * the strong-trade graph — the reachability/radius read beside
+    * [[qPagerank]]'s centrality and [[qTriangleCount]]'s density: from
+    * the smallest strong-trading nation key, the minimum number of
+    * strong-partner hops to every other nation (99 = unreachable
+    * sentinel, never NULL — both engines' sorts then agree). Computed as
+    * [[BfsRounds]] unrolled min-plus relaxation rounds — the
+    * frontier-free formulation whose every round is one equi-join +
+    * aggregate, the same dataflow shape as a PageRank step.
+    *
+    * Scale: the corpus-scale pass is the shared edge aggregation (one
+    * shuffle to O(|nations|²) rows); each relaxation round joins the
+    * O(nodes) distance vector against the aggregated edge list — on a
+    * real cluster both sides stay hash-partitioned on the join key
+    * across rounds, and a diameter-bounded loop (log-round doubling for
+    * path halving, as in [[Dedup.connectedComponents]]) covers
+    * billion-node graphs. */
+  val qGraphBfs = QueryDef.sql(
+    "q_graph_bfs", {
+      val iters = bfsItersSql(BfsRounds)
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |m AS (SELECT avg(w) AS mw FROM e),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e CROSS JOIN m WHERE w > mw AND src <> dst),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |seed AS (SELECT min(src) AS s0 FROM sym),
+         |b0 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN node = (SELECT s0 FROM seed)
+         |                    THEN 0 ELSE 99 END AS dist
+         |  FROM (SELECT DISTINCT src AS node FROM sym)),
+         |$iters
+         |SELECT n.n_name AS nation, CAST(b.dist AS BIGINT) AS hops
+         |FROM b$BfsRounds b JOIN nation n ON n.n_nationkey = b.node
+         |ORDER BY hops, nation""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = e.agg(avg($"w").as("mw"))
+    val und = e
+      .crossJoin(broadcast(m))
+      .filter($"w" > $"mw" && $"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      .coalesce(1).localCheckpoint() // aggregate-sized; reused every round
+    val seed = sym.agg(min($"src")).as[Long].head()
+    var dist = sym
+      .select($"src".as("node")).distinct()
+      .select($"node",
+        when($"node" === seed, 0L).otherwise(99L).as("dist"))
+      .coalesce(1).localCheckpoint()
+    (0 until BfsRounds).foreach { i =>
+      val relax = sym
+        .join(dist, dist("node") === sym("src"))
+        .filter($"dist" < 99)
+        .groupBy(sym("dst").as("rnode"))
+        .agg(min($"dist" + 1).as("relax"))
+      val next = dist
+        .join(relax, $"rnode" === dist("node"), "left")
+        .select(dist("node"),
+          least($"dist", coalesce($"relax", lit(Long.MaxValue))).as("dist"))
+      dist =
+        if (i % 3 == 2 || i == BfsRounds - 1) next.coalesce(1).localCheckpoint()
+        else next
+    }
+    Tables
+      .nation(s, d)
+      .join(dist, $"n_nationkey" === $"node")
+      .select($"n_name".as("nation"), $"dist".cast("long").as("hops"))
+      .orderBy($"hops", $"nation")
+  }
+
+  def defs: Seq[QueryDef] =
+    Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs)
 }

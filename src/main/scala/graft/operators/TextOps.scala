@@ -1677,6 +1677,127 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Reciprocal-rank fusion of lexical and vector retrieval (Cormack,
+    * Clarke & Buettcher 2009) — the hybrid-search operator every RAG /
+    * curation stack runs: the [[qBm25Retrieval]] lexical top-20 and the
+    * cosine top-20 around query vector 0 (doc_id ≡ vec_id in the
+    * fixtures) fuse by RRF(d) = Σ_lists 1/(60 + rank_d), absent-from-a-
+    * list contributing 0 (rank sentinel 0 — never NULL, so both
+    * engines' sorts and the harness's hash agree). Top-10 fused.
+    *
+    * Scale: each leg is the already-audited retrieval shape (query-term
+    * scan filter / broadcast query vector — the corpus is never
+    * shuffled); the fusion join runs on two ≤20-row lists. */
+  val qRrfFusion = QueryDef.sql(
+    "q_rrf_fusion",
+    """WITH q AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |      FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+      |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         round(sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+      |           AS s
+      |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |lex AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+      |           AS lex_rnk
+      |  FROM sc QUALIFY lex_rnk <= 20),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      |       WHERE vec_id = 0),
+      |cs AS (
+      |  SELECT e.vec_id AS doc_id,
+      |         round(list_cosine_similarity(qv.qv,
+      |                 CAST(e.embedding AS DOUBLE[])), 4) AS c
+      |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+      |vec AS (
+      |  SELECT doc_id,
+      |         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT)
+      |           AS vec_rnk
+      |  FROM cs QUALIFY vec_rnk <= 20),
+      |fused AS (
+      |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+      |         coalesce(lex.lex_rnk, 0) AS lex_rnk,
+      |         coalesce(vec.vec_rnk, 0) AS vec_rnk,
+      |         round(CASE WHEN lex.lex_rnk IS NULL THEN 0
+      |                    ELSE 1.0 / (60 + lex.lex_rnk) END
+      |               + CASE WHEN vec.vec_rnk IS NULL THEN 0
+      |                      ELSE 1.0 / (60 + vec.vec_rnk) END, 6) AS rrf
+      |  FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id)
+      |SELECT doc_id, lex_rnk, vec_rnk, rrf,
+      |       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+      |         AS rank
+      |FROM fused QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.VectorFunctions.{dot, norm}
+    // lexical leg: BM25 over the query terms (scan-filtered postings)
+    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val dl = t.select($"doc_id", size($"w").cast("double").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg($"dl").as("avgdl"))
+    val tf = t
+      .select($"doc_id", explode($"w").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfr = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val sc = tf
+      .join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select($"doc_id",
+        (log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+          * $"tf" * 2.2
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .as("s"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 4).as("s"))
+    val lexTop = sc.orderBy($"s".desc, $"doc_id").limit(20)
+    val lex = CorpusOps
+      .boundedRank(lexTop, struct((-$"s").as("ns"), $"doc_id"), "lex_rnk")
+      .select($"doc_id", $"lex_rnk".cast("long").as("lex_rnk"))
+    // vector leg: cosine around the broadcast query vector
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), norm($"embedding").as("qn"))
+    val cs = emb
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(dot($"embedding", $"qv") / (norm($"embedding") * $"qn"), 4)
+          .as("c"))
+    val vecTop = cs.orderBy($"c".desc, $"doc_id").limit(20)
+    val vec = CorpusOps
+      .boundedRank(vecTop, struct((-$"c").as("nc"), $"doc_id"), "vec_rnk")
+      .select($"doc_id", $"vec_rnk".cast("long").as("vec_rnk"))
+    // fuse the two ≤20-row lists
+    val fused = lex
+      .join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"lex_rnk", lit(0L)).as("lex_rnk"),
+        coalesce($"vec_rnk", lit(0L)).as("vec_rnk"),
+        round(
+          when($"lex_rnk".isNull, 0.0)
+            .otherwise(lit(1.0) / (lit(60) + $"lex_rnk")) +
+          when($"vec_rnk".isNull, 0.0)
+            .otherwise(lit(1.0) / (lit(60) + $"vec_rnk")), 6).as("rrf"))
+    val top = fused.orderBy($"rrf".desc, $"doc_id").limit(10)
+    CorpusOps
+      .boundedRank(top, struct((-$"rrf").as("nr"), $"doc_id"), "rank")
+      .select($"doc_id", $"lex_rnk", $"vec_rnk", $"rrf", $"rank")
+      .orderBy($"rank")
+  }
+
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
     * 2020): deterministically mark ~15% of each document's tokens as
     * corruption spans (mean length 3) for masked-span pretraining. The
@@ -1835,5 +1956,6 @@ object TextOps {
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit, qBm25Retrieval, qSpanCorruption, qLangidMetrics)
+      qCharsetAudit, qBm25Retrieval, qRrfFusion, qSpanCorruption,
+      qLangidMetrics)
 }

@@ -656,6 +656,145 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-kendall: plain-Scala S/tau/slope parity and flag law") {
+    val rows = graft.operators.Events.qTrendMk.fn(spark, sf)
+      .select($"event_type", $"n_days", $"s_stat", $"tau", $"theil_sen",
+        $"z", $"trending")
+      .as[(String, Long, Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .as[(String, String, Double)].collect()
+    rows.foreach { case (tpe, nDays, sStat, tau, slope, z, trending) =>
+      val xs = daily.filter(_._1 == tpe).sortBy(_._2).map(_._3)
+      assert(nDays === xs.length)
+      val pairs = for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield (math.signum(xs(j) - xs(i)), (xs(j) - xs(i)) / (j - i))
+      assert(sStat === pairs.map(_._1.toLong).sum)
+      val nn = xs.length.toDouble
+      assert(math.abs(tau - sStat / (nn * (nn - 1) / 2.0)) <= 1e-3)
+      // Theil-Sen: interpolated median of pairwise slopes
+      val sl = pairs.map(_._2).sorted
+      val med =
+        if (sl.length % 2 == 1) sl(sl.length / 2)
+        else (sl(sl.length / 2 - 1) + sl(sl.length / 2)) / 2.0
+      assert(math.abs(slope - med) <= 1e-3, s"theil_sen($tpe)")
+      assert(trending === (math.abs(z) > 1.96))
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("hll estimate is within the 3-sigma error band of m=256") {
+    val rows = Extras.qHllDistinct.fn(spark, sf)
+      .select($"exact_parts", $"n_filled", $"hll_est", $"rel_err")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, filled, est, relErr) =>
+      assert(filled >= 1 && filled <= 256)
+      assert(est > 0)
+      // standard error 1.04/sqrt(256) = 6.5%; 3 sigma ≈ 20%
+      assert(relErr <= 0.20, s"exact=$exact est=$est relErr=$relErr")
+      assert(math.abs(relErr - math.abs(est - exact) / exact) <= 1e-3)
+    }
+  }
+
+  test("benford: shares sum to 1, law is the exact log10 shape") {
+    val rows = Extras.qBenford.fn(spark, sf)
+      .select($"digit", $"n", $"share", $"benford", $"chi2_term")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 2e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 2e-3)
+    rows.foreach { case (d, n, _, law, chi2) =>
+      assert(n > 0)
+      assert(math.abs(law - math.log10(1.0 + 1.0 / d)) <= 1e-4)
+      assert(chi2 >= 0.0)
+    }
+  }
+
+  test("bfs: seed at 0 hops, every edge relaxed (|d(u)-d(v)| <= 1)") {
+    val hops = graft.operators.GraphOps.qGraphBfs.fn(spark, sf)
+      .select($"nation", $"hops").as[(String, Long)].collect().toMap
+    assert(hops.values.count(_ == 0L) === 1, "exactly one seed")
+    assert(hops.values.forall(h => h >= 0 && (h <= hops.size || h == 99L)))
+    // recompute the strong-edge set and check the relaxation fixpoint
+    val e = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val mw = e.agg(avg($"w")).as[Double].head()
+    val name = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val und = e.filter($"w" > mw && $"src" =!= $"dst")
+      .select(least($"src", $"dst"), greatest($"src", $"dst"))
+      .distinct().as[(Long, Long)].collect()
+    und.foreach { case (a, b) =>
+      val (da, db) = (hops(name(a)), hops(name(b)))
+      if (da < 99 || db < 99)
+        assert(math.abs(da - db) <= 1, s"edge ($a,$b): $da vs $db")
+    }
+  }
+
+  test("rrf fusion: scores recompose from the rank sentinels") {
+    val rows = TextOps.qRrfFusion.fn(spark, sf)
+      .select($"doc_id", $"lex_rnk", $"vec_rnk", $"rrf", $"rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    assert(rows.length === 10)
+    assert(rows.map(_._5).sorted.toSeq === (1 to 10))
+    rows.foreach { case (_, lex, vec, rrf, _) =>
+      assert(lex >= 0 && lex <= 20 && vec >= 0 && vec <= 20)
+      assert(lex > 0 || vec > 0, "a fused doc must appear in some list")
+      val want = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (vec > 0) 1.0 / (60 + vec) else 0.0)
+      assert(math.abs(rrf - want) <= 1e-5)
+    }
+    // ranks strictly follow the fused score (doc_id tiebreak)
+    val sorted = rows.sortBy(_._5)
+    sorted.sliding(2).foreach {
+      case Array((id1, _, _, s1, _), (id2, _, _, s2, _)) =>
+        assert(s1 > s2 || (s1 == s2 && id1 < id2))
+      case _ =>
+    }
+  }
+
+  test("source jsd: symmetric-bounded and equal to a plain-Scala rebuild") {
+    val rows = Curation.qSourceJsd.fn(spark, sf)
+      .select($"src_a", $"src_b", $"jsd", $"jsd_bits")
+      .as[(String, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, jsd, bits) =>
+      assert(a < b, "unordered pairs emitted once, a < b")
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9)
+      assert(math.abs(bits - math.rint(jsd / math.log(2.0) * 1e4) / 1e4) <= 1e-9)
+    }
+    // plain-Scala rebuild of the smoothed bucket distributions
+    import graft.functions.TextFunctions.stableHash60
+    val toks = Tables.documents(spark, sf)
+      .select($"source", explode(split(trim($"text"), " +")).as("tok"))
+      .select($"source",
+        (stableHash60(concat(lit("ds|"), $"tok")) % 1024).as("b"))
+      .groupBy($"source", $"b").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    val bySrc = toks.groupBy(_._1).map { case (src, rs) =>
+      val ns = rs.map(_._3).sum.toDouble
+      val cs = rs.map(r => r._2 -> r._3.toDouble).toMap
+      src -> ((b: Long) => (cs.getOrElse(b, 0.0) + 1.0) / (ns + 1024.0))
+    }
+    rows.foreach { case (a, b, jsd, _) =>
+      val (pa, pb) = (bySrc(a), bySrc(b))
+      val want = (0L until 1024L).map { k =>
+        val (p, q) = (pa(k), pb(k))
+        p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))
+      }.sum * 0.5
+      assert(math.abs(jsd - want) <= 1e-3, s"jsd($a,$b)")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
