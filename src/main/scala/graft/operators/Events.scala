@@ -1545,11 +1545,285 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * decomposition underlying STL, Cleveland et al. 1990 §2) of the
+    * daily count series per event type: trend = centered 7-observation
+    * moving average (full windows only), seasonal = day-of-week mean of
+    * the detrended series re-centered to Σ=0, residual = the rest;
+    * seasonal strength = max(0, 1 − Var(resid)/Var(detrended))
+    * (Hyndman's FTSA measure). Day-of-week is epoch-days mod 7 — no
+    * locale-dependent dayofweek() whose numbering differs across
+    * engines.
+    *
+    * Scale: the series is the O(types·days) aggregate; every window is
+    * partitioned by type; the dow means and strength are aggregates of
+    * aggregates. */
+  val qStlSeasonal = QueryDef.sql(
+    "q_stl_seasonal",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS BIGINT) AS d_epoch,
+      |         CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, d_epoch, d_epoch % 7 AS dow, n,
+      |         avg(n) OVER w AS trend, count(*) OVER w AS wn
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d_epoch
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (
+      |  SELECT event_type, dow, n - trend AS detr
+      |  FROM tr WHERE wn = 7),
+      |sraw AS (
+      |  SELECT event_type, dow, avg(detr) AS sraw, count(*) AS n_days
+      |  FROM det GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT event_type, avg(sraw) AS smean FROM sraw GROUP BY 1),
+      |seas AS (
+      |  SELECT sraw.event_type, sraw.dow, sraw.n_days,
+      |         sraw.sraw - sc.smean AS seasonal
+      |  FROM sraw JOIN sc USING (event_type)),
+      |res AS (
+      |  SELECT det.event_type,
+      |         var_pop(det.detr) AS v_det,
+      |         var_pop(det.detr - seas.seasonal) AS v_res
+      |  FROM det JOIN seas
+      |    ON seas.event_type = det.event_type AND seas.dow = det.dow
+      |  GROUP BY 1)
+      |SELECT seas.event_type, CAST(seas.dow AS BIGINT) AS dow,
+      |       CAST(seas.n_days AS BIGINT) AS n_days,
+      |       round(seas.seasonal, 4) AS seasonal,
+      |       round(greatest(0.0, 1.0 - res.v_res / res.v_det), 4)
+      |         AS seasonal_strength
+      |FROM seas JOIN res USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        datediff(date_trunc("day", $"ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("d_epoch"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"d_epoch")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("dow", $"d_epoch" % 7)
+      .withColumn("trend", avg($"n").over(w7))
+      .withColumn("wn", count(lit(1)).over(w7))
+      .filter($"wn" === 7)
+      .select($"event_type", $"dow", ($"n" - $"trend").as("detr"))
+      .localCheckpoint() // O(types·days); reused by means and variances
+    val sraw = det.groupBy($"event_type", $"dow")
+      .agg(avg($"detr").as("sraw"), count(lit(1)).as("n_days"))
+    val sc = sraw.groupBy($"event_type").agg(avg($"sraw").as("smean"))
+    val seas = sraw
+      .join(broadcast(sc), "event_type")
+      .select($"event_type", $"dow", $"n_days",
+        ($"sraw" - $"smean").as("seasonal"))
+    val res = det
+      .join(broadcast(seas.select($"event_type", $"dow", $"seasonal")),
+        Seq("event_type", "dow"))
+      .groupBy($"event_type")
+      .agg(var_pop($"detr").as("v_det"),
+        var_pop($"detr" - $"seasonal").as("v_res"))
+    seas
+      .join(broadcast(res), "event_type")
+      .select($"event_type", $"dow".cast("long").as("dow"),
+        $"n_days".cast("long").as("n_days"),
+        round($"seasonal", 4).as("seasonal"),
+        round(greatest(lit(0.0), lit(1.0) - $"v_res" / $"v_det"), 4)
+          .as("seasonal_strength"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov test on the `value` distributions of
+    * two event types: D = sup_x |F₁(x) − F₂(x)| over the pooled
+    * distinct values, rejected at α = 0.05 when D > 1.358·√((n₁+n₂)/
+    * (n₁·n₂)) (Smirnov's asymptotic critical value). The ECDFs come
+    * from the gauge's two-phase prefix sum — intra-bucket running
+    * counts under a value-bucket-partitioned window plus triangular
+    * broadcast offsets over the per-bucket totals — so no partition-less
+    * window ever funnels the pooled values through one task.
+    *
+    * Scale: the per-distinct-value aggregate is the only corpus-sized
+    * shuffle; everything after runs on the distinct-value relation,
+    * and the bucket count (value range / 50) bounds each window
+    * partition. */
+  val qKsTest = QueryDef.sql(
+    "q_ks_test",
+    """WITH v AS (
+      |  SELECT value,
+      |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v),
+      |b AS (
+      |  SELECT value, c1, c2, CAST(floor(value / 50.0) AS BIGINT) AS bk
+      |  FROM v),
+      |intra AS (
+      |  SELECT value, bk,
+      |         sum(c1) OVER w AS i1, sum(c2) OVER w AS i2
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY bk ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |btot AS (SELECT bk, sum(c1) AS t1, sum(c2) AS t2 FROM b GROUP BY bk),
+      |off AS (
+      |  SELECT a.bk, coalesce(sum(p.t1), 0) AS o1, coalesce(sum(p.t2), 0) AS o2
+      |  FROM btot a LEFT JOIN btot p ON p.bk < a.bk
+      |  GROUP BY a.bk),
+      |d AS (
+      |  SELECT max(abs((intra.i1 + off.o1) * 1.0 / n.n1
+      |                 - (intra.i2 + off.o2) * 1.0 / n.n2)) AS d_stat
+      |  FROM intra JOIN off USING (bk) CROSS JOIN n)
+      |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+      |       round(d.d_stat, 6) AS d_stat,
+      |       round(1.358 * sqrt((n.n1 + n.n2) * 1.0 / (n.n1 * n.n2)), 6)
+      |         AS d_crit,
+      |       (round(d.d_stat, 6)
+      |        > round(1.358 * sqrt((n.n1 + n.n2) * 1.0 / (n.n1 * n.n2)), 6))
+      |         AS reject
+      |FROM d CROSS JOIN n""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val v = Tables.events(s, d)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"value")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+      .withColumn("bk", floor($"value" / 50.0).cast("long"))
+      .localCheckpoint() // distinct-value relation; reused by all phases
+    val n = v.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val wIntra = Window.partitionBy($"bk").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = v.select($"value", $"bk",
+      sum($"c1").over(wIntra).as("i1"), sum($"c2").over(wIntra).as("i2"))
+    val btot = v.groupBy($"bk").agg(sum($"c1").as("t1"), sum($"c2").as("t2"))
+    val prior = btot.select($"bk".as("pbk"), $"t1".as("p1"), $"t2".as("p2"))
+    val off = btot
+      .join(broadcast(prior), $"pbk" < $"bk", "left")
+      .groupBy($"bk")
+      .agg(coalesce(sum($"p1"), lit(0L)).as("o1"),
+        coalesce(sum($"p2"), lit(0L)).as("o2"))
+    val dStat = intra
+      .join(broadcast(off), "bk")
+      .crossJoin(broadcast(n))
+      .agg(max(abs(($"i1" + $"o1") * lit(1.0) / $"n1"
+        - ($"i2" + $"o2") * lit(1.0) / $"n2")).as("d_stat"))
+    val crit = round(lit(1.358) * sqrt(($"n1" + $"n2") * lit(1.0) /
+      ($"n1" * $"n2")), 6)
+    dStat
+      .crossJoin(broadcast(n))
+      .select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        round($"d_stat", 6).as("d_stat"), crit.as("d_crit"),
+        (round($"d_stat", 6) > crit).as("reject"))
+  }
+
+  /** Sequential pattern mining (the length-2/3 contiguous-subsequence
+    * core of PrefixSpan, Pei et al. 2001): within 30-minute-gap user
+    * sessions (same boundary rule as [[qSessionize]]), every adjacent
+    * event-type bigram and trigram, with occurrence count, distinct-
+    * session support count, and support share; top 15 patterns by
+    * session support. The navigation-pattern read a product-analytics
+    * stack derives from the same sessions the funnel uses.
+    *
+    * Scale: pattern extraction is lead() under the session-partitioned
+    * window (no cross-session state); the support aggregate shuffles
+    * one row per (session, pattern); top-15 via per-partition heaps +
+    * boundedRank. */
+  val qSeqMining = QueryDef.sql(
+    "q_seq_mining",
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1, epoch_ns(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 1800000000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         user_id * 100000 + sum(new_session)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS skey
+      |  FROM marked),
+      |nx AS (
+      |  SELECT skey, event_type AS t0,
+      |         lead(event_type, 1) OVER w AS t1,
+      |         lead(event_type, 2) OVER w AS t2
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY skey ORDER BY ts, event_id)),
+      |pats AS (
+      |  SELECT skey, t0 || '>' || t1 AS pattern, 2 AS len
+      |  FROM nx WHERE t1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT skey, t0 || '>' || t1 || '>' || t2, 3
+      |  FROM nx WHERE t2 IS NOT NULL),
+      |tot AS (SELECT count(DISTINCT skey) AS n_sessions FROM sess),
+      |sup AS (
+      |  SELECT pattern, any_value(len) AS len, count(*) AS n_occ,
+      |         count(DISTINCT skey) AS n_sess
+      |  FROM pats GROUP BY pattern),
+      |ranked AS (
+      |  SELECT pattern, CAST(len AS INT) AS len,
+      |         CAST(n_occ AS BIGINT) AS n_occ,
+      |         CAST(n_sess AS BIGINT) AS n_sess,
+      |         round(n_sess * 1.0 / tot.n_sessions, 4) AS support,
+      |         CAST(row_number()
+      |              OVER (ORDER BY n_sess DESC, pattern) AS INT) AS rank
+      |  FROM sup CROSS JOIN tot)
+      |SELECT pattern, len, n_occ, n_sess, support, rank
+      |FROM ranked WHERE rank <= 15 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_session",
+        when($"ts_ns" - lag($"ts_ns", 1, null).over(
+          Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id"))
+          > 1800000000000L, 1L).otherwise(0L))
+      .withColumn("skey",
+        $"user_id" * 100000L + sum($"new_session").over(cum))
+    val wSess = Window.partitionBy($"skey").orderBy($"ts_us", $"event_id")
+    val nx = sess.select($"skey", $"event_type".as("t0"),
+      lead($"event_type", 1).over(wSess).as("t1"),
+      lead($"event_type", 2).over(wSess).as("t2"))
+    val pats = nx
+      .filter($"t1".isNotNull)
+      .select($"skey", concat($"t0", lit(">"), $"t1").as("pattern"),
+        lit(2).as("len"))
+      .unionAll(nx
+        .filter($"t2".isNotNull)
+        .select($"skey",
+          concat($"t0", lit(">"), $"t1", lit(">"), $"t2").as("pattern"),
+          lit(3).as("len")))
+    val tot = sess.agg(countDistinct($"skey").as("n_sessions"))
+    val sup = pats
+      .groupBy($"pattern")
+      .agg(first($"len").as("len"), count(lit(1)).as("n_occ"),
+        countDistinct($"skey").as("n_sess"))
+    val top = sup
+      .crossJoin(broadcast(tot))
+      .select($"pattern", $"len".cast("int").as("len"),
+        $"n_occ".cast("long").as("n_occ"),
+        $"n_sess".cast("long").as("n_sess"),
+        round($"n_sess" * lit(1.0) / $"n_sessions", 4).as("support"))
+      .orderBy($"n_sess".desc, $"pattern")
+      .limit(15)
+    CorpusOps
+      .boundedRank(top, struct((-$"n_sess").as("nn"), $"pattern"), "rank")
+      .select($"pattern", $"len", $"n_occ", $"n_sess", $"support", $"rank")
+      .orderBy($"rank")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
       qGapFill, qEwmaForecast, qEventTransitions, qEventsDdsketch,
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
-      qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk)
+      qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
+      qStlSeasonal, qKsTest, qSeqMining)
 }

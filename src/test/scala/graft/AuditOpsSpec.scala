@@ -795,6 +795,61 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("stl: seasonal components sum to zero, strength bounded") {
+    val rows = graft.operators.Events.qStlSeasonal.fn(spark, sf)
+      .select($"event_type", $"dow", $"seasonal", $"seasonal_strength")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      assert(rs.map(_._2).toSet === (0L to 6L).toSet, s"dows($tpe)")
+      // re-centered seasonal: unweighted mean over the 7 dow cells is 0
+      assert(math.abs(rs.map(_._3).sum / 7.0) <= 1e-3, s"center($tpe)")
+      rs.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+    }
+  }
+
+  test("ks: D equals the plain-Scala ECDF sup-difference") {
+    val r = graft.operators.Events.qKsTest.fn(spark, sf)
+      .select($"n1", $"n2", $"d_stat", $"d_crit", $"reject")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    val (n1, n2, d, crit, reject) = r
+    val vals = Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "view"))
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val x1 = vals.filter(_._1 == "click").map(_._2).sorted
+    val x2 = vals.filter(_._1 == "view").map(_._2).sorted
+    assert(n1 === x1.length && n2 === x2.length)
+    val pool = (x1 ++ x2).distinct
+    val want = pool.map { x =>
+      math.abs(x1.count(_ <= x).toDouble / x1.length -
+        x2.count(_ <= x).toDouble / x2.length)
+    }.max
+    assert(math.abs(d - want) <= 1e-5)
+    assert(math.abs(crit -
+      1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))) <= 1e-5)
+    assert(reject === (d > crit))
+  }
+
+  test("seq mining: rank/support laws and pattern shape") {
+    val rows = graft.operators.Events.qSeqMining.fn(spark, sf)
+      .select($"pattern", $"len", $"n_occ", $"n_sess", $"support", $"rank")
+      .as[(String, Int, Long, Long, Double, Int)].collect()
+    assert(rows.length === 15)
+    assert(rows.map(_._6).sorted.toSeq === (1 to 15))
+    rows.foreach { case (pat, len, nOcc, nSess, support, _) =>
+      assert(pat.split(">").length === len)
+      assert(len === 2 || len === 3)
+      assert(nOcc >= nSess && nSess >= 1)
+      assert(support > 0.0 && support <= 1.0)
+    }
+    // ranked by session support desc, pattern tiebreak
+    rows.sortBy(_._6).sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ =>
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
