@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.words
 import graft.operators.CorpusOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relations derived from the warehouse —
@@ -453,6 +454,178 @@ object GraphOps {
       .orderBy($"hops", $"nation")
   }
 
+  /** Synchronous label-propagation rounds. */
+  val LpaRounds = 5
+
+  /** One synchronous LPA round as SQL: each node adopts its neighbors'
+    * most frequent label (ties → smallest label; isolated nodes keep
+    * their own). Expects `sym(src, dst)` and `l$k(node, lab)`. */
+  private def lpaItersSql(iters: Int): String =
+    (0 until iters)
+      .map { k =>
+        s"""l${k + 1} AS MATERIALIZED (
+           |  SELECT l.node, coalesce(w.best, l.lab) AS lab
+           |  FROM l$k l LEFT JOIN (
+           |    SELECT node, lab AS best FROM (
+           |      SELECT sym.dst AS node, l$k.lab, count(*) AS c,
+           |             row_number() OVER (PARTITION BY sym.dst
+           |               ORDER BY count(*) DESC, l$k.lab) AS rn
+           |      FROM sym JOIN l$k ON l$k.node = sym.src
+           |      GROUP BY sym.dst, l$k.lab)
+           |    WHERE rn = 1) w ON w.node = l.node)""".stripMargin
+      }
+      .mkString(",\n")
+
+  /** Label-propagation community detection (Raghavan, Albert & Kumara
+    * 2007) over the strong-trade graph — the community partition beside
+    * [[qTriangleCount]]'s density and [[qGraphBfs]]'s reachability:
+    * every node starts as its own label and [[LpaRounds]] synchronous
+    * rounds adopt the modal neighbor label (deterministic min-label
+    * tie-break, so both engines converge identically). Distinct from
+    * connected components: LPA splits a connected graph into dense
+    * regions. Emits each nation's community and the community size.
+    *
+    * Scale: same loop shape as PageRank — per round one equi-join of
+    * the O(edges) aggregated list against the O(nodes) label vector
+    * plus a per-(node, label) count; label vectors localCheckpoint to
+    * cut lineage. */
+  val qLpaCommunities = QueryDef.sql(
+    "q_lpa_communities", {
+      val iters = lpaItersSql(LpaRounds)
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |m AS (SELECT avg(w) AS mw FROM e),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e CROSS JOIN m WHERE w > mw AND src <> dst),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |l0 AS MATERIALIZED (
+         |  SELECT node, node AS lab
+         |  FROM (SELECT DISTINCT src AS node FROM sym)),
+         |$iters,
+         |cs AS (SELECT lab, count(*) AS comm_size FROM l$LpaRounds
+         |       GROUP BY lab)
+         |SELECT n.n_name AS nation, CAST(l.lab AS BIGINT) AS community,
+         |       CAST(cs.comm_size AS BIGINT) AS comm_size
+         |FROM l$LpaRounds l
+         |JOIN nation n ON n.n_nationkey = l.node
+         |JOIN cs ON cs.lab = l.lab
+         |ORDER BY community, nation""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = e.agg(avg($"w").as("mw"))
+    val und = e
+      .crossJoin(broadcast(m))
+      .filter($"w" > $"mw" && $"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      .coalesce(1).localCheckpoint()
+    var lab = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lab"))
+      .coalesce(1).localCheckpoint()
+    val wMode = Window.partitionBy($"vnode")
+      .orderBy($"c".desc, $"nlab")
+    (0 until LpaRounds).foreach { i =>
+      val best = sym
+        .join(lab, lab("node") === sym("src"))
+        .groupBy(sym("dst").as("vnode"), $"lab".as("nlab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wMode))
+        .filter($"rn" === 1)
+        .select($"vnode", $"nlab".as("best"))
+      val next = lab
+        .join(best, $"vnode" === lab("node"), "left")
+        .select(lab("node"), coalesce($"best", $"lab").as("lab"))
+      lab =
+        if (i % 3 == 2 || i == LpaRounds - 1) next.coalesce(1).localCheckpoint()
+        else next
+    }
+    val cs = lab.groupBy($"lab").agg(count(lit(1)).as("comm_size"))
+    Tables
+      .nation(s, d)
+      .join(lab, $"n_nationkey" === $"node")
+      .join(cs, "lab")
+      .select($"n_name".as("nation"), $"lab".cast("long").as("community"),
+        $"comm_size".cast("long").as("comm_size"))
+      .orderBy($"community", $"nation")
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees across
+    * the symmetrized strong-trade edge list — positive = hubs trade
+    * with hubs, negative = hub-and-spoke. One number the topology
+    * audits (triangles, communities) get read against.
+    *
+    * Scale: degrees are one aggregate of the O(edges) list; the
+    * correlation is a single-pass moment aggregate over the degree-
+    * joined edges — no window, no iteration. */
+  val qAssortativity = QueryDef.sql(
+    "q_assortativity",
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT avg(w) AS mw FROM e),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e CROSS JOIN m WHERE w > mw AND src <> dst),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src)
+      |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+      |       round(corr(da.deg, db.deg), 4) AS assortativity
+      |FROM sym
+      |JOIN deg da ON da.node = sym.src
+      |JOIN deg db ON db.node = sym.dst""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = e.agg(avg($"w").as("mw"))
+    val und = e
+      .crossJoin(broadcast(m))
+      .filter($"w" > $"mw" && $"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(broadcast(deg.select($"node".as("na"), $"deg".as("da"))),
+        $"na" === $"src")
+      .join(broadcast(deg.select($"node".as("nb"), $"deg".as("db"))),
+        $"nb" === $"dst")
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(corr($"da", $"db"), 4).as("assortativity"))
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs)
+    Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs,
+      qLpaCommunities, qAssortativity)
 }

@@ -1598,11 +1598,81 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** kNN-distance outlier screen (Ramaswamy, Rastogi & Shim 2000,
+    * "Efficient algorithms for mining outliers from large data sets"):
+    * outlier score = cosine distance to the 5th nearest neighbor,
+    * computed EXACTLY for a fixed-size hash sample of query points
+    * against the FULL corpus — the density-based partner of
+    * [[qEmbedOutliers]]' centroid-distance screen (centroid distance
+    * misses outliers between clusters; kNN distance does not). Top 10
+    * most isolated sampled vectors.
+    *
+    * Scale: the sample rides the same ppb admission as
+    * [[qEmbedNearDup]] (O(target) rows at ANY corpus size) and is
+    * broadcast against one corpus scan — O(target·n) dot products,
+    * linear in the corpus, corpus never shuffled. Zero-norm vectors
+    * are excluded on both engines per the established convention. */
+  val qKnnOutliers = QueryDef.sql(
+    "q_knn_outliers",
+    s"""WITH pp AS (
+      |  SELECT least(${NearDupSampleMod / 2}, greatest(1,
+      |           (${NearDupSampleTarget * NearDupSampleMod}
+      |              + greatest(count(*), 1) - 1)
+      |             // greatest(count(*), 1))) AS p
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings
+      |  WHERE CAST(concat('0x', substr(md5('nd|' || vec_id), 1, 15))
+      |             AS BIGINT) % $NearDupSampleMod < (SELECT p FROM pp)
+      |    AND list_sum([x * x FOR x IN CAST(embedding AS DOUBLE[])]) > 0),
+      |scored AS (
+      |  SELECT s.qid, e.vec_id AS nid,
+      |         list_cosine_similarity(s.qv, CAST(e.embedding AS DOUBLE[]))
+      |           AS c
+      |  FROM s JOIN embeddings e ON e.vec_id <> s.qid
+      |  WHERE list_sum([x * x FOR x IN CAST(e.embedding AS DOUBLE[])]) > 0),
+      |k5 AS (
+      |  SELECT qid, c,
+      |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid)
+      |           AS rnk
+      |  FROM scored QUALIFY rnk = 5)
+      |SELECT qid, round(1.0 - c, 4) AS knn_dist,
+      |       CAST(row_number()
+      |            OVER (ORDER BY round(1.0 - c, 4) DESC, qid) AS INT)
+      |         AS rank
+      |FROM k5 QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb
+      .filter(nearDupSampleKeep($"vec_id", nearDupSamplePpb(emb.count())))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        norm($"embedding").as("qn"))
+      .filter($"qn" =!= 0.0)
+    val scored = emb
+      .select($"vec_id".as("nid"), $"embedding".as("nv"),
+        norm($"embedding").as("nn"))
+      .filter($"nn" =!= 0.0)
+      .join(broadcast(q), $"nid" =!= $"qid")
+      .select($"qid", $"nid", (dot($"qv", $"nv") / ($"qn" * $"nn")).as("c"))
+    val w = Window.partitionBy($"qid").orderBy($"c".desc, $"nid")
+    val k5 = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 5)
+      .select($"qid", round(lit(1.0) - $"c", 4).as("knn_dist"))
+    val top = k5.orderBy($"knn_dist".desc, $"qid").limit(10)
+    graft.operators.CorpusOps
+      .boundedRank(top, struct((-$"knn_dist").as("nd"), $"qid"), "rank")
+      .select($"qid", $"knn_dist", $"rank")
+      .orderBy($"rank")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qCosineKnn, qEmbedNearDup, qEmbedNearDupLsh, qAnnLsh, qAnnIvf,
       qEmbedQuantize, qEmbedProject, qLangEmbedStats, qAnnRecall,
       qEmbedDedupGroups, qEmbedOutliers, qAnnLshMultiprobe,
       qClusterSilhouette, qHardNegatives, qAnnNprobeSweep,
       qAnnHamming, qHammingRecall, qMatryoshkaRecall, qEmbedDrift,
-      qKnnClassify)
+      qKnnClassify, qKnnOutliers)
 }

@@ -850,6 +850,57 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("lpa: labels partition the graph; sizes are consistent") {
+    val rows = graft.operators.GraphOps.qLpaCommunities.fn(spark, sf)
+      .select($"nation", $"community", $"comm_size")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length,
+      "each nation exactly once")
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.toSeq === Seq(members.length.toLong))
+    }
+  }
+
+  test("assortativity: bounded and edge count matches the strong graph") {
+    val (nEdges, r) = graft.operators.GraphOps.qAssortativity.fn(spark, sf)
+      .as[(Long, Double)].head()
+    assert(r >= -1.0 && r <= 1.0)
+    val e = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val mw = e.agg(avg($"w")).as[Double].head()
+    val und = e.filter($"w" > mw && $"src" =!= $"dst")
+      .select(least($"src", $"dst"), greatest($"src", $"dst"))
+      .distinct().count()
+    assert(nEdges === und)
+  }
+
+  test("knn outliers: scores match a plain-Scala 5th-NN recomputation") {
+    val rows = graft.operators.Similarity.qKnnOutliers.fn(spark, sf)
+      .select($"qid", $"knn_dist", $"rank").as[(Long, Double, Int)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    rows.foreach(r => assert(r._2 >= 0.0 && r._2 <= 2.0))
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { case (qid, dist, _) =>
+      val qv = vecs.find(_._1 == qid).get._2
+      val sims = vecs.filter(_._1 != qid).map { case (_, v) => cos(qv, v) }
+        .sorted(Ordering[Double].reverse)
+      val want = math.rint((1.0 - sims(4)) * 1e4) / 1e4
+      assert(math.abs(dist - want) <= 1e-3, s"knn_dist($qid)")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
