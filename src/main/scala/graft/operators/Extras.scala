@@ -258,6 +258,81 @@ object Extras {
       .orderBy($"digit")
   }
 
+  /** Poisson bootstrap confidence interval (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — Google's
+    * distributed bootstrap): each of B = 32 resamples draws every row
+    * with an independent Poisson(1) multiplicity, DERIVED FROM A HASH
+    * (inverse-CDF thresholds on a per-(row, resample) uniform), so
+    * resampling is a pure scan-side computation — no sampling state, no
+    * shuffle of the data, and bit-identical replay on both engines. The
+    * 95% CI on the mean order total is the 2.5/97.5 interpolated
+    * percentile of the 32 resample means.
+    *
+    * Scale: the explode is a constant B× blow-up feeding a partial
+    * aggregate — the shuffle carries B rows per partition, the classic
+    * way to bootstrap a 100 TB table without ever materializing a
+    * resample. */
+  val qPoissonBootstrap = QueryDef.sql(
+    "q_poisson_bootstrap",
+    """WITH draws AS (
+      |  SELECT b, o_totalprice,
+      |         CAST(concat('0x', substr(md5('pb|' || CAST(b AS VARCHAR)
+      |                || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 1000000000 / 1000000000.0 AS u
+      |  FROM orders CROSS JOIN
+      |       (SELECT unnest(generate_series(0, 31)) AS b)),
+      |mult AS (
+      |  SELECT b, o_totalprice,
+      |         CASE WHEN u < 0.36787944117144233 THEN 0
+      |              WHEN u < 0.7357588823428847 THEN 1
+      |              WHEN u < 0.9196986029286058 THEN 2
+      |              WHEN u < 0.9810118431238462 THEN 3
+      |              WHEN u < 0.9963401531726563 THEN 4
+      |              WHEN u < 0.9994058151824183 THEN 5
+      |              ELSE 6 END AS k
+      |  FROM draws),
+      |means AS (
+      |  SELECT b, sum(k * o_totalprice) / sum(k) AS m
+      |  FROM mult GROUP BY b),
+      |full_mean AS (SELECT avg(o_totalprice) AS mu FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+      |       round(any_value(full_mean.mu), 4) AS mean,
+      |       round(avg(m), 4) AS boot_mean,
+      |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+      |       round(quantile_cont(m, 0.975), 4) AS ci_hi
+      |FROM means CROSS JOIN full_mean""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val draws = Tables
+      .orders(s, d)
+      .select($"o_orderkey", $"o_totalprice",
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .select($"b", $"o_totalprice",
+        (pmod(stableHash60(concat(lit("pb|"), $"b".cast("string"),
+          lit("|"), $"o_orderkey".cast("string"))),
+          lit(1000000000L)) / 1000000000.0).as("u"))
+    val k = when($"u" < 0.36787944117144233, 0)
+      .when($"u" < 0.7357588823428847, 1)
+      .when($"u" < 0.9196986029286058, 2)
+      .when($"u" < 0.9810118431238462, 3)
+      .when($"u" < 0.9963401531726563, 4)
+      .when($"u" < 0.9994058151824183, 5)
+      .otherwise(6)
+    val means = draws
+      .select($"b", $"o_totalprice", k.as("k"))
+      .groupBy($"b")
+      .agg((sum($"k" * $"o_totalprice") / sum($"k")).as("m"))
+    val full = Tables.orders(s, d).agg(avg($"o_totalprice").as("mu"))
+    means
+      .crossJoin(broadcast(full))
+      .agg(count(lit(1)).cast("long").as("n_resamples"),
+        round(first($"mu"), 4).as("mean"),
+        round(avg($"m"), 4).as("boot_mean"),
+        round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -1108,5 +1183,5 @@ object Extras {
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
       qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
-      qBenford)
+      qBenford, qPoissonBootstrap)
 }

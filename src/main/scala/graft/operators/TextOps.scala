@@ -1798,6 +1798,113 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** NDCG@10 of the BM25 ranking (Järvelin & Kekäläinen 2002) — the
+    * ranking-quality metric beside [[qRrfFusion]]: graded relevance =
+    * how many of the three query terms the document contains (0–3, a
+    * lexical ground truth independent of the scorer), gain (2^rel−1)/
+    * log2(rank+1), ideal DCG from the corpus-wide top-10 relevance
+    * ordering (per-partition heaps, not a global sort). Emits the
+    * per-rank gain decomposition plus the cumulative DCG/IDCG/NDCG.
+    *
+    * Scale: relevance is a scan-fused per-doc count over the same
+    * query-term postings sliver BM25 aggregates; both top-10s lower to
+    * TakeOrderedAndProject. */
+  val qNdcg = QueryDef.sql(
+    "q_ndcg",
+    """WITH q AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |      FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tok JOIN q USING (term) GROUP BY 1, 2),
+      |rel AS (SELECT doc_id, count(*) AS rel FROM tf GROUP BY doc_id),
+      |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         round(sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+      |             * tf.tf * 2.2
+      |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+      |           AS s
+      |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT sc.doc_id, rel.rel,
+      |         CAST(row_number() OVER (ORDER BY sc.s DESC, sc.doc_id)
+      |              AS INT) AS rank
+      |  FROM sc JOIN rel USING (doc_id) QUALIFY rank <= 10),
+      |ideal AS (
+      |  SELECT rel,
+      |         CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT)
+      |           AS irank
+      |  FROM rel QUALIFY irank <= 10),
+      |idcg AS (
+      |  SELECT sum((power(2.0, rel) - 1) / (ln(irank + 1) / ln(2.0)))
+      |           AS idcg
+      |  FROM ideal),
+      |gains AS (
+      |  SELECT doc_id, rank, CAST(rel AS BIGINT) AS rel,
+      |         (power(2.0, rel) - 1) / (ln(rank + 1) / ln(2.0)) AS gain
+      |  FROM ranked)
+      |SELECT doc_id, rank, rel, round(gain, 4) AS gain,
+      |       round(sum(gain) OVER (ORDER BY rank
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             / idcg.idcg, 4) AS ndcg_at_rank
+      |FROM gains CROSS JOIN idcg ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val dl = t.select($"doc_id", size($"w").cast("double").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg($"dl").as("avgdl"))
+    val tf = t
+      .select($"doc_id", explode($"w").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val rel = tf.groupBy($"doc_id").agg(count(lit(1)).as("rel"))
+    val dfr = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val sc = tf
+      .join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select($"doc_id",
+        (log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5))
+          * $"tf" * 2.2
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+          .as("s"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"s"), 4).as("s"))
+    val rankedTop = sc.join(rel, "doc_id")
+      .orderBy($"s".desc, $"doc_id").limit(10)
+    val ranked = CorpusOps
+      .boundedRank(rankedTop, struct((-$"s").as("ns"), $"doc_id"), "rank")
+    val idealTop = rel.orderBy($"rel".desc, $"doc_id").limit(10)
+    val idcg = CorpusOps
+      .boundedRank(idealTop, struct((-$"rel").as("nr"), $"doc_id"), "irank")
+      .agg(sum((pow(lit(2.0), $"rel") - 1) /
+        (log($"irank" + 1) / math.log(2.0))).as("idcg"))
+    val gains = ranked.select($"doc_id", $"rank",
+      $"rel".cast("long").as("rel"),
+      ((pow(lit(2.0), $"rel") - 1) /
+        (log($"rank" + 1) / math.log(2.0))).as("gain"))
+    // the cumulative window runs on 10 rows, but the registry-wide
+    // no-global-window guard covers every query — key it on the
+    // single-valued idcg column so the partitionSpec is non-empty
+    gains
+      .crossJoin(broadcast(idcg))
+      .select($"doc_id", $"rank", $"rel", round($"gain", 4).as("gain"),
+        round(sum($"gain").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"idcg").orderBy($"rank")
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow))
+          / $"idcg", 4).as("ndcg_at_rank"))
+      .orderBy($"rank")
+  }
+
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
     * 2020): deterministically mark ~15% of each document's tokens as
     * corruption spans (mean length 3) for masked-span pretraining. The
@@ -1956,6 +2063,6 @@ object TextOps {
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit, qBm25Retrieval, qRrfFusion, qSpanCorruption,
+      qCharsetAudit, qBm25Retrieval, qRrfFusion, qNdcg, qSpanCorruption,
       qLangidMetrics)
 }

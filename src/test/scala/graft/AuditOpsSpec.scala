@@ -901,6 +901,40 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("ndcg: gains follow the formula, ndcg monotone and bounded") {
+    val rows = TextOps.qNdcg.fn(spark, sf)
+      .select($"doc_id", $"rank", $"rel", $"gain", $"ndcg_at_rank")
+      .as[(Long, Int, Long, Double, Double)].collect().sortBy(_._2)
+    assert(rows.length === 10)
+    rows.foreach { case (_, rank, rel, gain, ndcg) =>
+      val want = (math.pow(2.0, rel) - 1) / (math.log(rank + 1) / math.log(2))
+      assert(math.abs(gain - want) <= 1e-3, s"gain@$rank")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg@$rank=$ndcg")
+      assert(rel >= 0 && rel <= 3)
+    }
+    // cumulative: non-decreasing in rank
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9)
+      case _ =>
+    }
+  }
+
+  test("poisson bootstrap: CI brackets the mean, resample count exact") {
+    val r = Extras.qPoissonBootstrap.fn(spark, sf)
+      .select($"n_resamples", $"mean", $"boot_mean", $"ci_lo", $"ci_hi")
+      .as[(Long, Double, Double, Double, Double)].head()
+    val (b, mean, bootMean, lo, hi) = r
+    assert(b === 32L)
+    assert(lo <= hi)
+    assert(lo <= bootMean && bootMean <= hi)
+    // Poisson(1) bootstrap of a ~1500-row table: the true mean sits
+    // inside (or within a hair of) the 95% interval
+    assert(mean >= lo - (hi - lo) && mean <= hi + (hi - lo))
+    val trueMean = Tables.orders(spark, sf)
+      .agg(avg($"o_totalprice")).as[Double].head()
+    assert(math.abs(mean - math.rint(trueMean * 1e4) / 1e4) <= 1e-6)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
