@@ -87,6 +87,32 @@ object ScaleProbe {
     embReps.reduce(_.unionAll(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: replica k shifts user_id (sessions/windows stay per-user
+    // sized and DECORRELATED — plain row duplication would multiply
+    // per-user event counts, quadratically inflating window work as a
+    // data property) and event_id (uniqueness); timestamps unchanged,
+    // so time-bucketed aggregates get denser, not longer
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val nUsers = ev.agg(max($"user_id")).head.getLong(0) + 1
+    val nEv = ev.agg(max($"event_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      ev.select(($"event_id" + lit(k.toLong * nEv)).as("event_id"),
+        $"ts", ($"user_id" + lit(k.toLong * nUsers)).as("user_id"),
+        $"event_type", $"value", $"props")
+    }.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // orders: replica k shifts the order key; totalprice/date unchanged
+    // (value-distribution operators see a denser, not wider, domain)
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val nOrd = ord.agg(max($"o_orderkey")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      ord.select(($"o_orderkey" + lit(k.toLong * nOrd)).as("o_orderkey"),
+        $"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate",
+        $"o_orderpriority")
+    }.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -1905,6 +1905,137 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Heaps'-law vocabulary growth fit (Heaps 1978): V(n) ≈ K·n^β,
+    * measured at the 10 corpus-prefix deciles and fit by OLS on the
+    * log-log points. The distributed trick: a prefix's vocabulary size
+    * needs no per-prefix distinct pass — every word carries its FIRST
+    * document of occurrence (one min-aggregate), and V(prefix ≤ x) is
+    * just a count of words with first-doc < x; token totals threshold
+    * the same way. One corpus shuffle total; the fit runs on 10 points.
+    * β ≈ 0.4–0.6 is natural text; β near 1 means the corpus never
+    * re-uses vocabulary (e.g. serial numbers); β near 0 is a closed
+    * vocabulary — the curation read on tokenizer-vocab sizing.
+    *
+    * Scale: the (word → first-doc) aggregate is the one vocab-sized
+    * shuffle; deciles broadcast; everything else is aggregate-sized. */
+  val qHeapsLaw = QueryDef.sql(
+    "q_heaps_law",
+    """WITH nd AS (SELECT max(doc_id) + 1 AS d FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS w
+      |  FROM documents),
+      |firsts AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+      |dtok AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+      |qs AS (SELECT unnest(generate_series(1, 10)) AS decile),
+      |pts AS (
+      |  SELECT qs.decile,
+      |         (SELECT sum(nt) FROM dtok
+      |          WHERE doc_id < qs.decile * nd.d / 10) AS n_tokens,
+      |         (SELECT count(*) FROM firsts
+      |          WHERE fd < qs.decile * nd.d / 10) AS vocab
+      |  FROM qs CROSS JOIN nd),
+      |fit AS (
+      |  SELECT (count(*) * sum(ln(n_tokens) * ln(vocab))
+      |            - sum(ln(n_tokens)) * sum(ln(vocab)))
+      |         / (count(*) * sum(ln(n_tokens) * ln(n_tokens))
+      |            - sum(ln(n_tokens)) * sum(ln(n_tokens))) AS beta,
+      |         avg(ln(vocab)) AS my, avg(ln(n_tokens)) AS mx
+      |  FROM pts)
+      |SELECT CAST(pts.decile AS INT) AS decile,
+      |       CAST(pts.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(pts.vocab AS BIGINT) AS vocab,
+      |       round(fit.beta, 4) AS beta,
+      |       round(exp(fit.my - fit.beta * fit.mx), 4) AS k_coef
+      |FROM pts CROSS JOIN fit ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val nd = docs.agg((max($"doc_id") + 1).as("d"))
+    val tok = docs.select($"doc_id", explode(words($"text")).as("w"))
+    val firsts = tok.groupBy($"w").agg(min($"doc_id").as("fd"))
+    val dtok = tok.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+    val qs = s.range(1, 11).select($"id".as("decile"))
+      .crossJoin(broadcast(nd))
+      .select($"decile", ($"decile" * $"d" / 10).as("cut"))
+    // threshold both per-doc/per-word aggregates against the BROADCAST
+    // 10-row decile cuts (the big side streams; ≤ 10 output rows per
+    // input row feed a partial aggregate — never broadcast the
+    // doc-count- or vocab-sized relation)
+    val pts = dtok
+      .join(broadcast(qs), $"doc_id" < $"cut")
+      .groupBy($"decile").agg(sum($"nt").as("n_tokens"))
+      .join(
+        firsts.join(broadcast(qs.select($"decile".as("d2"), $"cut")),
+          $"fd" < $"cut")
+          .groupBy($"d2").agg(count(lit(1)).as("vocab")),
+        $"d2" === $"decile")
+      .select($"decile", $"n_tokens", $"vocab")
+      .localCheckpoint() // 10 rows; reused by the fit and the output
+    val fit = pts.agg(
+      ((count(lit(1)) * sum(log($"n_tokens") * log($"vocab"))
+        - sum(log($"n_tokens")) * sum(log($"vocab")))
+        / (count(lit(1)) * sum(log($"n_tokens") * log($"n_tokens"))
+          - sum(log($"n_tokens")) * sum(log($"n_tokens")))).as("beta"),
+      avg(log($"vocab")).as("my"), avg(log($"n_tokens")).as("mx"))
+    pts
+      .crossJoin(broadcast(fit))
+      .select($"decile".cast("int").as("decile"),
+        $"n_tokens".cast("long").as("n_tokens"),
+        $"vocab".cast("long").as("vocab"),
+        round($"beta", 4).as("beta"),
+        round(exp($"my" - $"beta" * $"mx"), 4).as("k_coef"))
+      .orderBy($"decile")
+  }
+
+  /** Hill tail-index estimator (Hill 1975) over the token frequency
+    * distribution — the heavy-tail partner of [[qZipfFit]]'s rank-
+    * frequency regression: for the top k = 100 frequencies f₁ ≥ … ≥
+    * f_k, H = mean ln(f_i/f_k) over i < k and tail index α = 1/H
+    * (α ≈ 1/zipf-slope for a true power law; divergence between the
+    * two fits flags a bent tail). One row beside the Zipf report.
+    *
+    * Scale: the wordcount is the corpus shuffle (shared shape with
+    * every token aggregate); top-100 lowers to per-partition heaps;
+    * the estimator is an aggregate of 100 rows. */
+  val qHillTail = QueryDef.sql(
+    "q_hill_tail",
+    """WITH wc AS (
+      |  SELECT w, CAST(count(*) AS DOUBLE) AS f FROM (
+      |    SELECT unnest(string_split_regex(trim(text), ' +')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |topk AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rnk
+      |  FROM wc QUALIFY rnk <= 100),
+      |fk AS (SELECT f AS fmin, rnk AS kmax FROM topk
+      |       WHERE rnk = (SELECT max(rnk) FROM topk))
+      |SELECT CAST(count(*) AS BIGINT) AS k,
+      |       CAST(any_value(fk.fmin) AS BIGINT) AS f_k,
+      |       round(avg(ln(topk.f / fk.fmin)), 4) AS hill_h,
+      |       round(1.0 / avg(ln(topk.f / fk.fmin)), 4) AS alpha
+      |FROM topk CROSS JOIN fk WHERE topk.rnk < fk.kmax""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select(explode(words($"text")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).cast("double").as("f"))
+    val top = wc.orderBy($"f".desc, $"w").limit(100)
+    val ranked = CorpusOps
+      .boundedRank(top, struct((-$"f").as("nf"), $"w"), "rnk")
+    // adaptive k: a corpus with vocab < 100 uses its last rank as f_k
+    val fk = ranked
+      .orderBy($"rnk".desc).limit(1)
+      .select($"f".as("fmin"), $"rnk".as("kmax"))
+    ranked
+      .crossJoin(broadcast(fk))
+      .filter($"rnk" < $"kmax")
+      .agg(count(lit(1)).cast("long").as("k"),
+        first($"fmin").cast("long").as("f_k"),
+        round(avg(log($"f" / $"fmin")), 4).as("hill_h"),
+        round(lit(1.0) / avg(log($"f" / $"fmin")), 4).as("alpha"))
+  }
+
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
     * 2020): deterministically mark ~15% of each document's tokens as
     * corruption spans (mean length 3) for masked-span pretraining. The
@@ -2063,6 +2194,6 @@ object TextOps {
       qWinnowFingerprint, qWinnowPairs, qBigramLm, qRagChunks, qPiiScrub, qBpeMergeStep,
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
-      qCharsetAudit, qBm25Retrieval, qRrfFusion, qNdcg, qSpanCorruption,
-      qLangidMetrics)
+      qCharsetAudit, qBm25Retrieval, qRrfFusion, qNdcg, qHeapsLaw,
+      qHillTail, qSpanCorruption, qLangidMetrics)
 }

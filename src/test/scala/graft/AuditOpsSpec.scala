@@ -935,6 +935,46 @@ class AuditOpsSpec extends SparkSpec {
     assert(math.abs(mean - math.rint(trueMean * 1e4) / 1e4) <= 1e-6)
   }
 
+  test("heaps law: points monotone, fit matches plain-Scala OLS") {
+    val rows = TextOps.qHeapsLaw.fn(spark, sf)
+      .select($"decile", $"n_tokens", $"vocab", $"beta", $"k_coef")
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length === 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3, "prefix growth is monotone")
+      case _ =>
+    }
+    val beta = rows.head._4
+    assert(rows.forall(_._4 === beta), "one shared fit")
+    val xs = rows.map(r => math.log(r._2.toDouble))
+    val ys = rows.map(r => math.log(r._3.toDouble))
+    val (mx, my) = (xs.sum / 10, ys.sum / 10)
+    val want = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(beta - want) <= 1e-3)
+    // the tiny sf0.001 fixture saturates its closed vocabulary in the
+    // first decile (beta == 0); natural corpora land in (0, 1)
+    assert(beta >= 0.0 && beta < 1.0)
+  }
+
+  test("hill tail: H and alpha reciprocal, matches top-k recomputation") {
+    val (k, fk, h, alpha) = TextOps.qHillTail.fn(spark, sf)
+      .as[(Long, Long, Double, Double)].head()
+    assert(k >= 1L && k <= 99L)
+    assert(math.abs(alpha - math.rint(1.0 / h * 1e4) / 1e4) <= 2e-4)
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), " +")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"w").limit(100)
+      .select($"f").as[Long].collect()
+    assert(k === freqs.length - 1L)
+    assert(fk === freqs.last)
+    val want = freqs.init.map(f => math.log(f.toDouble / freqs.last)).sum /
+      (freqs.length - 1)
+    assert(math.abs(h - want) <= 1e-3)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
