@@ -1818,6 +1818,175 @@ object Events {
       .orderBy($"rank")
   }
 
+  /** Power-iteration rounds for the stationary distribution. */
+  val MarkovRounds = 15
+
+  /** One π' = π·P round as SQL over CTEs `pm(a, b, p)` and
+    * `pi$k(t, pi)`. */
+  private def markovItersSql(iters: Int): String =
+    (0 until iters)
+      .map { k =>
+        s"""pi${k + 1} AS MATERIALIZED (
+           |  SELECT pm.b AS t, sum(pi$k.pi * pm.p) AS pi
+           |  FROM pm JOIN pi$k ON pi$k.t = pm.a
+           |  GROUP BY pm.b)""".stripMargin
+      }
+      .mkString(",\n")
+
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run read on [[qEventTransitions]]' matrix: restrict the
+    * chain to types with outgoing transitions (closed), row-normalize,
+    * run [[MarkovRounds]] power-iteration rounds from uniform, and
+    * report π beside each type's EMPIRICAL share — the drift between
+    * them is the mixing diagnostic (large gaps mean the chain hasn't
+    * mixed or heavy self-loops trap mass).
+    *
+    * Scale: the corpus-scale pass is the same per-user lead() window
+    * the transition matrix pays; the iteration multiplies a \|types\|-
+    * vector against a \|types\|²-matrix — driver-trivial, kept as a
+    * dataflow for the oracle's sake. */
+  val qMarkovStationary = QueryDef.sql(
+    "q_markov_stationary", {
+      val iters = markovItersSql(MarkovRounds)
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS a,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY epoch_ns(ts), event_id) AS b
+         |  FROM events),
+         |pairs AS (
+         |  SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL
+         |  GROUP BY a, b),
+         |closed AS (
+         |  SELECT p.a, p.b, p.n FROM pairs p
+         |  WHERE p.b IN (SELECT DISTINCT a FROM pairs)),
+         |tot AS (SELECT a, sum(n) AS na FROM closed GROUP BY a),
+         |pm AS MATERIALIZED (
+         |  SELECT c.a, c.b, c.n * 1.0 / t.na AS p
+         |  FROM closed c JOIN tot t ON t.a = c.a),
+         |nt AS (SELECT count(*) AS k FROM tot),
+         |pi0 AS MATERIALIZED (
+         |  SELECT a AS t, 1.0 / (SELECT k FROM nt) AS pi FROM tot),
+         |$iters,
+         |emp AS (
+         |  SELECT event_type AS t, count(*) * 1.0 AS n FROM events
+         |  WHERE event_type IN (SELECT a FROM tot) GROUP BY 1),
+         |etot AS (SELECT sum(n) AS en FROM emp)
+         |SELECT pi.t AS event_type, round(pi.pi, 6) AS pi,
+         |       round(emp.n / etot.en, 6) AS empirical,
+         |       round(pi.pi - emp.n / etot.en, 6) AS drift
+         |FROM pi$MarkovRounds pi JOIN emp ON emp.t = pi.t
+         |CROSS JOIN etot ORDER BY event_type""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    val pairs = Tables
+      .events(s, d)
+      .select($"user_id", $"event_type".as("a"),
+        lead($"event_type", 1).over(w).as("b"))
+      .filter($"b".isNotNull)
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n"))
+      .coalesce(1).localCheckpoint() // |types|² matrix; reused each round
+    val srcs = pairs.select($"a").distinct()
+    val closed = pairs
+      .join(broadcast(srcs.select($"a".as("bb"))), $"b" === $"bb", "left_semi")
+    val tot = closed.groupBy($"a").agg(sum($"n").as("na"))
+    val pm = closed
+      .join(broadcast(tot), "a")
+      .select($"a", $"b", ($"n" * lit(1.0) / $"na").as("p"))
+      .coalesce(1).localCheckpoint()
+    val k = tot.count()
+    var pi = tot.select($"a".as("t"), lit(1.0 / k).as("pi"))
+      .coalesce(1).localCheckpoint()
+    (0 until MarkovRounds).foreach { i =>
+      val next = pm
+        .join(pi, pi("t") === pm("a"))
+        .groupBy(pm("b").as("bt"))
+        .agg(sum($"pi" * $"p").as("pi"))
+        .select($"bt".as("t"), $"pi")
+      pi =
+        if (i % 3 == 2 || i == MarkovRounds - 1)
+          next.coalesce(1).localCheckpoint()
+        else next
+    }
+    val emp = Tables.events(s, d)
+      .join(broadcast(tot.select($"a".as("event_type"))), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val etot = emp.agg(sum($"n").as("en"))
+    pi
+      .join(emp, $"event_type" === $"t")
+      .crossJoin(broadcast(etot))
+      .select($"t".as("event_type"), round($"pi", 6).as("pi"),
+        round($"n" / $"en", 6).as("empirical"),
+        round($"pi" - $"n" / $"en", 6).as("drift"))
+      .orderBy($"event_type")
+  }
+
+  /** Funnel time-to-convert — the latency read beside [[qFunnel]]'s
+    * conversion counts: for each converting user, the gap between the
+    * first qualifying step events (same first-touch definitions as the
+    * funnel), summarized as converted count + interpolated median and
+    * p90 minutes per step pair.
+    *
+    * Scale: identical per-user min-aggregates to the funnel (three
+    * scans of the type-filtered slivers, user-keyed joins); the
+    * percentile runs per step over the converted-user relation. */
+  val qFunnelTime = QueryDef.sql(
+    "q_funnel_time",
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, s1.t1, min(epoch_ns(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+      |  GROUP BY e.user_id, s1.t1),
+      |s3 AS (
+      |  SELECT e.user_id, s2.t2, min(epoch_ns(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+      |  GROUP BY e.user_id, s2.t2),
+      |gaps AS (
+      |  SELECT 'view>click' AS step,
+      |         (t2 - t1) / 60000000000.0 AS gap_min FROM s2
+      |  UNION ALL
+      |  SELECT 'click>purchase', (t3 - t2) / 60000000000.0 FROM s3)
+      |SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+      |       round(quantile_cont(gap_min, 0.5), 4) AS median_min,
+      |       round(quantile_cont(gap_min, 0.9), 4) AS p90_min
+      |FROM gaps GROUP BY step ORDER BY step""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts_ns")
+    val s1 = ev
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min($"ts_ns").as("t1"))
+    val s2 = ev
+      .filter($"event_type" === "click")
+      .join(s1, "user_id")
+      .filter($"ts_ns" > $"t1")
+      .groupBy($"user_id", $"t1")
+      .agg(min($"ts_ns").as("t2"))
+    val s3 = ev
+      .filter($"event_type" === "purchase")
+      .join(s2.select($"user_id", $"t2"), "user_id")
+      .filter($"ts_ns" > $"t2")
+      .groupBy($"user_id", $"t2")
+      .agg(min($"ts_ns").as("t3"))
+    s2.select(lit("view>click").as("step"),
+        (($"t2" - $"t1") / 60000000000.0).as("gap_min"))
+      .unionAll(s3.select(lit("click>purchase").as("step"),
+        (($"t3" - $"t2") / 60000000000.0).as("gap_min")))
+      .groupBy($"step")
+      .agg(count(lit(1)).cast("long").as("n_converted"),
+        round(expr("percentile(gap_min, 0.5)"), 4).as("median_min"),
+        round(expr("percentile(gap_min, 0.9)"), 4).as("p90_min"))
+      .orderBy($"step")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
@@ -1825,5 +1994,5 @@ object Events {
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
       qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
-      qStlSeasonal, qKsTest, qSeqMining)
+      qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime)
 }

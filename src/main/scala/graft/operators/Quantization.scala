@@ -726,6 +726,64 @@ object Quantization {
       .orderBy($"depth", $"qid")
   }
 
+  /** Scalar-quantization bit-depth sweep — the design dial BEFORE
+    * choosing int8 ([[Similarity.qEmbedQuantize]]) or PQ: at b ∈ {2, 4,
+    * 6, 8} bits per dimension, uniform per-dimension quantization over
+    * the corpus [min, max] range, reporting reconstruction RMSE and the
+    * mean relative error against each dimension's span. Error should
+    * quarter per +2 bits (the 2^-b law); where it stops improving, the
+    * embedding's intrinsic noise floor is reached — that's the bit
+    * depth to ship.
+    *
+    * Scale: per-dim min/max is one moment aggregate (64·2 doubles,
+    * broadcast); the sweep explodes each scanned vector ×4 bit-depths
+    * into a partial aggregate — same constant-blow-up shape as the
+    * Poisson bootstrap, corpus never shuffled. */
+  val qSqSweep = QueryDef.sql(
+    "q_sq_sweep",
+    """WITH dims AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+      |rng AS (
+      |  SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
+      |bits AS (SELECT unnest([2, 4, 6, 8]) AS b),
+      |err AS (
+      |  SELECT bits.b,
+      |         dims.x - (rng.lo + (floor((dims.x - rng.lo)
+      |             / (rng.hi - rng.lo) * ((1 << bits.b) - 1) + 0.5))
+      |           * (rng.hi - rng.lo) / ((1 << bits.b) - 1)) AS e,
+      |         rng.hi - rng.lo AS span
+      |  FROM dims JOIN rng USING (dim) CROSS JOIN bits
+      |  WHERE rng.hi > rng.lo)
+      |SELECT CAST(b AS INT) AS bits,
+      |       round(sqrt(avg(e * e)), 6) AS rmse,
+      |       round(avg(abs(e) / span), 6) AS rel_err
+      |FROM err GROUP BY b ORDER BY bits""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "xf")))
+      .select($"vec_id", $"dim", $"xf".cast("double").as("x"))
+    val rng = dims.groupBy($"dim")
+      .agg(min($"x").as("lo"), max($"x").as("hi"))
+      .filter($"hi" > $"lo")
+    val bits = s.range(1, 5).select(($"id" * 2).cast("int").as("b"))
+    val levels = (expr("shiftleft(1, b)") - 1).cast("double")
+    val recon = $"lo" + floor(($"x" - $"lo") / ($"hi" - $"lo") * levels
+      + 0.5) * ($"hi" - $"lo") / levels
+    dims
+      .join(broadcast(rng), "dim")
+      .crossJoin(broadcast(bits))
+      .select($"b", ($"x" - recon).as("e"), ($"hi" - $"lo").as("span"))
+      .groupBy($"b")
+      .agg(round(sqrt(avg($"e" * $"e")), 6).as("rmse"),
+        round(avg(abs($"e") / $"span"), 6).as("rel_err"))
+      .select($"b".cast("int").as("bits"), $"rmse", $"rel_err")
+      .orderBy($"bits")
+  }
+
   def defs: Seq[QueryDef] =
-    Seq(qPqQuantize, qPqRecall, qAnnIvfPq, qAnnRerank, qRerankSweep)
+    Seq(qPqQuantize, qPqRecall, qAnnIvfPq, qAnnRerank, qRerankSweep,
+      qSqSweep)
 }

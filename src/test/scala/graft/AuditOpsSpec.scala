@@ -975,6 +975,77 @@ class AuditOpsSpec extends SparkSpec {
     assert(math.abs(h - want) <= 1e-3)
   }
 
+  test("markov stationary: pi is a distribution matching plain-Scala iteration") {
+    val rows = graft.operators.Events.qMarkovStationary.fn(spark, sf)
+      .select($"event_type", $"pi", $"empirical", $"drift")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._2).sum - 1.0) <= 1e-4, "pi sums to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) <= 1e-4, "empirical sums to 1")
+    rows.foreach { case (_, pi, emp, drift) =>
+      assert(pi >= 0.0 && emp >= 0.0)
+      assert(math.abs(drift - math.rint((pi - emp) * 1e6) / 1e6) <= 2e-6)
+    }
+    // plain-Scala power iteration over the same closed transition matrix
+    val pairs = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        evs.sortBy(e => (e._3, e._4)).map(_._2).sliding(2).collect {
+          case Array(a, b) => (a, b)
+        }
+      }
+    val srcs = pairs.map(_._1).toSet
+    val closed = pairs.filter(p => srcs.contains(p._2))
+    val counts = closed.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rowTot = counts.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val states = rowTot.keys.toSeq.sorted
+    var pi = states.map(_ -> 1.0 / states.size).toMap
+    (0 until graft.operators.Events.MarkovRounds).foreach { _ =>
+      pi = states.map { b =>
+        b -> states.map { a =>
+          pi(a) * counts.getOrElse((a, b), 0).toDouble / rowTot(a)
+        }.sum
+      }.toMap
+    }
+    rows.foreach { case (t, got, _, _) =>
+      assert(math.abs(got - pi(t)) <= 1e-4, s"pi($t)")
+    }
+  }
+
+  test("funnel time: converted counts match the funnel, median <= p90") {
+    val rows = graft.operators.Events.qFunnelTime.fn(spark, sf)
+      .select($"step", $"n_converted", $"median_min", $"p90_min")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("view>click", "click>purchase"))
+    rows.values.foreach { case (_, n, med, p90) =>
+      assert(n > 0)
+      assert(med > 0.0 && med <= p90)
+    }
+    val funnel = graft.operators.Events.qFunnel.fn(spark, sf)
+      .select($"clicked", $"purchased").as[(Long, Long)].head()
+    assert(rows("view>click")._2 === funnel._1)
+    assert(rows("click>purchase")._2 === funnel._2)
+  }
+
+  test("sq sweep: error shrinks with bits and respects the 2^-b bound") {
+    val rows = graft.operators.Quantization.qSqSweep.fn(spark, sf)
+      .select($"bits", $"rmse", $"rel_err").as[(Int, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 4, 6, 8))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 < a._2 && b._3 < a._3, s"error monotone: $a vs $b")
+      case _ =>
+    }
+    rows.foreach { case (bits, _, relErr) =>
+      val levels = (1 << bits) - 1
+      assert(relErr <= 1.0 / (2.0 * levels) + 1e-9,
+        s"uniform quantizer bound at $bits bits")
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
