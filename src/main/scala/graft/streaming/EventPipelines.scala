@@ -356,6 +356,64 @@ object EventPipelines {
       }
   }
 
+  case class TypedValue(event_type: String, value: Double)
+  case class QuantileEstimate(event_type: String, n: Long,
+      p50_est: Double, p95_est: Double, p99_est: Double)
+
+  /** DDSketch gamma shared with the batch plane (`Events.qEventsDdsketch`)
+    * so stream and batch produce IDENTICAL buckets. */
+  val StreamDdGamma = 1.02
+
+  /** The batch plane's bucket rule, verbatim: ceil(round(ln v/ln γ, 8))
+    * — the 8-decimal round absorbs libm ulp differences so a value
+    * lands in the same bucket everywhere. */
+  private[streaming] def ddBucket(v: Double): Long = {
+    val x = math.log(v) / math.log(StreamDdGamma)
+    math.ceil(BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+  }
+
+  /** Streaming DDSketch latency quantiles (A4's p50/p95/p99 panels as a
+    * RUNNING estimate): per event type, a sparse bucket-count map in
+    * keyed state — DDSketch's merge is count addition, so the state is
+    * exactly the batch aggregate restricted to rows seen so far, and a
+    * one-batch run is BIT-IDENTICAL to `q_events_ddsketch`'s bucket
+    * phase (StreamingSpec proves estimate parity). Emits the current
+    * n + p50/p95/p99 midpoint estimates per type after each batch.
+    *
+    * Scale: state is O(buckets) ≈ 1200 longs per type regardless of
+    * stream length — the property that makes the sketch the streaming
+    * latency monitor (an exact percentile would buffer every value). */
+  def latencySketch(events: DataFrame): Dataset[QuantileEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("value") > 0)
+      .select(col("event_type"), col("value"))
+      .as[TypedValue]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Map[Long, Long], QuantileEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (tpe, rows, state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { r =>
+            val bk = ddBucket(r.value)
+            m = m.updated(bk, m.getOrElse(bk, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.values.sum
+          def est(p: Double): Double = {
+            val target = math.ceil(p * n).toLong
+            var cc = 0L
+            val bk = m.toSeq.sortBy(_._1).collectFirst {
+              case (b, c) if { cc += c; cc >= target } => b
+            }.getOrElse(m.keys.max)
+            2.0 * math.pow(StreamDdGamma, bk.toDouble) / (StreamDdGamma + 1.0)
+          }
+          QuantileEstimate(tpe, n, est(0.50), est(0.95), est(0.99))
+      }
+  }
+
   /** Stream-static enrichment join: the event stream left-joined to a
     * STATIC dimension (per-user attributes) on user_id, plus a derived
     * spend segment. Spark re-plans the static side each micro-batch (a

@@ -494,6 +494,55 @@ class StreamingSpec extends SparkSpec {
     // and state stays sketch-sized: estimates are positive and bounded
     assert(streamed.values.forall(_ > 0))
   }
+  test("streaming DDSketch quantiles equal the batch bucket estimates") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    val q = EventPipelines.latencySketch(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dd_out").start()
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions._
+    val streamed = spark.table("dd_out")
+      .groupBy($"event_type")
+      .agg(max(struct($"n", $"p50_est", $"p95_est", $"p99_est")).as("s"))
+      .select($"event_type", $"s.n", $"s.p50_est", $"s.p99_est")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // batch twin: identical bucket rule + midpoint estimate
+    val lnG = math.log(EventPipelines.StreamDdGamma)
+    val b = Tables.events(spark, sf).filter($"value" > 0)
+      .groupBy($"event_type",
+        ceil(round(log($"value") / lnG, 8)).cast("long").as("bk"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+    b.groupBy(_._1).foreach { case (tpe, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      val n = m.values.sum
+      def est(p: Double): Double = {
+        val target = math.ceil(p * n).toLong
+        var cc = 0L
+        val bk = m.toSeq.sortBy(_._1).collectFirst {
+          case (bb, c) if { cc += c; cc >= target } => bb
+        }.get
+        2.0 * math.pow(EventPipelines.StreamDdGamma, bk.toDouble) /
+          (EventPipelines.StreamDdGamma + 1.0)
+      }
+      val (_, sn, s50, s99) = streamed(tpe)
+      assert(sn === n, s"count($tpe)")
+      assert(math.abs(s50 - est(0.50)) <= 1e-9, s"p50($tpe)")
+      assert(math.abs(s99 - est(0.99)) <= 1e-9, s"p99($tpe)")
+    }
+    // the sketch guarantee: estimates within 2% of the exact quantiles
+    val exact = Tables.events(spark, sf).filter($"value" > 0)
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"))
+      .as[(String, Double)].collect().toMap
+    streamed.foreach { case (tpe, (_, _, s50, _)) =>
+      assert(math.abs(s50 - exact(tpe)) / exact(tpe) <= 0.02 + 1e-6,
+        s"relative error guarantee($tpe)")
+    }
+  }
+
   test("stream-static enrichment join matches the batch join per event") {
     val stream = EventPipelines.eventStream(spark, sf)
     val userDim = Tables.events(spark, sf)
