@@ -1987,6 +1987,195 @@ object Events {
       .orderBy($"step")
   }
 
+  /** Population stability index (the credit-scoring drift metric; see
+    * Siddiqi 2006) of each type's value distribution, first half of the
+    * observation window vs second: bins = the FIRST half's value
+    * deciles (the reference population defines the grid), PSI =
+    * Σ (p₂−p₁)·ln(p₂/p₁) with 1e-4 floor on shares (the standard
+    * zero-cell guard). PSI < 0.1 stable, 0.1–0.2 moderate, > 0.2 major
+    * — the model-monitoring read beside [[qKsTest]]'s hypothesis test.
+    *
+    * Scale: the decile cuts are one percentile aggregate per type
+    * (broadcast, 9 doubles each); binning is scan-fused comparisons
+    * against them; shares are a (type, half, bin) count aggregate. */
+  val qPsiDrift = QueryDef.sql(
+    "q_psi_drift",
+    """WITH span AS (
+      |  SELECT CAST(min(epoch_ns(ts)) AS BIGINT) AS lo,
+      |         CAST(max(epoch_ns(ts)) AS BIGINT) AS hi
+      |  FROM events),
+      |ev AS (
+      |  SELECT event_type, value,
+      |         CASE WHEN epoch_ns(ts) * 2 < span.lo + span.hi
+      |              THEN 1 ELSE 2 END AS half
+      |  FROM events CROSS JOIN span WHERE value > 0),
+      |cuts AS (
+      |  SELECT event_type,
+      |         unnest(quantile_cont(value,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut
+      |  FROM ev WHERE half = 1 GROUP BY event_type),
+      |vc AS (
+      |  SELECT event_type, half, value, count(*) AS m
+      |  FROM ev GROUP BY 1, 2, 3),
+      |binned AS (
+      |  SELECT vc.event_type, vc.half,
+      |         sum(CASE WHEN vc.value > cuts.cut THEN 1 ELSE 0 END) AS bin,
+      |         any_value(vc.m) AS m
+      |  FROM vc JOIN cuts ON cuts.event_type = vc.event_type
+      |  GROUP BY vc.event_type, vc.half, vc.value),
+      |shares AS (
+      |  SELECT event_type, half, bin, sum(m) AS c
+      |  FROM binned GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT event_type, half, sum(c) AS n FROM shares GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t1.event_type, d.bin
+      |  FROM (SELECT DISTINCT event_type FROM shares) t1
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) d),
+      |px AS (
+      |  SELECT g.event_type, g.bin,
+      |         greatest(coalesce(s1.c, 0) * 1.0 / t1.n, 0.0001) AS p1,
+      |         greatest(coalesce(s2.c, 0) * 1.0 / t2.n, 0.0001) AS p2
+      |  FROM grid g
+      |  JOIN tot t1 ON t1.event_type = g.event_type AND t1.half = 1
+      |  JOIN tot t2 ON t2.event_type = g.event_type AND t2.half = 2
+      |  LEFT JOIN shares s1 ON s1.event_type = g.event_type
+      |    AND s1.half = 1 AND s1.bin = g.bin
+      |  LEFT JOIN shares s2 ON s2.event_type = g.event_type
+      |    AND s2.half = 2 AND s2.bin = g.bin)
+      |SELECT event_type,
+      |       round(sum((p2 - p1) * ln(p2 / p1)), 4) AS psi,
+      |       CASE WHEN round(sum((p2 - p1) * ln(p2 / p1)), 4) > 0.2
+      |              THEN 'major'
+      |            WHEN round(sum((p2 - p1) * ln(p2 / p1)), 4) > 0.1
+      |              THEN 'moderate'
+      |            ELSE 'stable' END AS drift_level
+      |FROM px GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val span = Tables.events(s, d)
+      .agg(min($"ts_ns").as("lo"), max($"ts_ns").as("hi"))
+    val ev = Tables.events(s, d)
+      .filter($"value" > 0)
+      .crossJoin(broadcast(span))
+      .select($"event_type", $"value",
+        when($"ts_ns" * 2 < $"lo" + $"hi", 1).otherwise(2).as("half"))
+    val cuts = ev
+      .filter($"half" === 1)
+      .groupBy($"event_type")
+      .agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("cs"))
+      .select($"event_type", explode($"cs").as("cut"))
+    // distinct-value aggregate first (equal values share a bin), then
+    // bin against the 9 broadcast cuts — the 9× blow-up runs on the
+    // distinct-value relation, not the corpus
+    val vc = ev.groupBy($"event_type", $"half", $"value")
+      .agg(count(lit(1)).as("m"))
+    val shares = vc
+      .join(broadcast(cuts), "event_type")
+      .groupBy($"event_type", $"half", $"value")
+      .agg(sum(when($"value" > $"cut", 1).otherwise(0)).as("bin"),
+        first($"m").as("m"))
+      .groupBy($"event_type", $"half", $"bin")
+      .agg(sum($"m").as("c"))
+    val tot = shares.groupBy($"event_type", $"half").agg(sum($"c").as("n"))
+    val grid = shares.select($"event_type").distinct()
+      .crossJoin(broadcast(s.range(0, 10).select($"id".as("bin"))))
+    val px = grid
+      .join(broadcast(tot.filter($"half" === 1)
+        .select($"event_type", $"n".as("n1"))), "event_type")
+      .join(broadcast(tot.filter($"half" === 2)
+        .select($"event_type", $"n".as("n2"))), "event_type")
+      .join(broadcast(shares.filter($"half" === 1)
+        .select($"event_type", $"bin", $"c".as("c1"))),
+        Seq("event_type", "bin"), "left")
+      .join(broadcast(shares.filter($"half" === 2)
+        .select($"event_type", $"bin", $"c".as("c2"))),
+        Seq("event_type", "bin"), "left")
+      .select($"event_type", $"bin",
+        greatest(coalesce($"c1", lit(0L)) * lit(1.0) / $"n1", lit(0.0001))
+          .as("p1"),
+        greatest(coalesce($"c2", lit(0L)) * lit(1.0) / $"n2", lit(0.0001))
+          .as("p2"))
+    val psi = round(sum(($"p2" - $"p1") * log($"p2" / $"p1")), 4)
+    px
+      .groupBy($"event_type")
+      .agg(psi.as("psi"),
+        when(psi > 0.2, "major")
+          .when(psi > 0.1, "moderate")
+          .otherwise("stable").as("drift_level"))
+      .orderBy($"event_type")
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013, "Improving
+    * the sensitivity of online controlled experiments by utilizing
+    * pre-experiment data"): per user, the experiment-period metric y
+    * (second-half spend) adjusted by the pre-period covariate x
+    * (first-half spend): y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x).
+    * Reports θ, both variances, and the realized variance reduction
+    * (= ρ² in expectation) — the dial that tells an experimenter how
+    * much A/B sample the covariate buys ([[qAbTest]]'s companion).
+    *
+    * Scale: per-user period sums are one count-shuffle; θ and x̄ are
+    * broadcast 1-row moments; the adjusted variance is a second moment
+    * aggregate — nothing beyond three aggregate-sized exchanges. */
+  val qCuped = QueryDef.sql(
+    "q_cuped",
+    """WITH span AS (
+      |  SELECT CAST(min(epoch_ns(ts)) AS BIGINT) AS lo,
+      |         CAST(max(epoch_ns(ts)) AS BIGINT) AS hi
+      |  FROM events),
+      |per_user AS (
+      |  SELECT user_id,
+      |         sum(CASE WHEN epoch_ns(ts) * 2 < span.lo + span.hi
+      |                  THEN value ELSE 0 END) AS x,
+      |         sum(CASE WHEN epoch_ns(ts) * 2 >= span.lo + span.hi
+      |                  THEN value ELSE 0 END) AS y
+      |  FROM events CROSS JOIN span
+      |  GROUP BY user_id),
+      |mom AS (
+      |  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+      |         covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+      |  FROM per_user),
+      |adj AS (
+      |  SELECT var_pop(u.y - (mom.cxy / mom.vx) * (u.x - mom.mx)) AS vadj
+      |  FROM per_user u CROSS JOIN mom)
+      |SELECT CAST(mom.n AS BIGINT) AS n_users,
+      |       round(mom.cxy / mom.vx, 4) AS theta,
+      |       round(mom.vy, 4) AS var_y,
+      |       round(adj.vadj, 4) AS var_adj,
+      |       round(1.0 - adj.vadj / mom.vy, 4) AS var_reduction
+      |FROM mom CROSS JOIN adj""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val span = Tables.events(s, d)
+      .agg(min($"ts_ns").as("lo"), max($"ts_ns").as("hi"))
+    val perUser = Tables.events(s, d)
+      .crossJoin(broadcast(span))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"ts_ns" * 2 < $"lo" + $"hi", $"value").otherwise(0.0))
+          .as("x"),
+        sum(when($"ts_ns" * 2 >= $"lo" + $"hi", $"value").otherwise(0.0))
+          .as("y"))
+      .localCheckpoint() // per-user relation; reused by moments + adj
+    val mom = perUser.agg(
+      count(lit(1)).as("n"), avg($"x").as("mx"), avg($"y").as("my"),
+      covar_pop($"x", $"y").as("cxy"),
+      var_pop($"x").as("vx"), var_pop($"y").as("vy"))
+    val adj = perUser
+      .crossJoin(broadcast(mom))
+      .agg(var_pop($"y" - ($"cxy" / $"vx") * ($"x" - $"mx")).as("vadj"))
+    mom
+      .crossJoin(broadcast(adj))
+      .select($"n".cast("long").as("n_users"),
+        round($"cxy" / $"vx", 4).as("theta"),
+        round($"vy", 4).as("var_y"),
+        round($"vadj", 4).as("var_adj"),
+        round(lit(1.0) - $"vadj" / $"vy", 4).as("var_reduction"))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
@@ -1994,5 +2183,6 @@ object Events {
       qRollingDistinct, qMadAnomaly, qSlidingRate, qFirstTouch,
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
       qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
-      qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime)
+      qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime,
+      qPsiDrift, qCuped)
 }

@@ -333,6 +333,80 @@ object Extras {
         round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
   }
 
+  /** Split-conformal prediction interval (Papadopoulos et al. 2002;
+    * Lei et al. 2018): hash-split lineitem into train (50%) /
+    * calibration (25%) / test (25%), fit price ~ quantity by OLS
+    * sufficient statistics on train, take q̂ = the 90th percentile of
+    * calibration |residuals|, and report the realized test coverage of
+    * ŷ ± q̂ — the distribution-free ML-serving guarantee (coverage ≈
+    * 90% regardless of the model's quality). Boundary comparisons use
+    * 6-decimal-rounded values on both engines.
+    *
+    * Scale: the split is a scan-fused hash predicate; the fit is one
+    * moment aggregate; q̂ is one percentile over the calibration
+    * quarter; coverage is one conditional count. */
+  val qConformal = QueryDef.sql(
+    "q_conformal_interval",
+    """WITH li AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y,
+      |         CAST(concat('0x', substr(md5('cf|' || CAST(l_orderkey AS VARCHAR)
+      |                || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 4 AS fold
+      |  FROM lineitem),
+      |fit AS (
+      |  SELECT covar_pop(x, y) / var_pop(x) AS b1,
+      |         avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0,
+      |         count(*) AS n_train
+      |  FROM li WHERE fold <= 1),
+      |cal AS (
+      |  SELECT quantile_cont(abs(li.y - (fit.b0 + fit.b1 * li.x)), 0.9)
+      |           AS qhat,
+      |         count(*) AS n_cal
+      |  FROM li CROSS JOIN fit WHERE li.fold = 2),
+      |test AS (
+      |  SELECT count(*) AS n_test,
+      |         sum(CASE WHEN round(abs(li.y - (fit.b0 + fit.b1 * li.x)), 6)
+      |                       <= round(cal.qhat, 6)
+      |                  THEN 1 ELSE 0 END) AS covered
+      |  FROM li CROSS JOIN fit CROSS JOIN cal WHERE li.fold = 3)
+      |SELECT CAST(fit.n_train AS BIGINT) AS n_train,
+      |       CAST(cal.n_cal AS BIGINT) AS n_cal,
+      |       CAST(test.n_test AS BIGINT) AS n_test,
+      |       round(fit.b0, 4) AS beta0, round(fit.b1, 4) AS beta1,
+      |       round(cal.qhat, 4) AS qhat,
+      |       round(test.covered * 1.0 / test.n_test, 4) AS coverage
+      |FROM fit CROSS JOIN cal CROSS JOIN test""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val li = Tables.lineitem(s, d)
+      .select($"l_quantity".as("x"), $"l_extendedprice".as("y"),
+        pmod(stableHash60(concat(lit("cf|"), $"l_orderkey".cast("string"),
+          lit("|"), $"l_linenumber".cast("string"))), lit(4L)).as("fold"))
+    val fit = li.filter($"fold" <= 1).agg(
+      (covar_pop($"x", $"y") / var_pop($"x")).as("b1"),
+      (avg($"y") - covar_pop($"x", $"y") / var_pop($"x") * avg($"x"))
+        .as("b0"),
+      count(lit(1)).as("n_train"))
+    val cal = li.filter($"fold" === 2)
+      .crossJoin(broadcast(fit))
+      .agg(expr("percentile(abs(y - (b0 + b1 * x)), 0.9)").as("qhat"),
+        count(lit(1)).as("n_cal"))
+    val test = li.filter($"fold" === 3)
+      .crossJoin(broadcast(fit))
+      .crossJoin(broadcast(cal))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(round(abs($"y" - ($"b0" + $"b1" * $"x")), 6)
+          <= round($"qhat", 6), 1).otherwise(0)).as("covered"))
+    fit.crossJoin(broadcast(cal)).crossJoin(broadcast(test))
+      .select($"n_train".cast("long").as("n_train"),
+        $"n_cal".cast("long").as("n_cal"),
+        $"n_test".cast("long").as("n_test"),
+        round($"b0", 4).as("beta0"), round($"b1", 4).as("beta1"),
+        round($"qhat", 4).as("qhat"),
+        round($"covered" * lit(1.0) / $"n_test", 4).as("coverage"))
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -1183,5 +1257,5 @@ object Extras {
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
       qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
-      qBenford, qPoissonBootstrap)
+      qBenford, qPoissonBootstrap, qConformal)
 }

@@ -1046,6 +1046,67 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("psi drift: non-negative, level thresholds consistent") {
+    val rows = graft.operators.Events.qPsiDrift.fn(spark, sf)
+      .select($"event_type", $"psi", $"drift_level")
+      .as[(String, Double, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, psi, lvl) =>
+      assert(psi >= 0.0, "PSI is a sum of non-negative KL-type terms")
+      val want = if (psi > 0.2) "major"
+        else if (psi > 0.1) "moderate" else "stable"
+      assert(lvl === want)
+    }
+    // same generator drives both halves of the fixture window: stable
+    assert(rows.count(_._3 == "stable") >= rows.length / 2)
+  }
+
+  test("cuped: theta/variances match plain-Scala; reduction = rho^2") {
+    val r = graft.operators.Events.qCuped.fn(spark, sf)
+      .select($"n_users", $"theta", $"var_y", $"var_adj", $"var_reduction")
+      .as[(Long, Double, Double, Double, Double)].head()
+    val (n, theta, varY, varAdj, red) = r
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"value")
+      .as[(Long, Long, Double)].collect()
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    val perUser = ev.groupBy(_._1).map { case (_, es) =>
+      (es.filter(e => e._2 * 2 < lo + hi).map(_._3).sum,
+        es.filter(e => e._2 * 2 >= lo + hi).map(_._3).sum)
+    }.toSeq
+    assert(n === perUser.length)
+    val mx = perUser.map(_._1).sum / n
+    val my = perUser.map(_._2).sum / n
+    val cxy = perUser.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+    val vx = perUser.map(p => (p._1 - mx) * (p._1 - mx)).sum / n
+    val vy = perUser.map(p => (p._2 - my) * (p._2 - my)).sum / n
+    assert(math.abs(theta - cxy / vx) <= 1e-3)
+    assert(math.abs(varY - vy) <= math.abs(vy) * 1e-4 + 1e-3)
+    // CUPED law: var_adj = var_y(1 - rho^2), i.e. reduction = rho^2
+    val rho2 = cxy * cxy / (vx * vy)
+    assert(math.abs(red - rho2) <= 1e-3)
+    assert(varAdj <= varY + 1e-9)
+  }
+
+  test("conformal: folds partition, coverage near nominal 90%") {
+    val r = Extras.qConformal.fn(spark, sf)
+      .select($"n_train", $"n_cal", $"n_test", $"beta1", $"qhat",
+        $"coverage")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    val (nTrain, nCal, nTest, b1, qhat, cov) = r
+    val total = Tables.lineitem(spark, sf).count()
+    assert(nTrain + nCal + nTest === total,
+      "folds 0-1 train, 2 cal, 3 test partition the table")
+    assert(nTrain > nCal && nTrain > nTest)
+    // the fixture draws price and quantity independently, so the fit is
+    // weak — irrelevant: conformal coverage is model-agnostic
+    assert(!b1.isNaN)
+    assert(qhat > 0)
+    // split-conformal guarantee: coverage within a few points of 90%
+    assert(cov >= 0.85 && cov <= 0.95, s"coverage=$cov")
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
