@@ -407,6 +407,78 @@ object Extras {
         round($"covered" * lit(1.0) / $"n_test", 4).as("coverage"))
   }
 
+  /** Spearman rank correlation of line quantity vs extended price —
+    * Pearson over tie-averaged ranks, with the ranks computed by the
+    * DISTRIBUTED two-phase recipe (no global window): per distinct
+    * value, cum-below = intra-bucket running count under a value-bucket
+    * partition + triangular broadcast offsets over the per-bucket
+    * totals (the gauge/KS pattern), then avg-rank = cum_below +
+    * (ties+1)/2 joined back to the rows. Reported beside Pearson —
+    * divergence flags a monotone-but-nonlinear relation.
+    *
+    * Scale: two distinct-value aggregates (quantity's is ~50 rows and
+    * broadcasts; price's shuffles once on the value), one corpus join
+    * per column, one moment aggregate. */
+  val qSpearman = QueryDef.sql(
+    "q_spearman",
+    """WITH li AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      |xd AS (
+      |  SELECT x, count(*) AS m FROM li GROUP BY x),
+      |xr AS (
+      |  SELECT x,
+      |         sum(m) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - m + (m + 1) / 2.0 AS rx
+      |  FROM xd),
+      |yd AS (
+      |  SELECT y, count(*) AS m FROM li GROUP BY y),
+      |yr AS (
+      |  SELECT y,
+      |         sum(m) OVER (ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - m + (m + 1) / 2.0 AS ry
+      |  FROM yd)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |       round(corr(xr.rx, yr.ry), 4) AS spearman,
+      |       round(corr(li.x, li.y), 4) AS pearson
+      |FROM li JOIN xr ON xr.x = li.x JOIN yr ON yr.y = li.y""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    // two-phase tie-averaged ranks for a value column: intra-bucket
+    // running count + triangular offsets over bucket totals — the same
+    // no-global-window shape as the gauge and the KS ECDF
+    def avgRanks(vals: org.apache.spark.sql.DataFrame, vc: String,
+        rc: String, bucket: org.apache.spark.sql.Column) = {
+      val dist = vals.groupBy(col(vc)).agg(count(lit(1)).as("m"))
+        .withColumn("bk", bucket)
+      val wIntra = Window.partitionBy($"bk").orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val btot = dist.groupBy($"bk").agg(sum($"m").as("t"))
+      val prior = btot.select($"bk".as("pbk"), $"t".as("pt"))
+      val off = btot
+        .join(broadcast(prior), $"pbk" < $"bk", "left")
+        .groupBy($"bk")
+        .agg(coalesce(sum($"pt"), lit(0L)).as("off"))
+      dist
+        .withColumn("cum", sum($"m").over(wIntra))
+        .join(broadcast(off), "bk")
+        .select(col(vc),
+          ($"off" + $"cum" - $"m" + ($"m" + 1) / lit(2.0)).as(rc))
+    }
+    val xr = avgRanks(li.select($"x"), "x", "rx", $"x".cast("long"))
+    val yr = avgRanks(li.select($"y"), "y", "ry",
+      floor($"y" / 1000.0).cast("long"))
+    li
+      .join(broadcast(xr), "x")
+      .join(yr, "y")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(corr($"rx", $"ry"), 4).as("spearman"),
+        round(corr($"x", $"y"), 4).as("pearson"))
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -1257,5 +1329,5 @@ object Extras {
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
       qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
-      qBenford, qPoissonBootstrap, qConformal)
+      qBenford, qPoissonBootstrap, qConformal, qSpearman)
 }

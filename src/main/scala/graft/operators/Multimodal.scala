@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (north-star): opaque `binary` payloads with
@@ -355,7 +356,96 @@ object Multimodal {
       .orderBy($"d1", $"d2")
   }
 
+  /** One decoded "audio" analysis window. */
+  case class MediaWindow(doc_id: Long, widx: Int, energy: Long)
+
+  /** Energy-based activity segmentation (the voice-activity-detection
+    * shape: windowed energy → threshold → maximal active runs) over the
+    * opaque payload: 16-byte windows, energy = byte sum, active =
+    * energy above the per-doc mean, segments = maximal runs of active
+    * windows found with the gaps-and-islands trick (widx − row_number
+    * over actives is constant within a run). Emits the per-doc segment
+    * census a frame-sampling/transcription stage consumes.
+    *
+    * STUB decode (byte-sum energy) per the family convention — the real
+    * path swaps in an audio decoder; the window schema, the per-doc
+    * threshold broadcast, and the island windows are the production
+    * plumbing. Documents are ASCII so DuckDB replicates the windows
+    * with substr arithmetic.
+    *
+    * Scale: decode is partition-local; all windows are keyed by doc
+    * (island detection never crosses documents), so the only exchange
+    * is the per-doc aggregate. */
+  val qMediaSegments = QueryDef.sql(
+    "q_media_segments",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         CAST(f AS INT) AS widx,
+      |         CAST(list_sum([ord(ch) FOR ch IN
+      |                str_split(substr(text, f * 16 + 1, 16), '')])
+      |              AS BIGINT) AS energy
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(range(0,
+      |                  CAST((n_chars + 15) // 16 AS INT))) AS f)),
+      |th AS (SELECT doc_id, avg(energy) AS me FROM w GROUP BY doc_id),
+      |act AS (
+      |  SELECT w.doc_id, w.widx,
+      |         w.widx - row_number() OVER (PARTITION BY w.doc_id
+      |                                     ORDER BY w.widx) AS island
+      |  FROM w JOIN th ON th.doc_id = w.doc_id
+      |  WHERE w.energy > th.me),
+      |runs AS (
+      |  SELECT doc_id, island, count(*) AS run_len
+      |  FROM act GROUP BY doc_id, island),
+      |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+      |SELECT tot.doc_id,
+      |       CAST(tot.n_windows AS BIGINT) AS n_windows,
+      |       CAST(coalesce(sum(runs.run_len), 0) AS BIGINT) AS n_active,
+      |       CAST(coalesce(count(runs.island), 0) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(max(runs.run_len), 0) AS BIGINT) AS longest_run
+      |FROM tot LEFT JOIN runs ON runs.doc_id = tot.doc_id
+      |GROUP BY tot.doc_id, tot.n_windows
+      |ORDER BY tot.doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val winBytes = 16
+    val w = Tables
+      .documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = (bytes.length + winBytes - 1) / winBytes
+          (0 until n).iterator.map { f =>
+            val energy = bytes.slice(f * winBytes, (f + 1) * winBytes)
+              .map(_ & 0xff).sum.toLong
+            MediaWindow(id, f, energy)
+          }
+        }
+      }
+      .toDF()
+    val th = w.groupBy($"doc_id").agg(avg($"energy").as("me"))
+    val wIsl = Window.partitionBy($"doc_id").orderBy($"widx")
+    val runs = w
+      .join(th, "doc_id")
+      .filter($"energy" > $"me")
+      .select($"doc_id", ($"widx" - row_number().over(wIsl)).as("island"))
+      .groupBy($"doc_id", $"island")
+      .agg(count(lit(1)).as("run_len"))
+    val tot = w.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+    tot
+      .join(runs, Seq("doc_id"), "left")
+      .groupBy($"doc_id", $"n_windows")
+      .agg(
+        coalesce(sum($"run_len"), lit(0L)).cast("long").as("n_active"),
+        coalesce(count($"island"), lit(0L)).cast("long").as("n_segments"),
+        coalesce(max($"run_len"), lit(0L)).cast("long").as("longest_run"))
+      .select($"doc_id", $"n_windows".cast("long").as("n_windows"),
+        $"n_active", $"n_segments", $"longest_run")
+      .orderBy($"doc_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qBinaryRoundtrip, qMediaFeatures, qFrameSample, qMediaMeta,
-      qMediaResize, qMediaPhashNearDup)
+      qMediaResize, qMediaPhashNearDup, qMediaSegments)
 }

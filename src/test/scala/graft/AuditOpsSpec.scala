@@ -1107,6 +1107,68 @@ class AuditOpsSpec extends SparkSpec {
     assert(cov >= 0.85 && cov <= 0.95, s"coverage=$cov")
   }
 
+  test("media segments: census laws against a plain-Scala rerun") {
+    val rows = graft.operators.Multimodal.qMediaSegments.fn(spark, sf)
+      .select($"doc_id", $"n_windows", $"n_active", $"n_segments",
+        $"longest_run")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nw, na, ns, lr) =>
+      assert(na <= nw && lr <= na)
+      assert(ns <= na, "each segment has >= 1 active window")
+      if (na > 0) assert(ns >= 1 && lr >= 1)
+      // mean threshold: strictly-above can never cover everything
+      assert(na < nw || nw <= 1)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.take(10).foreach { case (id, nw, na, ns, lr) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      val wins = bytes.grouped(16).map(_.map(_ & 0xff).sum.toLong).toArray
+      assert(nw === wins.length)
+      val me = wins.sum.toDouble / wins.length
+      val active = wins.map(_ > me)
+      assert(na === active.count(identity))
+      val runs = active.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+          (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) if acc.nonEmpty && acc.head > 0 => 0 :: acc
+        case (acc, false) => acc
+      }.filter(_ > 0)
+      assert(ns === runs.length, s"segments($id)")
+      assert(lr === (if (runs.isEmpty) 0 else runs.max), s"longest($id)")
+    }
+  }
+
+  test("spearman: equals Pearson over plain-Scala tie-averaged ranks") {
+    val (n, sp, pe) = Extras.qSpearman.fn(spark, sf)
+      .as[(Long, Double, Double)].head()
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_extendedprice")
+      .as[(Double, Double)].collect()
+    assert(n === li.length)
+    def ranks(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val less = sorted.count(_ < v)
+        val m = sorted.count(_ == v)
+        v -> (less + (m + 1) / 2.0)
+      }.toMap
+    }
+    val rx = ranks(li.map(_._1))
+    val ry = ranks(li.map(_._2))
+    def corr(xs: Array[Double], ys: Array[Double]): Double = {
+      val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    }
+    val wantSp = corr(li.map(p => rx(p._1)), li.map(p => ry(p._2)))
+    assert(math.abs(sp - wantSp) <= 1e-3, s"spearman $sp vs $wantSp")
+    assert(sp >= -1.0 && sp <= 1.0 && pe >= -1.0 && pe <= 1.0)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
