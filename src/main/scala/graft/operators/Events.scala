@@ -2176,6 +2176,45 @@ object Events {
         round(lit(1.0) - $"vadj" / $"vy", 4).as("var_reduction"))
   }
 
+  /** Time-decayed engagement score (the feature-store recency
+    * aggregate): per user, Σ value·exp(−λ·Δdays) at the corpus
+    * reference time (max ts, broadcast), λ = 0.1/day — yesterday's
+    * activity counts ~90% of today's, last month's ~5%. Emitted beside
+    * the undecayed sum; the ratio is the user's recency profile. A pure
+    * scan-side exponential — no window, no per-user ordering.
+    *
+    * Scale: one broadcast 1-row reference + one per-user aggregate. */
+  val qDecayScore = QueryDef.sql(
+    "q_decay_score",
+    """WITH ref AS (SELECT max(epoch_ns(ts)) AS t FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         count(*) AS n_events,
+      |         sum(value * exp(-0.1 * (ref.t - epoch_ns(ts))
+      |                         / 86400000000000.0)) AS decayed,
+      |         sum(value) AS plain
+      |  FROM events CROSS JOIN ref
+      |  GROUP BY user_id)
+      |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      |       round(decayed, 4) AS decayed_score,
+      |       round(plain, 2) AS plain_sum,
+      |       round(decayed / plain, 4) AS recency_ratio
+      |FROM s ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val ref = Tables.events(s, d).agg(max($"ts_ns").as("t"))
+    Tables.events(s, d)
+      .crossJoin(broadcast(ref))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
+          / 86400000000000.0)), 4).as("decayed_score"),
+        round(sum($"value"), 2).as("plain_sum"),
+        round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
+          / 86400000000000.0)) / sum($"value"), 4).as("recency_ratio"))
+      .orderBy($"user_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
@@ -2184,5 +2223,5 @@ object Events {
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
       qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
       qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime,
-      qPsiDrift, qCuped)
+      qPsiDrift, qCuped, qDecayScore)
 }

@@ -479,6 +479,67 @@ object Extras {
         round(corr($"x", $"y"), 4).as("pearson"))
   }
 
+  /** Join-cardinality estimation audit — the optimizer-style estimate a
+    * planner makes BEFORE running a join, checked against the truth:
+    * both sides' key histograms are hashed into 256 buckets, the
+    * estimate is Σ_b c₁(b)·c₂(b) (exact when buckets are single keys;
+    * inflated by hash collisions otherwise — the inflation ratio is the
+    * audit), beside the exact per-key identity Σ_k c₁(k)·c₂(k) which
+    * must equal the true join count. The read that tells a pipeline
+    * whether a planned join will explode before any shuffle is paid.
+    *
+    * Scale: both histograms are count aggregates (256-row and
+    * keys-sized); the bucketed estimate joins 256×256 broadcast rows;
+    * the per-key identity joins the two key histograms — aggregate-
+    * sized relative to the fact tables, and no row of the actual join
+    * output is ever materialized. */
+  val qJoinSizeEst = QueryDef.sql(
+    "q_join_size_est",
+    """WITH b1 AS (
+      |  SELECT CAST(concat('0x', substr(md5('js|' || CAST(o_orderkey AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 256 AS b, count(*) AS c
+      |  FROM orders GROUP BY 1),
+      |b2 AS (
+      |  SELECT CAST(concat('0x', substr(md5('js|' || CAST(l_orderkey AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 256 AS b, count(*) AS c
+      |  FROM lineitem GROUP BY 1),
+      |k1 AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+      |k2 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+      |est AS (SELECT sum(b1.c * b2.c) AS e FROM b1 JOIN b2 USING (b)),
+      |ex AS (SELECT sum(k1.c * k2.c) AS x FROM k1 JOIN k2 USING (k)),
+      |tru AS (SELECT count(*) AS t FROM orders
+      |        JOIN lineitem ON l_orderkey = o_orderkey)
+      |SELECT CAST(est.e AS BIGINT) AS est_bucketed,
+      |       CAST(ex.x AS BIGINT) AS est_per_key,
+      |       CAST(tru.t AS BIGINT) AS exact_rows,
+      |       round(est.e * 1.0 / tru.t, 4) AS inflation
+      |FROM est CROSS JOIN ex CROSS JOIN tru""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    def bucketHist(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.select(pmod(stableHash60(
+        concat(lit("js|"), col(key).cast("string"))), lit(256L)).as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("c"))
+    val b1 = bucketHist(Tables.orders(s, d), "o_orderkey")
+    val b2 = bucketHist(Tables.lineitem(s, d), "l_orderkey")
+    val k1 = Tables.orders(s, d).groupBy($"o_orderkey".as("k"))
+      .agg(count(lit(1)).as("c1"))
+    val k2 = Tables.lineitem(s, d).groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("c2"))
+    val est = b1.join(broadcast(b2.select($"b", $"c".as("c2"))), "b")
+      .agg(sum($"c" * $"c2").as("e"))
+    val ex = k1.join(k2, "k").agg(sum($"c1" * $"c2").as("x"))
+    val tru = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("t"))
+    est.crossJoin(broadcast(ex)).crossJoin(broadcast(tru))
+      .select($"e".cast("long").as("est_bucketed"),
+        $"x".cast("long").as("est_per_key"),
+        $"t".cast("long").as("exact_rows"),
+        round($"e" * lit(1.0) / $"t", 4).as("inflation"))
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -1329,5 +1390,5 @@ object Extras {
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
       qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
-      qBenford, qPoissonBootstrap, qConformal, qSpearman)
+      qBenford, qPoissonBootstrap, qConformal, qSpearman, qJoinSizeEst)
 }

@@ -56,6 +56,57 @@ object Spectral {
       .orderBy($"i", $"j")
   }
 
+  /** Top-10 most correlated embedding-dimension pairs — the redundancy
+    * audit read before PCA/PQ subspace splits: all 2016 upper-triangle
+    * correlations derived from the SAME one-pass moment aggregate as
+    * [[qEmbedCovariance]] (corr = cov_ij/√(cov_ii·cov_jj); population
+    * vs sample normalization cancels in the ratio, so the oracle's
+    * corr() matches), ranked by |corr| with (i, j) tie-break.
+    *
+    * Scale: one corpus scan into the fixed-width moment buffer; the
+    * 2016-pair grid is a literal exploded over the one-row relation. */
+  val qEmbedCorrPairs = QueryDef.sql(
+    "q_embed_corr_pairs",
+    """WITH grid AS (
+      |  SELECT ii.i AS i, jj.j AS j
+      |  FROM (SELECT unnest(range(64)) AS i) ii
+      |  CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+      |  WHERE ii.i < jj.j),
+      |v AS (SELECT embedding FROM embeddings
+      |      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |c AS (
+      |  SELECT i, j,
+      |         corr(embedding[CAST(i + 1 AS INT)],
+      |              embedding[CAST(j + 1 AS INT)]) AS r
+      |  FROM v CROSS JOIN grid GROUP BY i, j)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |       round(r, 4) AS corr,
+      |       CAST(row_number() OVER (ORDER BY round(abs(r), 4) DESC, i, j)
+      |            AS INT) AS rank
+      |FROM c QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val m = moments(Tables.embeddings(s, d))
+    val grid = (for { i <- 0 until Dim; j <- (i + 1) until Dim }
+      yield (i, j))
+      .map { case (i, j) =>
+        struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))
+      }
+    val c = m
+      .select($"m", explode(array(grid: _*)).as("g"))
+      .select($"g.i".as("i"), $"g.j".as("j"),
+        (covFromMoments($"m", $"g.i", $"g.j") /
+          sqrt(covFromMoments($"m", $"g.i", $"g.i") *
+            covFromMoments($"m", $"g.j", $"g.j"))).as("r"))
+    val top = c.orderBy(round(abs($"r"), 4).desc, $"i", $"j").limit(10)
+    CorpusOps
+      .boundedRank(top,
+        struct((-round(abs($"r"), 4)).as("nr"), $"i", $"j"), "rank")
+      .select($"i".cast("int").as("i"), $"j".cast("int").as("j"),
+        round($"r", 4).as("corr"), $"rank")
+      .orderBy($"rank")
+  }
+
   /** One-row moments relation over the (length-guarded) embedding scan. */
   def moments(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
@@ -263,5 +314,5 @@ object Spectral {
       .orderBy($"label")
   }
 
-  def defs: Seq[QueryDef] = Seq(qEmbedCovariance, qLabelCentroids)
+  def defs: Seq[QueryDef] = Seq(qEmbedCovariance, qEmbedCorrPairs, qLabelCentroids)
 }

@@ -2012,7 +2012,9 @@ object TextOps {
       |SELECT CAST(count(*) AS BIGINT) AS k,
       |       CAST(any_value(fk.fmin) AS BIGINT) AS f_k,
       |       round(avg(ln(topk.f / fk.fmin)), 4) AS hill_h,
-      |       round(1.0 / avg(ln(topk.f / fk.fmin)), 4) AS alpha
+      |       CASE WHEN avg(ln(topk.f / fk.fmin)) = 0 THEN 0.0
+      |            ELSE round(1.0 / avg(ln(topk.f / fk.fmin)), 4)
+      |       END AS alpha
       |FROM topk CROSS JOIN fk WHERE topk.rnk < fk.kmax""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -2033,7 +2035,12 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("k"),
         first($"fmin").cast("long").as("f_k"),
         round(avg(log($"f" / $"fmin")), 4).as("hill_h"),
-        round(lit(1.0) / avg(log($"f" / $"fmin")), 4).as("alpha"))
+        // degenerate tail (all top-k frequencies tied — e.g. a corpus of
+        // replicas) has H = 0: alpha undefined, 0.0 sentinel — found by
+        // the 100x scale probe, where each replica clones the top word
+        when(avg(log($"f" / $"fmin")) === 0, 0.0)
+          .otherwise(round(lit(1.0) / avg(log($"f" / $"fmin")), 4))
+          .as("alpha"))
   }
 
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.

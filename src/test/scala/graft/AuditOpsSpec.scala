@@ -1169,6 +1169,63 @@ class AuditOpsSpec extends SparkSpec {
     assert(sp >= -1.0 && sp <= 1.0 && pe >= -1.0 && pe <= 1.0)
   }
 
+  test("embed corr pairs: bounded, ranked by |corr|, matches direct corr") {
+    val rows = graft.operators.Spectral.qEmbedCorrPairs.fn(spark, sf)
+      .select($"i", $"j", $"corr", $"rank").as[(Int, Int, Double, Int)]
+      .collect().sortBy(_._4)
+    assert(rows.length === 10)
+    rows.foreach { case (i, j, r, _) =>
+      assert(i < j && i >= 0 && j < 64)
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+    rows.map(r => math.abs(r._3)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9)
+      case _ =>
+    }
+    // spot-check the top pair against a direct two-column correlation
+    val (ti, tj, tr, _) = rows.head
+    val direct = Tables.embeddings(spark, sf)
+      .select(element_at($"embedding", ti + 1).cast("double").as("x"),
+        element_at($"embedding", tj + 1).cast("double").as("y"))
+      .agg(corr($"x", $"y")).as[Double].head()
+    assert(math.abs(tr - direct) <= 1e-3)
+  }
+
+  test("join size est: per-key identity exact, bucket estimate inflates") {
+    val r = Extras.qJoinSizeEst.fn(spark, sf)
+      .select($"est_bucketed", $"est_per_key", $"exact_rows", $"inflation")
+      .as[(Long, Long, Long, Double)].head()
+    val (est, perKey, exact, infl) = r
+    assert(perKey === exact,
+      "sum over key histograms IS the exact join cardinality")
+    assert(est >= exact, "hash-bucket collisions only ever add")
+    assert(infl >= 1.0)
+    assert(exact === Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), $"l_orderkey" === $"o_orderkey")
+      .count())
+  }
+
+  test("decay score: bounded by plain sum, exact on a recomputed user") {
+    val rows = graft.operators.Events.qDecayScore.fn(spark, sf)
+      .select($"user_id", $"n_events", $"decayed_score", $"plain_sum",
+        $"recency_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, dec, plain, ratio) =>
+      assert(n > 0)
+      assert(dec <= plain + 1e-6, "decay only shrinks")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+    }
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts_ns", $"value")
+      .as[(Long, Long, Double)].collect()
+    val tRef = ev.map(_._2).max
+    val uid = rows.head._1
+    val want = ev.filter(_._1 == uid)
+      .map(e => e._3 * math.exp(-0.1 * (tRef - e._2) / 86400e9)).sum
+    assert(math.abs(rows.head._3 - want) <= 1e-3)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")

@@ -41,6 +41,22 @@ class DegenerateInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(edges).count() === 0)
   }
 
+  test("hill tail: all-tied top frequencies yield H=0, alpha sentinel 0") {
+    // the 100x scale probe's replica corpus: every word occurs exactly
+    // once, so the whole top-k is tied — 1/H would divide by zero
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_degenerate").toString
+    (0L until 40L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TextOps.qHillTail.fn(spark, dir)
+      .select($"k", $"hill_h", $"alpha")
+      .as[(Long, Double, Double)].head()
+    assert(r._2 === 0.0, "tied tail has zero Hill H")
+    assert(r._3 === 0.0, "alpha reports the documented sentinel, not 1/0")
+  }
+
   test("single document: its own group, its own keeper, one pack bin") {
     val one = Seq((7L, "alpha beta gamma delta epsilon zeta", "en"))
       .toDF("doc_id", "text", "lang")
