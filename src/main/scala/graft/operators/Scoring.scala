@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based document scoring: the two cheap "model" passes a training
@@ -402,7 +403,107 @@ object Scoring {
       .limit(20)
   }
 
+  /** Multinomial Naive Bayes language classifier — train, predict and
+    * evaluate as ONE dataflow (the textbook learned classifier beside
+    * the stopword-heuristic `q_text_langid`): hash-split 80/20, hashed-
+    * unigram features (1024 buckets), add-one-smoothed per-class bucket
+    * log-likelihoods + log priors, argmax with (score, lang) tie-break,
+    * per-class held-out accuracy.
+    *
+    * Scale: the model is a \|langs\|×1024 aggregate (broadcast); train
+    * is one token count-shuffle; predict joins the test token stream
+    * against the broadcast model and reduces per (doc, lang) — linear
+    * in the corpus, no iteration (NB's closed form is exactly why it's
+    * the 100 TB baseline classifier). */
+  val qNaiveBayes = QueryDef.sql(
+    "q_naive_bayes",
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS w,
+      |         CAST(concat('0x', substr(md5('nb|' || CAST(doc_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 5 AS fold
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang, fold,
+      |         CAST(concat('0x', substr(md5('nbf|' || unnest(w)), 1, 15))
+      |              AS BIGINT) % 1024 AS b
+      |  FROM docs),
+      |model AS (
+      |  SELECT lang, b, count(*) AS c
+      |  FROM tok WHERE fold < 4 GROUP BY lang, b),
+      |ltot AS (
+      |  SELECT lang, sum(c) AS nt FROM model GROUP BY lang),
+      |prior AS (
+      |  SELECT lang, count(*) AS nd FROM docs WHERE fold < 4 GROUP BY lang),
+      |ptot AS (SELECT sum(nd) AS n FROM prior),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang AS true_lang, p.lang AS hyp,
+      |         sum(ln((coalesce(m.c, 0) + 1.0) / (lt.nt + 1024.0)))
+      |           + any_value(ln(p.nd * 1.0 / pt.n)) AS score
+      |  FROM tok t
+      |  CROSS JOIN prior p
+      |  CROSS JOIN ptot pt
+      |  JOIN ltot lt ON lt.lang = p.lang
+      |  LEFT JOIN model m ON m.lang = p.lang AND m.b = t.b
+      |  WHERE t.fold = 4
+      |  GROUP BY t.doc_id, t.lang, p.lang),
+      |pred AS (
+      |  SELECT doc_id, true_lang, hyp,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY round(score, 6) DESC, hyp) AS rn
+      |  FROM scored QUALIFY rn = 1)
+      |SELECT true_lang,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       CAST(sum(CASE WHEN hyp = true_lang THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_correct,
+      |       round(sum(CASE WHEN hyp = true_lang THEN 1 ELSE 0 END) * 1.0
+      |             / count(*), 4) AS accuracy
+      |FROM pred GROUP BY true_lang ORDER BY true_lang""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.{stableHash60, words}
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", words($"text").as("w"),
+        pmod(stableHash60(concat(lit("nb|"), $"doc_id".cast("string"))),
+          lit(5L)).as("fold"))
+    val tok = docs
+      .select($"doc_id", $"lang", $"fold", explode($"w").as("tokw"))
+      .select($"doc_id", $"lang", $"fold",
+        pmod(stableHash60(concat(lit("nbf|"), $"tokw")), lit(1024L))
+          .as("b"))
+    val model = tok.filter($"fold" < 4)
+      .groupBy($"lang", $"b").agg(count(lit(1)).as("c"))
+    val ltot = model.groupBy($"lang").agg(sum($"c").as("nt"))
+    val prior = docs.filter($"fold" < 4)
+      .groupBy($"lang").agg(count(lit(1)).as("nd"))
+    val ptot = prior.agg(sum($"nd").as("n"))
+    val hyp = prior
+      .crossJoin(broadcast(ptot))
+      .join(ltot, "lang")
+      .select($"lang".as("hyp"), $"nd", $"n", $"nt")
+    val scored = tok
+      .filter($"fold" === 4)
+      .crossJoin(broadcast(hyp))
+      .join(broadcast(model.select($"lang".as("hyp"), $"b",
+        $"c")), Seq("hyp", "b"), "left")
+      .groupBy($"doc_id", $"lang", $"hyp")
+      .agg((sum(log((coalesce($"c", lit(0L)) + 1.0) / ($"nt" + 1024.0)))
+        + first(log($"nd" * lit(1.0) / $"n"))).as("score"))
+    val wPred = Window.partitionBy($"doc_id")
+      .orderBy(round($"score", 6).desc, $"hyp")
+    scored
+      .withColumn("rn", row_number().over(wPred))
+      .filter($"rn" === 1)
+      .groupBy($"lang".as("true_lang"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when($"hyp" === $"lang", 1L).otherwise(0L)).cast("long")
+          .as("n_correct"),
+        round(sum(when($"hyp" === $"lang", 1.0).otherwise(0.0))
+          / count(lit(1)), 4).as("accuracy"))
+      .orderBy($"true_lang")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qQualityClassifier, qDocCrossEntropy, qQualityThreshold,
-      qDsirWeights, qGopherRules, qScoreCalibration, qKneserNey)
+      qDsirWeights, qGopherRules, qScoreCalibration, qKneserNey,
+      qNaiveBayes)
 }

@@ -2043,6 +2043,55 @@ object TextOps {
           .as("alpha"))
   }
 
+  /** Skip-gram windowed co-occurrence (the word2vec training-pair
+    * extraction, Mikolov et al. 2013): for every token, its forward
+    * neighbors at distance 1–2, counted corpus-wide with the
+    * distance-discounted weight Σ 1/d (the GloVe convention) — the
+    * relation an embedding trainer or PMI-over-windows stage consumes
+    * (vs [[qPmiCollocations]]' adjacent-only pairs). Top 15 pairs by
+    * weight, (a, b) tie-break.
+    *
+    * Scale: posexplode + a per-doc self-join banded on position
+    * (equi on doc, range on distance ≤ 2) — output ≤ 2 rows per token,
+    * the same linear blow-up shape as the shingle exchange; the count
+    * aggregate is vocabulary²-bounded (Zipf-sparse in practice). */
+  val qSkipgramCooc = QueryDef.sql(
+    "q_skipgram_cooc",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |           FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+      |pairs AS (
+      |  SELECT a.tok AS wa, b.tok AS wb, b.p - a.p AS d
+      |  FROM pos a JOIN pos b
+      |    ON b.doc_id = a.doc_id AND b.p > a.p AND b.p <= a.p + 2),
+      |agg AS (
+      |  SELECT wa, wb, count(*) AS n,
+      |         round(sum(1.0 / d), 1) AS weight
+      |  FROM pairs GROUP BY wa, wb)
+      |SELECT wa, wb, CAST(n AS BIGINT) AS n, weight,
+      |       CAST(row_number() OVER (ORDER BY weight DESC, wa, wb)
+      |            AS INT) AS rank
+      |FROM agg QUALIFY rank <= 15 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val pos = Tables.documents(s, d)
+      .select($"doc_id", posexplode(words($"text")).as(Seq("p", "tok")))
+    val b = pos.select($"doc_id".as("db"), $"p".as("pb"),
+      $"tok".as("wb"))
+    val agg = pos
+      .join(b, $"db" === $"doc_id" && $"pb" > $"p" && $"pb" <= $"p" + 2)
+      .groupBy($"tok".as("wa"), $"wb")
+      .agg(count(lit(1)).as("n"),
+        round(sum(lit(1.0) / ($"pb" - $"p")), 1).as("weight"))
+    val top = agg.orderBy($"weight".desc, $"wa", $"wb").limit(15)
+    CorpusOps
+      .boundedRank(top, struct((-$"weight").as("nw"), $"wa", $"wb"), "rank")
+      .select($"wa", $"wb", $"n".cast("long").as("n"), $"weight", $"rank")
+      .orderBy($"rank")
+  }
+
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
     * 2020): deterministically mark ~15% of each document's tokens as
     * corruption spans (mean length 3) for masked-span pretraining. The
@@ -2202,5 +2251,5 @@ object TextOps {
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
       qCharsetAudit, qBm25Retrieval, qRrfFusion, qNdcg, qHeapsLaw,
-      qHillTail, qSpanCorruption, qLangidMetrics)
+      qHillTail, qSkipgramCooc, qSpanCorruption, qLangidMetrics)
 }

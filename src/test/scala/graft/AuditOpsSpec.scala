@@ -1226,6 +1226,48 @@ class AuditOpsSpec extends SparkSpec {
     assert(math.abs(rows.head._3 - want) <= 1e-3)
   }
 
+  test("naive bayes: learned classifier beats chance on held-out docs") {
+    val rows = graft.operators.Scoring.qNaiveBayes.fn(spark, sf)
+      .select($"true_lang", $"n_test", $"n_correct", $"accuracy")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, c, acc) =>
+      assert(c <= n)
+      assert(math.abs(acc - math.rint(c.toDouble / n * 1e4) / 1e4) <= 1e-9)
+    }
+    val total = rows.map(_._2).sum
+    val correct = rows.map(_._3).sum
+    val langs = rows.length
+    // overall accuracy must beat the 1/|langs| chance floor
+    assert(correct.toDouble / total > 1.0 / langs,
+      s"accuracy ${correct.toDouble / total} vs chance ${1.0 / langs}")
+  }
+
+  test("skipgram cooc: weights decompose as n1 + n2/2 over distances") {
+    val rows = TextOps.qSkipgramCooc.fn(spark, sf)
+      .select($"wa", $"wb", $"n", $"weight", $"rank")
+      .as[(String, String, Long, Double, Int)].collect()
+    assert(rows.length === 15)
+    assert(rows.map(_._5).sorted.toSeq === (1 to 15))
+    // recompute the top pair from raw token positions
+    val (wa, wb, n, weight, _) = rows.minBy(_._5)
+    val docs = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    var n1 = 0L
+    var n2 = 0L
+    docs.foreach { t =>
+      val ws = t.trim.split(" +")
+      ws.indices.foreach { i =>
+        if (ws(i) == wa) {
+          if (i + 1 < ws.length && ws(i + 1) == wb) n1 += 1
+          if (i + 2 < ws.length && ws(i + 2) == wb) n2 += 1
+        }
+      }
+    }
+    assert(n === n1 + n2)
+    assert(math.abs(weight - math.rint((n1 + n2 / 2.0) * 10) / 10) <= 1e-9)
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
