@@ -540,6 +540,99 @@ object Extras {
         round($"e" * lit(1.0) / $"t", 4).as("inflation"))
   }
 
+  /** Winsorized robust statistics (Dixon & Tukey 1968) per order
+    * priority: clamp each total into its group's [p05, p95] band
+    * (broadcast interpolated percentiles) and report the winsorized
+    * mean/stddev beside the raw ones plus the clamp census — the
+    * outlier-robust summary a metrics pipeline publishes when raw
+    * means are whipped around by a few huge orders.
+    *
+    * Scale: one percentile aggregate per group (broadcast \|groups\|×2
+    * doubles), then one clamped moment pass — no sort, no window. */
+  val qWinsorized = QueryDef.sql(
+    "q_winsorized",
+    """WITH cuts AS (
+      |  SELECT o_orderpriority AS pri,
+      |         quantile_cont(o_totalprice, 0.05) AS lo,
+      |         quantile_cont(o_totalprice, 0.95) AS hi
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT o.o_orderpriority AS pri, o.o_totalprice AS v,
+      |         least(greatest(o.o_totalprice, c.lo), c.hi) AS wv
+      |  FROM orders o JOIN cuts c ON c.pri = o.o_orderpriority)
+      |SELECT pri,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(v), 2) AS mean_raw,
+      |       round(avg(wv), 2) AS mean_wins,
+      |       round(stddev_pop(v), 2) AS sd_raw,
+      |       round(stddev_pop(wv), 2) AS sd_wins,
+      |       CAST(sum(CASE WHEN wv <> v THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clamped
+      |FROM w GROUP BY pri ORDER BY pri""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val cuts = Tables.orders(s, d)
+      .groupBy($"o_orderpriority".as("pri"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+        expr("percentile(o_totalprice, 0.95)").as("hi"))
+    val w = Tables.orders(s, d)
+      .join(broadcast(cuts), $"pri" === $"o_orderpriority")
+      .select($"pri", $"o_totalprice".as("v"),
+        least(greatest($"o_totalprice", $"lo"), $"hi").as("wv"))
+    w.groupBy($"pri")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(avg($"v"), 2).as("mean_raw"),
+        round(avg($"wv"), 2).as("mean_wins"),
+        round(stddev_pop($"v"), 2).as("sd_raw"),
+        round(stddev_pop($"wv"), 2).as("sd_wins"),
+        sum(when($"wv" =!= $"v", 1L).otherwise(0L)).cast("long")
+          .as("n_clamped"))
+      .orderBy($"pri")
+  }
+
+  /** Sample-ratio-mismatch gate (Fabijan et al. 2019, "Diagnosing
+    * sample ratio mismatch in online controlled experiments") — the #1
+    * trust check before reading ANY A/B result: the same deterministic
+    * hash assignment [[graft.operators.Events]]' A/B test uses, arm
+    * counts χ²-tested against the designed 50/50 split; a triggered
+    * gate means the assignment or logging pipeline is broken and the
+    * experiment is void. χ² > 3.841 (α = 0.05, 1 dof) triggers.
+    *
+    * Scale: one count aggregate over the scan-fused assignment hash. */
+  val qSrmCheck = QueryDef.sql(
+    "q_srm_check",
+    """WITH a AS (
+      |  SELECT CAST(concat('0x', substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |              1, 15)) AS BIGINT) % 2 AS arm
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |c AS (SELECT arm, count(*) AS n FROM a GROUP BY arm),
+      |t AS (SELECT sum(n) AS tot FROM c)
+      |SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_control,
+      |       CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+      |       round(sum(power(n - t.tot / 2.0, 2) / (t.tot / 2.0)), 4)
+      |         AS chi2,
+      |       (round(sum(power(n - t.tot / 2.0, 2) / (t.tot / 2.0)), 4)
+      |        > 3.841) AS srm_triggered
+      |FROM c CROSS JOIN t""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextFunctions.stableHash60
+    val arms = Tables.events(s, d)
+      .select($"user_id").distinct()
+      .select(pmod(stableHash60(
+        concat(lit("ab|"), $"user_id".cast("string"))), lit(2L)).as("arm"))
+      .groupBy($"arm").agg(count(lit(1)).as("n"))
+    val tot = arms.agg(sum($"n").as("tot"))
+    val chi2 = round(sum(pow($"n" - $"tot" / 2.0, 2) / ($"tot" / 2.0)), 4)
+    arms
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(when($"arm" === 0, $"n")).cast("long").as("n_control"),
+        sum(when($"arm" === 1, $"n")).cast("long").as("n_treat"),
+        chi2.as("chi2"),
+        (chi2 > 3.841).as("srm_triggered"))
+  }
+
   /** Two-phase salted aggregation: the skew-mitigation pattern — phase 1
     * aggregates on (key, salt) spreading a hot key over 8 reducers,
     * phase 2 merges partials per key. Result is identical to the plain
@@ -1390,5 +1483,6 @@ object Extras {
       qPivot, qWindowNtile, qGroupingSets, qWindowRangeFrame, qMapFuncs,
       qTokenCms, qShingleBloom, qTableFingerprint, qScd2Pit, qColumnProfile,
       qBloomSemijoin, qParetoFrontier, qOlsFit, qChiSquare, qHllDistinct,
-      qBenford, qPoissonBootstrap, qConformal, qSpearman, qJoinSizeEst)
+      qBenford, qPoissonBootstrap, qConformal, qSpearman, qJoinSizeEst,
+      qWinsorized, qSrmCheck)
 }

@@ -2092,6 +2092,130 @@ object TextOps {
       .orderBy($"rank")
   }
 
+  /** Pseudo-relevance feedback retrieval (RM3-style, Lavrenko & Croft
+    * 2001; Abdul-Jaleel et al. 2004) — the two-stage retrieval loop
+    * completing the family (BM25 → [[qRrfFusion]] → [[qNdcg]] → PRF):
+    * stage 1 runs BM25 for the base query; the top-10 docs vote
+    * expansion terms by length-normalized tf (top 5, base terms
+    * excluded); stage 2 re-scores with base terms at weight 1.0 and
+    * expansion terms at 0.4. Emits the final top-10 with a flag for
+    * docs the expansion newly surfaced — the measured value of PRF.
+    *
+    * Scale: two passes of the audited BM25 shape (query-term scan
+    * filter, broadcast stats); the feedback vote runs on 10 docs'
+    * tokens; the stage-2 term set is 8 broadcast terms. */
+  val qBm25Prf = QueryDef.sql(
+    "q_bm25_prf",
+    """WITH q AS (SELECT unnest(['hash', 'join', 'stream']) AS term),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+      |      FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM t),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      |tf1 AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |        FROM tok JOIN q USING (term) GROUP BY 1, 2),
+      |df1 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf1 GROUP BY 1),
+      |s1 AS (
+      |  SELECT tf1.doc_id,
+      |         round(sum(ln(1 + (st.n - df1.df + 0.5) / (df1.df + 0.5))
+      |             * tf1.tf * 2.2
+      |             / (tf1.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+      |           AS s
+      |  FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |top1 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      |    FROM s1) WHERE r <= 10),
+      |fb AS (
+      |  SELECT tok.term, sum(1.0 / dl.dl) AS vote
+      |  FROM tok JOIN top1 USING (doc_id) JOIN dl USING (doc_id)
+      |  WHERE tok.term NOT IN (SELECT term FROM q)
+      |  GROUP BY tok.term),
+      |exp5 AS (
+      |  SELECT term FROM (
+      |    SELECT term,
+      |           row_number() OVER (ORDER BY round(vote, 6) DESC, term) AS r
+      |    FROM fb) WHERE r <= 5),
+      |q2 AS (
+      |  SELECT term, 1.0 AS wq FROM q
+      |  UNION ALL SELECT term, 0.4 FROM exp5),
+      |tf2 AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS tf
+      |        FROM tok JOIN q2 USING (term) GROUP BY 1, 2),
+      |df2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY 1),
+      |s2 AS (
+      |  SELECT tf2.doc_id,
+      |         round(sum(q2.wq
+      |             * ln(1 + (st.n - df2.df + 0.5) / (df2.df + 0.5))
+      |             * tf2.tf * 2.2
+      |             / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4)
+      |           AS s
+      |  FROM tf2 JOIN df2 USING (term) JOIN q2 USING (term)
+      |  JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1)
+      |SELECT s2.doc_id, s2.s AS bm25_prf,
+      |       CAST(row_number() OVER (ORDER BY s2.s DESC, s2.doc_id) AS INT)
+      |         AS rank,
+      |       (top1.doc_id IS NOT NULL) AS in_stage1
+      |FROM s2 LEFT JOIN top1 ON top1.doc_id = s2.doc_id
+      |QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = Tables.documents(s, d).select($"doc_id", words($"text").as("w"))
+    val dl = t.select($"doc_id", size($"w").cast("double").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg($"dl").as("avgdl"))
+    val tok = t.select($"doc_id", explode($"w").as("term"))
+    def bm25(tf: org.apache.spark.sql.DataFrame,
+        weighted: Boolean): org.apache.spark.sql.DataFrame = {
+      val dfr = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+      val base = tf
+        .join(broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+      val contrib = log(lit(1) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) *
+        $"tf" * 2.2 /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      base
+        .select($"doc_id",
+          (if (weighted) $"wq" * contrib else contrib).as("c"))
+        .groupBy($"doc_id")
+        .agg(round(sum($"c"), 4).as("s"))
+    }
+    val tf1 = tok.filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("double").as("tf"))
+    val top1 = bm25(tf1, weighted = false)
+      .orderBy($"s".desc, $"doc_id").limit(10)
+      .select($"doc_id")
+      .localCheckpoint() // 10 rows; feeds the vote + the stage-1 flag
+    val fb = tok
+      .join(broadcast(top1), "doc_id")
+      .filter(!$"term".isin(Bm25Terms: _*))
+      .join(dl, "doc_id")
+      .groupBy($"term")
+      .agg(sum(lit(1.0) / $"dl").as("vote"))
+    val exp5 = fb.orderBy(round($"vote", 6).desc, $"term").limit(5)
+      .select($"term")
+    val q2 = s.createDataFrame(Bm25Terms.map((_, 1.0)))
+      .toDF("term", "wq")
+      .unionAll(exp5.select($"term", lit(0.4).as("wq")))
+      .coalesce(1).localCheckpoint() // 8 terms; the stage-2 query
+    val tf2 = tok
+      .join(broadcast(q2.select($"term")), "term")
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(broadcast(q2), "term")
+    val s2 = bm25(tf2, weighted = true)
+    val top2 = s2.orderBy($"s".desc, $"doc_id").limit(10)
+    CorpusOps
+      .boundedRank(top2, struct((-$"s").as("ns"), $"doc_id"), "rank")
+      .join(top1.select($"doc_id", lit(true).as("hit")), Seq("doc_id"),
+        "left")
+      .select($"doc_id", $"s".as("bm25_prf"), $"rank",
+        coalesce($"hit", lit(false)).as("in_stage1"))
+      .orderBy($"rank")
+  }
+
   /** Span-corruption planning (T5/UL2 denoising objective, Raffel et al.
     * 2020): deterministically mark ~15% of each document's tokens as
     * corruption spans (mean length 3) for masked-span pretraining. The
@@ -2251,5 +2375,5 @@ object TextOps {
       qTokenEntropy, qZipfFit, qPmiCollocations, qTokenizerFertility,
       qTextNormalize, qUnigramInventory, qHeavyHitters, qReadability,
       qCharsetAudit, qBm25Retrieval, qRrfFusion, qNdcg, qHeapsLaw,
-      qHillTail, qSkipgramCooc, qSpanCorruption, qLangidMetrics)
+      qHillTail, qSkipgramCooc, qBm25Prf, qSpanCorruption, qLangidMetrics)
 }

@@ -1268,6 +1268,52 @@ class AuditOpsSpec extends SparkSpec {
     assert(math.abs(weight - math.rint((n1 + n2 / 2.0) * 10) / 10) <= 1e-9)
   }
 
+  test("bm25 prf: valid ranking, stage-1 flags match base retrieval") {
+    val rows = TextOps.qBm25Prf.fn(spark, sf)
+      .select($"doc_id", $"bm25_prf", $"rank", $"in_stage1")
+      .as[(Long, Double, Int, Boolean)].collect().sortBy(_._3)
+    assert(rows.length === 10)
+    assert(rows.map(_._3).toSeq === (1 to 10))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+    // stage-1 membership flags must agree with the base BM25 top-10
+    val base = TextOps.qBm25Retrieval.fn(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    rows.foreach { case (id, _, _, flag) =>
+      assert(flag === base.contains(id), s"in_stage1($id)")
+    }
+    // expansion terms carry weight: scores exceed pure base-term BM25
+    assert(rows.exists(_._4), "some stage-1 doc survives re-ranking")
+  }
+
+  test("winsorized: clamped moments shrink, census matches band") {
+    val rows = Extras.qWinsorized.fn(spark, sf)
+      .select($"pri", $"n", $"mean_raw", $"mean_wins", $"sd_raw",
+        $"sd_wins", $"n_clamped")
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, _, _, sdRaw, sdWins, nClamped) =>
+      assert(sdWins <= sdRaw + 1e-9, "winsorizing never inflates spread")
+      assert(nClamped <= n / 5 + 2, "~10% of a group sits outside p05/p95")
+      assert(nClamped >= 1, "both tails clamp on a continuous column")
+    }
+  }
+
+  test("srm: hash split balances, chi2 below the trigger on clean data") {
+    val r = Extras.qSrmCheck.fn(spark, sf)
+      .select($"n_control", $"n_treat", $"chi2", $"srm_triggered")
+      .as[(Long, Long, Double, Boolean)].head()
+    val (c, t, chi2, trig) = r
+    assert(c + t === Tables.events(spark, sf)
+      .select($"user_id").distinct().count())
+    assert(chi2 >= 0.0)
+    assert(trig === (chi2 > 3.841))
+    assert(!trig, "a clean deterministic hash split must pass the gate")
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
