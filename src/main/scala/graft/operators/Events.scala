@@ -2215,6 +2215,64 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Consecutive-day activity streaks per user (gaps-and-islands over
+    * distinct active days: day − row_number is constant within a run) —
+    * the engagement metric beside [[qCohortRetention]]'s matrix: active
+    * days, longest streak, current streak (a run touching the corpus'
+    * last day), streak count.
+    *
+    * Scale: the corpus pass is one (user, day) distinct aggregate; the
+    * island window is user-partitioned over that aggregate (≤ days
+    * rows per user). */
+  val qUserStreaks = QueryDef.sql(
+    "q_user_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(CAST(date_trunc('day', ts) AS DATE)
+      |              - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS last_day FROM d),
+      |isl AS (
+      |  SELECT user_id, day,
+      |         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |           AS island
+      |  FROM d),
+      |runs AS (
+      |  SELECT user_id, island, count(*) AS len, max(day) AS run_end
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT r.user_id,
+      |       CAST(sum(r.len) AS BIGINT) AS n_active_days,
+      |       CAST(max(r.len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(coalesce(max(CASE WHEN r.run_end = mx.last_day
+      |                              THEN r.len END), 0) AS BIGINT)
+      |         AS current_streak
+      |FROM runs r CROSS JOIN mx
+      |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id",
+        datediff(date_trunc("day", $"ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .distinct()
+    val mx = days.agg(max($"day").as("last_day"))
+    val wIsl = Window.partitionBy($"user_id").orderBy($"day")
+    val runs = days
+      .withColumn("island", $"day" - row_number().over(wIsl))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"), max($"day").as("run_end"))
+    runs
+      .crossJoin(broadcast(mx))
+      .groupBy($"user_id")
+      .agg(sum($"len").cast("long").as("n_active_days"),
+        max($"len").cast("long").as("longest_streak"),
+        count(lit(1)).cast("long").as("n_streaks"),
+        coalesce(max(when($"run_end" === $"last_day", $"len")), lit(0L))
+          .cast("long").as("current_streak"))
+      .orderBy($"user_id")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
@@ -2223,5 +2281,5 @@ object Events {
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
       qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
       qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime,
-      qPsiDrift, qCuped, qDecayScore)
+      qPsiDrift, qCuped, qDecayScore, qUserStreaks)
 }

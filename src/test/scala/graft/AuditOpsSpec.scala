@@ -1314,6 +1314,37 @@ class AuditOpsSpec extends SparkSpec {
     assert(!trig, "a clean deterministic hash split must pass the gate")
   }
 
+  test("user streaks: laws + plain-Scala island recount on a user") {
+    val rows = graft.operators.Events.qUserStreaks.fn(spark, sf)
+      .select($"user_id", $"n_active_days", $"longest_streak",
+        $"n_streaks", $"current_streak")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, days, longest, streaks, current) =>
+      assert(longest <= days && current <= longest)
+      assert(streaks >= 1 && days >= streaks,
+        "every streak holds at least one day")
+    }
+    val ev = Tables.events(spark, sf)
+      .select($"user_id",
+        datediff(date_trunc("day", $"ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val lastDay = ev.map(_._2).max
+    val uid = rows.head._1
+    val ds = ev.filter(_._1 == uid).map(_._2).sorted
+    val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, end)
+      case ((s0, e0) :: tail, d) if d == e0 + 1 => (s0, d) :: tail
+      case (acc, d) => (d, d) :: acc
+    }
+    val lens = runs.map { case (s0, e0) => e0 - s0 + 1 }
+    assert(rows.head._2 === ds.length)
+    assert(rows.head._3 === lens.max)
+    assert(rows.head._4 === runs.length)
+    assert(rows.head._5 ===
+      runs.find(_._2 == lastDay).map(r => r._2 - r._1 + 1).getOrElse(0L))
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
