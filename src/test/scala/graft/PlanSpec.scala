@@ -412,6 +412,38 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit in:\n$p")
   }
 
+  test("naive bayes: model rides broadcasts, no cartesian, no sort-merge") {
+    val p = finalPlan(plan(q("q_naive_bayes")))
+    assert(!p.contains("CartesianProduct"),
+      s"hypothesis fan-out must be a broadcast of the |langs| relation:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length >= 2,
+      s"model and priors must broadcast against the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join in the predict path:\n$p")
+  }
+
+  test("skipgram: the position band join stays keyed on the document") {
+    val p = finalPlan(plan(q("q_skipgram_cooc")))
+    assert(!p.contains("CartesianProduct"),
+      s"pair extraction must equi-join on doc_id:\n$p")
+  }
+
+  test("graph loops (bfs, lpa) never plan a cartesian product") {
+    for (name <- Seq("q_graph_bfs", "q_lpa_communities")) {
+      val p = finalPlan(plan(q(name)))
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("prf and ndcg take their top-k via per-partition heaps") {
+    for (name <- Seq("q_bm25_prf", "q_ndcg")) {
+      val p = plan(q(name))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must lower its top-k to heaps:\n$p")
+    }
+  }
+
   test("NO query plans a partition-less window (all-to-one funnel)") {
     // a Window with an empty partitionSpec moves the whole input to one
     // task — the r5 scale-killer class; assert the entire registry is
