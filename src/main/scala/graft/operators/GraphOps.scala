@@ -625,7 +625,116 @@ object GraphOps {
         round(corr($"da", $"db"), 4).as("assortativity"))
   }
 
+  /** Peel rounds for the k-core (diameter-bounded on ≤|nations| nodes). */
+  val KCoreRounds = 6
+  val KCoreK = 2
+
+  /** One peeling round as SQL: keep nodes whose degree within the
+    * surviving set is ≥ k. Expects `sym(src, dst)` and `s$r(node)`. */
+  private def kcoreItersSql(iters: Int, k: Int): String =
+    (0 until iters)
+      .map { r =>
+        s"""s${r + 1} AS MATERIALIZED (
+           |  SELECT d.node FROM (
+           |    SELECT sym.src AS node, count(*) AS deg
+           |    FROM sym
+           |    JOIN s$r a ON a.node = sym.src
+           |    JOIN s$r b ON b.node = sym.dst
+           |    GROUP BY sym.src) d
+           |  WHERE d.deg >= $k)""".stripMargin
+      }
+      .mkString(",\n")
+
+  /** k-core decomposition (Seidman 1983, k = 2): iteratively peel nodes
+    * with fewer than k strong-trade partners inside the surviving set
+    * until the fixpoint — the cohesion skeleton beside
+    * [[qTriangleCount]]'s local density and [[qLpaCommunities]]'
+    * partition (a 2-core strips pendant nations; what survives is the
+    * cyclic trade backbone). Emits every strong-graph node with its
+    * membership and its in-core degree (0 if peeled).
+    *
+    * Scale: the same loop shape as BFS/LPA — each peel round is one
+    * join of the aggregated edge list against the surviving-node
+    * vector; [[KCoreRounds]] rounds bound the fixpoint on this graph
+    * (a production run loops until the count stops changing). */
+  val qKcore = QueryDef.sql(
+    "q_kcore", {
+      val iters = kcoreItersSql(KCoreRounds, KCoreK)
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |m AS (SELECT avg(w) AS mw FROM e),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e CROSS JOIN m WHERE w > mw AND src <> dst),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+         |$iters,
+         |coredeg AS (
+         |  SELECT sym.src AS node, count(*) AS deg
+         |  FROM sym
+         |  JOIN s$KCoreRounds a ON a.node = sym.src
+         |  JOIN s$KCoreRounds b ON b.node = sym.dst
+         |  GROUP BY sym.src)
+         |SELECT n.n_name AS nation,
+         |       (c.node IS NOT NULL) AS in_core,
+         |       CAST(coalesce(c.deg, 0) AS BIGINT) AS core_degree
+         |FROM s0
+         |JOIN nation n ON n.n_nationkey = s0.node
+         |LEFT JOIN coredeg c ON c.node = s0.node
+         |ORDER BY nation""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val e = Tables
+      .lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val m = e.agg(avg($"w").as("mw"))
+    val und = e
+      .crossJoin(broadcast(m))
+      .filter($"w" > $"mw" && $"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val sym = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+      .coalesce(1).localCheckpoint()
+    val all = sym.select($"src".as("node")).distinct()
+      .coalesce(1).localCheckpoint()
+    def coreDeg(surv: org.apache.spark.sql.DataFrame) = sym
+      .join(surv.select($"node".as("na")), $"na" === sym("src"))
+      .join(surv.select($"node".as("nb")), $"nb" === sym("dst"))
+      .groupBy(sym("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var surv = all
+    (0 until KCoreRounds).foreach { r =>
+      val next = coreDeg(surv)
+        .filter($"deg" >= KCoreK)
+        .select($"node")
+      surv =
+        if (r % 3 == 2 || r == KCoreRounds - 1)
+          next.coalesce(1).localCheckpoint()
+        else next
+    }
+    val cd = coreDeg(surv)
+    all
+      .join(Tables.nation(s, d), $"n_nationkey" === $"node")
+      .join(cd.select($"node".as("cn"), $"deg"), $"cn" === $"node", "left")
+      .select($"n_name".as("nation"), $"cn".isNotNull.as("in_core"),
+        coalesce($"deg", lit(0L)).cast("long").as("core_degree"))
+      .orderBy($"nation")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs,
-      qLpaCommunities, qAssortativity)
+      qLpaCommunities, qAssortativity, qKcore)
 }

@@ -1345,6 +1345,20 @@ class AuditOpsSpec extends SparkSpec {
       runs.find(_._2 == lastDay).map(r => r._2 - r._1 + 1).getOrElse(0L))
   }
 
+  test("kcore: fixpoint property — every core member keeps k core partners") {
+    val rows = graft.operators.GraphOps.qKcore.fn(spark, sf)
+      .select($"nation", $"in_core", $"core_degree")
+      .as[(String, Boolean, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, inCore, deg) =>
+      if (inCore) assert(deg >= graft.operators.GraphOps.KCoreK,
+        "a surviving node has >= k partners inside the core")
+      else assert(deg === 0L, "peeled nodes report zero core degree")
+    }
+    // the 2-core of a graph with any cycle is non-empty on this fixture
+    assert(rows.exists(_._2), "strong-trade graph retains a 2-core")
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
