@@ -414,6 +414,58 @@ object EventPipelines {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts_ns: Long)
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // MinValue = unset
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming funnel state machine (view → click → purchase, the same
+    * first-qualifying-event rule as the batch `Events.qFunnel`): per
+    * user, a 3-slot timestamp state advanced by folding each batch's
+    * events in event-time order — a click only qualifies after the
+    * first view, a purchase only after that click. Emits the user's
+    * current stage (0–3) after every batch; StreamingSpec proves the
+    * stage census equals the batch funnel's counts.
+    *
+    * State is three longs per user — the O(1)-per-key shape that
+    * tracks a funnel over an unbounded stream where the batch form
+    * would rescan history. Within-batch events are sorted by event
+    * time (micro-batches arrive time-ordered across batches under
+    * watermarked sources; the in-batch sort closes the gap). */
+  def funnelProgress(events: DataFrame): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          rows.toSeq.sortBy(e => (e.ts_ns, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 == unset =>
+                st = st.copy(t1 = e.ts_ns)
+              case "click" if st.t1 != unset && st.t2 == unset &&
+                  e.ts_ns > st.t1 =>
+                st = st.copy(t2 = e.ts_ns)
+              case "purchase" if st.t2 != unset && st.t3 == unset &&
+                  e.ts_ns > st.t2 =>
+                st = st.copy(t3 = e.ts_ns)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage =
+            if (st.t3 != unset) 3
+            else if (st.t2 != unset) 2
+            else if (st.t1 != unset) 1
+            else 0
+          FunnelProgress(uid, stage)
+      }
+  }
+
   /** Stream-static enrichment join: the event stream left-joined to a
     * STATIC dimension (per-user attributes) on user_id, plus a derived
     * spend segment. Spark re-plans the static side each micro-batch (a

@@ -543,6 +543,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel stage census equals the batch funnel counts") {
+    val stream = EventPipelines.eventStream(spark, sf)
+    val q = EventPipelines.funnelProgress(stream)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out").start()
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions._
+    // last emitted stage per user
+    val stages = spark.table("funnel_out")
+      .groupBy($"user_id").agg(max($"stage").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    val (viewed, clicked, purchased) = graft.operators.Events.qFunnel
+      .fn(spark, sf)
+      .select($"viewed", $"clicked", $"purchased")
+      .as[(Long, Long, Long)].head()
+    assert(stages.values.count(_ >= 1) === viewed,
+      "stage >= 1 census == users with a view")
+    assert(stages.values.count(_ >= 2) === clicked,
+      "stage >= 2 census == users converting view -> click")
+    assert(stages.values.count(_ >= 3) === purchased,
+      "stage 3 census == users converting click -> purchase")
+    // every user with any event appears exactly once
+    assert(stages.size === Tables.events(spark, sf)
+      .select($"user_id").distinct().count())
+  }
+
   test("stream-static enrichment join matches the batch join per event") {
     val stream = EventPipelines.eventStream(spark, sf)
     val userDim = Tables.events(spark, sf)
