@@ -2273,6 +2273,51 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Drift/trend monitoring panel — the per-type dashboard row a
+    * monitoring stack publishes, composing three already-gated screens
+    * by REUSING their definitions (Spark side joins the registered
+    * query functions; the oracle wraps the registered oracle texts as
+    * subqueries — neither side restates any screen's logic, so the
+    * panel can never drift from its parts): PSI distribution drift,
+    * Mann-Kendall monotone trend, CUSUM level shift, and a fused
+    * any-alarm verdict.
+    *
+    * Scale: exactly the union of the three screens' (audited) costs
+    * plus a ≤\|types\|-row join. */
+  val qDriftPanel: QueryDef = QueryDef.sql(
+    "q_drift_panel",
+    // assembled WITHOUT stripMargin: the embedded oracle texts contain
+    // lines starting with the '||' concat operator, which stripMargin
+    // would corrupt
+    s"WITH psi AS (${qPsiDrift.oracle.get}),\n" +
+      s"mk AS (${qTrendMk.oracle.get}),\n" +
+      s"cu AS (${qCusumChangepoint.oracle.get})\n" +
+      """SELECT psi.event_type, psi.psi, psi.drift_level,
+        |       mk.z AS mk_z, mk.trending,
+        |       cu.norm_peak AS cusum_peak, cu.shifted,
+        |       (psi.drift_level <> 'stable' OR mk.trending OR cu.shifted)
+        |         AS any_alarm
+        |FROM psi
+        |JOIN mk ON mk.event_type = psi.event_type
+        |JOIN cu ON cu.event_type = psi.event_type
+        |ORDER BY psi.event_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val psi = qPsiDrift.fn(s, d).select($"event_type", $"psi", $"drift_level")
+    val mk = qTrendMk.fn(s, d).select($"event_type", $"z".as("mk_z"),
+      $"trending")
+    val cu = qCusumChangepoint.fn(s, d)
+      .select($"event_type", $"norm_peak".as("cusum_peak"), $"shifted")
+    psi
+      .join(mk, "event_type")
+      .join(cu, "event_type")
+      .select($"event_type", $"psi", $"drift_level", $"mk_z", $"trending",
+        $"cusum_peak", $"shifted",
+        ($"drift_level" =!= "stable" || $"trending" || $"shifted")
+          .as("any_alarm"))
+      .orderBy($"event_type")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qRate1m, qPercentiles, qHistogram, qGauge, qSessionize, qTimeConv,
       qHistogramSketch, qMetricsRegistry, qAnomaly, qFunnel, qCohortRetention,
@@ -2281,5 +2326,5 @@ object Events {
       qSeasonalProfile, qRfmSegments, qAbTest, qKaplanMeier,
       qSessionWindowNative, qCusumChangepoint, qAcf, qTrendMk,
       qStlSeasonal, qKsTest, qSeqMining, qMarkovStationary, qFunnelTime,
-      qPsiDrift, qCuped, qDecayScore, qUserStreaks)
+      qPsiDrift, qCuped, qDecayScore, qUserStreaks, qDriftPanel)
 }

@@ -1359,6 +1359,26 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.exists(_._2), "strong-trade graph retains a 2-core")
   }
 
+  test("drift panel: rows recompose exactly from the three screens") {
+    val panel = graft.operators.Events.qDriftPanel.fn(spark, sf)
+      .select($"event_type", $"psi", $"drift_level", $"mk_z", $"trending",
+        $"cusum_peak", $"shifted", $"any_alarm")
+      .as[(String, Double, String, Double, Boolean, Double, Boolean,
+        Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(panel.nonEmpty)
+    val psi = graft.operators.Events.qPsiDrift.fn(spark, sf)
+      .select($"event_type", $"psi", $"drift_level")
+      .as[(String, Double, String)].collect().map(r => r._1 -> r).toMap
+    val mk = graft.operators.Events.qTrendMk.fn(spark, sf)
+      .select($"event_type", $"z", $"trending")
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    panel.foreach { case (tpe, (_, p, lvl, z, tr, _, sh, alarm)) =>
+      assert(p === psi(tpe)._2 && lvl === psi(tpe)._3)
+      assert(z === mk(tpe)._2 && tr === mk(tpe)._3)
+      assert(alarm === (lvl != "stable" || tr || sh))
+    }
+  }
+
   test("distribution window: pr/cd laws per event type") {
     val rows = Relational.qWindowDistribution.fn(spark, sf)
       .select($"event_type", $"pr", $"cd")
