@@ -555,8 +555,242 @@ object FsQueries {
         $"n_dirs")
   }
 
+  /** rename as a BULK two-sided edge-move census (filesystem.rs:1086-1291):
+    * every file gets a derived rename request — move to directory
+    * `(srcnum + 1 + ino%3) % n_src`, new name `doc_<id+13>.txt` (which
+    * collides with a real entry iff doc id+13 lives in the target dir,
+    * exercising the `lookup_name(new_parent, new_name)` overwrite path) —
+    * from a derived requester (req_uid = ino%4, req_gid = ino%2).
+    * Directory attrs are salted (uid = srcnum%4, gid = srcnum%2, sticky on
+    * every third dir) so the reference's full denial cascade occurs:
+    *  1. W_OK on the old parent (:1112-1122) → eacces_w_old;
+    *  2. sticky bit on the old parent: non-root requester who owns
+    *     neither the dir nor the file (:1124-1132) → eacces_sticky_old;
+    *  3. W_OK on the new parent (:1141-1151) → eacces_w_new;
+    *  4. sticky bit on the new parent when the target name exists and the
+    *     requester owns neither dir nor target (:1153-1164)
+    *     → eacces_sticky_new;
+    *  5. otherwise ok; an existing target is unlinked (hardlink decrement,
+    *     :1246-1261) — counted as an overwrite.
+    * (ENOTEMPTY/dir-move W_OK branches are dir-target-only; this census
+    * moves files, and [[graft.meta.InodeCatalog.rename]] carries those
+    * branches under InodeCatalogSpec.) The Spark side gates with the REAL
+    * [[graft.meta.InodeCatalog.checkAccess]] column function; the oracle
+    * re-derives the bit math longhand. Scale: files join two broadcast
+    * dir relations + one equi-join target lookup on (parent, name) —
+    * the lookup shuffle is the only corpus-sized exchange. */
+  val qFsRename = QueryDef.sql(
+    "q_fs_rename",
+    s"""WITH ino AS $duckInodes,
+       |dirs AS (
+       |  SELECT ino, name,
+       |         CAST((ino - 2) % 4 AS INT) AS d_uid,
+       |         CAST((ino - 2) % 2 AS INT) AS d_gid,
+       |         CAST(493 + CASE WHEN (ino - 2) % 3 = 0 THEN 512 ELSE 0 END
+       |              AS INT) AS d_mode
+       |  FROM ino WHERE kind = 'dir'),
+       |req AS (
+       |  SELECT f.ino, f.uid AS f_uid, f.parent AS old_parent,
+       |         CAST((f.parent - 2 + 1 + f.ino % 3)
+       |              % (SELECT count(*) FROM dirs) + 2 AS BIGINT) AS new_parent,
+       |         'doc_' || (f.ino - 100 + 13) || '.txt' AS new_name,
+       |         CAST(f.ino % 4 AS INT) AS req_uid,
+       |         CAST(f.ino % 2 AS INT) AS req_gid
+       |  FROM ino f WHERE f.kind = 'file'),
+       |j AS (
+       |  SELECT r.*,
+       |         po.name AS old_dir, po.d_uid AS po_uid, po.d_gid AS po_gid,
+       |         po.d_mode AS po_mode,
+       |         pn.name AS new_dir, pn.d_uid AS pn_uid, pn.d_gid AS pn_gid,
+       |         pn.d_mode AS pn_mode,
+       |         t.ino AS t_ino, t.uid AS t_uid
+       |  FROM req r
+       |  JOIN dirs po ON r.old_parent = po.ino
+       |  JOIN dirs pn ON r.new_parent = pn.ino
+       |  LEFT JOIN ino t
+       |    ON t.parent = r.new_parent AND t.name = r.new_name),
+       |cls AS (
+       |  SELECT old_dir, new_dir,
+       |    CASE
+       |      WHEN NOT (req_uid = 0 OR
+       |        (2 & (CASE WHEN po_uid = req_uid THEN po_mode // 64
+       |                   WHEN po_gid = req_gid THEN po_mode // 8
+       |                   ELSE po_mode END) & 7) = 2)
+       |        THEN 'eacces_w_old'
+       |      WHEN (po_mode & 512) != 0 AND req_uid != 0
+       |           AND req_uid != po_uid AND req_uid != f_uid
+       |        THEN 'eacces_sticky_old'
+       |      WHEN NOT (req_uid = 0 OR
+       |        (2 & (CASE WHEN pn_uid = req_uid THEN pn_mode // 64
+       |                   WHEN pn_gid = req_gid THEN pn_mode // 8
+       |                   ELSE pn_mode END) & 7) = 2)
+       |        THEN 'eacces_w_new'
+       |      WHEN (pn_mode & 512) != 0 AND t_ino IS NOT NULL AND req_uid != 0
+       |           AND req_uid != pn_uid AND req_uid != t_uid
+       |        THEN 'eacces_sticky_new'
+       |      ELSE 'ok' END AS outcome,
+       |    CASE WHEN t_ino IS NOT NULL THEN 1 ELSE 0 END AS has_target
+       |  FROM j)
+       |SELECT old_dir, new_dir, outcome, count(*) AS n,
+       |       CAST(sum(CASE WHEN outcome = 'ok' THEN has_target ELSE 0 END)
+       |            AS BIGINT) AS n_overwrites
+       |FROM cls
+       |GROUP BY old_dir, new_dir, outcome
+       |ORDER BY old_dir, new_dir, outcome""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val ino = inodes(s, d)
+    val dirs = ino
+      .filter($"kind" === "dir")
+      .select($"ino", $"name",
+        (($"ino" - 2) % 4).cast("int").as("d_uid"),
+        (($"ino" - 2) % 2).cast("int").as("d_gid"),
+        (lit(493) + when(($"ino" - 2) % 3 === 0, 512).otherwise(0))
+          .cast("int").as("d_mode"))
+    val nDirs = dirs.agg(count(lit(1)).as("n_dirs"))
+    val req = ino
+      .filter($"kind" === "file")
+      .crossJoin(broadcast(nDirs))
+      .select($"ino", $"uid".as("f_uid"), $"parent".as("old_parent"),
+        (($"parent" - 2 + 1 + $"ino" % 3) % $"n_dirs" + 2)
+          .cast("long").as("new_parent"),
+        concat(lit("doc_"), $"ino" - 100 + 13, lit(".txt")).as("new_name"),
+        ($"ino" % 4).cast("int").as("req_uid"),
+        ($"ino" % 2).cast("int").as("req_gid"))
+    val target = ino.select($"parent".as("t_parent"), $"name".as("t_name"),
+      $"ino".as("t_ino"), $"uid".as("t_uid"))
+    val j = req.as("r")
+      .join(broadcast(dirs.as("po")), $"r.old_parent" === $"po.ino")
+      .join(broadcast(dirs.as("pn")), $"r.new_parent" === $"pn.ino")
+      .join(target,
+        $"r.new_parent" === $"t_parent" && $"r.new_name" === $"t_name",
+        "left")
+    val wOld = InodeCatalog.checkAccess($"po.d_uid", $"po.d_gid",
+      $"po.d_mode", $"r.req_uid", $"r.req_gid", lit(2))
+    val wNew = InodeCatalog.checkAccess($"pn.d_uid", $"pn.d_gid",
+      $"pn.d_mode", $"r.req_uid", $"r.req_gid", lit(2))
+    val outcome = when(!wOld, "eacces_w_old")
+      .when($"po.d_mode".bitwiseAND(512) =!= 0 && $"r.req_uid" =!= 0 &&
+        $"r.req_uid" =!= $"po.d_uid" && $"r.req_uid" =!= $"r.f_uid",
+        "eacces_sticky_old")
+      .when(!wNew, "eacces_w_new")
+      .when($"pn.d_mode".bitwiseAND(512) =!= 0 && $"t_ino".isNotNull &&
+        $"r.req_uid" =!= 0 && $"r.req_uid" =!= $"pn.d_uid" &&
+        $"r.req_uid" =!= $"t_uid",
+        "eacces_sticky_new")
+      .otherwise("ok")
+    j.select($"po.name".as("old_dir"), $"pn.name".as("new_dir"),
+        outcome.as("outcome"),
+        when($"t_ino".isNotNull, 1).otherwise(0).as("has_target"))
+      .groupBy($"old_dir", $"new_dir", $"outcome")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"outcome" === "ok", $"has_target").otherwise(0))
+          .cast("long").as("n_overwrites"))
+      .orderBy($"old_dir", $"new_dir", $"outcome")
+  }
+
+  /** open/release handle lifecycle as a BULK census (filesystem.rs:
+    * 199-214 `open_file_handles` refcount, :1322-1368 open's O_ACCMODE
+    * decode + access gate, :1450-1462 release's decrement; gc only at
+    * hardlinks == 0 AND handles == 0): every file gets 1 + ino%4 derived
+    * open attempts — attempt j carries accmode (ino+j)%4 (RDONLY /
+    * WRONLY / RDWR / invalid → EINVAL, :1341-1345), O_TRUNC when
+    * (ino+j)%5 = 0 (EACCES with RDONLY, :1327-1330), and requester
+    * ((ino+j)%4, (ino+j)%2) checked against the file's attrs with mask
+    * R=4 / W=2 / R|W=6. Successful opens increment the refcount;
+    * ino%3-capped releases decrement it; files with ino%7 = 0 are
+    * unlinked — a file whose handles outlive the unlink is a zombie
+    * (unlinked-but-open survives to last close, :199 comment + gc_inode),
+    * gc'd now only when no handles remain. The Spark side gates opens
+    * with the REAL [[graft.meta.InodeCatalog.checkAccess]]; the oracle
+    * re-derives the matrix longhand. Scale: one explode of ≤5 attempt
+    * rows per file, one groupBy(ino) — a single aggregate exchange. */
+  val qFsHandleCensus = QueryDef.sql(
+    "q_fs_handle_census",
+    s"""WITH ino AS $duckInodes,
+       |att AS (
+       |  SELECT f.ino, f.mode, f.uid, f.gid, s.j
+       |  FROM (SELECT * FROM ino WHERE kind = 'file') f,
+       |       unnest(generate_series(0, CAST(f.ino % 4 AS BIGINT))) AS s(j)),
+       |dec AS (
+       |  SELECT ino,
+       |         CAST((ino + j) % 4 AS INT) AS acc,
+       |         ((ino + j) % 5 = 0) AS trunc,
+       |         CAST((ino + j) % 4 AS INT) AS req_uid,
+       |         CAST((ino + j) % 2 AS INT) AS req_gid,
+       |         mode, uid, gid
+       |  FROM att),
+       |o AS (
+       |  SELECT ino,
+       |    CASE
+       |      WHEN acc = 3 THEN 'einval'
+       |      WHEN acc = 0 AND trunc THEN 'eacces'
+       |      WHEN req_uid = 0 THEN 'ok'
+       |      WHEN ((CASE WHEN acc = 0 THEN 4 WHEN acc = 1 THEN 2 ELSE 6 END) &
+       |            (CASE WHEN uid = req_uid THEN mode // 64
+       |                  WHEN gid = req_gid THEN mode // 8
+       |                  ELSE mode END) & 7) =
+       |           (CASE WHEN acc = 0 THEN 4 WHEN acc = 1 THEN 2 ELSE 6 END)
+       |        THEN 'ok'
+       |      ELSE 'eacces' END AS outcome
+       |  FROM dec),
+       |g AS (
+       |  SELECT ino,
+       |         count(*) AS n_att,
+       |         CAST(sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_ok,
+       |         CAST(sum(CASE WHEN outcome = 'einval' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_einval,
+       |         CAST(sum(CASE WHEN outcome = 'eacces' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_eacces
+       |  FROM o GROUP BY ino)
+       |SELECT ino, n_att, n_ok, n_einval, n_eacces,
+       |       CAST(least(n_ok, ino % 3) AS BIGINT) AS n_rel,
+       |       CAST(n_ok - least(n_ok, ino % 3) AS BIGINT) AS open_handles,
+       |       (ino % 7 = 0) AS unlinked,
+       |       (ino % 7 = 0 AND n_ok - least(n_ok, ino % 3) > 0) AS zombie,
+       |       (ino % 7 = 0 AND n_ok - least(n_ok, ino % 3) = 0) AS gc_now
+       |FROM g ORDER BY ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val att = inodes(s, d)
+      .filter($"kind" === "file")
+      .select($"ino", $"mode", $"uid", $"gid",
+        explode(sequence(lit(0L), $"ino" % 4)).as("j"))
+    val acc = ($"ino" + $"j") % 4
+    val reqUid = (($"ino" + $"j") % 4).cast("int")
+    val reqGid = (($"ino" + $"j") % 2).cast("int")
+    val mask = when(acc === 0, 4).when(acc === 1, 2).otherwise(6)
+    val allowed =
+      InodeCatalog.checkAccess($"uid", $"gid", $"mode", reqUid, reqGid, mask)
+    val outcome = when(acc === 3, "einval")
+      .when(acc === 0 && ($"ino" + $"j") % 5 === 0, "eacces")
+      .when(allowed, "ok")
+      .otherwise("eacces")
+    val g = att
+      .select($"ino", outcome.as("outcome"))
+      .groupBy($"ino")
+      .agg(count(lit(1)).as("n_att"),
+        sum(when($"outcome" === "ok", 1).otherwise(0))
+          .cast("long").as("n_ok"),
+        sum(when($"outcome" === "einval", 1).otherwise(0))
+          .cast("long").as("n_einval"),
+        sum(when($"outcome" === "eacces", 1).otherwise(0))
+          .cast("long").as("n_eacces"))
+    val nRel = least($"n_ok", $"ino" % 3).cast("long")
+    g.select($"ino", $"n_att", $"n_ok", $"n_einval", $"n_eacces",
+        nRel.as("n_rel"),
+        ($"n_ok" - nRel).cast("long").as("open_handles"),
+        ($"ino" % 7 === 0).as("unlinked"),
+        ($"ino" % 7 === 0 && $"n_ok" - nRel > 0).as("zombie"),
+        ($"ino" % 7 === 0 && $"n_ok" - nRel === 0).as("gc_now"))
+      .orderBy($"ino")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
       qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
-      qFsStatfs, qFsSetattr)
+      qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus)
 }

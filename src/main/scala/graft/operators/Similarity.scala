@@ -500,7 +500,13 @@ object Similarity {
     *
     * Output shape: one SCALAR column per projection component
     * (p0..p15) rather than a DOUBLE[] — the driver's oracle harness
-    * sorts/hashes cells and cannot hash array values. */
+    * sorts/hashes cells and cannot hash array values.
+    *
+    * Signed-zero fence (r8): both engine texts append `+ 0.0` to every
+    * rounded component. IEEE 754 defines `-0.0 + 0.0 = +0.0`, so a
+    * tiny negative sum that rounds to zero hashes identically on both
+    * engines (Spark's round() lowers through BigDecimal and loses the
+    * sign bit; DuckDB's keeps it — r7 diverged on exactly one cell). */
   val qEmbedProject = QueryDef.sql(
     "q_embed_project",
     s"""WITH v AS (
@@ -511,7 +517,7 @@ object Similarity {
              |          [e[i + 1] * (CASE WHEN CAST(concat('0x',
              |               substr(md5('rp|$j|' || CAST(i AS VARCHAR)), 1, 15))
              |             AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
-             |           for i in range(0, 64)]) / 4, 4) AS p$j""".stripMargin
+             |           for i in range(0, 64)]) / 4, 4) + 0.0 AS p$j""".stripMargin
         }.mkString(",\n")}
        |FROM v ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
@@ -523,9 +529,9 @@ object Similarity {
       .select(
         $"vec_id" +: (0 until RpDimOut).map { j =>
           val signs = array((0 until 64).map(i => lit(rpSign(j, i))): _*)
-          round(
+          (round(
             aggregate(zip_with($"e", signs, (a, b) => a * b),
-              lit(0.0d), _ + _) / 4, 4).as(s"p$j")
+              lit(0.0d), _ + _) / 4, 4) + lit(0.0d)).as(s"p$j")
         }: _*)
       .orderBy($"vec_id")
   }
