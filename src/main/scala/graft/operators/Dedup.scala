@@ -680,8 +680,9 @@ object Dedup {
     * Scale: signatures are one shingle exchange + 16 min-aggregates;
     * all four layouts share it, adding only Σ bands = 30 band-key rows
     * per doc to the banded equi-join. The exact truth join is the
-    * fixture-scale audit side (a production run would use the sampled
-    * truth path, q_dedup_lsh_recall). */
+    * fixture-scale audit side; [[lshBandSweepMeasured]]'s
+    * truthSamplePermille knob (spec-covered) runs the identical sweep
+    * on a deterministic hash slice for real corpora. */
   val qLshBandSweep = QueryDef.sql(
     "q_lsh_band_sweep", {
       val p = graft.functions.TextFunctions.MinhashP
@@ -745,10 +746,34 @@ object Dedup {
          |ORDER BY cfg""".stripMargin
     }
   ) { (s, d) =>
+    lshBandSweepMeasured(s, d)
+  }
+
+  /** The band S-curve sweep with the production-scale truth-sampling
+    * knob as a REAL code path (the same hash-slice convention as
+    * [[lshRecallMeasured]]): `truthSamplePermille < 1000` restricts the
+    * whole measurement — signatures, banding candidates AND the exact
+    * Jaccard truth — to a deterministic per-row hash sample of
+    * documents, so the quadratic-ish truth side costs
+    * O((p·n)²-per-shingle-bucket) on the slice only while
+    * recall/precision stay unbiased estimates of the corpus S-curve
+    * (pairwise Jaccard depends on the two endpoints only; a pure
+    * per-row predicate keeps every sampled pair's score identical to
+    * its full-corpus value). Default 1000 = the full fixture-scale
+    * gate ([[qLshBandSweep]]); a 100 TB run reads the same table from
+    * a permille-sized slice. */
+  private[graft] def lshBandSweepMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      truthSamplePermille: Int = 1000): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions._
-    val bh = Tables
-      .documents(s, d)
+    val docs0 = Tables.documents(s, d)
+    val docs =
+      if (truthSamplePermille >= 1000) docs0
+      else docs0.filter(
+        CorpusOps.sampleHash(col("doc_id"), "tr") < truthSamplePermille)
+    val bh = docs
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id",
@@ -783,7 +808,7 @@ object Dedup {
       .filter($"d1" < $"d2")
       .select($"cfg", $"d1", $"d2")
       .distinct()
-    val truth = ngramJaccardAllPairs(Tables.documents(s, d))
+    val truth = ngramJaccardAllPairs(docs)
       .filter(round($"jac", 4) >= 0.7)
       .select($"d1".as("t1"), $"d2".as("t2"))
       .localCheckpoint()

@@ -1142,18 +1142,23 @@ object Events {
       |a AS (
       |  SELECT arm, CAST(count(*) AS DOUBLE) AS n,
       |         avg(metric) AS m,
-      |         avg(metric * metric) - avg(metric) * avg(metric) AS v
+      |         CASE WHEN count(*) > 1 THEN
+      |           (avg(metric * metric) - avg(metric) * avg(metric))
+      |             * count(*) / (count(*) - 1)
+      |         ELSE 0 END AS v
       |  FROM u GROUP BY 1),
       |w AS (
       |  SELECT a0.n AS n0, a0.m AS m0, a0.v AS v0,
-      |         a1.n AS n1, a1.m AS m1, a1.v AS v1
+      |         a1.n AS n1, a1.m AS m1, a1.v AS v1,
+      |         CASE WHEN a0.v / a0.n + a1.v / a1.n > 0
+      |              THEN (a0.m - a1.m) / sqrt(a0.v / a0.n + a1.v / a1.n)
+      |              ELSE 0 END AS tstat
       |  FROM (SELECT * FROM a WHERE arm = 0) a0
       |  CROSS JOIN (SELECT * FROM a WHERE arm = 1) a1)
       |SELECT CAST(n0 AS BIGINT) AS n_a, round(m0, 4) AS mean_a,
       |       CAST(n1 AS BIGINT) AS n_b, round(m1, 4) AS mean_b,
-      |       round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS t,
-      |       (abs(round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4)) > 1.96)
-      |         AS significant
+      |       round(tstat, 4) + 0.0 AS t,
+      |       (abs(round(tstat, 4)) > 1.96) AS significant
       |FROM w""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -1166,21 +1171,30 @@ object Events {
         .cast("double") /
         greatest(sum(when($"event_type" === "view", 1).otherwise(0)),
           lit(1))).as("metric"))
+    // SAMPLE variance (Bessel n/(n−1), the textbook Welch input — the
+    // population form understated v on small arms), a 0-sentinel when
+    // both arms are constant (sqrt(0) denominator would otherwise
+    // diverge cross-engine as ±Inf/NaN-vs-NULL), and the registry's
+    // + 0.0 signed-zero fence on the rounded t — identical in BOTH
+    // engine texts.
     val a = u.groupBy($"arm")
       .agg(count(lit(1)).cast("double").as("n"),
         avg($"metric").as("m"),
-        (avg($"metric" * $"metric") - avg($"metric") * avg($"metric"))
-          .as("v"))
+        when(count(lit(1)) > 1,
+          (avg($"metric" * $"metric") - avg($"metric") * avg($"metric"))
+            * count(lit(1)) / (count(lit(1)) - 1))
+          .otherwise(lit(0.0)).as("v"))
     val a0 = a.filter($"arm" === 0)
       .select($"n".as("n0"), $"m".as("m0"), $"v".as("v0"))
     val a1 = a.filter($"arm" === 1)
       .select($"n".as("n1"), $"m".as("m1"), $"v".as("v1"))
-    val t = ($"m0" - $"m1") / sqrt($"v0" / $"n0" + $"v1" / $"n1")
+    val se2 = $"v0" / $"n0" + $"v1" / $"n1"
+    val t = when(se2 > 0, ($"m0" - $"m1") / sqrt(se2)).otherwise(lit(0.0))
     a0.crossJoin(broadcast(a1))
       .select(
         $"n0".cast("long").as("n_a"), round($"m0", 4).as("mean_a"),
         $"n1".cast("long").as("n_b"), round($"m1", 4).as("mean_b"),
-        round(t, 4).as("t"),
+        (round(t, 4) + 0.0).as("t"),
         (abs(round(t, 4)) > 1.96).as("significant"))
   }
 
@@ -1742,28 +1756,33 @@ object Events {
       |  FROM events),
       |sess AS (
       |  SELECT user_id, event_type, ts, event_id,
-      |         user_id * 100000 + sum(new_session)
+      |         sum(new_session)
       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS skey
+      |           AS sid
       |  FROM marked),
       |nx AS (
-      |  SELECT skey, event_type AS t0,
+      |  SELECT user_id, sid, event_type AS t0,
       |         lead(event_type, 1) OVER w AS t1,
       |         lead(event_type, 2) OVER w AS t2
       |  FROM sess
-      |  WINDOW w AS (PARTITION BY skey ORDER BY ts, event_id)),
+      |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
       |pats AS (
-      |  SELECT skey, t0 || '>' || t1 AS pattern, 2 AS len
+      |  SELECT user_id, sid, t0 || '>' || t1 AS pattern, 2 AS len
       |  FROM nx WHERE t1 IS NOT NULL
       |  UNION ALL
-      |  SELECT skey, t0 || '>' || t1 || '>' || t2, 3
+      |  SELECT user_id, sid, t0 || '>' || t1 || '>' || t2, 3
       |  FROM nx WHERE t2 IS NOT NULL),
-      |tot AS (SELECT count(DISTINCT skey) AS n_sessions FROM sess),
+      |tot AS (SELECT count(*) AS n_sessions
+      |        FROM (SELECT DISTINCT user_id, sid FROM sess)),
+      |dsup AS (
+      |  SELECT pattern, user_id, sid, any_value(len) AS len,
+      |         count(*) AS n_occ_part
+      |  FROM pats GROUP BY pattern, user_id, sid),
       |sup AS (
-      |  SELECT pattern, any_value(len) AS len, count(*) AS n_occ,
-      |         count(DISTINCT skey) AS n_sess
-      |  FROM pats GROUP BY pattern),
+      |  SELECT pattern, any_value(len) AS len, sum(n_occ_part) AS n_occ,
+      |         count(*) AS n_sess
+      |  FROM dsup GROUP BY pattern),
       |ranked AS (
       |  SELECT pattern, CAST(len AS INT) AS len,
       |         CAST(n_occ AS BIGINT) AS n_occ,
@@ -1784,26 +1803,34 @@ object Events {
         when($"ts_ns" - lag($"ts_ns", 1, null).over(
           Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id"))
           > 1800000000000L, 1L).otherwise(0L))
-      .withColumn("skey",
-        $"user_id" * 100000L + sum($"new_session").over(cum))
-    val wSess = Window.partitionBy($"skey").orderBy($"ts_us", $"event_id")
-    val nx = sess.select($"skey", $"event_type".as("t0"),
+      // (user_id, sid) PAIR key — the former packed user_id*100000+sid
+      // bigint silently collides at ≥100k sessions/user (multi-year
+      // corpora reach it); the pair key cannot collide at any scale, and
+      // the distinct-session counts below become two-level map-side
+      // combinable aggregations instead of count(DISTINCT packed).
+      .withColumn("sid", sum($"new_session").over(cum))
+    val wSess =
+      Window.partitionBy($"user_id", $"sid").orderBy($"ts_us", $"event_id")
+    val nx = sess.select($"user_id", $"sid", $"event_type".as("t0"),
       lead($"event_type", 1).over(wSess).as("t1"),
       lead($"event_type", 2).over(wSess).as("t2"))
     val pats = nx
       .filter($"t1".isNotNull)
-      .select($"skey", concat($"t0", lit(">"), $"t1").as("pattern"),
-        lit(2).as("len"))
+      .select($"user_id", $"sid",
+        concat($"t0", lit(">"), $"t1").as("pattern"), lit(2).as("len"))
       .unionAll(nx
         .filter($"t2".isNotNull)
-        .select($"skey",
+        .select($"user_id", $"sid",
           concat($"t0", lit(">"), $"t1", lit(">"), $"t2").as("pattern"),
           lit(3).as("len")))
-    val tot = sess.agg(countDistinct($"skey").as("n_sessions"))
+    val tot = sess.select($"user_id", $"sid").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
     val sup = pats
+      .groupBy($"pattern", $"user_id", $"sid")
+      .agg(first($"len").as("len"), count(lit(1)).as("n_occ_part"))
       .groupBy($"pattern")
-      .agg(first($"len").as("len"), count(lit(1)).as("n_occ"),
-        countDistinct($"skey").as("n_sess"))
+      .agg(first($"len").as("len"), sum($"n_occ_part").as("n_occ"),
+        count(lit(1)).as("n_sess"))
     val top = sup
       .crossJoin(broadcast(tot))
       .select($"pattern", $"len".cast("int").as("len"),
@@ -2198,7 +2225,7 @@ object Events {
       |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
       |       round(decayed, 4) AS decayed_score,
       |       round(plain, 2) AS plain_sum,
-      |       round(decayed / plain, 4) AS recency_ratio
+      |       round(decayed / greatest(plain, 1e-12), 4) AS recency_ratio
       |FROM s ORDER BY user_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -2210,8 +2237,13 @@ object Events {
         round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
           / 86400000000000.0)), 4).as("decayed_score"),
         round(sum($"value"), 2).as("plain_sum"),
+        // greatest(Σv, 1e-12) fences the all-zero-value user: without it
+        // a 0 denominator diverges cross-engine (Spark IEEE ±Inf vs the
+        // oracle's NULL-propagating round) — same hazard class as the
+        // signed-zero fence, guarded identically in BOTH engine texts.
         round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
-          / 86400000000000.0)) / sum($"value"), 4).as("recency_ratio"))
+          / 86400000000000.0)) / greatest(sum($"value"), lit(1e-12)), 4)
+          .as("recency_ratio"))
       .orderBy($"user_id")
   }
 

@@ -697,7 +697,8 @@ object FsQueries {
     * open attempts — attempt j carries accmode (ino+j)%4 (RDONLY /
     * WRONLY / RDWR / invalid → EINVAL, :1341-1345), O_TRUNC when
     * (ino+j)%5 = 0 (EACCES with RDONLY, :1327-1330), and requester
-    * ((ino+j)%4, (ino+j)%2) checked against the file's attrs with mask
+    * ((ino+2j+1)%4 — decorrelated from accmode so every matrix cell
+    * fires, (ino+j)%2) checked against the file's attrs with mask
     * R=4 / W=2 / R|W=6. Successful opens increment the refcount;
     * ino%3-capped releases decrement it; files with ino%7 = 0 are
     * unlinked — a file whose handles outlive the unlink is a zombie
@@ -717,7 +718,7 @@ object FsQueries {
        |  SELECT ino,
        |         CAST((ino + j) % 4 AS INT) AS acc,
        |         ((ino + j) % 5 = 0) AS trunc,
-       |         CAST((ino + j) % 4 AS INT) AS req_uid,
+       |         CAST((ino + 2 * j + 1) % 4 AS INT) AS req_uid,
        |         CAST((ino + j) % 2 AS INT) AS req_gid,
        |         mode, uid, gid
        |  FROM att),
@@ -760,7 +761,11 @@ object FsQueries {
       .select($"ino", $"mode", $"uid", $"gid",
         explode(sequence(lit(0L), $"ino" % 4)).as("j"))
     val acc = ($"ino" + $"j") % 4
-    val reqUid = (($"ino" + $"j") % 4).cast("int")
+    // req_uid is DECORRELATED from acc ((ino+2j+1)%4 vs (ino+j)%4) so
+    // every (accmode, requester) cell of the access matrix occurs —
+    // with both keyed on (ino+j)%4, RDONLY opens were always root's and
+    // the non-root read branch of checkAccess never fired.
+    val reqUid = (($"ino" + lit(2) * $"j" + 1) % 4).cast("int")
     val reqGid = (($"ino" + $"j") % 2).cast("int")
     val mask = when(acc === 0, 4).when(acc === 1, 2).otherwise(6)
     val allowed =
@@ -789,8 +794,199 @@ object FsQueries {
       .orderBy($"ino")
   }
 
+  /** rmdir + mknod as a BULK census — the last spec-only FS semantics
+    * given oracle twins, following the proven q_fs_rename /
+    * q_fs_handle_census pattern (filesystem.rs:958-1017 rmdir: lookup →
+    * ENOTEMPTY **before** any access check → W_OK on parent → sticky;
+    * :740-812 mknod: S_IFMT gate (ENOSYS beyond reg/symlink/dir) →
+    * EEXIST on (parent, name) → W_OK on parent → suid/sgid strip for
+    * non-root creators). Three attempt families:
+    *  1. rmdir of every REAL source dir from the root — all non-empty
+    *     (dirs exist only because documents live in them), so the
+    *     child-count join must land 'enotempty' for every row and the
+    *     access cascade must NOT fire (the reference checks emptiness
+    *     first);
+    *  2. rmdir of 3 synthetic EMPTY subdirs per dir (sub-uid (ino+j)%4,
+    *     requester (ino+2j+1)%4 — decorrelated per the handle-census
+    *     lesson — and (ino+j)%2) against the salted dir attrs (uid
+    *     (ino−2)%4, gid (ino−2)%2, sticky on every 3rd dir): W_OK
+    *     denial, then the sticky owner rule, then ok;
+    *  3. mknod of 'doc_<id+7>.txt' in each file's dir — type from
+    *     ino%5 (0 reg / 1 symlink / 2 dir / 3–4 → 'enosys'), EEXIST iff
+    *     doc id+7 lives in the same dir (the corpus-sized (parent,
+    *     name) equi-join), then the parent W_OK, with the suid-strip
+    *     census for non-root 'ok' creators (ino%6 requests suid).
+    * The Spark side gates every W_OK with the REAL
+    * [[graft.meta.InodeCatalog.checkAccess]]; the oracle re-derives the
+    * permission math longhand so the two texts cannot share a bug.
+    * Scale: dirs/kids are broadcast-sized; the mknod target lookup is
+    * the only corpus-sized exchange (same shape as q_fs_rename). */
+  val qFsRmdirMknod = QueryDef.sql(
+    "q_fs_rmdir_mknod",
+    s"""WITH ino AS $duckInodes,
+       |dirs AS (
+       |  SELECT ino, name,
+       |         CAST((ino - 2) % 4 AS INT) AS d_uid,
+       |         CAST((ino - 2) % 2 AS INT) AS d_gid,
+       |         CAST(493 + CASE WHEN (ino - 2) % 3 = 0 THEN 512 ELSE 0 END
+       |              AS INT) AS d_mode
+       |  FROM ino WHERE kind = 'dir'),
+       |kids AS (
+       |  SELECT parent, count(*) AS n_kids
+       |  FROM ino WHERE kind = 'file' GROUP BY parent),
+       |rr AS (
+       |  SELECT d.name AS dir_name, 'rmdir_real' AS op,
+       |    CASE
+       |      WHEN coalesce(k.n_kids, 0) > 0 THEN 'enotempty'
+       |      WHEN NOT ((d.ino + 1) % 4 = 0 OR
+       |        (2 & (CASE WHEN 0 = (d.ino + 1) % 4 THEN 493 // 64
+       |                   WHEN 0 = d.ino % 2 THEN 493 // 8
+       |                   ELSE 493 END) & 7) = 2)
+       |        THEN 'eacces_w'
+       |      ELSE 'ok' END AS outcome,
+       |    0 AS suid_strip
+       |  FROM dirs d LEFT JOIN kids k ON k.parent = d.ino),
+       |sb AS (
+       |  SELECT d.name AS dir_name,
+       |         d.d_uid, d.d_gid, d.d_mode,
+       |         CAST((d.ino + j.j) % 4 AS INT) AS s_uid,
+       |         CAST((d.ino + 2 * j.j + 1) % 4 AS INT) AS r_uid,
+       |         CAST((d.ino + j.j) % 2 AS INT) AS r_gid
+       |  FROM dirs d, (SELECT unnest([0, 1, 2]) AS j) j),
+       |re AS (
+       |  SELECT dir_name, 'rmdir_empty' AS op,
+       |    CASE
+       |      WHEN NOT (r_uid = 0 OR
+       |        (2 & (CASE WHEN d_uid = r_uid THEN d_mode // 64
+       |                   WHEN d_gid = r_gid THEN d_mode // 8
+       |                   ELSE d_mode END) & 7) = 2)
+       |        THEN 'eacces_w'
+       |      WHEN (d_mode & 512) != 0 AND r_uid != 0
+       |           AND r_uid != d_uid AND r_uid != s_uid
+       |        THEN 'eacces_sticky'
+       |      ELSE 'ok' END AS outcome,
+       |    0 AS suid_strip
+       |  FROM sb),
+       |mk AS (
+       |  SELECT f.ino, f.parent,
+       |         'doc_' || (f.ino - 100 + 7) || '.txt' AS new_name,
+       |         CAST(f.ino % 5 AS INT) AS ftype,
+       |         CAST((f.ino + 3) % 4 AS INT) AS r_uid,
+       |         CAST((f.ino + 1) % 2 AS INT) AS r_gid,
+       |         (f.ino % 6 = 0) AS wants_suid
+       |  FROM ino f WHERE f.kind = 'file'),
+       |mj AS (
+       |  SELECT m.*, d.name AS dir_name, d.d_uid, d.d_gid, d.d_mode,
+       |         t.ino AS t_ino
+       |  FROM mk m
+       |  JOIN dirs d ON m.parent = d.ino
+       |  LEFT JOIN ino t ON t.parent = m.parent AND t.name = m.new_name),
+       |mo AS (
+       |  SELECT dir_name, wants_suid, r_uid,
+       |    CASE
+       |      WHEN ftype >= 3 THEN 'enosys'
+       |      WHEN t_ino IS NOT NULL THEN 'eexist'
+       |      WHEN NOT (r_uid = 0 OR
+       |        (2 & (CASE WHEN d_uid = r_uid THEN d_mode // 64
+       |                   WHEN d_gid = r_gid THEN d_mode // 8
+       |                   ELSE d_mode END) & 7) = 2)
+       |        THEN 'eacces'
+       |      ELSE 'ok' END AS outcome
+       |  FROM mj),
+       |mo2 AS (
+       |  SELECT dir_name, 'mknod' AS op, outcome,
+       |         CASE WHEN outcome = 'ok' AND wants_suid AND r_uid != 0
+       |              THEN 1 ELSE 0 END AS suid_strip
+       |  FROM mo),
+       |u AS (
+       |  SELECT * FROM rr UNION ALL SELECT * FROM re
+       |  UNION ALL SELECT * FROM mo2)
+       |SELECT dir_name, op, outcome, count(*) AS n,
+       |       CAST(sum(suid_strip) AS BIGINT) AS n_suid_stripped
+       |FROM u GROUP BY dir_name, op, outcome
+       |ORDER BY dir_name, op, outcome""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val ino = inodes(s, d)
+    val dirs = ino
+      .filter($"kind" === "dir")
+      .select($"ino", $"name",
+        (($"ino" - 2) % 4).cast("int").as("d_uid"),
+        (($"ino" - 2) % 2).cast("int").as("d_gid"),
+        (lit(493) + when(($"ino" - 2) % 3 === 0, 512).otherwise(0))
+          .cast("int").as("d_mode"))
+    val files = ino.filter($"kind" === "file")
+    val kids = files
+      .groupBy($"parent".as("k_parent"))
+      .agg(count(lit(1)).as("n_kids"))
+    // 1. real dirs from the root (uid 0, gid 0, mode 0755, no sticky):
+    //    ENOTEMPTY is checked BEFORE access, per the reference order
+    val rootW = InodeCatalog.checkAccess(lit(0), lit(0), lit(493),
+      $"r_uid", $"r_gid", lit(2))
+    val rr = dirs
+      .join(broadcast(kids), $"ino" === $"k_parent", "left")
+      .select($"name".as("dir_name"),
+        (($"ino" + 1) % 4).cast("int").as("r_uid"),
+        ($"ino" % 2).cast("int").as("r_gid"),
+        coalesce($"n_kids", lit(0L)).as("n_kids"))
+      .select($"dir_name", lit("rmdir_real").as("op"),
+        when($"n_kids" > 0, "enotempty")
+          .when(!rootW, "eacces_w")
+          .otherwise("ok").as("outcome"),
+        lit(0L).as("suid_strip"))
+    // 2. synthetic empty subdirs: full denial cascade on the salted dirs
+    val sb = dirs
+      .select($"name".as("dir_name"), $"ino", $"d_uid", $"d_gid", $"d_mode",
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+      .select($"dir_name", $"d_uid", $"d_gid", $"d_mode",
+        (($"ino" + $"j") % 4).cast("int").as("s_uid"),
+        (($"ino" + lit(2) * $"j" + 1) % 4).cast("int").as("r_uid"),
+        (($"ino" + $"j") % 2).cast("int").as("r_gid"))
+    val wPar = InodeCatalog.checkAccess($"d_uid", $"d_gid", $"d_mode",
+      $"r_uid", $"r_gid", lit(2))
+    val re = sb.select($"dir_name", lit("rmdir_empty").as("op"),
+      when(!wPar, "eacces_w")
+        .when($"d_mode".bitwiseAND(512) =!= 0 && $"r_uid" =!= 0 &&
+          $"r_uid" =!= $"d_uid" && $"r_uid" =!= $"s_uid",
+          "eacces_sticky")
+        .otherwise("ok").as("outcome"),
+      lit(0L).as("suid_strip"))
+    // 3. mknod: type gate → EEXIST target lookup (the one corpus-sized
+    //    exchange) → parent W_OK → suid strip for non-root creators
+    val mk = files.select($"ino", $"parent",
+      concat(lit("doc_"), $"ino" - 100 + 7, lit(".txt")).as("new_name"),
+      ($"ino" % 5).cast("int").as("ftype"),
+      (($"ino" + 3) % 4).cast("int").as("r_uid"),
+      (($"ino" + 1) % 2).cast("int").as("r_gid"),
+      ($"ino" % 6 === 0).as("wants_suid"))
+    val target = files.select($"parent".as("t_parent"),
+      $"name".as("t_name"), $"ino".as("t_ino"))
+    val mj = mk
+      .join(broadcast(dirs.select($"ino".as("d_ino"),
+        $"name".as("dir_name"), $"d_uid", $"d_gid", $"d_mode")),
+        $"parent" === $"d_ino")
+      .join(target,
+        $"parent" === $"t_parent" && $"new_name" === $"t_name", "left")
+    val wNew = InodeCatalog.checkAccess($"d_uid", $"d_gid", $"d_mode",
+      $"r_uid", $"r_gid", lit(2))
+    val moOut = when($"ftype" >= 3, "enosys")
+      .when($"t_ino".isNotNull, "eexist")
+      .when(!wNew, "eacces")
+      .otherwise("ok")
+    val mo = mj.select($"dir_name", lit("mknod").as("op"),
+      moOut.as("outcome"),
+      when(moOut === "ok" && $"wants_suid" && $"r_uid" =!= 0, 1L)
+        .otherwise(0L).as("suid_strip"))
+    rr.unionByName(re).unionByName(mo)
+      .groupBy($"dir_name", $"op", $"outcome")
+      .agg(count(lit(1)).as("n"),
+        sum($"suid_strip").cast("long").as("n_suid_stripped"))
+      .orderBy($"dir_name", $"op", $"outcome")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
       qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
-      qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus)
+      qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus, qFsRmdirMknod)
 }

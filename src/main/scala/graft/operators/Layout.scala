@@ -186,22 +186,26 @@ object Layout {
       |       round(avg(bytes) / 32768, 4) AS avg_fill
       |FROM bins GROUP BY source ORDER BY source""".stripMargin
   ) { (s, d) =>
-    import s.implicits._
-    compactionPlan(
-      Tables.documents(s, d),
-      $"source",
-      $"doc_id",
-      $"n_chars",
-      32768L)
-      .groupBy($"_grp".as("source"), $"bin")
-      .agg(count(lit(1)).as("n_inputs"), sum($"_sz").as("bytes"))
-      .groupBy($"source")
-      .agg(
-        sum($"n_inputs").cast("long").as("n_inputs"),
-        count(lit(1)).as("n_bins"),
-        round(avg($"bytes") / 32768, 4).as("avg_fill"))
-      .orderBy($"source")
+    compactionSummary(Tables.documents(s, d), 32768L)
   }
+
+  /** The per-source compaction summary over a (source, doc_id, n_chars)
+    * file census — the ONE definition shared by [[qCompactionPlan]] and
+    * the streaming maintenance loop
+    * ([[graft.streaming.EventPipelines.compactionMaintenance]]), so the
+    * streamed plan structurally cannot drift from the oracle-gated batch
+    * query. */
+  def compactionSummary(census: DataFrame, target: Long): DataFrame =
+    compactionPlan(census, col("source"), col("doc_id"), col("n_chars"),
+      target)
+      .groupBy(col("_grp").as("source"), col("bin"))
+      .agg(count(lit(1)).as("n_inputs"), sum(col("_sz")).as("bytes"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_inputs")).cast("long").as("n_inputs"),
+        count(lit(1)).as("n_bins"),
+        round(avg(col("bytes")) / target, 4).as("avg_fill"))
+      .orderBy(col("source"))
 
   /** Join-key skew report — the audit run BEFORE choosing a join
     * strategy: per candidate key, distinct-key count, rows, the heaviest

@@ -371,7 +371,11 @@ object Multimodal {
     * path swaps in an audio decoder; the window schema, the per-doc
     * threshold broadcast, and the island windows are the production
     * plumbing. Documents are ASCII so DuckDB replicates the windows
-    * with substr arithmetic.
+    * with substr arithmetic; the oracle sizes windows from
+    * `length(text)` (NOT the n_chars metadata column, which could
+    * drift from the payload), and MultimodalSpec pins the ASCII
+    * byte==char assumption loudly so a non-ASCII testdata generation
+    * fails a spec instead of silently hash-mismatching here.
     *
     * Scale: decode is partition-local; all windows are keyed by doc
     * (island detection never crosses documents), so the only exchange
@@ -386,7 +390,7 @@ object Multimodal {
       |              AS BIGINT) AS energy
       |  FROM documents,
       |       LATERAL (SELECT unnest(range(0,
-      |                  CAST((n_chars + 15) // 16 AS INT))) AS f)),
+      |                  CAST((length(text) + 15) // 16 AS INT))) AS f)),
       |th AS (SELECT doc_id, avg(energy) AS me FROM w GROUP BY doc_id),
       |act AS (
       |  SELECT w.doc_id, w.widx,

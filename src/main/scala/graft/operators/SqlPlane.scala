@@ -116,5 +116,75 @@ object SqlPlane {
         |FROM pairs ORDER BY name_len""".stripMargin)
   }
 
-  def defs: Seq[QueryDef] = Seq(qSqlEngine, qSqlLinkage)
+  /** The LAST four Scala-only registered pieces through the SQL-text
+    * plane (closing the r7 coverage ask — every custom Catalyst piece is
+    * now reachable from `spark.sql`):
+    *  - `nfc_normalize` — the codegen'd canonicalization Expression,
+    *    here counting already-canonical documents per source;
+    *  - `pq_adc_sum` — the IVF-PQ ADC scoring kernel (M=2, K=4 inline
+    *    codebook; the oracle unrolls the same subspace-major lookups
+    *    longhand with 1-indexed list math);
+    *  - `hist_buckets` — the mergeable sparse-histogram aggregate
+    *    (width 50 over positive event values), consumed in-query as
+    *    bucket count + bucket-0 occupancy so no MAP column reaches the
+    *    output;
+    *  - `space_saving` — the Metwally heavy-hitters sketch with k=16 ≥
+    *    |event types|, where the summary is provably EXACT (no eviction
+    *    ever fires) and therefore deterministic under any partitioning —
+    *    the top entry must equal the oracle's exact mode.
+    *
+    * Scale: one narrow documents scan (normalize + ADC fuse into its
+    * codegen span) + two aggregate-sized event subqueries whose partial
+    * buffers are O(buckets) / O(k) per partition. */
+  val qSqlCuration = QueryDef.sql(
+    "q_sql_curation",
+    """WITH hb AS (
+      |  SELECT CAST(floor(value / 50.0) AS INT) AS b, count(*) AS n
+      |  FROM events WHERE value > 0 GROUP BY 1),
+      |nb AS (SELECT count(*) AS n_buckets FROM hb),
+      |b0 AS (SELECT coalesce((SELECT n FROM hb WHERE b = 0), 0) AS n0),
+      |tt AS (SELECT event_type, count(*) AS n FROM events
+      |       GROUP BY 1 ORDER BY n DESC, event_type LIMIT 1)
+      |SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN nfc_normalize(text) = text
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nfc_clean,
+      |       CAST(sum(([10, 23, 7, 41])[CAST(doc_id % 4 AS INT) + 1] +
+      |                ([5, 17, 29, 3])[CAST(doc_id % 3 AS INT) + 1])
+      |            AS BIGINT) AS adc_sum,
+      |       (SELECT CAST(n_buckets AS BIGINT) FROM nb) AS n_value_buckets,
+      |       (SELECT CAST(n0 AS BIGINT) FROM b0) AS bucket0_n,
+      |       (SELECT event_type FROM tt) AS top_type,
+      |       (SELECT CAST(n AS BIGINT) FROM tt) AS top_type_n
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    graft.plans.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+    Tables.events(s, d).createOrReplaceTempView("graft_events")
+    s.sql(
+      """WITH hb AS (
+        |  SELECT hist_buckets(value, 50.0) AS h
+        |  FROM graft_events WHERE value > 0),
+        |ss AS (
+        |  SELECT space_saving(event_type, 16) AS tops FROM graft_events)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       sum(CASE WHEN nfc_normalize(text) = text
+        |                THEN 1 ELSE 0 END) AS n_nfc_clean,
+        |       sum(pq_adc_sum(
+        |             array(CAST(doc_id % 4 AS INT), CAST(doc_id % 3 AS INT)),
+        |             array(10L, 23L, 7L, 41L, 5L, 17L, 29L, 3L))) AS adc_sum,
+        |       (SELECT CAST(cardinality(h) AS BIGINT) FROM hb)
+        |         AS n_value_buckets,
+        |       (SELECT coalesce(element_at(h, 0), 0L) FROM hb) AS bucket0_n,
+        |       (SELECT element_at(tops, 1).item FROM ss) AS top_type,
+        |       (SELECT element_at(tops, 1).est FROM ss) AS top_type_n
+        |FROM graft_documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  def defs: Seq[QueryDef] = Seq(qSqlEngine, qSqlLinkage, qSqlCuration)
 }

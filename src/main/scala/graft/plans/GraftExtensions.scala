@@ -89,6 +89,10 @@ object GraftExtensions {
       require(args.length == 2, "cov_moments expects (vec_col, dim)")
       CovarianceAgg(args(0), intLit(args(1), "cov_moments dim"))
         .toAggregateExpression()
+    },
+    "pq_adc_sum" -> { args =>
+      require(args.length == 2, "pq_adc_sum expects (codes, lut)")
+      PqAdcSum(args(0), args(1))
     })
 
   /** Register on an already-built session (withExtensions only applies

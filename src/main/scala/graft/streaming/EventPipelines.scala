@@ -404,10 +404,20 @@ object EventPipelines {
           val n = m.values.sum
           def est(p: Double): Double = {
             val target = math.ceil(p * n).toLong
+            // explicit walk — mutating the running count inside a
+            // collectFirst guard double-counts if the partial function
+            // is probed via isDefinedAt before apply (an implementation
+            // detail collectFirst does not promise to avoid)
+            val sorted = m.toSeq.sortBy(_._1)
             var cc = 0L
-            val bk = m.toSeq.sortBy(_._1).collectFirst {
-              case (b, c) if { cc += c; cc >= target } => b
-            }.getOrElse(m.keys.max)
+            var found = Long.MinValue
+            val it = sorted.iterator
+            while (found == Long.MinValue && it.hasNext) {
+              val (b, c) = it.next()
+              cc += c
+              if (cc >= target) found = b
+            }
+            val bk = if (found == Long.MinValue) m.keys.max else found
             2.0 * math.pow(StreamDdGamma, bk.toDouble) / (StreamDdGamma + 1.0)
           }
           QuantileEstimate(tpe, n, est(0.50), est(0.95), est(0.99))
@@ -509,6 +519,44 @@ object EventPipelines {
           .collect()
           .foreach(r =>
             merge(r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+      .start()
+  }
+
+  /** Streaming compaction maintenance — the table-ops loop a lakehouse
+    * runs continuously: newly-landed small files (a census stream of
+    * `(source, doc_id, n_chars)` rows) are appended to a durable listing
+    * table, and after every micro-batch the compaction plan is
+    * recomputed over the FULL accumulated census and handed to the
+    * compactor callback. The plan itself is
+    * [[graft.operators.Layout.compactionSummary]] — the exact definition
+    * behind the oracle-gated `q_compaction_plan` — so the streamed plan
+    * structurally cannot drift from the batch query (StreamingSpec pins
+    * the equality on the same census).
+    *
+    * Scale: the per-batch append is the batch's own size; the replan is
+    * the batch query's one-window-one-aggregate pass over the listing
+    * table (file METADATA, ~1 row per object — million-object censuses
+    * replan in seconds, and the closed-form bin rule means no driver
+    * loop). A production deployment would swap the parquet census dir
+    * for the table format's manifest and fire the callback into the
+    * rewrite job queue. */
+  def compactionMaintenance(
+      files: DataFrame,
+      censusDir: String,
+      checkpoint: String,
+      target: Long,
+      onPlan: DataFrame => Unit) = {
+    val spark = files.sparkSession
+    files.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .write.mode("append").parquet(censusDir)
+        onPlan(graft.operators.Layout.compactionSummary(
+          spark.read.parquet(censusDir), target))
       }
       .start()
   }

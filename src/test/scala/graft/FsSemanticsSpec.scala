@@ -168,4 +168,24 @@ class FsSemanticsSpec extends SparkSpec {
     assert(chk(0x1B7, 1, 0)) // 0667: some x bit → root exec ok
     assert(chk(0x000, 0, 7)) // F_OK always passes
   }
+
+  test("fixture dir inos are dense in [2, 2+n_dirs): rename census relies on it") {
+    // q_fs_rename derives new_parent arithmetically as
+    // (parent-2+1+ino%3) % n_dirs + 2, which addresses dirs by POSITION
+    // assuming srcnums (→ dir inos) are contiguous. With a sparse
+    // fixture the inner join on the new parent would silently drop
+    // those rename rows in BOTH engines — parity would hold while
+    // coverage shrank with no signal. Pin the density here so a
+    // testdata regeneration with gaps fails THIS spec loudly.
+    val dirs = Tables
+      .documents(spark, sf)
+      .select((substring($"source", 4, 10).cast("int") + 2).cast("long")
+        .as("ino"))
+      .distinct()
+    val r = dirs
+      .agg(count(lit(1)).as("n"), min($"ino").as("lo"), max($"ino").as("hi"))
+      .head()
+    assert(r.getAs[Long]("lo") === 2L)
+    assert(r.getAs[Long]("hi") === r.getAs[Long]("n") + 1L)
+  }
 }

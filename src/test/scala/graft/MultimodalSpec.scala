@@ -39,6 +39,20 @@ class MultimodalSpec extends SparkSpec {
         again.map(_.getAs[Long]("checksum")).toSeq)
   }
 
+  test("fixture payloads are ASCII: byte length == char length == n_chars") {
+    // qMediaSegments' DuckDB oracle windows the text with substr/ord
+    // (codepoint) arithmetic while the Spark side windows the UTF-8
+    // BYTE payload; the two agree iff the corpus is ASCII. Pin that
+    // assumption here so a non-ASCII testdata generation fails THIS
+    // spec loudly instead of silently hash-mismatching the oracle row.
+    val offenders = Tables
+      .documents(spark, sf)
+      .filter(octet_length($"text") =!= length($"text") ||
+        $"n_chars" =!= length($"text"))
+      .count()
+    assert(offenders === 0L)
+  }
+
   test("chunk roundtrip digest equals direct md5 of the text") {
     val direct = Tables
       .documents(spark, sf)

@@ -55,7 +55,11 @@ class NegativeZeroSpec extends SparkSpec {
 
   private def auditScale(sfDir: String): Unit = {
     val offenders = SparkEntry.allDefs.flatMap { q =>
-      val hits = q.fn(spark, sfDir).collect().take(100000).flatMap { row =>
+      // audit EVERY row: registry results are aggregate-sized by the
+      // driver-fetch convention, so a full collect is cheap (a .take
+      // after collect would bound nothing anyway — collect already
+      // materialized the result)
+      val hits = q.fn(spark, sfDir).collect().flatMap { row =>
         negZeroPaths(row, q.name)
       }
       hits.take(3) // a few exemplar cells per query suffice to localize

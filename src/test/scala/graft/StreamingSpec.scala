@@ -618,4 +618,33 @@ class StreamingSpec extends SparkSpec {
     assert(state.asScala.toMap === batch,
       "incrementally maintained stats must equal the batch recompute")
   }
+
+  test("streaming compaction maintenance replans to the batch q_compaction_plan") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val files = input.toDF().toDF("doc_id", "source", "n_chars")
+    val censusDir =
+      java.nio.file.Files.createTempDirectory("compact_census").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("compact_ckpt").toString
+    @volatile var lastPlan: Array[org.apache.spark.sql.Row] = Array.empty
+    var nPlans = 0
+    val q = EventPipelines.compactionMaintenance(
+      files, censusDir, ckpt, 32768L,
+      plan => { lastPlan = plan.collect(); nPlans += 1 })
+    val rows = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    // files land in three uneven waves; the loop replans after each
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    assert(nPlans >= 3, "every micro-batch must trigger a replan")
+    // the final streamed plan equals the oracle-gated batch query on the
+    // same census — the window's ORDER BY doc_id makes bins independent
+    // of arrival order, so streaming accumulation cannot change the plan
+    val batch = graft.operators.Layout.qCompactionPlan.fn(spark, sf).collect()
+    assert(lastPlan.toSeq === batch.toSeq,
+      "streamed compaction plan must equal the batch plan on the same census")
+  }
 }
