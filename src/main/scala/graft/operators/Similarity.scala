@@ -388,12 +388,31 @@ object Similarity {
        |FROM scored WHERE round(c, 4) > 0.45
        |ORDER BY v1, v2""".stripMargin
   ) { (s, d) =>
+    embedNearDupLshMeasured(s, d)
+  }
+
+  /** The LSH near-dup pair path with the PRODUCTION bucket dial exposed:
+    * the pinned registry layout (12 tables × 6 bits = 64 buckets, what
+    * [[qEmbedNearDupLsh]]'s oracle inlines) is the `bitsPerTable = 6`
+    * default, but candidate cost is Σ|bucket|²/2 per table, so a corpus
+    * n× the fixture needs `bitsPerTable ≈ 6 + log₂ n` to hold mean
+    * bucket size — and with it per-row join work — CONSTANT. SCALE.md
+    * finding 2 documented that dial; this parameter makes it a real
+    * code path (ScaleProbe's `@logbits` adapter measures it across
+    * decades), while `SimilaritySpec` pins that the default reproduces
+    * the oracle-gated registry query exactly. */
+  private[graft] def embedNearDupLshMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      nTables: Int = 12,
+      bitsPerTable: Int = 6): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val dim = 64
     val bucketed = Tables.embeddings(s, d).select(
       $"vec_id",
       $"embedding",
-      posexplode(lshBuckets($"embedding", 12, 6, dim)).as(Seq("tbl", "bucket")))
+      posexplode(lshBuckets($"embedding", nTables, bitsPerTable, dim))
+        .as(Seq("tbl", "bucket")))
     val a = bucketed.select($"vec_id".as("v1"), $"embedding".as("e1"),
       norm($"embedding").as("n1"), $"tbl", $"bucket")
     val b = bucketed.select($"vec_id".as("v2"), $"embedding".as("e2"),
@@ -699,8 +718,21 @@ object Similarity {
        |FROM grp
        |ORDER BY vec_id""".stripMargin
   ) { (s, d) =>
+    embedDedupGroupsMeasured(s, d)
+  }
+
+  /** [[qEmbedDedupGroups]] with the bucket dial of
+    * [[embedNearDupLshMeasured]] threaded through — the form a corpus
+    * n× the fixture actually runs (`bitsPerTable ≈ 6 + log₂ n` keeps the
+    * candidate join linear; the pinned 6-bit registry layout is the
+    * fixture-scale default and stays byte-identical to the oracle). */
+  private[graft] def embedDedupGroupsMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      nTables: Int = 12,
+      bitsPerTable: Int = 6): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val pairs = qEmbedNearDupLsh.fn(s, d)
+    val pairs = embedNearDupLshMeasured(s, d, nTables, bitsPerTable)
       .select($"v1".as("d1"), $"v2".as("d2"))
     val labels = Dedup.connectedComponents(pairs)
       .withColumnRenamed("node", "lnode")

@@ -297,4 +297,52 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int, Double, Int)].collect()
     assert(got.toSet === again.toSet)
   }
+
+  test("near-dup bucket dial: exact precision at every bits setting, " +
+      "default = registry query") {
+    // the production dial (bits ∝ log₂ corpus, SCALE.md finding 2): more
+    // bits shrink buckets — and candidate-join cost — but every emitted
+    // pair is still exact-verified, so precision stays 1.0 at ANY
+    // setting; only recall trades off. Truth = all-pairs cosine at the
+    // same rounded threshold, accumulated in index order like the
+    // engine's dot.
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- emb.indices.iterator; j <- (i + 1) until emb.length
+      if BigDecimal(cos(emb(i)._2, emb(j)._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) > 0.45
+    } yield (emb(i)._1, emb(j)._1)).toSet
+    for (bits <- Seq(4, 6, 10)) {
+      val pairs = Similarity.embedNearDupLshMeasured(spark, sf, 12, bits)
+        .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+      assert((pairs -- truth).isEmpty,
+        s"bits=$bits emitted a pair the exact truth rejects")
+      info(s"bits=$bits |pairs|=${pairs.size} |truth|=${truth.size}")
+    }
+    // the default dial IS the oracle-gated registry query
+    val dflt = Similarity.embedNearDupLshMeasured(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val reg = Similarity.qEmbedNearDupLsh.fn(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    assert(dflt === reg)
+    // and the grouped composition stays consistent off the default dial:
+    // both endpoints of every emitted pair share a group label
+    val g = Similarity.embedDedupGroupsMeasured(spark, sf, 12, 8)
+      .select($"vec_id", $"group_id").as[(Long, Long)].collect().toMap
+    val p8 = Similarity.embedNearDupLshMeasured(spark, sf, 12, 8)
+      .select($"v1", $"v2").as[(Long, Long)].collect()
+    p8.foreach { case (a, b) =>
+      assert(g(a) === g(b), s"pair ($a,$b) split across groups")
+    }
+  }
 }
