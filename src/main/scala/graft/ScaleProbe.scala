@@ -63,6 +63,14 @@ object ScaleProbe {
     "q_embed_dedup_groups@logbits" -> { (s, d, f) =>
       val bits = 6 + math.ceil(math.log(f.toDouble) / math.log(2.0)).toInt
       operators.Similarity.embedDedupGroupsMeasured(s, d, 12, bits)
+    },
+    // the production band-sweep composition: the truth slice SHRINKS as
+    // the corpus grows (permille = 1000/factor) so the measured set stays
+    // fixture-sized — the S-curve estimate a 100 TB run computes from a
+    // constant-cost sample while the corpus scales underneath it
+    "q_lsh_band_sweep@sampled" -> { (s, d, f) =>
+      val permille = math.max(1, 1000 / f)
+      operators.Dedup.lshBandSweepMeasured(s, d, permille)
     })
 
   /** Word-salted, sign-flipped `factor`× blow-up of documents+embeddings
