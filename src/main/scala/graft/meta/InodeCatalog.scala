@@ -904,4 +904,21 @@ object InodeCatalog {
 
   /** F9: block accounting, (size + 511) / 512 (filesystem.rs:221,33). */
   def blocksOf(size: Column): Column = ceil(size / lit(512.0)).cast("long")
+
+  /** Column twin of [[InodeCatalog.fallocate]]'s decision tree, in the
+    * method's exact precedence: EINVAL (offset<0 ∨ len≤0) is decided
+    * BEFORE the inode lookup, then ENOENT (`tKind` null = lookup miss),
+    * then EBADF on non-files, then 'ok_keep' (FALLOC_FL_KEEP_SIZE —
+    * space reserved, size kept) vs 'ok' (A7 grow rule applies). Shared
+    * by the bulk census q_fs_fallocate so the query gates with the SAME
+    * text the imperative engine path uses; FsSemanticsSpec sweeps this
+    * column form against [[InodeCatalog.fallocate]] itself over every
+    * branch. */
+  def fallocateOutcome(off: Column, len: Column, tKind: Column,
+      keepSize: Column): Column =
+    when(off < 0 || len <= 0, "einval")
+      .when(tKind.isNull, "enoent")
+      .when(tKind =!= "file", "ebadf")
+      .when(keepSize, "ok_keep")
+      .otherwise("ok")
 }

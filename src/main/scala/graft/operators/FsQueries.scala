@@ -985,8 +985,122 @@ object FsQueries {
       .orderBy($"dir_name", $"op", $"outcome")
   }
 
+  /** fallocate as a BULK census — the oracle twin of
+    * [[graft.meta.InodeCatalog.fallocate]] (filesystem.rs:1781-1811),
+    * completing the census line after q_fs_rename / q_fs_handle_census /
+    * q_fs_rmdir_mknod. Three synthetic attempts per inode (files AND
+    * dirs — dirs exercise the EBADF branch), parameters decorrelated
+    * from each other per the handle-census lesson:
+    *  - offset = −1 on every (ino+3j)%4 = 0 attempt, else
+    *    (ino·37 + j·101) % 1000;
+    *  - len = ((ino+j)%7)·64 — zero on every 7th, driving len ≤ 0;
+    *  - keep_size (FALLOC_FL_KEEP_SIZE) on (ino+2j)%3 = 0;
+    *  - every (ino+j)%5 = 4 attempt targets ino+10⁷ — absent from the
+    *    catalog, so the target lookup (a REAL left join, the census's
+    *    one corpus-sized exchange, same shape as the mknod EEXIST
+    *    probe) misses and lands ENOENT.
+    * The Spark side gates with the REAL engine decision tree —
+    * [[graft.meta.InodeCatalog.fallocateOutcome]], the column twin that
+    * FsSemanticsSpec sweeps against the imperative method over every
+    * branch — while the oracle re-derives the precedence longhand:
+    * EINVAL (offset<0 ∨ len≤0) is decided BEFORE the lookup (so a bad
+    * range on a missing inode is einval, not enoent), then ENOENT, then
+    * EBADF on non-files, then ok_keep (size unchanged) vs ok with the
+    * A7 grow rule size' = max(size, offset+len). bytes_grown sums the
+    * growth; blocks_after applies the F9 rule via the production
+    * [[graft.meta.InodeCatalog.blocksOf]] on the Spark side while the
+    * oracle re-derives ceil(size/512) longhand, so the two texts cannot
+    * share a bug. */
+  val qFsFallocate = QueryDef.sql(
+    "q_fs_fallocate",
+    s"""WITH ino AS $duckInodes,
+       |att AS (
+       |  SELECT i.ino, i.parent, i.kind, i.name, j.j,
+       |         CASE WHEN (i.ino + 3 * j.j) % 4 = 0 THEN CAST(-1 AS BIGINT)
+       |              ELSE (i.ino * 37 + j.j * 101) % 1000 END AS off,
+       |         ((i.ino + j.j) % 7) * 64 AS len,
+       |         ((i.ino + 2 * j.j) % 3 = 0) AS keep_size,
+       |         CASE WHEN (i.ino + j.j) % 5 = 4 THEN i.ino + 10000000
+       |              ELSE i.ino END AS target_ino
+       |  FROM ino i, (SELECT unnest([0, 1, 2]) AS j) j),
+       |lk AS (
+       |  SELECT a.*, t.kind AS t_kind, t.size AS t_size
+       |  FROM att a LEFT JOIN ino t ON a.target_ino = t.ino),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN lk.kind = 'dir' THEN lk.name ELSE p.name END
+       |      AS dir_name,
+       |    CASE
+       |      WHEN off < 0 OR len <= 0 THEN 'einval'
+       |      WHEN t_kind IS NULL THEN 'enoent'
+       |      WHEN t_kind != 'file' THEN 'ebadf'
+       |      WHEN keep_size THEN 'ok_keep'
+       |      ELSE 'ok' END AS outcome,
+       |    CASE WHEN off >= 0 AND len > 0 AND t_kind = 'file'
+       |              AND NOT keep_size
+       |         THEN greatest(CAST(0 AS BIGINT), off + len - t_size)
+       |         ELSE CAST(0 AS BIGINT) END AS grown,
+       |    CASE
+       |      WHEN off < 0 OR len <= 0 OR t_kind IS NULL
+       |           OR t_kind != 'file' THEN CAST(0 AS BIGINT)
+       |      WHEN keep_size
+       |        THEN CAST(ceil(t_size / 512.0) AS BIGINT)
+       |      ELSE CAST(ceil(greatest(t_size, off + len) / 512.0) AS BIGINT)
+       |      END AS blocks_after
+       |  FROM lk LEFT JOIN (SELECT ino, name FROM ino WHERE kind = 'dir') p
+       |    ON lk.parent = p.ino)
+       |SELECT dir_name, outcome, count(*) AS n,
+       |       CAST(sum(grown) AS BIGINT) AS bytes_grown,
+       |       CAST(sum(blocks_after) AS BIGINT) AS blocks_after
+       |FROM o GROUP BY dir_name, outcome
+       |ORDER BY dir_name, outcome""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val ino = inodes(s, d)
+    val att = ino
+      .select($"ino", $"parent", $"kind", $"name",
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+      .select($"ino", $"parent", $"kind", $"name",
+        when(($"ino" + lit(3) * $"j") % 4 === 0, lit(-1L))
+          .otherwise(($"ino" * 37 + $"j" * 101) % 1000).as("off"),
+        ((($"ino" + $"j") % 7) * 64).as("len"),
+        (($"ino" + lit(2) * $"j") % 3 === 0).as("keep_size"),
+        when(($"ino" + $"j") % 5 === 4, $"ino" + 10000000L)
+          .otherwise($"ino").as("target_ino"))
+    // the census's one corpus-sized exchange: the real target lookup
+    val lk = att.join(
+      ino.select($"ino".as("t_ino"), $"kind".as("t_kind"),
+        $"size".as("t_size")),
+      $"target_ino" === $"t_ino", "left")
+    val dirName = when($"kind" === "dir", $"name").otherwise($"p_name")
+    // the REAL engine decision tree (column twin of InodeCatalog.fallocate)
+    val outcome =
+      InodeCatalog.fallocateOutcome($"off", $"len", $"t_kind", $"keep_size")
+    val grown = when(
+      $"off" >= 0 && $"len" > 0 && $"t_kind" === "file" && !$"keep_size",
+      greatest(lit(0L), $"off" + $"len" - $"t_size")).otherwise(0L)
+    val blocksAfter = when(
+      $"off" < 0 || $"len" <= 0 || $"t_kind".isNull || $"t_kind" =!= "file",
+      lit(0L))
+      .when($"keep_size", InodeCatalog.blocksOf($"t_size"))
+      .otherwise(InodeCatalog.blocksOf(greatest($"t_size", $"off" + $"len")))
+    lk
+      .join(broadcast(ino.filter($"kind" === "dir")
+        .select($"ino".as("p_ino"), $"name".as("p_name"))),
+        $"parent" === $"p_ino", "left")
+      .select(dirName.as("dir_name"), outcome.as("outcome"),
+        grown.as("grown"), blocksAfter.as("blocks_after_1"))
+      .groupBy($"dir_name", $"outcome")
+      .agg(count(lit(1)).as("n"),
+        sum($"grown").cast("long").as("bytes_grown"),
+        sum($"blocks_after_1").cast("long").as("blocks_after"))
+      .orderBy($"dir_name", $"outcome")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
       qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
-      qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus, qFsRmdirMknod)
+      qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus, qFsRmdirMknod,
+      qFsFallocate)
 }

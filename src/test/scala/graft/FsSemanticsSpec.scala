@@ -188,4 +188,56 @@ class FsSemanticsSpec extends SparkSpec {
     assert(r.getAs[Long]("lo") === 2L)
     assert(r.getAs[Long]("hi") === r.getAs[Long]("n") + 1L)
   }
+
+  test("fallocateOutcome column twin agrees with the imperative fallocate on every branch") {
+    // a catalog with one dir (ino 2) and two files under it: the grid
+    // crosses offsets (incl. negative), lens (incl. 0), keep_size, and
+    // targets (file / dir / missing), so every arm of the decision tree
+    // — including EINVAL-before-ENOENT precedence — fires both ways
+    val cat0 = InodeCatalog.empty(spark).mkdir(1L, "d")
+    val dIno = cat0.lookup(1L, "d").get.getAs[Long]("ino")
+    val withFile = cat0.create(dIno, "a.txt", "file")
+    val fIno = withFile.lookup(dIno, "a.txt").get.getAs[Long]("ino")
+    val catalog = withFile.recordWrite(fIno, 0L, 100L)
+    val missing = 999999L
+    val grid = for {
+      target <- Seq(fIno, dIno, missing)
+      off <- Seq(-1L, 0L, 50L, 200L)
+      len <- Seq(0L, 64L)
+      keep <- Seq(false, true)
+    } yield (target, off, len, keep)
+    // column twin over the grid: t_kind NULL models the lookup miss
+    val kindOf = Map(fIno -> "file", dIno -> "dir")
+    val rows = grid.map { case (t, o, l, k) =>
+      (t, o, l, k, kindOf.get(t).orNull)
+    }
+    val colOut = rows
+      .toDF("target", "off", "len", "keep", "t_kind")
+      .select($"target", $"off", $"len", $"keep",
+        InodeCatalog.fallocateOutcome($"off", $"len", $"t_kind", $"keep")
+          .as("out"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+        -> r.getString(4))
+      .toMap
+    grid.foreach { case (t, o, l, k) =>
+      val expected = catalog.fallocate(t, o, l, keepSize = k) match {
+        case Left(e) if e.startsWith("EINVAL") => "einval"
+        case Left(e) if e.startsWith("ENOENT") => "enoent"
+        case Left(e) if e.startsWith("EBADF") => "ebadf"
+        case Left(e) => fail(s"unexpected errno $e")
+        case Right(_) if k => "ok_keep"
+        case Right(_) => "ok"
+      }
+      assert(colOut((t, o, l, k)) === expected, s"target=$t off=$o len=$l keep=$k")
+    }
+    // the A7 grow rule end-to-end: crossing the end grows to off+len,
+    // keep_size and within-size calls leave the size alone
+    val grown = catalog.fallocate(fIno, 200L, 64L).toOption.get
+    assert(grown.getattr(fIno).get.getAs[Long]("size") === 264L)
+    val kept = catalog.fallocate(fIno, 200L, 64L, keepSize = true).toOption.get
+    assert(kept.getattr(fIno).get.getAs[Long]("size") === 100L)
+    val within = catalog.fallocate(fIno, 10L, 20L).toOption.get
+    assert(within.getattr(fIno).get.getAs[Long]("size") === 100L)
+  }
 }
