@@ -281,74 +281,124 @@ object Dedup {
     // branches are two selects of `pairs`, and without the cut the whole
     // upstream candidate join (MinHash banding / LSH verify) executes
     // twice — no exchange boundary sits between the join and the union,
-    // so ReuseExchange cannot dedupe it
-    val edges = pairs.select($"d1", $"d2").localCheckpoint()
-    val sym = edges
+    // so ReuseExchange cannot dedupe it.
+    // EVERY checkpoint in this loop is the stats-dropping variant:
+    // plain localCheckpoint carries the origin plan's sizeInBytes into
+    // the LogicalRDD, and because the round plan joins `labels` with
+    // ITSELF (the pointer-jumping shortcut), the inherited estimate is
+    // raised to the ~4th power per round — the BigInteger's bit-length
+    // quadruples each iteration until round-15 planning spends minutes
+    // of driver CPU multiplying 10⁸-digit numbers (caught by the r9
+    // scale probe: the 10× corpus DNF'd a 900 s wall on 42M pairs of
+    // real work, executors idle, driver in BigInteger.multiplyToomCook3
+    // under visitJoin). See DatasetBridge.localCheckpointFreshStats.
+    import org.apache.spark.sql.graftbridge.DatasetBridge.{
+      localCheckpointFreshStats => ckpt}
+    val edges = ckpt(pairs.select($"d1", $"d2"))
+    val sym = ckpt(edges
       .select($"d1".as("src"), $"d2".as("dst"))
-      .union(edges.select($"d2".as("src"), $"d1".as("dst")))
-      .localCheckpoint()
+      .union(edges.select($"d2".as("src"), $"d1".as("dst"))))
     // seed with the round-1 fixpoint state directly: label(n) =
     // min(n, min direct neighbor). One groupBy replaces the
     // distinct-then-propagate first round (every node of `sym` appears
     // as src, so no left join is needed); pair components — the common
     // near-dup case — then converge in a single verification round.
-    var labels = sym
+    var labels = ckpt(sym
       .groupBy($"src")
       .agg(least($"src", min($"dst")).as("label"))
-      .select($"src".as("node"), $"label")
-      .localCheckpoint()
+      .select($"src".as("node"), $"label"))
     var changed = 1L
     var iter = 0
     val maxIter = 64
-    // min-label propagation WITH pointer jumping: newLabel(n) =
-    // min(label(n), min over neighbors' labels, label(label(n))). The
-    // neighbor term alone needs O(diameter) rounds — a long chain (loose
-    // similarity thresholds produce them: the 10x scale probe hit a
-    // >64-hop component) moves its min one hop per round. The
-    // label-of-label shortcut roughly doubles the propagated distance
-    // every round instead (Rastogi et al. 2013 "Finding Connected
-    // Components in Map-Reduce in Logarithmic Rounds"-style), so rounds
-    // ~ log2(diameter): a 10,000-hop chain converges in ~15 rounds, not
-    // 10,000. Every label value is a node id of the same component (it
-    // entered via a neighbor or a shortcut of one), so the label-table
-    // self-join always finds the jump target, and labels can never fall
-    // below the component minimum — the fixpoint is exactly the one the
-    // neighbor-only iteration (and the recursive-CTE oracle) reaches.
+    // HOOK + FULL PATH COMPRESSION alternation (the Shiloach-Vishkin /
+    // star-contraction shape; Kiveris et al. 2014 "Connected Components
+    // in MapReduce and Beyond" analyze the round bound). Each outer
+    // round: (1) COMPRESS — iterate label ← label(label) to ITS OWN
+    // fixpoint, so every label tree becomes a star pointing at its
+    // current root (the inner loop halves pointer depth per step, so it
+    // is log(depth)-bounded and each step is one self-join of the
+    // (node, label) table); (2) HOOK — one neighbor-min round hooks
+    // adjacent stars together by their minima.
+    //
+    // Why not the single-shot label(label(n)) shortcut the r7 text used:
+    // on sparse high-diameter graphs (a loose threshold over a blown-up
+    // corpus produces exactly that — the r9 probe's 10x run formed a
+    // ~1.15-avg-degree giant component), low-id nodes scattered along a
+    // chain are LOCAL-MIN PLATEAUS: their label is self, so the jump
+    // label(label(n)) = label(n) is a no-op and the global min crawls
+    // hop-by-hop between plateaus — the measured convergence was a
+    // 1-19-changes/round trickle still going at round 64 (and the
+    // require below fired, correctly). Compressing to the ROOT between
+    // hooks removes the plateau problem: after compression every
+    // member's label is its tree root, so one hook round merges every
+    // star with the minimum over its whole FRONTIER, and the number of
+    // live stars at least halves per outer round — outer rounds ~
+    // log2(n), inner steps ~ log2(depth), both scale-safe.
+    //
+    // Every label value stays a node id of the same component (it
+    // entered via a neighbor or a label-of-label of one), labels only
+    // decrease, and an edge (u,v) is stable only when label(u) =
+    // label(v) — the fixpoint is exactly the component-min labelling
+    // the neighbor-only iteration (and the recursive-CTE oracle)
+    // reaches.
     while (changed > 0 && iter < maxIter) {
+      // (1) compress the label forest to stars: label ← label(label)
+      // until stable (label(m) ≤ m always, so this is monotone and its
+      // depth halves per step)
+      var jChanged = 1L
+      var jIter = 0
+      while (jChanged > 0 && jIter < maxIter) {
+        val z = ckpt(labels
+          .join(
+            labels.select($"node".as("jnode"), $"label".as("jl")),
+            $"label" === $"jnode")
+          .select($"node", $"jl".as("label"), $"label".as("old")))
+        jChanged = z.filter($"label" =!= $"old").count()
+        labels = z.drop("old")
+        jIter += 1
+      }
+      require(jChanged == 0,
+        s"label compression did not stabilize after $maxIter steps — " +
+          "pointer depth cannot exceed 2^64; the iteration is broken")
+      // (2) hook WHOLE STARS, not members: per-node neighbor-min over
+      // the compressed labels, then min-aggregated PER STAR ROOT, then
+      // applied to every member through the label key. Hooking only the
+      // member that owns the cross-edge (what the r7 text did) leaves
+      // the root — and with it the rest of the star — unmoved, so stars
+      // drain one frontier node per round instead of merging: the
+      // measured trickle. With the star-level hook every non-minimal
+      // star merges into another star every round (its neighbor-min is
+      // smaller, or a neighbor sees IT as smaller), so live stars at
+      // least halve per outer round.
       val prop = sym
         .join(labels.withColumnRenamed("node", "pnode"), $"dst" === $"pnode")
         .groupBy($"src")
         .agg(min($"label").as("nl"))
-      val jump = labels
-        .join(
-          labels.select($"node".as("jnode"), $"label".as("jl")),
-          $"label" === $"jnode")
-        .select($"node".as("znode"), $"jl")
+      val hook = labels
+        .join(prop, $"node" === $"src")
+        .groupBy($"label")
+        .agg(min($"nl").as("m"))
+        .select($"label".as("hroot"), $"m")
       // the old label rides along into the checkpoint so change detection
       // is a filter-count on the materialized rows, not a third join
-      val next = labels
-        .join(prop, $"node" === $"src", "left")
-        .join(jump, $"node" === $"znode", "left")
+      val next = ckpt(labels
+        .join(hook, $"label" === $"hroot", "left")
         .select($"node",
-          least(
-            $"label",
-            least(coalesce($"nl", $"label"), coalesce($"jl", $"label")))
-            .as("label"),
-          $"label".as("old"))
-        .localCheckpoint()
+          least($"label", coalesce($"m", $"label")).as("label"),
+          $"label".as("old")))
       changed = next.filter($"label" =!= $"old").count()
       labels = next.drop("old")
       iter += 1
     }
     // a silent non-converged exit would emit plausible-but-wrong group
     // labels (and diverge from the recursive-CTE oracle); refuse instead.
-    // with pointer jumping maxIter bounds the LOG of the propagation
-    // diameter — 64 rounds cover any component a physical graph could
-    // hold, so hitting this means the iteration is broken, not the data.
+    // star contraction at least halves the live-star count per outer
+    // round, so 64 rounds cover any component 2^64 nodes could form —
+    // hitting this means the iteration is broken, not the data.
     require(changed == 0,
       s"connectedComponents did not converge after $maxIter rounds " +
-        s"($changed labels still changing); the candidate graph has a " +
-        "component with diameter > 2^maxIter — this cannot be the data")
+        s"($changed labels still changing); star contraction halves the " +
+        "live-star count per round — this cannot be the data")
     labels
   }
 
@@ -357,15 +407,17 @@ object Dedup {
     * reachable through near-dup edges (its canonical "keeper"). Singletons
     * keep their own id; group sizes come from a window over the label.
     *
-    * The Spark side runs iterative min-label propagation with pointer
-    * jumping — each round is one edge join + one min-aggregate plus a
-    * label-table self-join (the label(label(n)) shortcut), all
-    * hash-partitioned on the node key, with `localCheckpoint` cutting the
-    * growing lineage. Rounds needed ~ log2(graph diameter), so even a
-    * pathological thousands-hop chain component (loose thresholds create
-    * them) converges in ~15 rounds — the logarithmic-rounds map-reduce CC
-    * recipe, without leaving the DataFrame planner. The oracle computes
-    * the same fixpoint as a recursive transitive closure.
+    * The Spark side runs hook-and-compress star contraction (r9 fix) —
+    * each outer round fully compresses the label forest to stars
+    * (log-depth self-joins), then hooks whole stars together through a
+    * per-root neighbor-min, all hash-partitioned on the node key, with
+    * stats-dropping `localCheckpoint`s cutting lineage AND the
+    * exponential join-stats inheritance. Live stars at least halve per
+    * outer round, so even pathological high-diameter components (loose
+    * thresholds over big corpora create them — the r9 scale probe did)
+    * converge in ~log2(n) outer rounds, without leaving the DataFrame
+    * planner. The oracle computes the same fixpoint as a recursive
+    * transitive closure.
     */
   val qDedupGroups = QueryDef.sql(
     "q_dedup_groups",

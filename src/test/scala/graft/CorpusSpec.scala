@@ -54,6 +54,33 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.forall(_ === 0L), "every chain node must label to 0")
   }
 
+  test("connectedComponents: a plateau path (interleaved low ids) converges") {
+    // the r9 probe's defect class: a path whose LOW ids are scattered
+    // along the interior — 0, 600, 1, 601, 2, 602, … — so every low id
+    // is a LOCAL-MIN plateau whose label is itself. The r7-era
+    // member-level label(label(n)) shortcut was a no-op on plateaus and
+    // the global min crawled between them hop-by-hop (the 10x scale
+    // probe measured a 1-19-changes/round trickle still going at round
+    // 64, tripping the convergence guard on a graph of only ~11k
+    // edges). The star-level hook + full compression must collapse it
+    // inside the 64-round guard — this test simply completing IS the
+    // assertion, plus the exact min-labelling. A second component in
+    // the same edge list proves no cross-component leakage while stars
+    // contract.
+    val ids = (0 until 600).flatMap(i => Seq(i.toLong, (600 + i).toLong))
+    val path = ids.sliding(2).map { case Seq(a, b) => (a, b) }.toList
+    val isle = List((5000L, 5001L), (5001L, 5002L))
+    val rnd = new scala.util.Random(11)
+    val edges = rnd.shuffle(path ++ isle).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(edges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.size === 1203)
+    ids.foreach(i => assert(got(i) === 0L, s"node $i must label to 0"))
+    Seq(5000L, 5001L, 5002L).foreach(i => assert(got(i) === 5000L))
+  }
+
   test("cdcDedupStats: an insertion dirties only its own chunk; fixed-width shifts everything") {
     // 200 deterministic pseudo-words; insert ONE word a third of the way in
     val ws = (0 until 200).map(i => s"tok$i")
