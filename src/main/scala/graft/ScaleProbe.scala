@@ -184,67 +184,123 @@ object ScaleProbe {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    def runOnce(q: String, d: String, f: Int): Double = {
+    /** One timed leg. A timeout is a first-class DNF (never a negated
+      * elapsed — a killed battery must not leave rows a reader could
+      * mistake for measurements); a thrown query is an Err row. */
+    sealed trait Leg { def elapsed: Double }
+    case class Ok(elapsed: Double) extends Leg
+    case class Dnf(elapsed: Double) extends Leg
+    case class Err(elapsed: Double, msg: String) extends Leg
+
+    /** Cancellation is asynchronous: after cancelJobGroup the stages keep
+      * draining executor threads for a while, which would contaminate the
+      * NEXT leg's timer. Await the future itself (it completes when the
+      * cancelled job throws), then poll the status tracker until no jobs
+      * are active — both bounded. */
+    def quiesce(fut: scala.concurrent.Future[Unit]): Unit = {
+      try Await.ready(fut, 120.seconds) catch { case _: TimeoutException => () }
+      val tracker = spark.sparkContext.statusTracker
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    }
+
+    def runOnce(q: String, d: String, f: Int): Leg = {
       val fn: (SparkSession, String) => DataFrame =
         Adapters.get(q).map(a => (s: SparkSession, dir: String) => a(s, dir, f))
           .getOrElse(SparkEntry.queries(q))
       val group = s"scaleprobe-$q-x$f-${System.nanoTime()}"
       val t0 = System.nanoTime()
+      def dt = (System.nanoTime() - t0) / 1e9
       val fut = Future {
         spark.sparkContext.setJobGroup(group, q, interruptOnCancel = true)
         try fn(spark, d).write.format("noop").mode("overwrite").save()
         finally spark.sparkContext.clearJobGroup()
       }
-      val ok =
-        try { Await.result(fut, budgetSec.seconds); true }
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(group)
-            System.err.println(s"[scale] $q@${f}x DNF: > $budgetSec s budget")
-            false
-          case e: Throwable =>
-            System.err.println(s"[scale] $q@${f}x failed: ${e.getMessage}")
-            false
+      try { Await.result(fut, budgetSec.seconds); Ok(dt) }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          System.err.println(s"[scale] $q@${f}x DNF: > $budgetSec s budget")
+          quiesce(fut)
+          Dnf(budgetSec.toDouble)
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[scale] $q@${f}x failed: $msg")
+          quiesce(fut)
+          Err(dt, msg.replaceAll("[\"\\\\\\n\\r]", " ").take(160))
+      }
+    }
+
+    // Durable accumulation: the artifact is rewritten after EVERY query
+    // leg (atomic tmp+move), so a killed battery keeps its finished legs
+    // instead of losing the whole run.
+    val acc = scala.collection.mutable.LinkedHashMap[Int,
+      scala.collection.mutable.LinkedHashMap[String, Leg]]()
+    def flush(): String = {
+      val base = acc.headOption.map(_._2).getOrElse(
+        scala.collection.mutable.LinkedHashMap.empty[String, Leg])
+      val body = acc.map { case (f, legs) =>
+        val qs = legs.map {
+          case (q, Ok(s)) =>
+            val ratio = base.get(q) match {
+              case Some(Ok(b)) if b > 0 => s""","vs_x1":${f3(s / b)}"""
+              case _ => ""
+            }
+            s""""$q":{"sec":${f3(s)}$ratio}"""
+          case (q, Dnf(b)) =>
+            s""""$q":{"dnf":true,"budget_sec":${f3(b)}}"""
+          case (q, Err(s, m)) =>
+            s""""$q":{"err":"$m","elapsed_sec":${f3(s)}}"""
+        }.mkString(",")
+        s""""x$f":{$qs}"""
+      }.mkString(
+        s"""{"probe":"scale","stat":"min-of-$nPasses","src":"$srcDir","factors":[${
+          factors.mkString(",")}],"results":{""",
+        ",", "}}")
+      val out = java.nio.file.Paths.get(outPath)
+      if (out.getParent != null)
+        java.nio.file.Files.createDirectories(out.getParent)
+      val tmp = out.resolveSibling(out.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      body
+    }
+
+    dirs.foreach { case (f, d) =>
+      val legs = acc.getOrElseUpdate(f,
+        scala.collection.mutable.LinkedHashMap[String, Leg]())
+      ProbeQueries.foreach { q =>
+        // min-of-N back-to-back passes; a DNF/Err on pass 1 is final
+        // (re-running a measured timeout wastes the budget a second time)
+        val first = runOnce(q, d, f)
+        val best = first match {
+          case Ok(_) =>
+            (2 to nPasses).foldLeft(first) { (b, _) =>
+              (b, runOnce(q, d, f)) match {
+                case (Ok(x), Ok(y)) => Ok(math.min(x, y))
+                case (bb, _) => bb
+              }
+            }
+          case other => other
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) dt else -dt
+        legs(q) = best
+        best match {
+          case Ok(s) =>
+            System.err.println(f"[scale] ${f}%3dx $q%-28s ${s}%8.3f s")
+          case Dnf(b) =>
+            System.err.println(f"[scale] ${f}%3dx $q%-28s DNF > ${b}%.0f s")
+          case Err(s, m) =>
+            System.err.println(f"[scale] ${f}%3dx $q%-28s ERR at ${s}%.1f s: $m")
+        }
+        flush()
+      }
     }
 
-    val results: Seq[(Int, Map[String, Double])] = dirs.map { case (f, d) =>
-      // pass 1 runs everything; later passes skip queries that DNF'd
-      // (re-running a measured timeout wastes the budget a second time)
-      val first = ProbeQueries.map(q => q -> runOnce(q, d, f)).toMap
-      val passes = first +: (2 to nPasses).map { _ =>
-        ProbeQueries.map { q =>
-          q -> (if (first(q) > 0) runOnce(q, d, f) else first(q))
-        }.toMap
-      }
-      val mins = ProbeQueries.map { q =>
-        val ok = passes.map(_(q)).filter(_ > 0)
-        q -> (if (ok.nonEmpty) ok.min else passes.head(q))
-      }.toMap
-      mins.foreach { case (q, s) =>
-        System.err.println(f"[scale] ${f}%3dx $q%-28s ${s}%8.3f s")
-      }
-      f -> mins
-    }
-
-    val base = results.head._2
-    val json = results.map { case (f, mins) =>
-      val qs = ProbeQueries.map { q =>
-        val ratio = if (base(q) > 0) mins(q) / base(q) else -1.0
-        s""""$q":{"sec":${f3(mins(q))},"vs_x1":${f3(ratio)}}"""
-      }.mkString(",")
-      s""""x$f":{$qs}"""
-    }.mkString(
-      s"""{"probe":"scale","stat":"min-of-$nPasses","src":"$srcDir","factors":[${
-        factors.mkString(",")}],"results":{""",
-      ",", "}}")
-    val out = java.nio.file.Paths.get(outPath)
-    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    println(flush())
     spark.stop()
   }
 }

@@ -576,10 +576,13 @@ final case class InodeCatalog(df: DataFrame) {
     * FALLOC_FL_KEEP_SIZE mode bit is set, the size follows the A7 rule
     * size = max(size, offset+len) (the reference's
     * `if (offset + length) > attrs.size { attrs.size = offset + length }`
-    * under `mode & FALLOC_FL_KEEP_SIZE == 0`). Errors mirror the
-    * reference/POSIX: unknown inode → ENOENT (the content-path open
-    * fails), non-file → EBADF (only regular files preallocate), bad
-    * range → EINVAL. */
+    * under `mode & FALLOC_FL_KEEP_SIZE == 0`). Error surface: the
+    * reference itself only surfaces ENOENT (failed content-path open)
+    * vs ok — it ignores the libc fallocate64 return entirely — so the
+    * EINVAL (bad range) and EBADF (non-file) branches here model POSIX
+    * fallocate(2) ON TOP of that ENOENT/ok skeleton; the full
+    * EINVAL→ENOENT→EBADF precedence is this catalog's own contract
+    * (spec-swept), not a claim about the reference's. */
   def fallocate(ino: Long, offset: Long, len: Long,
       keepSize: Boolean = false): Either[String, InodeCatalog] =
     if (offset < 0 || len <= 0) Left(s"EINVAL: offset=$offset len=$len")

@@ -294,10 +294,31 @@ object Dedup {
     // under visitJoin). See DatasetBridge.localCheckpointFreshStats.
     import org.apache.spark.sql.graftbridge.DatasetBridge.{
       localCheckpointFreshStats => ckpt}
+    // AQE stays ON through the loop. Measured A/B (r10, min-of-3,
+    // interleaved at settled load): disabling it inside the loop to save
+    // AQE's per-exchange stage-jobs LOSES at every scale — x1 canonical
+    // 2.7→3.4 s, x10 canonical 4.8→9.2 s, x10 logbits embed-dedup
+    // 27.2→34.3 s — because AQE's runtime broadcast conversion of the
+    // shrunken label table and its post-shuffle coalescing are worth
+    // more than the extra driver round-trips they cost.
     val edges = ckpt(pairs.select($"d1", $"d2"))
-    val sym = ckpt(edges
+    // symmetrize and shuffle the edge list ONCE onto the hook-join key,
+    // then cache: InMemoryRelation preserves its cached plan's
+    // outputPartitioning, so every hook round's sym⋈labels reuses this
+    // layout and only the (node,label) side exchanges. At 1000× the edge
+    // list is the big relation in the loop — the r9 shape re-exchanged
+    // it every round. The partition count is pinned to
+    // spark.sql.shuffle.partitions so the join requirement matches
+    // exactly (an AQE-coalesced cache would force a per-round
+    // re-exchange right back). Cached (not checkpointed) because the
+    // LogicalRDD a checkpoint produces reports NO partitioning, which
+    // is exactly the reuse this exists for; joined only against labels
+    // (never itself), so the r9 stats trap cannot re-arm.
+    val sym = edges
       .select($"d1".as("src"), $"d2".as("dst"))
-      .union(edges.select($"d2".as("src"), $"d1".as("dst"))))
+      .union(edges.select($"d2".as("src"), $"d1".as("dst")))
+      .repartition(s.sessionState.conf.numShufflePartitions, $"dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with the round-1 fixpoint state directly: label(n) =
     // min(n, min direct neighbor). One groupBy replaces the
     // distinct-then-propagate first round (every node of `sym` appears
@@ -307,6 +328,32 @@ object Dedup {
       .groupBy($"src")
       .agg(least($"src", min($"dst")).as("label"))
       .select($"src".as("node"), $"label"))
+    // ROUND MATERIALIZATION = ONE JOB (the r10 round-overhead dial,
+    // SCALE.md): each round's state carries its pre-update label as
+    // `old`, and the change count rides the checkpoint job itself via
+    // `Dataset.observe` — CollectMetricsExec accumulates
+    // count(label ≠ old) on the executors WHILE the eager
+    // localCheckpoint materializes the rows, so the driver reads the
+    // count from the completed job's observed metrics instead of
+    // launching a second scan. The r9 shape paid two driver round-trips
+    // per step (checkpoint-materialize, then count); at x1000 the
+    // ~120-small-job wall was round overhead, not work. Still the
+    // stats-dropping checkpoint every step: the plan stays a flat
+    // LogicalRDD leaf (a persist-based variant was tried and rejected —
+    // logical lineage through a round that references `labels` three
+    // times grows the analyzed TREE 3^rounds, OOMing the driver before
+    // any stats math starts).
+    var step = 0
+    def matObserve(z: org.apache.spark.sql.DataFrame,
+        metric: org.apache.spark.sql.Column, dropCols: String*)
+        : (org.apache.spark.sql.DataFrame, Long) = {
+      step += 1
+      val name = s"cc_m_$step"
+      val obs = z.observe(name, metric.as("n"))
+      val c = ckpt(obs) // eager: this one job materializes AND counts
+      val n = obs.queryExecution.observedMetrics(name).getLong(0)
+      (c.drop(dropCols: _*), n)
+    }
     var changed = 1L
     var iter = 0
     val maxIter = 64
@@ -345,19 +392,34 @@ object Dedup {
       // (1) compress the label forest to stars: label ← label(label)
       // until stable (label(m) ≤ m always, so this is monotone and its
       // depth halves per step)
-      var jChanged = 1L
+      // each materialization applies p∘p∘p (two chained joins against the
+      // SAME checkpointed relation), so pointer depth divides by 3 per
+      // JOB instead of by 2 per two jobs. The exit observes
+      // count(p³ ≠ p²): zero means p fixes every node in range(p²), and
+      // then the NEW state p' = p³ already satisfies p'∘p' = p' — the
+      // post-step forest is stars — so the usual "run one more pass to
+      // confirm nothing changed" job is never paid. (Labels only
+      // decrease along parent pointers, so p³ = p² pointwise really is
+      // the star fixpoint, not a 2-cycle artifact.)
+      var jDeep = 1L
       var jIter = 0
-      while (jChanged > 0 && jIter < maxIter) {
-        val z = ckpt(labels
-          .join(
-            labels.select($"node".as("jnode"), $"label".as("jl")),
-            $"label" === $"jnode")
-          .select($"node", $"jl".as("label"), $"label".as("old")))
-        jChanged = z.filter($"label" =!= $"old").count()
-        labels = z.drop("old")
+      while (jDeep > 0 && jIter < maxIter) {
+        val (nl, n) = matObserve(
+          labels
+            .join(
+              labels.select($"node".as("jnode"), $"label".as("jl")),
+              $"label" === $"jnode")
+            .join(
+              labels.select($"node".as("knode"), $"label".as("kl")),
+              $"jl" === $"knode")
+            .select($"node", $"kl".as("label"), $"jl"),
+          count(when($"label" =!= $"jl", lit(1))),
+          "jl")
+        jDeep = n
+        labels = nl
         jIter += 1
       }
-      require(jChanged == 0,
+      require(jDeep == 0,
         s"label compression did not stabilize after $maxIter steps — " +
           "pointer depth cannot exceed 2^64; the iteration is broken")
       // (2) hook WHOLE STARS, not members: per-node neighbor-min over
@@ -379,15 +441,18 @@ object Dedup {
         .groupBy($"label")
         .agg(min($"nl").as("m"))
         .select($"label".as("hroot"), $"m")
-      // the old label rides along into the checkpoint so change detection
-      // is a filter-count on the materialized rows, not a third join
-      val next = ckpt(labels
-        .join(hook, $"label" === $"hroot", "left")
-        .select($"node",
-          least($"label", coalesce($"m", $"label")).as("label"),
-          $"label".as("old")))
-      changed = next.filter($"label" =!= $"old").count()
-      labels = next.drop("old")
+      // the old label rides along into the materialization so change
+      // detection is part of the same single job, not a second action
+      val (nl, n) = matObserve(
+        labels
+          .join(hook, $"label" === $"hroot", "left")
+          .select($"node",
+            least($"label", coalesce($"m", $"label")).as("label"),
+            $"label".as("old")),
+        count(when($"label" =!= $"old", lit(1))),
+        "old")
+      changed = n
+      labels = nl
       iter += 1
     }
     // a silent non-converged exit would emit plausible-but-wrong group
@@ -399,6 +464,10 @@ object Dedup {
       s"connectedComponents did not converge after $maxIter rounds " +
         s"($changed labels still changing); star contraction halves the " +
         "live-star count per round — this cannot be the data")
+    // labels is a checkpoint (safe to keep), so the edge cache can be
+    // released NOW — nine registry consumers run inside one bench JVM
+    // and leaked MEMORY_AND_DISK blocks would accumulate across them
+    sym.unpersist(false)
     labels
   }
 

@@ -2225,7 +2225,8 @@ object Events {
       |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
       |       round(decayed, 4) AS decayed_score,
       |       round(plain, 2) AS plain_sum,
-      |       round(decayed / greatest(plain, 1e-12), 4) AS recency_ratio
+      |       round(CASE WHEN plain = 0 THEN 0
+      |                  ELSE decayed / plain END, 4) AS recency_ratio
       |FROM s ORDER BY user_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -2237,12 +2238,14 @@ object Events {
         round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
           / 86400000000000.0)), 4).as("decayed_score"),
         round(sum($"value"), 2).as("plain_sum"),
-        // greatest(Σv, 1e-12) fences the all-zero-value user: without it
-        // a 0 denominator diverges cross-engine (Spark IEEE ±Inf vs the
-        // oracle's NULL-propagating round) — same hazard class as the
-        // signed-zero fence, guarded identically in BOTH engine texts.
-        round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
-          / 86400000000000.0)) / greatest(sum($"value"), lit(1e-12)), 4)
+        // the ratio fences EXACTLY the zero-denominator case (0 emitted,
+        // matching the CASE in the oracle text): a 0 denominator diverges
+        // cross-engine (Spark IEEE ±Inf vs the oracle's NULL-propagating
+        // round). An ε-floor like greatest(Σv, ε) would silently distort
+        // the ratio for a NEGATIVE plain_sum, so the fence is exact.
+        round(when(sum($"value") === 0, lit(0.0))
+          .otherwise(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
+            / 86400000000000.0)) / sum($"value")), 4)
           .as("recency_ratio"))
       .orderBy($"user_id")
   }

@@ -960,7 +960,10 @@ object FsQueries {
       (($"ino" + 3) % 4).cast("int").as("r_uid"),
       (($"ino" + 1) % 2).cast("int").as("r_gid"),
       ($"ino" % 6 === 0).as("wants_suid"))
-    val target = files.select($"parent".as("t_parent"),
+    // EEXIST target lookup joins ALL inodes (any kind), matching both the
+    // oracle text and lookup_name semantics (filesystem.rs:740-812) — a
+    // dir named like the target must also collide
+    val target = ino.select($"parent".as("t_parent"),
       $"name".as("t_name"), $"ino".as("t_ino"))
     val mj = mk
       .join(broadcast(dirs.select($"ino".as("d_ino"),
@@ -1006,8 +1009,13 @@ object FsQueries {
     * EINVAL (offset<0 ∨ len≤0) is decided BEFORE the lookup (so a bad
     * range on a missing inode is einval, not enoent), then ENOENT, then
     * EBADF on non-files, then ok_keep (size unchanged) vs ok with the
-    * A7 grow rule size' = max(size, offset+len). bytes_grown sums the
-    * growth; blocks_after applies the F9 rule via the production
+    * A7 grow rule. (The reference method itself surfaces only ENOENT/ok
+    * — it ignores the libc fallocate64 return — so the EINVAL/EBADF
+    * tiers model POSIX fallocate(2) layered on that skeleton; the
+    * precedence being gated is [[InodeCatalog.fallocate]]'s own
+    * contract, which the census matches exactly.) The 'ok' branch
+    * applies the A7 grow rule size' = max(size, offset+len). bytes_grown
+    * sums the growth; blocks_after applies the F9 rule via the production
     * [[graft.meta.InodeCatalog.blocksOf]] on the Spark side while the
     * oracle re-derives ceil(size/512) longhand, so the two texts cannot
     * share a bug. */

@@ -534,7 +534,7 @@ object EventPipelines {
     * structurally cannot drift from the batch query (StreamingSpec pins
     * the equality on the same census).
     *
-    * Scale: the per-batch append is the batch's own size; the replan is
+    * Scale: the per-batch write is the batch's own size; the replan is
     * the batch query's one-window-one-aggregate pass over the listing
     * table (file METADATA, ~1 row per object — million-object censuses
     * replan in seconds, and the closed-form bin rule means no driver
@@ -551,12 +551,17 @@ object EventPipelines {
     files.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a retried batch must REWRITE,
+        // not re-append, or duplicate census rows would permanently skew
+        // every later plan. Each batch owns a batchId-named subdir
+        // written with overwrite — replays are idempotent.
         batch
           .select(col("source"), col("doc_id"), col("n_chars"))
-          .write.mode("append").parquet(censusDir)
+          .write.mode("overwrite").parquet(s"$censusDir/batch_$batchId")
         onPlan(graft.operators.Layout.compactionSummary(
-          spark.read.parquet(censusDir), target))
+          spark.read.option("recursiveFileLookup", "true")
+            .parquet(censusDir), target))
       }
       .start()
   }
