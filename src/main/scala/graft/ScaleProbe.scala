@@ -71,7 +71,104 @@ object ScaleProbe {
     "q_lsh_band_sweep@sampled" -> { (s, d, f) =>
       val permille = math.max(1, 1000 / f)
       operators.Dedup.lshBandSweepMeasured(s, d, permille)
+    },
+    // structure-varying graph decades (r10): the registry graph queries
+    // run on the ≤25-node strong-trade graph, so a volume blow-up never
+    // changes their GRAPH SHAPE — these adapters blow up the shape
+    // itself (diameter ∝ factor) and run the convergence-dial loop the
+    // fixed-round registry forms truncate on (GraphOps @conv variants)
+    "q_graph_bfs@conv" -> { (s, _, f) =>
+      operators.GraphOps.bfsDistancesConverged(cliquePathSym(s, f))
+    },
+    "q_lpa@conv" -> { (s, _, f) =>
+      operators.GraphOps.lpaStable(cliquePathSym(s, f))._1
+    },
+    "q_kcore@conv" -> { (s, _, f) =>
+      operators.GraphOps.kcoreConverged(pathSym(s, 25 * f), 2)
     })
+
+  /** The 25-node strong-trade graph blown into a HIGH-DIAMETER shape:
+    * `f` copies of a 25-clique chained by single bridge edges — node
+    * count and edge count grow ∝ f while the diameter grows ∝ f too
+    * (≈ 3f hops end to end), the graph-shape axis the r9 probe lesson
+    * demands (volume blow-ups of the warehouse tables cannot move the
+    * trade graph's 25-node shape at all). Returns both edge
+    * directions. */
+  def cliquePathSym(s: SparkSession, f: Int): DataFrame = {
+    import s.implicits._
+    val within = (for { a <- 0 until 25; b <- (a + 1) until 25 }
+      yield (a, b)).toDF("a", "b")
+    val clique = s.range(f.toLong)
+      .crossJoin(broadcast(within))
+      .select(($"id" * 25 + $"a").as("src"), ($"id" * 25 + $"b").as("dst"))
+    val bridges = s.range(math.max(0, f - 1).toLong)
+      .select(($"id" * 25 + 24).as("src"), (($"id" + 1) * 25).as("dst"))
+    val und = clique.unionAll(bridges)
+    und.unionAll(und.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  /** Pure path graph of `n` nodes — the ADVERSARIAL k-core peel shape:
+    * every peel round removes only the two endpoints, so the 2-core
+    * fixpoint (empty) takes Θ(n) rounds. That is the algorithm's true
+    * worst case (peeling is inherently sequential on a path), not an
+    * implementation defect — the probe measures it instead of hiding
+    * it. */
+  def pathSym(s: SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    val und = s.range(math.max(0, n - 1).toLong)
+      .select($"id".as("src"), ($"id" + 1).as("dst"))
+    und.unionAll(und.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  /** NEAR-DUP-DENSE `factor`× blow-up (r10): the structural OPPOSITE of
+    * [[blowUp]]'s decorrelated replicas. Replica k of a document keeps
+    * the text except ONE word (position (7k+3) mod len swapped for a
+    * k-salted token), so every original becomes a near-dup CLIQUE of
+    * `factor` members (word-shingle Jaccard ≈ (n−3)/(n+1) per pair);
+    * replica k of an embedding scales a single dimension by 0.9, so
+    * cosine to the original stays ≈ 1. This stresses the PPJoin prefix
+    * math, band-bucket sizes and Hamming verify with MANY REAL
+    * near-duplicates, where the decorrelated blow-up stresses them with
+    * none: the candidate sets are now genuinely quadratic IN EACH
+    * CLIQUE, so the honest output itself is Θ(n·factor) pairs — wall
+    * growth must track the output size, not the corpus product. */
+  def blowUpDense(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      val text =
+        if (k == 0) $"text"
+        else {
+          val ws = split($"text", " ")
+          val idx = pmod(lit(7 * k + 3), greatest(size(ws), lit(1)))
+          array_join(
+            zip_with(ws, sequence(lit(0), size(ws) - 1), (w, i) =>
+              when(i === idx, lit(s"swap~$k")).otherwise(w)), " ")
+        }
+      docs.select(
+        ($"doc_id" + lit(k.toLong * nDocs)).as("doc_id"),
+        text.as("text"), $"lang", $"source",
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      val vec =
+        if (k == 0) $"embedding"
+        else transform($"embedding", (x, i) =>
+          (x * when(i === lit(k % 128), 0.9f).otherwise(1.0f))
+            .cast("float"))
+      emb.select(
+        ($"vec_id" + lit(k.toLong * nVecs)).as("vec_id"),
+        vec.as("embedding"), $"label")
+    }.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
 
   /** Word-salted, sign-flipped `factor`× blow-up of documents+embeddings
     * into `outDir` (same file layout Tables.load expects). Replica 0 is
@@ -156,13 +253,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_MODE=dense switches to the near-dup-dense
+    // blow-up (clique structure) and its own work dir; default stays
+    // the decorrelated volume blow-up
+    val dense = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("dense")
+    val effWork = if (dense) s"$workDir-dense" else workDir
     val dirs: Seq[(Int, String)] = factors.map { f =>
       if (f == 1) f -> srcDir
       else {
-        val d = s"$workDir/x$f"
+        val d = s"$effWork/x$f"
         if (!new java.io.File(s"$d/embeddings.parquet").exists()) {
           System.err.println(s"[scale] building ${f}x blow-up at $d")
-          blowUp(spark, srcDir, d, f)
+          if (dense) blowUpDense(spark, srcDir, d, f)
+          else blowUp(spark, srcDir, d, f)
         }
         f -> d
       }

@@ -924,4 +924,26 @@ object InodeCatalog {
       .when(tKind =!= "file", "ebadf")
       .when(keepSize, "ok_keep")
       .otherwise("ok")
+
+  /** Column twin of [[InodeCatalog.opendir]]'s decision tree, in the
+    * method's exact precedence (filesystem.rs:1466-1508, plus open's
+    * O_ACCMODE decode at :1322-1368): the O_TRUNC-on-read-only EACCES
+    * fires BEFORE the lookup (the method tests flags before getattr),
+    * then ENOENT (`tKind` null = lookup miss), then ENOTDIR on
+    * non-dirs, then open()'s EINVAL (neither read nor write set), then
+    * the flag-derived-mask access check. Shared by the bulk census
+    * q_fs_opendir so the query gates with the SAME text the imperative
+    * engine path uses; FsSemanticsSpec sweeps this column form against
+    * [[InodeCatalog.opendir]] itself over every branch. */
+  def opendirOutcome(read: Column, write: Column, trunc: Column,
+      tKind: Column, uid: Column, gid: Column, mode: Column,
+      reqUid: Column, reqGid: Column): Column = {
+    val mask = when(read, 4).otherwise(0) + when(write, 2).otherwise(0)
+    when(trunc && read && !write, "eacces")
+      .when(tKind.isNull, "enoent")
+      .when(tKind =!= "dir", "enotdir")
+      .when(!read && !write, "einval")
+      .when(checkAccess(uid, gid, mode, reqUid, reqGid, mask), "ok")
+      .otherwise("eacces")
+  }
 }

@@ -557,28 +557,68 @@ object Curation {
     math.max(16L, (nVectors + targetCellRows - 1) / targetCellRows).toInt
 
   /** Deterministic cell assignment shared by [[qSemanticDedup]] and the
-    * bounded-cell spec: centroids are the first `nCentroids` ids (zero-
-    * norm ones dropped — mirrored in the oracle), every non-zero vector
-    * joins its nearest centroid. The assignment ranks on the ROUNDED
-    * cosine (cid tiebreak) so an ulp of engine difference near a
-    * two-centroid tie can't flip which cell a vector lands in. Returns
-    * (vec_id, embedding, vn, cid). */
+    * bounded-cell spec — TWO-LEVEL (coarse→fine) IVF routing, the r10
+    * scale fix. Fine centroids are the first `nCentroids` ids, coarse
+    * centroids the first ⌈√nCentroids⌉ (zero-norm ones dropped —
+    * mirrored in the oracle). Each fine centroid routes to its nearest
+    * coarse centroid; each vector routes to its nearest LIVE coarse
+    * centroid (one whose fine group is non-empty — a tie can leave a
+    * coarse id with no fines) and is then assigned the nearest fine
+    * centroid WITHIN that group.
+    *
+    * Why two-level: the cell count k grows ∝ corpus (the within-cell
+    * pair bound), so a FLAT assignment is n·k = n²/target cosines —
+    * the quadratic term the r9 probe saw emerging (×14 at x100 →
+    * ×656 at x1000 — the pair stage itself is linear at n·target/2).
+    * Routing coarse-then-fine costs n·(√k + k/√k) = 2n√k: at the x1000
+    * corpus that is ~45× less assignment arithmetic, and every stage
+    * stays a broadcast of ≤k centroid rows against a never-shuffled
+    * corpus scan. Every ranking is on the ROUNDED cosine (id tiebreak)
+    * so an ulp of engine difference near a tie can't flip a cell.
+    * Returns (vec_id, embedding, vn, cid). */
   private[graft] def semanticCells(
       emb: org.apache.spark.sql.DataFrame,
       nCentroids: Int): org.apache.spark.sql.DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val centroids = emb
+    val nCoarse = math.ceil(math.sqrt(nCentroids.toDouble)).toInt
+    val fine = emb
       .filter($"vec_id" < nCentroids)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("cv"),
         norm($"embedding").as("cn"))
       .filter($"cn" =!= 0.0)
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"cs", 4).desc, $"cid")
-    emb
+    val coarse = emb
+      .filter($"vec_id" < nCoarse)
+      .select($"vec_id".cast("int").as("ccid"), $"embedding".as("ccv"),
+        norm($"embedding").as("ccn"))
+      .filter($"ccn" =!= 0.0)
+    val wF2c = Window.partitionBy($"cid").orderBy(round($"cs", 4).desc, $"ccid")
+    val f2c = fine
+      .crossJoin(broadcast(coarse))
+      .select($"cid", $"cv", $"cn", $"ccid",
+        (dot($"cv", $"ccv") / ($"cn" * $"ccn")).as("cs"))
+      .withColumn("rk", row_number().over(wF2c))
+      .filter($"rk" === 1)
+      .select($"cid", $"cv", $"cn", $"ccid")
+    // only coarse groups that received ≥1 fine centroid are routable —
+    // otherwise a vector could land in an empty group and vanish
+    val live = coarse.join(f2c.select($"ccid").distinct(), "ccid")
+    val wRoute = Window.partitionBy($"vec_id")
+      .orderBy(round($"cs", 4).desc, $"ccid")
+    val routed = emb
       .select($"vec_id", $"embedding", norm($"embedding").as("vn"))
       .filter($"vn" =!= 0.0)
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(live))
+      .select($"vec_id", $"embedding", $"vn", $"ccid",
+        (dot($"embedding", $"ccv") / ($"vn" * $"ccn")).as("cs"))
+      .withColumn("rk", row_number().over(wRoute))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"vn", $"ccid")
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"cs", 4).desc, $"cid")
+    routed
+      .join(broadcast(f2c.withColumnRenamed("ccid", "fccid")),
+        $"ccid" === $"fccid")
       .select($"vec_id", $"embedding", $"vn", $"cid",
         (dot($"embedding", $"cv") / ($"vn" * $"cn")).as("cs"))
       .withColumn("rk", row_number().over(wAssign))
@@ -592,15 +632,25 @@ object Curation {
     * fixed cell count would make each cell O((N/k)²), a scale-killer),
     * and only WITHIN a cell are pairs compared — cosine above the
     * q_embed_neardup threshold marks the higher id as a duplicate of its
-    * smallest same-cell partner. At 100 TB the cell is the partition
-    * key, so each partition runs its own ~target² pair search while the
-    * corpus-level product never forms. The single driver-side `count()`
-    * that sizes the quantizer is parquet-metadata cheap. */
-  val qSemanticDedup = QueryDef.sql(
-    "q_semantic_dedup",
-    s"""WITH kk AS (
+    * smallest same-cell partner. Assignment is the TWO-LEVEL
+    * coarse→fine route of [[semanticCells]]: with k ∝ n a flat n·k
+    * assignment is the quadratic term (the r9 probe measured it
+    * emerging — ×656 wall over three decades), while coarse-then-fine
+    * costs 2n√k. At 100 TB the cell is the partition key, so each
+    * partition runs its own ~target² pair search while the corpus-level
+    * product never forms. The single driver-side `count()` that sizes
+    * the quantizer is parquet-metadata cheap. */
+  /** The two-level (coarse→fine) assignment as oracle CTEs — the DuckDB
+    * twin of [[semanticCells]], ending in `assigned(vec_id, v, cid)`.
+    * Shared by [[qSemanticDedup]] and [[qKmeansStep]] so the two oracles
+    * cannot drift from each other (they both gate the SAME production
+    * assignment path). */
+  private def twoLevelAssignCtes: String =
+    s"""kk AS (
       |  SELECT greatest(16, CAST(ceil(count(*) / $SemanticCellTarget.0)
-      |                           AS BIGINT)) AS k
+      |                           AS BIGINT)) AS k,
+      |         CAST(ceil(sqrt(greatest(16.0, ceil(count(*) / $SemanticCellTarget.0))))
+      |              AS BIGINT) AS kc
       |  FROM embeddings),
       |c AS (
       |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
@@ -608,21 +658,46 @@ object Curation {
       |  WHERE vec_id < (SELECT k FROM kk)
       |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                x -> x * x)) > 0),
+      |cc AS (
+      |  SELECT CAST(vec_id AS INT) AS ccid, CAST(embedding AS DOUBLE[]) AS ccv
+      |  FROM embeddings
+      |  WHERE vec_id < (SELECT kc FROM kk)
+      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                x -> x * x)) > 0),
+      |f2c AS (
+      |  SELECT cid, cv, ccid FROM (
+      |    SELECT c.cid, c.cv, cc.ccid,
+      |           row_number() OVER (PARTITION BY c.cid
+      |             ORDER BY round(list_cosine_similarity(c.cv, cc.ccv), 4)
+      |                        DESC, cc.ccid) AS rk
+      |    FROM c CROSS JOIN cc) WHERE rk = 1),
+      |live AS (
+      |  SELECT cc.ccid, cc.ccv FROM cc
+      |  WHERE cc.ccid IN (SELECT DISTINCT ccid FROM f2c)),
       |v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings
       |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |                                x -> x * x)) > 0),
-      |scored AS (
-      |  SELECT v.vec_id, v.v, c.cid,
-      |         list_cosine_similarity(v.v, c.cv) AS cs
-      |  FROM v CROSS JOIN c),
+      |routed AS (
+      |  SELECT vec_id, v, ccid FROM (
+      |    SELECT v.vec_id, v.v, live.ccid,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY round(list_cosine_similarity(v.v, live.ccv), 4)
+      |                        DESC, live.ccid) AS rk
+      |    FROM v CROSS JOIN live) WHERE rk = 1),
       |assigned AS (
       |  SELECT vec_id, v, cid FROM (
-      |    SELECT vec_id, v, cid,
-      |           row_number() OVER (PARTITION BY vec_id
-      |                              ORDER BY round(cs, 4) DESC, cid) AS rk
-      |    FROM scored) WHERE rk = 1),
+      |    SELECT r.vec_id, r.v, f2c.cid,
+      |           row_number() OVER (PARTITION BY r.vec_id
+      |             ORDER BY round(list_cosine_similarity(r.v, f2c.cv), 4)
+      |                        DESC, f2c.cid) AS rk
+      |    FROM routed r JOIN f2c ON r.ccid = f2c.ccid) WHERE rk = 1)"""
+      .stripMargin
+
+  val qSemanticDedup = QueryDef.sql(
+    "q_semantic_dedup",
+    s"""WITH $twoLevelAssignCtes,
       |pairs AS (
       |  SELECT a.cid, b.vec_id AS dropped, a.vec_id AS keeper,
       |         list_cosine_similarity(a.v, b.v) AS cs
@@ -735,28 +810,8 @@ object Curation {
     * identical inputs — same ulp-guard as the assignment itself. */
   val qKmeansStep = QueryDef.sql(
     "q_kmeans_step",
-    s"""WITH kk AS (
-      |  SELECT greatest(16, CAST(ceil(count(*) / $SemanticCellTarget.0)
-      |                           AS BIGINT)) AS k
-      |  FROM embeddings),
-      |c0 AS (
-      |  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      |  FROM embeddings
-      |  WHERE vec_id < (SELECT k FROM kk)
-      |    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                                x -> x * x)) > 0),
-      |v AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings
-      |  WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-      |                                x -> x * x)) > 0),
-      |a0 AS (
-      |  SELECT vec_id, v, cid FROM (
-      |    SELECT v.vec_id, v.v, c0.cid,
-      |           row_number() OVER (PARTITION BY v.vec_id
-      |             ORDER BY round(list_cosine_similarity(v.v, c0.cv), 4) DESC,
-      |                      c0.cid) AS rk
-      |    FROM v CROSS JOIN c0) WHERE rk = 1),
+    s"""WITH $twoLevelAssignCtes,
+      |a0 AS (SELECT vec_id, v, cid FROM assigned),
       |comp AS (
       |  SELECT cid, u.dim AS dim, round(avg(u.x), 4) AS m FROM (
       |    SELECT cid, unnest([{'dim': i, 'x': v[i]}

@@ -331,29 +331,15 @@ object Dedup {
     // ROUND MATERIALIZATION = ONE JOB (the r10 round-overhead dial,
     // SCALE.md): each round's state carries its pre-update label as
     // `old`, and the change count rides the checkpoint job itself via
-    // `Dataset.observe` — CollectMetricsExec accumulates
-    // count(label ≠ old) on the executors WHILE the eager
-    // localCheckpoint materializes the rows, so the driver reads the
-    // count from the completed job's observed metrics instead of
-    // launching a second scan. The r9 shape paid two driver round-trips
-    // per step (checkpoint-materialize, then count); at x1000 the
-    // ~120-small-job wall was round overhead, not work. Still the
-    // stats-dropping checkpoint every step: the plan stays a flat
-    // LogicalRDD leaf (a persist-based variant was tried and rejected —
-    // logical lineage through a round that references `labels` three
-    // times grows the analyzed TREE 3^rounds, OOMing the driver before
-    // any stats math starts).
-    var step = 0
-    def matObserve(z: org.apache.spark.sql.DataFrame,
-        metric: org.apache.spark.sql.Column, dropCols: String*)
-        : (org.apache.spark.sql.DataFrame, Long) = {
-      step += 1
-      val name = s"cc_m_$step"
-      val obs = z.observe(name, metric.as("n"))
-      val c = ckpt(obs) // eager: this one job materializes AND counts
-      val n = obs.queryExecution.observedMetrics(name).getLong(0)
-      (c.drop(dropCols: _*), n)
-    }
+    // Iterate.matObserve (observe + eager stats-dropping checkpoint).
+    // The r9 shape paid two driver round-trips per step
+    // (checkpoint-materialize, then count); at x1000 the ~120-small-job
+    // wall was round overhead, not work. Still a CHECKPOINT every step:
+    // the plan stays a flat LogicalRDD leaf (a persist-based variant was
+    // tried and rejected — logical lineage through a round that
+    // references `labels` three times grows the analyzed TREE 3^rounds,
+    // OOMing the driver before any stats math starts).
+    import Iterate.matObserve
     var changed = 1L
     var iter = 0
     val maxIter = 64

@@ -1106,9 +1106,125 @@ object FsQueries {
       .orderBy($"dir_name", $"outcome")
   }
 
+  /** opendir/releasedir as a BULK census (r10) — the LAST spec-only
+    * catalog op pair given an oracle twin (filesystem.rs:1466-1558),
+    * completing the census program begun with q_fs_rename. Every inode
+    * (dirs AND files — files must land ENOTDIR) mounts (ino%3 + 1)
+    * attempts with accmode (ino+j)%4 (3 = O_ACCMODE garbage → einval),
+    * O_TRUNC on every 5th (ino+j) — which on a read-only opendir is
+    * EACCES decided BEFORE the lookup, exactly the method's flags-first
+    * order, so it wins even on the ghost rows — and the decorrelated
+    * requester matrix ((ino+2j+1)%4, (ino+j)%2) from the handle-census
+    * lesson; one extra GHOST attempt per inode targets ino+10⁶ and
+    * lands 'enoent' through the same real left-join lookup the
+    * fallocate census proved. releasedir accounting mirrors
+    * q_fs_handle_census ((ino+1)%3-capped releases; the remainder stays
+    * open — releasedir is [[graft.meta.InodeCatalog.releasedir]] =
+    * release, the persisted decrement). The Spark side decides with
+    * [[graft.meta.InodeCatalog.opendirOutcome]] (the REAL checkAccess
+    * inside) while the oracle re-derives the mask math longhand, so the
+    * two texts cannot share a bug.
+    * Scale: one explode of ≤5 attempt rows per inode, ONE corpus-sized
+    * exchange (the t_ino lookup join), one groupBy(ino) aggregate. */
+  val qFsOpendir = QueryDef.sql(
+    "q_fs_opendir",
+    s"""WITH ino AS $duckInodes,
+       |att AS (
+       |  SELECT i.ino, s.j,
+       |         CASE WHEN s.j = i.ino % 3 + 1
+       |              THEN i.ino + 1000000 ELSE i.ino END AS t_ino,
+       |         CAST((i.ino + s.j) % 4 AS INT) AS acc,
+       |         ((i.ino + s.j) % 5 = 0) AS trunc,
+       |         CAST((i.ino + 2 * s.j + 1) % 4 AS INT) AS req_uid,
+       |         CAST((i.ino + s.j) % 2 AS INT) AS req_gid
+       |  FROM ino i,
+       |       unnest(generate_series(0, CAST(i.ino % 3 + 1 AS BIGINT)))
+       |         AS s(j)),
+       |look AS (
+       |  SELECT a.ino, a.acc, a.trunc, a.req_uid, a.req_gid,
+       |         t.kind AS t_kind, t.uid AS t_uid, t.gid AS t_gid,
+       |         t.mode AS t_mode
+       |  FROM att a LEFT JOIN ino t ON t.ino = a.t_ino),
+       |o AS (
+       |  SELECT ino,
+       |    CASE
+       |      WHEN trunc AND acc = 0 THEN 'eacces'
+       |      WHEN t_kind IS NULL THEN 'enoent'
+       |      WHEN t_kind <> 'dir' THEN 'enotdir'
+       |      WHEN acc = 3 THEN 'einval'
+       |      WHEN req_uid = 0 THEN 'ok'
+       |      WHEN ((CASE WHEN acc = 0 THEN 4 WHEN acc = 1 THEN 2 ELSE 6 END) &
+       |            (CASE WHEN t_uid = req_uid THEN t_mode // 64
+       |                  WHEN t_gid = req_gid THEN t_mode // 8
+       |                  ELSE t_mode END) & 7) =
+       |           (CASE WHEN acc = 0 THEN 4 WHEN acc = 1 THEN 2 ELSE 6 END)
+       |        THEN 'ok'
+       |      ELSE 'eacces' END AS outcome
+       |  FROM look),
+       |g AS (
+       |  SELECT ino, count(*) AS n_att,
+       |         CAST(sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_ok,
+       |         CAST(sum(CASE WHEN outcome = 'enoent' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_enoent,
+       |         CAST(sum(CASE WHEN outcome = 'enotdir' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_enotdir,
+       |         CAST(sum(CASE WHEN outcome = 'einval' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_einval,
+       |         CAST(sum(CASE WHEN outcome = 'eacces' THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_eacces
+       |  FROM o GROUP BY ino)
+       |SELECT ino, CAST(n_att AS BIGINT) AS n_att, n_ok, n_enoent,
+       |       n_enotdir, n_einval, n_eacces,
+       |       CAST(least(n_ok, (ino + 1) % 3) AS BIGINT) AS n_rel,
+       |       CAST(n_ok - least(n_ok, (ino + 1) % 3) AS BIGINT)
+       |         AS open_dir_handles
+       |FROM g ORDER BY ino""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    import graft.meta.InodeCatalog
+    val all = inodes(s, d)
+    val att = all
+      .select($"ino", explode(sequence(lit(0L), $"ino" % 3 + 1)).as("j"))
+      .select($"ino",
+        when($"j" === $"ino" % 3 + 1, $"ino" + 1000000L)
+          .otherwise($"ino").as("t_ino"),
+        (($"ino" + $"j") % 4).cast("int").as("acc"),
+        (($"ino" + $"j") % 5 === 0).as("trunc"),
+        (($"ino" + lit(2) * $"j" + 1) % 4).cast("int").as("req_uid"),
+        (($"ino" + $"j") % 2).cast("int").as("req_gid"))
+    val look = att.join(
+      all.select($"ino".as("l_ino"), $"kind".as("t_kind"),
+        $"uid".as("t_uid"), $"gid".as("t_gid"), $"mode".as("t_mode")),
+      $"t_ino" === $"l_ino", "left")
+    val read = $"acc" === 0 || $"acc" === 2
+    val write = $"acc" === 1 || $"acc" === 2
+    val outcome = InodeCatalog.opendirOutcome(read, write, $"trunc",
+      $"t_kind", $"t_uid", $"t_gid", $"t_mode", $"req_uid", $"req_gid")
+    val g = look
+      .select($"ino", outcome.as("outcome"))
+      .groupBy($"ino")
+      .agg(count(lit(1)).as("n_att"),
+        sum(when($"outcome" === "ok", 1).otherwise(0))
+          .cast("long").as("n_ok"),
+        sum(when($"outcome" === "enoent", 1).otherwise(0))
+          .cast("long").as("n_enoent"),
+        sum(when($"outcome" === "enotdir", 1).otherwise(0))
+          .cast("long").as("n_enotdir"),
+        sum(when($"outcome" === "einval", 1).otherwise(0))
+          .cast("long").as("n_einval"),
+        sum(when($"outcome" === "eacces", 1).otherwise(0))
+          .cast("long").as("n_eacces"))
+    val nRel = least($"n_ok", ($"ino" + 1) % 3).cast("long")
+    g.select($"ino", $"n_att", $"n_ok", $"n_enoent", $"n_enotdir",
+        $"n_einval", $"n_eacces", nRel.as("n_rel"),
+        ($"n_ok" - nRel).cast("long").as("open_dir_handles"))
+      .orderBy($"ino")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qFsLookup, qFsReaddirPage, qFsDu, qFsAccess, qKvLayout,
       qFsModeDecode, qFsXattrAccess, qFsSymlinkResolve, qFsCopyRange,
       qFsStatfs, qFsSetattr, qFsRename, qFsHandleCensus, qFsRmdirMknod,
-      qFsFallocate)
+      qFsFallocate, qFsOpendir)
 }

@@ -734,6 +734,161 @@ object GraphOps {
       .orderBy($"nation")
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // PRODUCTION-DIAL convergence variants (r10). The three registry
+  // queries above unroll a FIXED round count (BfsRounds=8, LpaRounds=5,
+  // KCoreRounds=6) so a DuckDB oracle can unroll the same rounds — safe
+  // on the ≤25-node strong-trade graph whose diameter those constants
+  // cover with margin, but a TRUNCATION on any graph deeper than the
+  // constant: an 600-hop path leaves BFS distances at the unreached
+  // sentinel, k-core peeling stops mid-peel, LPA freezes mid-flood.
+  // These variants run the IDENTICAL per-round dataflow to its own
+  // fixpoint, with the change count fused into each round's
+  // materialization job (Iterate.matObserve — one driver round-trip per
+  // round). They are the code path a production run uses when the graph
+  // shape is not known in advance; GraphOpsSpec pins fixed-round
+  // truncation vs converged exactness on a 600-hop path, and ScaleProbe
+  // carries @conv adapters that measure them on structure-varying
+  // blow-ups (SCALE.md).
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Distance sentinel for unreached nodes in [[bfsDistancesConverged]]
+    * (the registry query's 99 only covers a ≤25-node graph). */
+  val BfsUnreached = 999999999L
+
+  /** Single-source BFS (min-plus relaxation, unit weights) from the
+    * minimum node id, iterated until NO distance changes — rounds =
+    * graph diameter, the true complexity of frontier BFS (no log-round
+    * shortcut exists for single-source hop distance without an O(n²)
+    * pair relation; high diameter costs rounds in every Pregel-family
+    * system). `sym` must hold both directions of every edge. The edge
+    * list is shuffled once onto the relaxation key and cached
+    * (InMemoryRelation keeps its partitioning), so each round exchanges
+    * only the O(nodes) distance vector plus the aggregated relaxation.
+    * Returns (node, dist) with [[BfsUnreached]] for unreached nodes. */
+  private[graft] def bfsDistancesConverged(symIn: DataFrame): DataFrame = {
+    val s = symIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.DatasetBridge.{
+      localCheckpointFreshStats => ckpt}
+    val sym = symIn
+      .repartition(s.sessionState.conf.numShufflePartitions, $"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = sym.agg(min($"src")).head.getLong(0)
+    var dist = ckpt(
+      sym.select($"src".as("node")).distinct()
+        .select($"node",
+          when($"node" === seed, 0L).otherwise(BfsUnreached).as("dist")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      // distances only DECREASE, each changing round lowers ≥1 node, and
+      // values are bounded below by 0 — termination needs no round cap
+      val relax = sym
+        .join(dist.withColumnRenamed("node", "dn"), $"dn" === $"src")
+        .filter($"dist" < BfsUnreached)
+        .groupBy($"dst".as("rnode"))
+        .agg(min($"dist" + 1).as("relax"))
+      val (nd, n) = Iterate.matObserve(
+        dist
+          .join(relax, $"rnode" === $"node", "left")
+          .select($"node",
+            least($"dist", coalesce($"relax", lit(Long.MaxValue)))
+              .as("dist"),
+            $"dist".as("old")),
+        count(when($"dist" =!= $"old", lit(1))),
+        "old")
+      dist = nd
+      changed = n
+      rounds += 1
+    }
+    sym.unpersist(false)
+    dist
+  }
+
+  /** k-core peeling iterated to the fixpoint (surviving set stops
+    * shrinking). Peeling is monotone, so an unchanged COUNT means an
+    * unchanged SET and the observed row count doubles as the change
+    * test — one job per peel round. Worst case is Θ(n) rounds (a path
+    * peels two ends per round — the adversarial shape GraphOpsSpec and
+    * the @conv probe use); real graphs converge in a handful. Returns
+    * the surviving (node) set. */
+  private[graft] def kcoreConverged(symIn: DataFrame, k: Int): DataFrame = {
+    val s = symIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.DatasetBridge.{
+      localCheckpointFreshStats => ckpt}
+    val sym = symIn
+      .repartition(s.sessionState.conf.numShufflePartitions, $"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var surv = ckpt(sym.select($"src".as("node")).distinct())
+    var prev = surv.count()
+    var changed = 1L
+    while (changed > 0 && prev > 0) {
+      val (nx, cnt) = Iterate.matObserve(
+        sym
+          .join(surv.select($"node".as("na")), $"na" === $"src")
+          .join(surv.select($"node".as("nb")), $"nb" === $"dst")
+          .groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k)
+          .select($"node"),
+        count(lit(1)))
+      surv = nx
+      changed = prev - cnt
+      prev = cnt
+    }
+    sym.unpersist(false)
+    surv
+  }
+
+  /** Synchronous LPA run until labels stabilize OR `maxRounds`.
+    * Synchronous label propagation can 2-CYCLE (bipartite-ish regions
+    * flip labels forever — Raghavan et al. 2007 §3 note the oscillation;
+    * their remedy is asynchronous update order, which is
+    * nondeterministic and so unusable under an oracle), so unlike
+    * BFS/k-core this loop is CAPPED, returns the round-`maxRounds`
+    * labelling when it doesn't settle, and reports convergence honestly
+    * via the second return value instead of a guard that would refuse a
+    * legitimate oscillation. Returns ((node, lab), converged). */
+  private[graft] def lpaStable(symIn: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Boolean) = {
+    val s = symIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.DatasetBridge.{
+      localCheckpointFreshStats => ckpt}
+    val sym = symIn
+      .repartition(s.sessionState.conf.numShufflePartitions, $"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = ckpt(
+      sym.select($"src".as("node")).distinct().select($"node", $"node".as("lab")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bnode").orderBy($"c".desc, $"nlab")
+      val best = sym
+        .join(lab.withColumnRenamed("node", "ln"), $"ln" === $"src")
+        .groupBy($"dst".as("bnode"), $"lab".as("nlab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter($"rn" === 1)
+        .select($"bnode", $"nlab".as("best"))
+      val (nl, n) = Iterate.matObserve(
+        lab
+          .join(best, $"bnode" === $"node", "left")
+          .select($"node", coalesce($"best", $"lab").as("lab"),
+            $"lab".as("old")),
+        count(when($"lab" =!= $"old", lit(1))),
+        "old")
+      lab = nl
+      changed = n
+      rounds += 1
+    }
+    sym.unpersist(false)
+    (lab, changed == 0L)
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs,
       qLpaCommunities, qAssortativity, qKcore)

@@ -174,17 +174,19 @@ object Similarity {
     * it collides in ANY table — the standard recall/cost dial (more
     * tables → higher recall, more candidates). */
   private[graft] def lshBuckets(v: org.apache.spark.sql.Column, nTables: Int,
-      bitsPerTable: Int, dim: Int): org.apache.spark.sql.Column = {
-    val hp = hyperplanes(nTables * bitsPerTable, dim)
-    array((0 until nTables).map { t =>
-      (0 until bitsPerTable)
-        .map { j =>
-          val h = array(hp(t * bitsPerTable + j).map(lit): _*)
-          when(dot(v, h) > 0.0, lit(1L << j)).otherwise(lit(0L))
-        }
-        .reduce(_ + _)
-    }: _*)
-  }
+      bitsPerTable: Int, dim: Int): org.apache.spark.sql.Column =
+    // ONE native expression for all nTables·bits planes. The previous
+    // composed form (array of per-bit when(dot > 0) trees) unrolled
+    // every plane into the codegen method: harmless at the registry's
+    // 4×4 dial, but at the probe's production dial (12×16 = 192 planes)
+    // the generated method blew HotSpot's huge-method JIT limit and the
+    // bucketing scan ran as interpreted bytecode — 370+ s of CPU per
+    // task at the x1000 corpus (see HyperplaneBuckets' scaladoc). Same
+    // doubles, same index-order accumulation, same sign test — every
+    // bucket id is bit-identical, which SimilaritySpec pins against a
+    // plain-Scala third engine.
+    graft.plans.VectorExpressions.hyperplaneBuckets(
+      v, hyperplanes(nTables * bitsPerTable, dim), nTables, bitsPerTable, dim)
 
   /** The hyperplane constants as a DuckDB `VALUES` CTE body —
     * `(tbl, bit, [h1, ..., hdim])` rows. `Double.toString` emits enough

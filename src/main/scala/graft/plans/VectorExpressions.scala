@@ -275,11 +275,120 @@ case class PqAdcSum(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH hyperplane buckets of a vector in ONE native expression:
+  * returns ARRAY<LONG> of `nTables` bucket ids, bit j of table t set iff
+  * dot(v, plane[t·B+j]) > 0, accumulated in double precision, index
+  * order — bit-identical to chaining [[FloatVectorDot]] per plane (IEEE
+  * multiplication is commutative and the add order is unchanged), so
+  * swapping it in changes no query result.
+  *
+  * Why it exists (r10): the composed form — `array(...)` over
+  * nTables·bits `when(dot > 0, 1<<j)` trees — UNROLLS every plane into
+  * the whole-stage-codegen method body. At the registry's 4×4 that is
+  * 16 inline loops (fine); at the probe's production dial (12 tables ×
+  * 16 bits = 192 planes) the generated doConsume exceeds HotSpot's
+  * huge-method JIT limit and the stage silently executes as INTERPRETED
+  * BYTECODE — the r10 x1000 probe measured the bucketing scan burning
+  * 370+ s of CPU per task, turning the whole embed-dedup family
+  * round-overhead analysis on its head. Here the planes live in one
+  * flat double[] reference and the generated code is three short
+  * runtime-bounded loops — constant bytecode size at ANY dial, always
+  * JIT-compiled. */
+case class HyperplaneBuckets(child: Expression, planes: IndexedSeq[Double],
+    nTables: Int, bitsPerTable: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects ARRAY<FLOAT|DOUBLE> input, got $other")
+    }
+
+  @transient private lazy val flat: Array[Double] = planes.toArray
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val fl = isFloat
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val base = (t * bitsPerTable + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+          s += xv * flat(base + i)
+          i += 1
+        }
+        if (s > 0.0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("planes", flat, "double[]")
+      val (n, t, j, i) = (ctx.freshName("n"), ctx.freshName("t"),
+        ctx.freshName("j"), ctx.freshName("i"))
+      val (out, bucket, base, s) = (ctx.freshName("out"),
+        ctx.freshName("bucket"), ctx.freshName("base"), ctx.freshName("s"))
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |    int $base = ($t * $bitsPerTable + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += ($get) * $p[$base + $i];
+         |    }
+         |    if ($s > 0.0) $bucket |= 1L << $j;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBuckets = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FloatVectorDot]]. */
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for [[HyperplaneBuckets]]: `planes` is the
+    * (nTables·bitsPerTable) × dim hyperplane matrix. */
+  def hyperplaneBuckets(v: Column, planes: Array[Array[Double]],
+      nTables: Int, bitsPerTable: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(v),
+      planes.flatten.toIndexedSeq, nTables, bitsPerTable, dim))
 
   /** Column wrapper for [[Int8Quantize]]. */
   def int8Quantize(v: Column, scale: Column): Column =

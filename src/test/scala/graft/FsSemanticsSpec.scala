@@ -240,4 +240,54 @@ class FsSemanticsSpec extends SparkSpec {
     val within = catalog.fallocate(fIno, 10L, 20L).toOption.get
     assert(within.getattr(fIno).get.getAs[Long]("size") === 100L)
   }
+
+  test("opendirOutcome column twin agrees with the imperative opendir on every branch") {
+    // grid crosses targets (dir / file / missing), all four O_ACCMODE
+    // decodes (incl. the neither-bit EINVAL), O_TRUNC, and root vs
+    // unprivileged requesters — so the flags-BEFORE-lookup EACCES, the
+    // ENOENT/ENOTDIR ordering and the mask check all fire both ways
+    val cat0 = InodeCatalog.empty(spark).mkdir(1L, "d")
+    val dIno = cat0.lookup(1L, "d").get.getAs[Long]("ino")
+    val withFile = cat0.create(dIno, "a.txt", "file")
+    val fIno = withFile.lookup(dIno, "a.txt").get.getAs[Long]("ino")
+    val missing = 999999L
+    def attrsOf(i: Long) = withFile.getattr(i).map { r =>
+      (r.getAs[String]("kind"), r.getAs[Int]("uid"),
+        r.getAs[Int]("gid"), r.getAs[Int]("mode"))
+    }
+    val grid = for {
+      target <- Seq(dIno, fIno, missing)
+      rw <- Seq((true, false), (false, true), (true, true), (false, false))
+      trunc <- Seq(false, true)
+      req <- Seq((0, 0), (3, 1))
+    } yield (target, rw._1, rw._2, trunc, req._1, req._2)
+    val rows = grid.map { case (t, r, w, tr, ru, rg) =>
+      val (kind, u, g, m) = attrsOf(t).getOrElse((null, 0, 0, 0))
+      (t, r, w, tr, ru, rg, kind, u, g, m)
+    }
+    val colOut = rows
+      .toDF("target", "read", "write", "trunc", "ru", "rg",
+        "t_kind", "t_uid", "t_gid", "t_mode")
+      .select($"target", $"read", $"write", $"trunc", $"ru", $"rg",
+        InodeCatalog.opendirOutcome($"read", $"write", $"trunc",
+          $"t_kind", $"t_uid", $"t_gid", $"t_mode", $"ru", $"rg")
+          .as("out"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getInt(4), r.getInt(5)) -> r.getString(6))
+      .toMap
+    grid.foreach { case (t, r, w, tr, ru, rg) =>
+      val expected =
+        withFile.opendir(t, r, w, truncate = tr, reqUid = ru, reqGid = rg) match {
+          case Left(e) if e.startsWith("EACCES") => "eacces"
+          case Left(e) if e.startsWith("ENOENT") => "enoent"
+          case Left(e) if e.startsWith("ENOTDIR") => "enotdir"
+          case Left(e) if e.startsWith("EINVAL") => "einval"
+          case Left(e) => fail(s"unexpected errno $e")
+          case Right(_) => "ok"
+        }
+      assert(colOut((t, r, w, tr, ru, rg)) === expected,
+        s"target=$t read=$r write=$w trunc=$tr req=($ru,$rg)")
+    }
+  }
 }

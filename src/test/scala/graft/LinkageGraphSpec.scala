@@ -295,6 +295,62 @@ class LinkageGraphSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 0.001, s"ranks must sum to 1: $sum")
     assert(rows.forall(_._2 > 0.0))
   }
+
+  // ── convergence-dial variants (r10): exactly the shapes the fixed
+  // round counts (BfsRounds=8 / KCoreRounds=6 / LpaRounds=5) TRUNCATE on
+
+  private def symOf(und: Seq[(Long, Long)]) = {
+    val u = und.toDF("src", "dst")
+    u.unionAll(u.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("bfsDistancesConverged: exact hop counts on a 40-hop path (8 fixed rounds reach only 8)") {
+    val sym = symOf((0L until 40L).map(i => (i, i + 1)))
+    val got = GraphOps.bfsDistancesConverged(sym)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 41)
+    (0L to 40L).foreach(i => assert(got(i) === i,
+      s"node $i must sit at hop $i"))
+  }
+
+  test("bfsDistancesConverged: disconnected component keeps the unreached sentinel") {
+    val sym = symOf(Seq((0L, 1L), (1L, 2L), (10L, 11L)))
+    val got = GraphOps.bfsDistancesConverged(sym)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 0L && got(1L) === 1L && got(2L) === 2L)
+    assert(got(10L) === GraphOps.BfsUnreached)
+    assert(got(11L) === GraphOps.BfsUnreached)
+  }
+
+  test("kcoreConverged: a 30-node path peels to the EMPTY 2-core (15 rounds > the 6 fixed)") {
+    // peeling strips exactly the two endpoints per round — the Θ(n)
+    // adversarial shape; the fixed-6-round registry form would stop
+    // mid-peel and wrongly keep the interior
+    val sym = symOf((0L until 29L).map(i => (i, i + 1)))
+    assert(GraphOps.kcoreConverged(sym, 2).count() === 0L)
+  }
+
+  test("kcoreConverged: triangle with a pendant tail keeps only the triangle") {
+    val sym = symOf(Seq((0L, 1L), (1L, 2L), (0L, 2L), // triangle
+      (2L, 3L), (3L, 4L), (4L, 5L))) // tail
+    val got = GraphOps.kcoreConverged(sym, 2).as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("lpaStable: two bridged cliques settle into two communities; a lone edge oscillates honestly") {
+    val cliqueA = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val cliqueB = for { a <- 10L until 15L; b <- (a + 1) until 15L } yield (a, b)
+    val (lab, conv) = GraphOps.lpaStable(
+      symOf(cliqueA ++ cliqueB ++ Seq((4L, 10L))))
+    assert(conv, "bridged cliques must stabilize")
+    val m = lab.as[(Long, Long)].collect().toMap
+    assert((0L until 5L).map(m).toSet.size === 1, "clique A one label")
+    assert((10L until 15L).map(m).toSet.size === 1, "clique B one label")
+    // synchronous LPA on a single edge swaps labels forever — the cap
+    // must report non-convergence instead of refusing or spinning
+    val (_, conv2) = GraphOps.lpaStable(symOf(Seq((0L, 1L))), maxRounds = 6)
+    assert(!conv2, "a lone edge 2-cycles under synchronous update")
+  }
 }
 
 /** Typed reader for the ewma spec (type, value, forecast). */

@@ -345,4 +345,41 @@ class SimilaritySpec extends SparkSpec {
       assert(g(a) === g(b), s"pair ($a,$b) split across groups")
     }
   }
+
+  test("HyperplaneBuckets: bit-identical to a plain-Scala plane loop at both dials") {
+    // the r10 native expression (one flat-matrix loop) vs a third-engine
+    // reimplementation of the OLD composed semantics (per-plane double
+    // dot, index order, strict > 0 sign test). Both the registry dial
+    // (4×4) and the production dial the x1000 probe runs (12×16) — the
+    // latter is exactly where the composed form left JIT'd codegen.
+    // codegen.fallback=false so a Janino failure in the new doGenCode
+    // would throw here instead of silently passing interpreted.
+    val was = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val vecs = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect()
+      for ((nt, b) <- Seq((4, 4), (12, 16))) {
+        val hp = Similarity.hyperplanes(nt * b, 64)
+        val got = Tables.embeddings(spark, sf)
+          .select($"vec_id",
+            Similarity.lshBuckets($"embedding", nt, b, 64).as("bk"))
+          .as[(Long, Seq[Long])].collect().toMap
+        vecs.foreach { case (id, v) =>
+          val exp = (0 until nt).map { t =>
+            (0 until b).foldLeft(0L) { (acc, j) =>
+              val plane = hp(t * b + j)
+              val n = math.min(v.length, 64)
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += v(i).toDouble * plane(i); i += 1 }
+              if (s > 0.0) acc | (1L << j) else acc
+            }
+          }
+          assert(got(id) === exp, s"vec $id dial ${nt}x$b")
+        }
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", was)
+  }
 }
