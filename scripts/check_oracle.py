@@ -18,6 +18,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -39,6 +40,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             pass
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def signed_zero_diff(a: pd.DataFrame, b: pd.DataFrame):
+    """Return locations where values are equal but sign bits differ (±0.0).
+
+    Covers plain float columns and float values nested in tuples (arrays
+    canonicalized by `canon`). Rows are already aligned by the sort.
+    """
+    def sbit(v):
+        if isinstance(v, tuple):
+            return tuple(sbit(x) for x in v)
+        if isinstance(v, (float, np.floating)) and not np.isnan(v):
+            return bool(np.signbit(v))
+        return None
+
+    diffs = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") and str(bv.dtype).startswith("float"):
+            mask = np.signbit(av.to_numpy()) != np.signbit(bv.to_numpy())
+            mask &= ~(av.isna().to_numpy() | bv.isna().to_numpy())
+            if mask.any():
+                i = int(np.argmax(mask))
+                diffs.append(f"col {c} row {i}: spark={av.iloc[i]!r} duck={bv.iloc[i]!r} (+{int(mask.sum())-1} more)")
+        elif av.dtype == object:
+            for i, (x, y) in enumerate(zip(av, bv)):
+                if sbit(x) != sbit(y):
+                    diffs.append(f"col {c} row {i}: spark={x!r} duck={y!r}")
+                    break
+    return "; ".join(diffs)
 
 
 def main():
@@ -78,7 +109,15 @@ def main():
             print(f"DTYPE-WARN {name}: {dt}")
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            ok.append(name)
+            # pandas treats -0.0 == 0.0, but the driver hashes the printed
+            # value, where they differ (the class that made q_heaps_law red
+            # in r10: DuckDB's round() preserved a nondeterministic -0.0 on a
+            # ~±1e-15 slope; Spark emitted +0.0). Compare sign bits too.
+            sz = signed_zero_diff(a, b)
+            if sz:
+                bad.append((name, f"signed-zero (−0.0 vs 0.0, driver hash would differ): {sz}"))
+            else:
+                ok.append(name)
         except AssertionError as e:
             msg = str(e).split("\n")
             neq = a.compare(b) if a.shape == b.shape else None

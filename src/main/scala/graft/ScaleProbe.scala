@@ -156,11 +156,17 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nVecs = emb.agg(max($"vec_id")).head.getLong(0) + 1
+    // modulus = the actual embedding dimension (64): with a larger
+    // modulus every replica whose k % modulus lands past the last
+    // index would perturb NO element — a byte-identical exact dup
+    // instead of the documented single-dimension near-dup, silently
+    // changing what the dense probe stresses at high factors
+    val dim = emb.select(size($"embedding")).head.getInt(0)
     (0 until factor).map { k =>
       val vec =
         if (k == 0) $"embedding"
         else transform($"embedding", (x, i) =>
-          (x * when(i === lit(k % 128), 0.9f).otherwise(1.0f))
+          (x * when(i === lit(k % dim), 0.9f).otherwise(1.0f))
             .cast("float"))
       emb.select(
         ($"vec_id" + lit(k.toLong * nVecs)).as("vec_id"),
@@ -331,7 +337,11 @@ object ScaleProbe {
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[scale] $q@${f}x failed: $msg")
           quiesce(fut)
-          Err(dt, msg.replaceAll("[\"\\\\\\n\\r]", " ").take(160))
+          // strip EVERY control char (< 0x20), not just CR/LF — Spark
+          // stage-failure messages carry tabs, which would make the
+          // hand-assembled JSON artifact unparseable
+          Err(dt, msg.map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c)
+            .take(160))
       }
     }
 

@@ -385,7 +385,11 @@ final case class InodeCatalog(df: DataFrame) {
     * with the reference's O_TRUNC-on-read-only EACCES, plus an
     * ENOTDIR guard (the kernel enforces it for the reference; a
     * library caller gets the explicit error). Flags mirror open's
-    * (read, write) decode of O_ACCMODE. */
+    * (read, write) decode of O_ACCMODE. Error ORDER deviates from the
+    * reference where the reference has no ordering at all: it decides
+    * bad-accmode EINVAL in the flags match before `get_inode`, while
+    * this catalog looks up first (ENOENT/ENOTDIR before EINVAL) — see
+    * [[opendirOutcome]] for the rationale. */
   def opendir(ino: Long, read: Boolean, write: Boolean,
       truncate: Boolean = false, reqUid: Int = 0,
       reqGid: Int = 0): Either[String, (Long, InodeCatalog)] = {
@@ -926,14 +930,25 @@ object InodeCatalog {
       .otherwise("ok")
 
   /** Column twin of [[InodeCatalog.opendir]]'s decision tree, in the
-    * method's exact precedence (filesystem.rs:1466-1508, plus open's
-    * O_ACCMODE decode at :1322-1368): the O_TRUNC-on-read-only EACCES
-    * fires BEFORE the lookup (the method tests flags before getattr),
-    * then ENOENT (`tKind` null = lookup miss), then ENOTDIR on
-    * non-dirs, then open()'s EINVAL (neither read nor write set), then
-    * the flag-derived-mask access check. Shared by the bulk census
-    * q_fs_opendir so the query gates with the SAME text the imperative
-    * engine path uses; FsSemanticsSpec sweeps this column form against
+    * method's exact precedence: the O_TRUNC-on-read-only EACCES fires
+    * BEFORE the lookup (as the reference's flags match does,
+    * filesystem.rs:1466-1508 with open's O_ACCMODE decode at
+    * :1322-1368), then ENOENT (`tKind` null = lookup miss), then
+    * ENOTDIR on non-dirs, then the bad-accmode EINVAL, then the
+    * flag-derived-mask access check.
+    *
+    * DOCUMENTED DEVIATION from the reference (this catalog's own
+    * contract, not reference parity): the reference decides the
+    * bad-O_ACCMODE EINVAL inside the flags match BEFORE `get_inode`
+    * and has no ENOTDIR branch at all (the kernel guarantees opendir
+    * targets a directory), so a MISSING inode opened with garbage
+    * accmode is EINVAL upstream but 'enoent' here. This catalog orders
+    * existence/kind before flag validity because its bulk census rows
+    * synthesize ghost inodes and non-dir targets that a kernel would
+    * never hand to opendir — lookup-first gives those rows a
+    * well-defined outcome. Shared by the bulk census q_fs_opendir so
+    * the query gates with the SAME text the imperative engine path
+    * uses; FsSemanticsSpec sweeps this column form against
     * [[InodeCatalog.opendir]] itself over every branch. */
   def opendirOutcome(read: Column, write: Column, trunc: Column,
       tKind: Column, uid: Column, gid: Column, mode: Column,

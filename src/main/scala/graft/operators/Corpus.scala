@@ -783,7 +783,7 @@ object Corpus {
       |  CROSS JOIN tot),
       |kl AS (
       |  SELECT source, any_value(ns) AS n_tokens,
-      |         round(sum(q * ln(q / p)), 4) AS excess
+      |         round(sum(q * ln(q / p)), 4) + 0.0 AS excess
       |  FROM terms GROUP BY source),
       |shared AS (
       |  SELECT source, n_tokens, excess,

@@ -531,7 +531,7 @@ object CorpusOps {
       .agg(
         first(col("ns")).as("n_tokens"),
         count(col("c")).as("n_buckets"),
-        round(sum(col("q") * log(col("q") / col("p"))), 4)
+        (round(sum(col("q") * log(col("q") / col("p"))), 4) + 0.0)
           .as("kl_to_corpus"))
   }
 
@@ -576,10 +576,10 @@ object CorpusOps {
       .join(right, Seq(b))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(round(
+      .agg((round(
         (sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))) +
           sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))))
-          * 0.5, 4).as("jsd"))
+          * 0.5, 4) + 0.0).as("jsd"))
       .select(col("src_a"), col("src_b"), col("jsd"),
         round(col("jsd") / math.log(2.0), 4).as("jsd_bits"))
   }

@@ -1013,7 +1013,7 @@ object Curation {
       |  CROSS JOIN tot)
       |SELECT source, CAST(any_value(ns) AS BIGINT) AS n_tokens,
       |       CAST(count(c) AS BIGINT) AS n_buckets,
-      |       round(sum(q * ln(q / p)), 4) AS kl_to_corpus
+      |       round(sum(q * ln(q / p)), 4) + 0.0 AS kl_to_corpus
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -1057,7 +1057,7 @@ object Curation {
       |  SELECT a.source AS src_a, b.source AS src_b,
       |         round((sum(a.p * ln(2.0 * a.p / (a.p + b.p)))
       |                + sum(b.p * ln(2.0 * b.p / (a.p + b.p)))) * 0.5, 4)
-      |           AS jsd
+      |           + 0.0 AS jsd
       |  FROM dom a JOIN dom b ON a.b = b.b AND a.source < b.source
       |  GROUP BY 1, 2)
       |SELECT src_a, src_b, jsd, round(jsd / ln(2.0), 4) AS jsd_bits

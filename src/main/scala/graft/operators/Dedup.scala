@@ -374,6 +374,11 @@ object Dedup {
     // label(v) — the fixpoint is exactly the component-min labelling
     // the neighbor-only iteration (and the recursive-CTE oracle)
     // reaches.
+    // finally-unpersist: the require exits below AND probe-harness
+    // job-group cancellations leave via exception — a return-path-only
+    // unpersist would leak the MEMORY_AND_DISK edge cache of a blown-up
+    // corpus into every subsequent leg of the shared bench JVM
+    try {
     while (changed > 0 && iter < maxIter) {
       // (1) compress the label forest to stars: label ← label(label)
       // until stable (label(m) ≤ m always, so this is monotone and its
@@ -450,10 +455,10 @@ object Dedup {
       s"connectedComponents did not converge after $maxIter rounds " +
         s"($changed labels still changing); star contraction halves the " +
         "live-star count per round — this cannot be the data")
-    // labels is a checkpoint (safe to keep), so the edge cache can be
-    // released NOW — nine registry consumers run inside one bench JVM
-    // and leaked MEMORY_AND_DISK blocks would accumulate across them
-    sym.unpersist(false)
+    // labels is a checkpoint (safe to keep), so the edge cache is
+    // released in the finally — nine registry consumers run inside one
+    // bench JVM and leaked MEMORY_AND_DISK blocks would accumulate
+    } finally sym.unpersist(false)
     labels
   }
 

@@ -1433,7 +1433,7 @@ object Events {
       |  JOIN st ON st.event_type = a.event_type
       |  GROUP BY 1, 2)
       |SELECT event_type, CAST(k AS BIGINT) AS lag,
-      |       round(rho, 4) AS rho
+      |       round(rho, 4) + 0.0 AS rho
       |FROM acf ORDER BY event_type, lag""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -1461,7 +1461,7 @@ object Events {
       .groupBy($"event_type", $"k")
       .agg((sum(($"na" - $"m") * ($"nb" - $"m")) / first($"ss")).as("rho"))
       .select($"event_type", $"k".cast("long").as("lag"),
-        round($"rho", 4).as("rho"))
+        (round($"rho", 4) + 0.0).as("rho"))
       .orderBy($"event_type", $"lag")
   }
 
@@ -1511,11 +1511,11 @@ object Events {
       |SELECT event_type,
       |       CAST(nn AS BIGINT) AS n_days,
       |       CAST(s AS BIGINT) AS s_stat,
-      |       round(s / (nn * (nn - 1) / 2.0), 4) AS tau,
-      |       round(ts_slope, 4) AS theil_sen,
+      |       round(s / (nn * (nn - 1) / 2.0), 4) + 0.0 AS tau,
+      |       round(ts_slope, 4) + 0.0 AS theil_sen,
       |       round(CASE WHEN s > 0 THEN (s - 1) / sd
       |                  WHEN s < 0 THEN (s + 1) / sd
-      |                  ELSE 0.0 END, 4) AS z,
+      |                  ELSE 0.0 END, 4) + 0.0 AS z,
       |       (abs(CASE WHEN s > 0 THEN (s - 1) / sd
       |                 WHEN s < 0 THEN (s + 1) / sd
       |                 ELSE 0.0 END) > 1.96) AS trending
@@ -1552,9 +1552,9 @@ object Events {
         $"event_type",
         $"nn".cast("long").as("n_days"),
         $"s".cast("long").as("s_stat"),
-        round($"s" / ($"nn" * ($"nn" - 1) / 2.0), 4).as("tau"),
-        round($"ts_slope", 4).as("theil_sen"),
-        round(zc, 4).as("z"),
+        (round($"s" / ($"nn" * ($"nn" - 1) / 2.0), 4) + 0.0).as("tau"),
+        (round($"ts_slope", 4) + 0.0).as("theil_sen"),
+        (round(zc, 4) + 0.0).as("z"),
         (abs(zc) > 1.96).as("trending"))
       .orderBy($"event_type")
   }
@@ -1607,9 +1607,9 @@ object Events {
       |  GROUP BY 1)
       |SELECT seas.event_type, CAST(seas.dow AS BIGINT) AS dow,
       |       CAST(seas.n_days AS BIGINT) AS n_days,
-      |       round(seas.seasonal, 4) AS seasonal,
+      |       round(seas.seasonal, 4) + 0.0 AS seasonal,
       |       round(greatest(0.0, 1.0 - res.v_res / res.v_det), 4)
-      |         AS seasonal_strength
+      |         + 0.0 AS seasonal_strength
       |FROM seas JOIN res USING (event_type)
       |ORDER BY event_type, dow""".stripMargin
   ) { (s, d) =>
@@ -1645,9 +1645,9 @@ object Events {
       .join(broadcast(res), "event_type")
       .select($"event_type", $"dow".cast("long").as("dow"),
         $"n_days".cast("long").as("n_days"),
-        round($"seasonal", 4).as("seasonal"),
-        round(greatest(lit(0.0), lit(1.0) - $"v_res" / $"v_det"), 4)
-          .as("seasonal_strength"))
+        (round($"seasonal", 4) + 0.0).as("seasonal"),
+        (round(greatest(lit(0.0), lit(1.0) - $"v_res" / $"v_det"), 4)
+          + 0.0).as("seasonal_strength"))
       .orderBy($"event_type", $"dow")
   }
 
@@ -1900,7 +1900,7 @@ object Events {
          |etot AS (SELECT sum(n) AS en FROM emp)
          |SELECT pi.t AS event_type, round(pi.pi, 6) AS pi,
          |       round(emp.n / etot.en, 6) AS empirical,
-         |       round(pi.pi - emp.n / etot.en, 6) AS drift
+         |       round(pi.pi - emp.n / etot.en, 6) + 0.0 AS drift
          |FROM pi$MarkovRounds pi JOIN emp ON emp.t = pi.t
          |CROSS JOIN etot ORDER BY event_type""".stripMargin
     }
@@ -1947,7 +1947,7 @@ object Events {
       .crossJoin(broadcast(etot))
       .select($"t".as("event_type"), round($"pi", 6).as("pi"),
         round($"n" / $"en", 6).as("empirical"),
-        round($"pi" - $"n" / $"en", 6).as("drift"))
+        (round($"pi" - $"n" / $"en", 6) + 0.0).as("drift"))
       .orderBy($"event_type")
   }
 
@@ -2169,10 +2169,10 @@ object Events {
       |  SELECT var_pop(u.y - (mom.cxy / mom.vx) * (u.x - mom.mx)) AS vadj
       |  FROM per_user u CROSS JOIN mom)
       |SELECT CAST(mom.n AS BIGINT) AS n_users,
-      |       round(mom.cxy / mom.vx, 4) AS theta,
-      |       round(mom.vy, 4) AS var_y,
-      |       round(adj.vadj, 4) AS var_adj,
-      |       round(1.0 - adj.vadj / mom.vy, 4) AS var_reduction
+      |       round(mom.cxy / mom.vx, 4) + 0.0 AS theta,
+      |       round(mom.vy, 4) + 0.0 AS var_y,
+      |       round(adj.vadj, 4) + 0.0 AS var_adj,
+      |       round(1.0 - adj.vadj / mom.vy, 4) + 0.0 AS var_reduction
       |FROM mom CROSS JOIN adj""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -2197,10 +2197,10 @@ object Events {
     mom
       .crossJoin(broadcast(adj))
       .select($"n".cast("long").as("n_users"),
-        round($"cxy" / $"vx", 4).as("theta"),
-        round($"vy", 4).as("var_y"),
-        round($"vadj", 4).as("var_adj"),
-        round(lit(1.0) - $"vadj" / $"vy", 4).as("var_reduction"))
+        (round($"cxy" / $"vx", 4) + 0.0).as("theta"),
+        (round($"vy", 4) + 0.0).as("var_y"),
+        (round($"vadj", 4) + 0.0).as("var_adj"),
+        (round(lit(1.0) - $"vadj" / $"vy", 4) + 0.0).as("var_reduction"))
   }
 
   /** Time-decayed engagement score (the feature-store recency
@@ -2223,10 +2223,10 @@ object Events {
       |  FROM events CROSS JOIN ref
       |  GROUP BY user_id)
       |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-      |       round(decayed, 4) AS decayed_score,
-      |       round(plain, 2) AS plain_sum,
-      |       round(CASE WHEN plain = 0 THEN 0
-      |                  ELSE decayed / plain END, 4) AS recency_ratio
+      |       round(decayed, 4) + 0.0 AS decayed_score,
+      |       round(plain, 2) + 0.0 AS plain_sum,
+      |       round(CASE WHEN abs(plain) < 1e-9 THEN 0
+      |                  ELSE decayed / plain END, 4) + 0.0 AS recency_ratio
       |FROM s ORDER BY user_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -2235,17 +2235,20 @@ object Events {
       .crossJoin(broadcast(ref))
       .groupBy($"user_id")
       .agg(count(lit(1)).cast("long").as("n_events"),
-        round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
-          / 86400000000000.0)), 4).as("decayed_score"),
-        round(sum($"value"), 2).as("plain_sum"),
-        // the ratio fences EXACTLY the zero-denominator case (0 emitted,
-        // matching the CASE in the oracle text): a 0 denominator diverges
-        // cross-engine (Spark IEEE ±Inf vs the oracle's NULL-propagating
-        // round). An ε-floor like greatest(Σv, ε) would silently distort
-        // the ratio for a NEGATIVE plain_sum, so the fence is exact.
-        round(when(sum($"value") === 0, lit(0.0))
+        (round(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
+          / 86400000000000.0)), 4) + 0.0).as("decayed_score"),
+        (round(sum($"value"), 2) + 0.0).as("plain_sum"),
+        // the ratio fences near-zero denominators with abs(Σv) < 1e-9 (0
+        // emitted, matching the CASE in the oracle text): an EXACT == 0
+        // test is itself a cross-engine hazard for cancelling sums —
+        // summation order differs between Spark's partial aggregation and
+        // DuckDB's scan, so a multiset like {0.1, 0.3, -0.4} can sum to
+        // exactly 0.0 in one engine and ±5e-17 in the other (one emits 0,
+        // the other ±1e16). An ε-floor like greatest(Σv, ε) would distort
+        // a NEGATIVE plain_sum, so the band fence is on |Σv|.
+        (round(when(abs(sum($"value")) < 1e-9, lit(0.0))
           .otherwise(sum($"value" * exp(lit(-0.1) * ($"t" - $"ts_ns")
-            / 86400000000000.0)) / sum($"value")), 4)
+            / 86400000000000.0)) / sum($"value")), 4) + 0.0)
           .as("recency_ratio"))
       .orderBy($"user_id")
   }

@@ -232,7 +232,7 @@ object Extras {
       |       round(c.n * 1.0 / t.tot, 4) AS share,
       |       round(log10(1.0 + 1.0 / c.digit), 4) AS benford,
       |       round(c.n * 1.0 / t.tot - log10(1.0 + 1.0 / c.digit), 4)
-      |         AS diff,
+      |         + 0.0 AS diff,
       |       round(power(c.n * 1.0 / t.tot - log10(1.0 + 1.0 / c.digit), 2)
       |             / log10(1.0 + 1.0 / c.digit) * t.tot, 4) AS chi2_term
       |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
@@ -253,7 +253,7 @@ object Extras {
       .select($"digit", $"n".cast("long").as("n"),
         round(share, 4).as("share"),
         round(law, 4).as("benford"),
-        round(share - law, 4).as("diff"),
+        (round(share - law, 4) + 0.0).as("diff"),
         round(pow(share - law, 2) / law * $"tot", 4).as("chi2_term"))
       .orderBy($"digit")
   }
@@ -372,7 +372,7 @@ object Extras {
       |SELECT CAST(fit.n_train AS BIGINT) AS n_train,
       |       CAST(cal.n_cal AS BIGINT) AS n_cal,
       |       CAST(test.n_test AS BIGINT) AS n_test,
-      |       round(fit.b0, 4) AS beta0, round(fit.b1, 4) AS beta1,
+      |       round(fit.b0, 4) + 0.0 AS beta0, round(fit.b1, 4) + 0.0 AS beta1,
       |       round(cal.qhat, 4) AS qhat,
       |       round(test.covered * 1.0 / test.n_test, 4) AS coverage
       |FROM fit CROSS JOIN cal CROSS JOIN test""".stripMargin
@@ -402,7 +402,7 @@ object Extras {
       .select($"n_train".cast("long").as("n_train"),
         $"n_cal".cast("long").as("n_cal"),
         $"n_test".cast("long").as("n_test"),
-        round($"b0", 4).as("beta0"), round($"b1", 4).as("beta1"),
+        (round($"b0", 4) + 0.0).as("beta0"), (round($"b1", 4) + 0.0).as("beta1"),
         round($"qhat", 4).as("qhat"),
         round($"covered" * lit(1.0) / $"n_test", 4).as("coverage"))
   }
@@ -440,8 +440,8 @@ object Extras {
       |           - m + (m + 1) / 2.0 AS ry
       |  FROM yd)
       |SELECT CAST(count(*) AS BIGINT) AS n,
-      |       round(corr(xr.rx, yr.ry), 4) AS spearman,
-      |       round(corr(li.x, li.y), 4) AS pearson
+      |       round(corr(xr.rx, yr.ry), 4) + 0.0 AS spearman,
+      |       round(corr(li.x, li.y), 4) + 0.0 AS pearson
       |FROM li JOIN xr ON xr.x = li.x JOIN yr ON yr.y = li.y""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -475,8 +475,8 @@ object Extras {
       .join(broadcast(xr), "x")
       .join(yr, "y")
       .agg(count(lit(1)).cast("long").as("n"),
-        round(corr($"rx", $"ry"), 4).as("spearman"),
-        round(corr($"x", $"y"), 4).as("pearson"))
+        (round(corr($"rx", $"ry"), 4) + 0.0).as("spearman"),
+        (round(corr($"x", $"y"), 4) + 0.0).as("pearson"))
   }
 
   /** Join-cardinality estimation audit — the optimizer-style estimate a
@@ -1380,9 +1380,10 @@ object Extras {
       |          - sx1 * (sx1 * sx2y - sx1y * sx2)
       |          + sy * (sx1 * sx12 - sx11 * sx2)) / det AS b2
       |  FROM s)
-      |SELECT round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+      |SELECT round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+      |       round(b2, 6) + 0.0 AS b2,
       |       round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)
-      |                 / (syy - sy * sy / n), 6) AS r2,
+      |                 / (syy - sy * sy / n), 6) + 0.0 AS r2,
       |       CAST(n AS BIGINT) AS n
       |FROM b""".stripMargin
   ) { (s, d) =>
@@ -1414,10 +1415,10 @@ object Extras {
         - $"sx1" * ($"sx1" * $"sx2y" - $"sx1y" * $"sx2")
         + $"sy" * ($"sx1" * $"sx12" - $"sx11" * $"sx2")) / $"det").as("b2"))
     b.select(
-      round($"b0", 6).as("b0"), round($"b1", 6).as("b1"),
-      round($"b2", 6).as("b2"),
-      round(lit(1) - ($"syy" - $"b0" * $"sy" - $"b1" * $"sx1y"
-        - $"b2" * $"sx2y") / ($"syy" - $"sy" * $"sy" / $"n"), 6).as("r2"),
+      (round($"b0", 6) + 0.0).as("b0"), (round($"b1", 6) + 0.0).as("b1"),
+      (round($"b2", 6) + 0.0).as("b2"),
+      (round(lit(1) - ($"syy" - $"b0" * $"sy" - $"b1" * $"sx1y"
+        - $"b2" * $"sx2y") / ($"syy" - $"sy" * $"sy" / $"n"), 6) + 0.0).as("r2"),
       $"n".cast("long").as("n"))
   }
 

@@ -594,7 +594,7 @@ object GraphOps {
       |  UNION ALL SELECT b, a FROM und),
       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src)
       |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-      |       round(corr(da.deg, db.deg), 4) AS assortativity
+      |       round(corr(da.deg, db.deg), 4) + 0.0 AS assortativity
       |FROM sym
       |JOIN deg da ON da.node = sym.src
       |JOIN deg db ON db.node = sym.dst""".stripMargin
@@ -622,7 +622,7 @@ object GraphOps {
       .join(broadcast(deg.select($"node".as("nb"), $"deg".as("db"))),
         $"nb" === $"dst")
       .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
-        round(corr($"da", $"db"), 4).as("assortativity"))
+        (round(corr($"da", $"db"), 4) + 0.0).as("assortativity"))
   }
 
   /** Peel rounds for the k-core (diameter-bounded on ≤|nations| nodes). */
@@ -781,28 +781,33 @@ object GraphOps {
           when($"node" === seed, 0L).otherwise(BfsUnreached).as("dist")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0) {
-      // distances only DECREASE, each changing round lowers ≥1 node, and
-      // values are bounded below by 0 — termination needs no round cap
-      val relax = sym
-        .join(dist.withColumnRenamed("node", "dn"), $"dn" === $"src")
-        .filter($"dist" < BfsUnreached)
-        .groupBy($"dst".as("rnode"))
-        .agg(min($"dist" + 1).as("relax"))
-      val (nd, n) = Iterate.matObserve(
-        dist
-          .join(relax, $"rnode" === $"node", "left")
-          .select($"node",
-            least($"dist", coalesce($"relax", lit(Long.MaxValue)))
-              .as("dist"),
-            $"dist".as("old")),
-        count(when($"dist" =!= $"old", lit(1))),
-        "old")
-      dist = nd
-      changed = n
-      rounds += 1
-    }
-    sym.unpersist(false)
+    // finally-unpersist: probe/bench harnesses cancel blown-up legs via
+    // job-group cancellation, which surfaces here as an exception — a
+    // return-path-only unpersist would leak the MEMORY_AND_DISK edge
+    // cache into every subsequent leg of the shared JVM
+    try {
+      while (changed > 0) {
+        // distances only DECREASE, each changing round lowers ≥1 node, and
+        // values are bounded below by 0 — termination needs no round cap
+        val relax = sym
+          .join(dist.withColumnRenamed("node", "dn"), $"dn" === $"src")
+          .filter($"dist" < BfsUnreached)
+          .groupBy($"dst".as("rnode"))
+          .agg(min($"dist" + 1).as("relax"))
+        val (nd, n) = Iterate.matObserve(
+          dist
+            .join(relax, $"rnode" === $"node", "left")
+            .select($"node",
+              least($"dist", coalesce($"relax", lit(Long.MaxValue)))
+                .as("dist"),
+              $"dist".as("old")),
+          count(when($"dist" =!= $"old", lit(1))),
+          "old")
+        dist = nd
+        changed = n
+        rounds += 1
+      }
+    } finally sym.unpersist(false)
     dist
   }
 
@@ -822,23 +827,24 @@ object GraphOps {
       .repartition(s.sessionState.conf.numShufflePartitions, $"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var surv = ckpt(sym.select($"src".as("node")).distinct())
-    var prev = surv.count()
-    var changed = 1L
-    while (changed > 0 && prev > 0) {
-      val (nx, cnt) = Iterate.matObserve(
-        sym
-          .join(surv.select($"node".as("na")), $"na" === $"src")
-          .join(surv.select($"node".as("nb")), $"nb" === $"dst")
-          .groupBy($"src".as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .filter($"deg" >= k)
-          .select($"node"),
-        count(lit(1)))
-      surv = nx
-      changed = prev - cnt
-      prev = cnt
-    }
-    sym.unpersist(false)
+    try {
+      var prev = surv.count()
+      var changed = 1L
+      while (changed > 0 && prev > 0) {
+        val (nx, cnt) = Iterate.matObserve(
+          sym
+            .join(surv.select($"node".as("na")), $"na" === $"src")
+            .join(surv.select($"node".as("nb")), $"nb" === $"dst")
+            .groupBy($"src".as("node"))
+            .agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= k)
+            .select($"node"),
+          count(lit(1)))
+        surv = nx
+        changed = prev - cnt
+        prev = cnt
+      }
+    } finally sym.unpersist(false) // cancelled-leg path must not leak the edge cache
     surv
   }
 
@@ -864,28 +870,29 @@ object GraphOps {
       sym.select($"src".as("node")).distinct().select($"node", $"node".as("lab")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val wBest = org.apache.spark.sql.expressions.Window
-        .partitionBy($"bnode").orderBy($"c".desc, $"nlab")
-      val best = sym
-        .join(lab.withColumnRenamed("node", "ln"), $"ln" === $"src")
-        .groupBy($"dst".as("bnode"), $"lab".as("nlab"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wBest))
-        .filter($"rn" === 1)
-        .select($"bnode", $"nlab".as("best"))
-      val (nl, n) = Iterate.matObserve(
-        lab
-          .join(best, $"bnode" === $"node", "left")
-          .select($"node", coalesce($"best", $"lab").as("lab"),
-            $"lab".as("old")),
-        count(when($"lab" =!= $"old", lit(1))),
-        "old")
-      lab = nl
-      changed = n
-      rounds += 1
-    }
-    sym.unpersist(false)
+    try {
+      while (changed > 0 && rounds < maxRounds) {
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy($"bnode").orderBy($"c".desc, $"nlab")
+        val best = sym
+          .join(lab.withColumnRenamed("node", "ln"), $"ln" === $"src")
+          .groupBy($"dst".as("bnode"), $"lab".as("nlab"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wBest))
+          .filter($"rn" === 1)
+          .select($"bnode", $"nlab".as("best"))
+        val (nl, n) = Iterate.matObserve(
+          lab
+            .join(best, $"bnode" === $"node", "left")
+            .select($"node", coalesce($"best", $"lab").as("lab"),
+              $"lab".as("old")),
+          count(when($"lab" =!= $"old", lit(1))),
+          "old")
+        lab = nl
+        changed = n
+        rounds += 1
+      }
+    } finally sym.unpersist(false) // cancelled-leg path must not leak the edge cache
     (lab, changed == 0L)
   }
 

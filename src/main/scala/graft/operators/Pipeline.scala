@@ -283,7 +283,7 @@ object Pipeline {
       |  SELECT doc_id, n,
       |         CASE WHEN n_types = 1 THEN 0.0
       |              ELSE round((log2(n * 1.0) - s / n)
-      |                         / log2(n_types * 1.0), 4) END AS norm_entropy
+      |                         / log2(n_types * 1.0), 4) + 0.0 END AS norm_entropy
       |  FROM (SELECT doc_id, sum(c) AS n, count(*) AS n_types,
       |               sum(c * log2(c * 1.0)) AS s
       |        FROM tc GROUP BY doc_id)),

@@ -85,7 +85,7 @@ object Scoring {
       |hc AS (SELECT head, sum(c) AS hcnt FROM bc GROUP BY head)
       |SELECT doc_id,
       |       CAST(count(*) AS BIGINT) AS n_bigrams,
-      |       round(-avg(log2(bc.c * 1.0 / hc.hcnt)), 4) AS cross_entropy
+      |       round(-avg(log2(bc.c * 1.0 / hc.hcnt)), 4) + 0.0 AS cross_entropy
       |FROM bgf JOIN bc USING (head, next) JOIN hc USING (head)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
@@ -109,7 +109,7 @@ object Scoring {
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(-avg(log2($"c" * lit(1.0) / $"hcnt")), 4).as("cross_entropy"))
+        (round(-avg(log2($"c" * lit(1.0) / $"hcnt")), 4) + 0.0).as("cross_entropy"))
       .orderBy($"doc_id")
   }
 

@@ -1520,7 +1520,7 @@ object Similarity {
       |  FROM v GROUP BY label, vec_id % 2)
       |SELECT a.label AS label,
       |       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
-      |       round(list_cosine_similarity(a.cv, b.cv), 4) AS drift_cos
+      |       round(list_cosine_similarity(a.cv, b.cv), 4) + 0.0 AS drift_cos
       |FROM cent a
       |JOIN cent b ON a.label = b.label AND a.ver = 0 AND b.ver = 1
       |JOIN cnt ca ON ca.label = a.label AND ca.ver = 0
@@ -1552,7 +1552,7 @@ object Similarity {
       .join(broadcast(cb), $"label" === $"lc")
       .select($"label", $"n_a".cast("long").as("n_a"),
         $"n_b".cast("long").as("n_b"),
-        round(dot($"cva", $"cvb") / (norm($"cva") * norm($"cvb")), 4)
+        (round(dot($"cva", $"cvb") / (norm($"cva") * norm($"cvb")), 4) + 0.0)
           .as("drift_cos"))
       .orderBy($"label")
   }

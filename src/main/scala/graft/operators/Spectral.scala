@@ -41,7 +41,7 @@ object Spectral {
       |SELECT i, j,
       |       round(avg(embedding[CAST(i + 1 AS INT)] * embedding[CAST(j + 1 AS INT)])
       |             - avg(embedding[CAST(i + 1 AS INT)])
-      |               * avg(embedding[CAST(j + 1 AS INT)]), 6) AS cov
+      |               * avg(embedding[CAST(j + 1 AS INT)]), 6) + 0.0 AS cov
       |FROM v CROSS JOIN grid
       |GROUP BY i, j
       |ORDER BY i, j""".stripMargin
@@ -52,7 +52,7 @@ object Spectral {
       .map { case (i, j) => struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")) }
     m.select($"m", explode(array(grid: _*)).as("g"))
       .select($"g.i".as("i"), $"g.j".as("j"),
-        round(covFromMoments($"m", $"g.i", $"g.j"), 6).as("cov"))
+        (round(covFromMoments($"m", $"g.i", $"g.j"), 6) + 0.0).as("cov"))
       .orderBy($"i", $"j")
   }
 
@@ -80,7 +80,7 @@ object Spectral {
       |              embedding[CAST(j + 1 AS INT)]) AS r
       |  FROM v CROSS JOIN grid GROUP BY i, j)
       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-      |       round(r, 4) AS corr,
+      |       round(r, 4) + 0.0 AS corr,
       |       CAST(row_number() OVER (ORDER BY round(abs(r), 4) DESC, i, j)
       |            AS INT) AS rank
       |FROM c QUALIFY rank <= 10 ORDER BY rank""".stripMargin
@@ -103,7 +103,7 @@ object Spectral {
       .boundedRank(top,
         struct((-round(abs($"r"), 4)).as("nr"), $"i", $"j"), "rank")
       .select($"i".cast("int").as("i"), $"j".cast("int").as("j"),
-        round($"r", 4).as("corr"), $"rank")
+        (round($"r", 4) + 0.0).as("corr"), $"rank")
       .orderBy($"rank")
   }
 

@@ -849,10 +849,10 @@ object TextOps {
       |SELECT doc_id,
       |       CAST(n AS BIGINT) AS n_tokens,
       |       CAST(n_types AS BIGINT) AS n_types,
-      |       round(log2(n * 1.0) - s / n, 4) AS token_entropy,
+      |       round(log2(n * 1.0) - s / n, 4) + 0.0 AS token_entropy,
       |       CASE WHEN n_types = 1 THEN 0.0
       |            ELSE round((log2(n * 1.0) - s / n)
-      |                       / log2(n_types * 1.0), 4) END AS norm_entropy
+      |                       / log2(n_types * 1.0), 4) + 0.0 END AS norm_entropy
       |FROM ag ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -870,9 +870,9 @@ object TextOps {
         $"doc_id",
         $"n".cast("long").as("n_tokens"),
         $"n_types".cast("long").as("n_types"),
-        round(h, 4).as("token_entropy"),
+        (round(h, 4) + 0.0).as("token_entropy"),
         when($"n_types" === 1, 0.0)
-          .otherwise(round(h / log2($"n_types" * lit(1.0)), 4))
+          .otherwise(round(h / log2($"n_types" * lit(1.0)), 4) + 0.0)
           .as("norm_entropy"))
       .orderBy($"doc_id")
   }
@@ -917,13 +917,13 @@ object TextOps {
        |  FROM xy)
        |SELECT CAST(k AS BIGINT) AS n_ranks,
        |       round((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)
-       |         AS slope,
+       |         + 0.0 AS slope,
        |       round(sy * 1.0 / k
        |             - ((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx))
-       |               * (sx * 1.0 / k), 4) AS intercept,
+       |               * (sx * 1.0 / k), 4) + 0.0 AS intercept,
        |       round(((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx))
        |             * ((k * sxy - sx * sy) * 1.0
-       |                / (k * syy - sy * sy)), 4) AS r2
+       |                / (k * syy - sy * sy)), 4) + 0.0 AS r2
        |FROM sm""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -952,10 +952,10 @@ object TextOps {
         sum($"y" * $"y").as("syy"))
       .select(
         $"k".cast("long").as("n_ranks"),
-        round(slope, 4).as("slope"),
-        round($"sy" * lit(1.0) / $"k" - slope * ($"sx" * lit(1.0) / $"k"), 4)
-          .as("intercept"),
-        round(slope * (num * lit(1.0) / deny), 4).as("r2"))
+        (round(slope, 4) + 0.0).as("slope"),
+        (round($"sy" * lit(1.0) / $"k" - slope * ($"sx" * lit(1.0) / $"k"), 4)
+          + 0.0).as("intercept"),
+        (round(slope * (num * lit(1.0) / deny), 4) + 0.0).as("r2"))
   }
 
   /** PMI collocation mining: the top-20 adjacent token pairs by lift =
@@ -1188,6 +1188,10 @@ object TextOps {
       .as[(String, Long)]
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // finally-unpersist: a job-group cancellation mid-EM (probe/bench
+    // harness) leaves via exception; the return-path-only unpersist
+    // would leak the cached wordcount RDD into the shared JVM
+    try {
     // observed characters: always retained (they are the fallback floor)
     val charCounts = hist
       .flatMap { case (w, f) => w.map(c => (c.toString, f)) }
@@ -1243,13 +1247,13 @@ object TextOps {
       counts = (charPart ++ keepMultis).toMap
       round += 1
     }
-    hist.unpersist()
     val total = counts.values.sum.toDouble
     val rows = counts.toSeq
       .sortBy { case (p, c) => (-c, p) }
       .zipWithIndex
       .map { case ((p, c), i) => (p, c / total, i + 1) }
     s.createDataFrame(rows).toDF("piece", "prob", "rank")
+    } finally hist.unpersist()
   }
 
   /** Apply a trained unigram model ([[unigramTrain]]) to a corpus:
@@ -1944,8 +1948,8 @@ object TextOps {
       |SELECT CAST(pts.decile AS INT) AS decile,
       |       CAST(pts.n_tokens AS BIGINT) AS n_tokens,
       |       CAST(pts.vocab AS BIGINT) AS vocab,
-      |       round(fit.beta, 4) AS beta,
-      |       round(exp(fit.my - fit.beta * fit.mx), 4) AS k_coef
+      |       round(fit.beta, 4) + 0.0 AS beta,
+      |       round(exp(fit.my - fit.beta * fit.mx), 4) + 0.0 AS k_coef
       |FROM pts CROSS JOIN fit ORDER BY decile""".stripMargin
   ) { (s, d) =>
     import s.implicits._
@@ -1982,8 +1986,8 @@ object TextOps {
       .select($"decile".cast("int").as("decile"),
         $"n_tokens".cast("long").as("n_tokens"),
         $"vocab".cast("long").as("vocab"),
-        round($"beta", 4).as("beta"),
-        round(exp($"my" - $"beta" * $"mx"), 4).as("k_coef"))
+        (round($"beta", 4) + 0.0).as("beta"),
+        (round(exp($"my" - $"beta" * $"mx"), 4) + 0.0).as("k_coef"))
       .orderBy($"decile")
   }
 
