@@ -85,6 +85,19 @@ object ScaleProbe {
     },
     "q_kcore@conv" -> { (s, _, f) =>
       operators.GraphOps.kcoreConverged(pathSym(s, 25 * f), 2)
+    },
+    // code-length dial (r11): banded candidate counts at the fixture
+    // 64-bit dial vs the 256-bit production dial, verify excluded — the
+    // 64-bit band space (2¹⁶) saturates as the corpus grows (count →
+    // ~n²/2¹⁶) while the 256-bit dial's 2⁶⁴ band space keeps spurious
+    // collisions at zero and the count tracks true near-dup structure
+    "q_media_phash@cands64" -> { (s, d, _) =>
+      operators.Multimodal.phashCandidateCount(
+        Tables.documents(s, d), 64, 4)
+    },
+    "q_media_phash@cands256" -> { (s, d, _) =>
+      operators.Multimodal.phashCandidateCount(
+        Tables.documents(s, d), 256, 4)
     })
 
   /** The 25-node strong-trade graph blown into a HIGH-DIAMETER shape:

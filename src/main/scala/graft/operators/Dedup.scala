@@ -1039,8 +1039,76 @@ object Dedup {
       .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
   }
 
+  /** Per-doc emission cap for [[qPrefixFilterCapped]]. */
+  val PrefixCapK = 5
+
+  /** Group-capped emission mode of the prefix-filter join — the
+    * production dial for CLIQUE-HEAVY corpora (SCALE.md r10 residual
+    * #4): on a corpus of near-dup cliques the TRUE pair count is
+    * Σ size²/2 — the dense x100 probe measured 24.7M pairs from 100-
+    * cliques, output-bound by the data, not the plan — but a dedup
+    * consumer only needs each doc's best few partners, not the full
+    * quadratic clique interior. This variant runs the IDENTICAL
+    * lossless prefix-filtered candidate+verify dataflow
+    * ([[prefixFilterPairs]] — no recall loss in what is RANKED) and
+    * caps the EMISSION: per left doc, the [[PrefixCapK]] highest-
+    * Jaccard partners (rounded-score rank, d2 tiebreak — ulps cannot
+    * flip an emission), plus the doc's total qualifying-partner count
+    * so downstream sees the truncation instead of mistaking the cap
+    * for the clique size. Output is ≤ n·K rows on ANY corpus shape.
+    *
+    * Scale: the cap is a d1-partitioned window over the verified-pair
+    * relation (bounded per partition by the doc's partner count); the
+    * quadratic intermediate still flows through the verify aggregate —
+    * that term is the data's, and the probe battery measures it
+    * honestly — but the materialized/written output, the downstream
+    * shuffle, and every consumer after this operator drop from
+    * Σ size² to n·K. */
+  val qPrefixFilterCapped = QueryDef.sql(
+    "q_prefix_filter_capped",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT d1, d2,
+       |         round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+       |  FROM pairs
+       |    JOIN cnt ca ON d1 = ca.doc_id
+       |    JOIN cnt cb ON d2 = cb.doc_id
+       |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8)
+       |SELECT d1, d2, jaccard,
+       |       CAST(row_number() OVER w AS INT) AS pair_rank,
+       |       CAST(count(*) OVER (PARTITION BY d1) AS BIGINT) AS n_partners
+       |FROM jac
+       |WINDOW w AS (PARTITION BY d1 ORDER BY jaccard DESC, d2)
+       |QUALIFY row_number() OVER w <= $PrefixCapK
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val jac = prefixFilterPairs(Tables.documents(s, d))
+    val byD1 = Window.partitionBy($"d1")
+    // rank by the ROUNDED jaccard (already round(.,4) in the pair body)
+    // with d2 tiebreak, so both engines rank identical quantized keys
+    val w = byD1.orderBy($"jaccard".desc, $"d2")
+    jac
+      .select($"d1", $"d2", $"jaccard",
+        row_number().over(w).cast("int").as("pair_rank"),
+        count(lit(1)).over(byD1).cast("long").as("n_partners"))
+      .filter($"pair_rank" <= PrefixCapK)
+      .orderBy($"d1", $"d2")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
       qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty,
-      qDedupThresholdSweep, qLshBandSweep, qPrefixFilterJoin)
+      qDedupThresholdSweep, qLshBandSweep, qPrefixFilterJoin,
+      qPrefixFilterCapped)
 }

@@ -257,104 +257,177 @@ object Multimodal {
     * all-paired; the verify is xor+bit_count on the join output. The
     * same shape as [[graft.operators.Similarity]]'s LSH, specialized to
     * Hamming space. */
-  val qMediaPhashNearDup = QueryDef.sql(
-    "q_media_phash_neardup", {
-      val bandsSql = (0 until 4)
-        .map { b =>
-          val terms = (0 until 16)
-            .map(j => s"(CASE WHEN p[${16 * b + j + 1}] > mean THEN ${1 << j} ELSE 0 END)")
-            .mkString(" + ")
-          s"($terms) AS b$b"
-        }
-        .mkString(",\n       ")
-      val ham = (0 until 4)
-        .map(b => s"bit_count(xor(a.b$b, b.b$b))")
-        .mkString(" + ")
-      s"""WITH px AS (
-         |  SELECT doc_id,
-         |         [COALESCE(list_sum([ord(text[j:j])
-         |            for j in range(CAST(i * len(text) // 64 AS INT) + 1,
-         |                           CAST((i + 1) * len(text) // 64 AS INT) + 1)]), 0)
-         |          for i in range(0, 64)] AS p
-         |  FROM documents),
-         |m AS (SELECT doc_id, p, list_sum(p) / 64.0 AS mean FROM px),
-         |bands AS (
-         |  SELECT doc_id,
-         |       $bandsSql
-         |  FROM m)
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       CAST($ham AS BIGINT) AS hamming
-         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
-         |     (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-         |WHERE $ham <= 10
-         |ORDER BY d1, d2""".stripMargin
+  /** Dial-parameterized pHash near-dup query builder — the CODE LENGTH
+    * is the production scaling knob (SCALE.md): band-bucket occupancy is
+    * n/2^bandBits, so the 64-bit code's 4×16-bit bands degrade to
+    * ~n²/2¹⁶ candidates at 5M+ codes while a 256-bit code's 4×64-bit
+    * bands keep the banded join ~linear at any realistic corpus. The
+    * banded-join PLAN is identical at every dial; only the segment
+    * count, the per-band bit width, and the proportional Hamming radius
+    * change. Per-bit weights are embedded as precomputed Long literals
+    * in BOTH engine texts (bit 63 = Long.MinValue — DuckDB's BIGINT
+    * `<<` refuses 1<<63, and a two's-complement constant is engine-
+    * neutral); xor/bit_count are sign-agnostic so the negative top-bit
+    * value never distorts a distance. */
+  private def phashQuery(name: String, segs: Int, bands: Int,
+      radius: Int): QueryDef = {
+    require(segs % bands == 0)
+    val bandBits = segs / bands
+    require(bandBits <= 64)
+    def bitVal(j: Int): Long = 1L << j // j = 63 wraps to Long.MinValue
+    QueryDef.sql(
+      name, {
+        val bandsSql = (0 until bands)
+          .map { b =>
+            val terms = (0 until bandBits)
+              .map(j => s"(CASE WHEN p[${bandBits * b + j + 1}] > mean " +
+                s"THEN ${bitVal(j)} ELSE 0 END)")
+              .mkString(" + ")
+            s"($terms) AS b$b"
+          }
+          .mkString(",\n       ")
+        // DuckDB's bit_count returns TINYINT; with 64-bit bands two
+        // terms can sum past 127 — cast each term before adding
+        val ham = (0 until bands)
+          .map(b => s"CAST(bit_count(xor(a.b$b, b.b$b)) AS BIGINT)")
+          .mkString(" + ")
+        val anyBand = (0 until bands)
+          .map(b => s"a.b$b = b.b$b")
+          .mkString(" OR ")
+        s"""WITH px AS (
+           |  SELECT doc_id,
+           |         [COALESCE(list_sum([ord(text[j:j])
+           |            for j in range(CAST(i * len(text) // $segs AS INT) + 1,
+           |                           CAST((i + 1) * len(text) // $segs AS INT) + 1)]), 0)
+           |          for i in range(0, $segs)] AS p
+           |  FROM documents),
+           |m AS (SELECT doc_id, p, list_sum(p) / $segs.0 AS mean FROM px),
+           |bands AS (
+           |  SELECT doc_id,
+           |       $bandsSql
+           |  FROM m)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |       CAST($ham AS BIGINT) AS hamming
+           |FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+           |     ($anyBand)
+           |WHERE $ham <= $radius
+           |ORDER BY d1, d2""".stripMargin
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val bands0 = phashBandCodes(Tables.documents(s, d), segs, bands)
+      val bandCols = (0 until bands).map(b => col(s"b$b"))
+      val exploded = bands0.select(
+        $"doc_id" +: bandCols :+
+          posexplode(array(bandCols: _*)).as(Seq("bi", "bv")): _*)
+      val left = exploded.toDF(
+        (("d1" +: (0 until bands).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
+      val right = exploded.toDF(
+        (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
+      val ham = (0 until bands)
+        .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
+        .reduce(_ + _)
+      left
+        .join(right, Seq("bi", "bv"))
+        .filter($"d1" < $"d2")
+        .select($"d1" +: $"d2" +:
+          ((0 until bands).map(b => col(s"a$b")) ++
+            (0 until bands).map(b => col(s"c$b"))): _*)
+        .distinct()
+        .select($"d1", $"d2", ham.cast("long").as("hamming"))
+        .filter($"hamming" <= radius)
+        .orderBy($"d1", $"d2")
     }
-  ) { (s, d) =>
+  }
+
+  /** Per-doc band codes for a (segs, bands) pHash dial: (doc_id,
+    * b0..b{bands−1}) with each band a bandBits-wide code packed into a
+    * BIGINT. Pixel computation is ONE codegen'd explode + count-shuffle
+    * keyed (doc, segment) — NOT `segs` interpreted slice-aggregates per
+    * row (that form re-evaluated the segment lambda per code bit and
+    * cost ~13 s at sf0.1). Char at 1-based position j belongs to
+    * segment (segs·j − 1) div n — verified identical to the oracle's
+    * range slicing for every n. mean = (Σ ascii)/segs needs no spine:
+    * an absent (doc, seg) row is a 0 pixel and 0 < mean always, so its
+    * bit is 0. The per-bit weight is a lookup into a bandBits-entry
+    * literal array (runtime-bounded data, constant bytecode at any
+    * dial — the HyperplaneBuckets JIT lesson). */
+  private[graft] def phashBandCodes(docs: org.apache.spark.sql.DataFrame,
+      segs: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    // pixel computation as ONE codegen'd explode + count-shuffle keyed
-    // (doc, segment) — NOT 64 interpreted slice-aggregates per row (that
-    // form re-evaluated the segment lambda per code bit and cost ~13 s
-    // at sf0.1). Char at 1-based position j belongs to segment
-    // (64j-1) div n — verified identical to the oracle's range slicing
-    // for every n. mean = (Σ ascii)/64 needs no spine: an absent
-    // (doc, seg) row is a 0 pixel and 0 < mean always, so its bit is 0.
-    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val bandBits = segs / bands
+    val base = docs.select($"doc_id", $"text")
     val segSums = base
       .select($"doc_id", length($"text").as("n"),
         posexplode(split($"text", "")).as(Seq("pos", "ch")))
       .select($"doc_id",
-        expr("(64 * pos + 63) div n").cast("int").as("seg"),
+        expr(s"($segs * pos + ${segs - 1}) div n").cast("int").as("seg"),
         ascii($"ch").cast("long").as("v"))
       .groupBy($"doc_id", $"seg")
       .agg(sum($"v").as("px"))
     val tot = segSums.groupBy($"doc_id").agg(sum($"px").as("tot"))
+    val weights = array((0 until bandBits).map(j => lit(1L << j)): _*)
+    def bandSum(b: Int) =
+      sum(
+        when($"seg" >= bandBits * b && $"seg" < bandBits * (b + 1) &&
+          $"px" > $"tot" / lit(segs.toDouble),
+          element_at(weights, ($"seg" % bandBits).cast("int") + 1))
+          .otherwise(lit(0L))).as(s"b$b")
     val bandAgg = segSums
       .join(tot, "doc_id")
       .groupBy($"doc_id")
-      .agg(
-        (0 until 4).map { b =>
-          sum(
-            when($"seg" >= 16 * b && $"seg" < 16 * (b + 1) &&
-              $"px" > $"tot" / lit(64.0),
-              pow(lit(2.0), ($"seg" % 16)).cast("long"))
-              .otherwise(lit(0L))).as(s"b$b")
-        }.head,
-        (0 until 4).map { b =>
-          sum(
-            when($"seg" >= 16 * b && $"seg" < 16 * (b + 1) &&
-              $"px" > $"tot" / lit(64.0),
-              pow(lit(2.0), ($"seg" % 16)).cast("long"))
-              .otherwise(lit(0L))).as(s"b$b")
-        }.tail: _*)
+      .agg(bandSum(0), (1 until bands).map(bandSum): _*)
     // docs with empty text produce no char rows: all-zero code, kept
-    val bands = base
+    base
       .select($"doc_id")
       .join(bandAgg, Seq("doc_id"), "left")
       .select(
-        $"doc_id" +: (0 until 4).map(b =>
+        $"doc_id" +: (0 until bands).map(b =>
           coalesce(col(s"b$b"), lit(0L)).as(s"b$b")): _*)
-    val bandCols = (0 until 4).map(b => col(s"b$b"))
-    val exploded = bands.select(
+  }
+
+  /** Banded candidate count at a (segs, bands) dial — the probe surface
+    * for the code-length analysis: one row (dial, n_docs, n_candidates).
+    * Candidates = distinct doc pairs agreeing on ≥ 1 band (exactly what
+    * the near-dup query feeds its Hamming verify), counted WITHOUT the
+    * verify so a probe measures the banding term alone. At a fixed
+    * 64-bit code the count grows ~n²/2¹⁶ once n ≫ 2¹⁶; at the 256-bit
+    * dial spurious band collisions are ~n²/2⁶⁴ ≈ 0 and the count tracks
+    * the corpus's true near-dup structure. */
+  private[graft] def phashCandidateCount(docs: org.apache.spark.sql.DataFrame,
+      segs: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val codes = phashBandCodes(docs, segs, bands)
+    val bandCols = (0 until bands).map(b => col(s"b$b"))
+    val exploded = codes.select(
       $"doc_id" +: bandCols :+
         posexplode(array(bandCols: _*)).as(Seq("bi", "bv")): _*)
     val left = exploded.toDF(
-      (("d1" +: (0 until 4).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
+      (("d1" +: (0 until bands).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
     val right = exploded.toDF(
-      (("d2" +: (0 until 4).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
-    val ham = (0 until 4)
-      .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
-      .reduce(_ + _)
-    left
-      .join(right, Seq("bi", "bv"))
+      (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
+    val n = codes.count()
+    left.join(right, Seq("bi", "bv"))
       .filter($"d1" < $"d2")
-      .select($"d1" +: $"d2" +:
-        ((0 until 4).map(b => col(s"a$b")) ++
-          (0 until 4).map(b => col(s"c$b"))): _*)
+      .select($"d1", $"d2")
       .distinct()
-      .select($"d1", $"d2", ham.cast("long").as("hamming"))
-      .filter($"hamming" <= 10)
-      .orderBy($"d1", $"d2")
+      .agg(count(lit(1)).as("n_candidates"))
+      .select(lit(s"${segs}bit/${bands}bands").as("dial"),
+        lit(n).as("n_docs"), $"n_candidates")
   }
+
+  /** The fixture dial: 64-bit code, 4×16-bit bands, radius 10. */
+  val qMediaPhashNearDup: QueryDef =
+    phashQuery("q_media_phash_neardup", 64, 4, 10)
+
+  /** The 5M+ corpus dial (SCALE.md's code-length analysis, made code):
+    * 256-bit code, 4×64-bit bands (occupancy n/2⁶⁴ — the banded
+    * candidate count stays ~linear at any realistic corpus), radius 40
+    * (the same 10/64 proportion of the code length). */
+  val qMediaPhashNearDup256: QueryDef =
+    phashQuery("q_media_phash_neardup_256", 256, 4, 40)
 
   /** One decoded "audio" analysis window. */
   case class MediaWindow(doc_id: Long, widx: Int, energy: Long)
@@ -451,5 +524,6 @@ object Multimodal {
 
   def defs: Seq[QueryDef] =
     Seq(qBinaryRoundtrip, qMediaFeatures, qFrameSample, qMediaMeta,
-      qMediaResize, qMediaPhashNearDup, qMediaSegments)
+      qMediaResize, qMediaPhashNearDup, qMediaPhashNearDup256,
+      qMediaSegments)
 }

@@ -241,4 +241,33 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.prefixLen(n) >= 1 && Dedup.prefixLen(n) <= n, s"bounds n=$n")
     }
   }
+
+  test("capped emission is the per-doc top-K slice of the exact pair set") {
+    val full = Dedup.prefixFilterPairs(Tables.documents(spark, sf))
+      .as[(Long, Long, Double)].collect()
+    val capped = Dedup.qPrefixFilterCapped.fn(spark, sf)
+      .select($"d1", $"d2", $"jaccard", $"pair_rank", $"n_partners")
+      .as[(Long, Long, Double, Int, Long)].collect()
+    val byD1 = full.groupBy(_._1)
+    // every emitted row is a true pair, ranks are 1..K, and n_partners
+    // reports the UNCAPPED partner count
+    val fullSet = full.map(r => (r._1, r._2)).toSet
+    capped.foreach { case (d1, d2, _, rk, np) =>
+      assert(fullSet.contains((d1, d2)), s"($d1,$d2) not a true pair")
+      assert(rk >= 1 && rk <= Dedup.PrefixCapK, s"rank $rk")
+      assert(np === byD1(d1).length.toLong, s"n_partners of $d1")
+    }
+    // per-doc output is capped at K; docs at/under the cap emit ALL
+    // their partners; over-cap docs emit exactly the top-K by
+    // (jaccard desc, d2 asc)
+    capped.groupBy(_._1).foreach { case (d1, rows) =>
+      val want = byD1(d1).sortBy(r => (-r._3, r._2))
+        .take(Dedup.PrefixCapK).map(r => (r._1, r._2)).toSet
+      assert(rows.length <= Dedup.PrefixCapK, s"doc $d1 over cap")
+      assert(rows.map(r => (r._1, r._2)).toSet === want, s"doc $d1 top-K")
+    }
+    // every doc with any partner emits at least its rank-1 row
+    assert(capped.groupBy(_._1).keySet === byD1.keySet)
+    assert(capped.nonEmpty, "fixture must contain near-dup pairs")
+  }
 }

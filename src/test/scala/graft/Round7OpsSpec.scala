@@ -35,6 +35,42 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("256-bit phash dial: exact dups at hamming 0; radius honored; 64-dial pairs covered") {
+    val rows = Multimodal.qMediaPhashNearDup256
+      .fn(spark, sf)
+      .select($"d1", $"d2", $"hamming")
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(rows.forall { case (a, b, h) => a < b && h >= 0 && h <= 40 })
+    // identical text ⇒ identical 256-bit code ⇒ hamming 0 at this dial too
+    val exactDups = Tables
+      .documents(spark, sf)
+      .groupBy($"text")
+      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"ids")
+      .as[Seq[Long]]
+      .collect()
+    val pairSet = rows.map { case (a, b, h) => (a, b) -> h }.toMap
+    exactDups.foreach { ids =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) {
+        assert(pairSet.get((s(i), s(j))).contains(0L),
+          s"exact dup pair (${s(i)}, ${s(j)}) missing or nonzero at 256-bit dial")
+      }
+    }
+    // the longer code REFINES: every 64-dial hamming-0 pair whose text
+    // really is identical reappears at the 256 dial with hamming 0
+    val h0at64 = Multimodal.qMediaPhashNearDup.fn(spark, sf)
+      .filter($"hamming" === 0).select($"d1", $"d2")
+      .as[(Long, Long)].collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    h0at64.filter { case (a, b) => texts(a) == texts(b) }.foreach { p =>
+      assert(pairSet.get(p).contains(0L), s"identical-text pair $p lost at 256")
+    }
+  }
+
   test("sql-plane linkage groups by name length and bounds similarity counts") {
     val rows = SqlPlane.qSqlLinkage
       .fn(spark, sf)
