@@ -1106,9 +1106,131 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** Per-doc CANDIDATE cap for [[qPrefixFilterSampled]] — sized above
+    * [[PrefixCapK]] so the emission rank still has slack to rank within
+    * the sample. */
+  val PrefixSampleK = 20
+
+  /** Sample-per-clique prefix join — the dial that bounds the VERIFY
+    * intermediate, which [[qPrefixFilterCapped]]'s post-verify emission
+    * cap cannot: on a clique-dense corpus the candidate set ≈ the
+    * clique interiors (Σ size²/2 pairs — the r10 dense battery's 24.7M
+    * at x100), and the capped query still pushes every candidate
+    * through the common-shingle verify shuffle, which is exactly the
+    * stage that exceeded this box's scratch at dense x100 (uncapped
+    * ERR at 474 s, post-verify-capped ERR at 322 s — scaleprobe-r10d /
+    * -r11b). This variant caps CANDIDATES per left doc to the
+    * [[PrefixSampleK]] smallest d2 (a deterministic, oracle-replayable
+    * order) BEFORE verification, so verify work per doc is bounded by
+    * K'·|shingles| on ANY clique size. SEMANTICS ARE SAMPLING, stated
+    * loudly: a qualifying partner outside the K'-smallest-d2 candidate
+    * sample is never scored — on clique-heavy data that is the point
+    * (any K partners of a clique member represent the clique), and the
+    * lossless [[qPrefixFilterJoin]] stays the exactness path.
+    *
+    * The oracle cannot shortcut through the full exact join here (the
+    * sample depends on the PREFIX-generated candidate set), so it
+    * replays the prefix machinery longhand: document frequencies,
+    * (df, shingle) rarity ranks, the integer prefix bound, the
+    * length-ratio filter — each deterministic, so both engines derive
+    * the identical candidate sample. */
+  val qPrefixFilterSampled = QueryDef.sql(
+    "q_prefix_filter_sampled",
+    s"""WITH ds AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                 for i in range(1, len(w)-1)]) AS s
+       |  FROM $duckShingles
+       |  WHERE len(w) >= 3),
+       |dfr AS (SELECT s, count(*) AS df FROM ds GROUP BY s),
+       |rk AS (
+       |  SELECT ds.doc_id, ds.s,
+       |         row_number() OVER (PARTITION BY ds.doc_id
+       |                            ORDER BY dfr.df, ds.s) AS r,
+       |         count(*) OVER (PARTITION BY ds.doc_id) AS n
+       |  FROM ds JOIN dfr USING (s)),
+       |pfx AS (SELECT doc_id, s, n FROM rk
+       |        WHERE r <= n - ((n * 4 + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         a.n AS n1, b.n AS n2
+       |  FROM pfx a JOIN pfx b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |   AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4),
+       |samp AS (
+       |  SELECT d1, d2, n1, n2 FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY d1 ORDER BY d2)
+       |          <= $PrefixSampleK),
+       |common AS (
+       |  SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS common
+       |  FROM samp c
+       |  JOIN ds p1 ON p1.doc_id = c.d1
+       |  JOIN ds p2 ON p2.doc_id = c.d2 AND p2.s = p1.s
+       |  GROUP BY c.d1, c.d2, c.n1, c.n2),
+       |jac AS (
+       |  SELECT d1, d2,
+       |         round(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+       |  FROM common
+       |  WHERE common * 1.0 / (n1 + n2 - common) >= 0.8)
+       |SELECT d1, d2, jaccard,
+       |       CAST(row_number() OVER w AS INT) AS pair_rank,
+       |       CAST(count(*) OVER (PARTITION BY d1) AS BIGINT)
+       |         AS n_sampled_partners
+       |FROM jac
+       |WINDOW w AS (PARTITION BY d1 ORDER BY jaccard DESC, d2)
+       |QUALIFY row_number() OVER w <= $PrefixCapK
+       |ORDER BY d1, d2""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val posts = docs
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+      .repartition(col("s"))
+    val dfs = posts.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val rarity = byDoc.orderBy($"df", $"s")
+    val ranked = posts
+      .join(dfs, "s")
+      .select($"doc_id", $"s",
+        row_number().over(rarity).as("r"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .select($"doc_id", $"s", $"n")
+    val wSamp = Window.partitionBy($"d1").orderBy($"d2")
+    val samp = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        $"a.n".as("n1"), $"b.n".as("n2"))
+      .distinct()
+      .withColumn("cr", row_number().over(wSamp))
+      .filter($"cr" <= PrefixSampleK)
+      .drop("cr")
+    val jac = samp
+      .join(posts.as("p1"), $"d1" === $"p1.doc_id")
+      .join(posts.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")
+      .groupBy($"d1", $"d2", $"n1", $"n2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        $"common" * lit(1.0) / ($"n1" + $"n2" - $"common"))
+      .filter($"jac" >= 0.8)
+      .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+    val byD1 = Window.partitionBy($"d1")
+    val wEmit = byD1.orderBy($"jaccard".desc, $"d2")
+    jac
+      .select($"d1", $"d2", $"jaccard",
+        row_number().over(wEmit).cast("int").as("pair_rank"),
+        count(lit(1)).over(byD1).cast("long").as("n_sampled_partners"))
+      .filter($"pair_rank" <= PrefixCapK)
+      .orderBy($"d1", $"d2")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qDedupExact, qNgramJaccard, qMinhashLsh, qSimhash, qDedupGroups,
       qDedupCanonical, qDedupGroupStats, qLshRecall, qNgramNovelty,
       qDedupThresholdSweep, qLshBandSweep, qPrefixFilterJoin,
-      qPrefixFilterCapped)
+      qPrefixFilterCapped, qPrefixFilterSampled)
 }

@@ -152,7 +152,16 @@ object Linkage {
           expr("substr(p_name, (p_partkey % (length(p_name)-1) + 1), 1)"),
           expr("substr(p_name, (p_partkey % (length(p_name)-1) + 1) + 2)"))
           .as("name"))
-    val names = part.select($"p_name".as("name")).union(dirty).distinct()
+    // checkpoint the tiny distinct-variant relation ONCE: it feeds three
+    // places (both sides of the candidate join and the final left join),
+    // and without the cut each consumer re-runs the part scan + union +
+    // distinct as its own job chain — the r10 job census measured 49
+    // jobs/run with most OUTSIDE connectedComponents; this single cut is
+    // the floor dial (names is a name-universe relation, never corpus-
+    // sized, so the checkpoint materializes hundreds of rows)
+    import org.apache.spark.sql.graftbridge.DatasetBridge.{
+      localCheckpointFreshStats => ckpt}
+    val names = ckpt(part.select($"p_name".as("name")).union(dirty).distinct())
     val pairs = names
       .select($"name".as("d1"))
       .join(broadcast(names.select($"name".as("d2"))),
@@ -163,7 +172,7 @@ object Linkage {
       .select($"node".as("l_name"), $"label")
     val w = Window.partitionBy($"entity_id")
     names
-      .join(labels, $"name" === $"l_name", "left")
+      .join(broadcast(labels), $"name" === $"l_name", "left")
       .select($"name",
         least(coalesce($"label", $"name"), $"name").as("entity_id"))
       .withColumn("entity_size", count(lit(1)).over(w))

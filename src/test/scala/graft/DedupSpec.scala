@@ -270,4 +270,54 @@ class DedupSpec extends SparkSpec {
     assert(capped.groupBy(_._1).keySet === byD1.keySet)
     assert(capped.nonEmpty, "fixture must contain near-dup pairs")
   }
+
+  test("sampled emission scores only true pairs and matches capped under the sample size") {
+    val sampled = Dedup.qPrefixFilterSampled.fn(spark, sf)
+      .select($"d1", $"d2", $"jaccard", $"pair_rank", $"n_sampled_partners")
+      .as[(Long, Long, Double, Int, Long)].collect()
+    val exact = Dedup.prefixFilterPairs(Tables.documents(spark, sf))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every emitted row is a TRUE >= 0.8 pair with the exact jaccard
+    // (the sample can only DROP candidates, never invent or rescore)
+    sampled.foreach { case (d1, d2, j, rk, np) =>
+      assert(exact.get((d1, d2)).contains(j), s"($d1,$d2) not exact")
+      assert(rk >= 1 && rk <= Dedup.PrefixCapK)
+      assert(np >= sampled.count(r => r._1 == d1).toLong)
+    }
+    sampled.groupBy(_._1).foreach { case (d1, rows) =>
+      assert(rows.length <= Dedup.PrefixCapK, s"doc $d1 over cap")
+    }
+    // per-d1 candidate census via the same prefix construction: where a
+    // doc's candidate count fits inside the sample, sampling is a no-op
+    // and the emitted set must EQUAL the exact-top-K capped query's
+    val dfs = postings.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val ranked = postings.join(dfs, "s")
+      .select($"doc_id", $"s",
+        row_number().over(byDoc.orderBy($"df", $"s")).as("r"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .select($"doc_id", $"s", $"n")
+    val candPerD1 = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+      .groupBy($"d1").agg(count(lit(1)).as("nc"))
+      .as[(Long, Long)].collect().toMap
+    val capped = Dedup.qPrefixFilterCapped.fn(spark, sf)
+      .select($"d1", $"d2", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val sampledBy = sampled.groupBy(_._1)
+    val cappedBy = capped.groupBy(_._1)
+    candPerD1.filter(_._2 <= Dedup.PrefixSampleK).keys.foreach { d1 =>
+      val sa = sampledBy.getOrElse(d1, Array.empty).map(r => (r._2, r._3)).toSet
+      val ca = cappedBy.getOrElse(d1, Array.empty).map(r => (r._2, r._3)).toSet
+      assert(sa === ca, s"doc $d1: sampling was a no-op but outputs differ")
+    }
+    assert(sampled.nonEmpty, "fixture must contain near-dup pairs")
+  }
 }
