@@ -342,17 +342,41 @@ object Multimodal {
 
   /** Per-doc band codes for a (segs, bands) pHash dial: (doc_id,
     * b0..b{bands−1}) with each band a bandBits-wide code packed into a
-    * BIGINT. Pixel computation is ONE codegen'd explode + count-shuffle
-    * keyed (doc, segment) — NOT `segs` interpreted slice-aggregates per
-    * row (that form re-evaluated the segment lambda per code bit and
-    * cost ~13 s at sf0.1). Char at 1-based position j belongs to
-    * segment (segs·j − 1) div n — verified identical to the oracle's
-    * range slicing for every n. mean = (Σ ascii)/segs needs no spine:
-    * an absent (doc, seg) row is a 0 pixel and 0 < mean always, so its
-    * bit is 0. The per-bit weight is a lookup into a bandBits-entry
-    * literal array (runtime-bounded data, constant bytecode at any
-    * dial — the HyperplaneBuckets JIT lesson). */
+    * BIGINT. A perceptual code is a per-document function of the
+    * payload alone, so the pixel stage needs NO shuffle: the native
+    * [[graft.plans.PhashBandCodes]] expression computes segment sums,
+    * mean threshold, and packed codes in one scan-side pass over the
+    * UTF-8 bytes (constant bytecode at any dial — the HyperplaneBuckets
+    * JIT lesson). This replaced the explode + groupBy(doc, seg) form
+    * (kept below as [[phashBandCodesExploded]] for the equivalence spec
+    * and the probe A/B), whose Θ(total chars) exchange was the measured
+    * x1000 scratch bound of the pHash probe family (SCALE.md r11
+    * residual #2). Empty text → all-zero code, same as before. */
   private[graft] def phashBandCodes(docs: org.apache.spark.sql.DataFrame,
+      segs: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val codes = graft.plans.PhashExpressions
+      .phashBandCodes($"text", segs, bands)
+    docs
+      .select($"doc_id", codes.as("bc"))
+      .select(
+        $"doc_id" +: (0 until bands).map(b =>
+          element_at($"bc", b + 1).as(s"b$b")): _*)
+  }
+
+  /** The pre-r11 pixel dataflow — ONE codegen'd explode +
+    * count-shuffle keyed (doc, segment), Θ(total chars) shuffle rows.
+    * Retained as the equivalence baseline: MultimodalSpec pins its
+    * codes bit-identical to the native expression's at both registry
+    * dials, and the scale probe measures the two forms' pixel stages
+    * against each other. Char at 1-based position j belongs to segment
+    * (segs·j − 1) div n — verified identical to the oracle's range
+    * slicing for every n. mean = (Σ ascii)/segs needs no spine: an
+    * absent (doc, seg) row is a 0 pixel and 0 < mean always, so its
+    * bit is 0. */
+  private[graft] def phashBandCodesExploded(
+      docs: org.apache.spark.sql.DataFrame,
       segs: Int, bands: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -61,4 +61,105 @@ class MultimodalSpec extends SparkSpec {
     assert(viaChunks.except(direct).count() === 0)
     assert(direct.except(viaChunks).count() === 0)
   }
+
+  // --- native pHash band codes vs the exploded-shuffle baseline ---
+
+  private def codesMap(df: org.apache.spark.sql.DataFrame, bands: Int)
+      : Map[Long, Seq[Long]] =
+    df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until bands).map(b => r.getAs[Long](s"b$b")))
+      .toMap
+
+  test("native pHash codes are bit-identical to the exploded form at both dials") {
+    val docs = Tables.documents(spark, sf)
+    for ((segs, bands) <- Seq((64, 4), (256, 4))) {
+      val native = codesMap(Multimodal.phashBandCodes(docs, segs, bands), bands)
+      val exploded =
+        codesMap(Multimodal.phashBandCodesExploded(docs, segs, bands), bands)
+      assert(native.size === exploded.size)
+      assert(native === exploded, s"dial ${segs}bit/${bands}bands")
+    }
+  }
+
+  test("native pHash codes: codegen path compiles and matches interpreted eval") {
+    // fallback=false so a Janino failure in PhashBandCodes.doGenCode
+    // fails the spec instead of silently degrading to interpreted.
+    val was = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Tables.documents(spark, sf).limit(50)
+      val viaCodegen = codesMap(Multimodal.phashBandCodes(docs, 256, 4), 4)
+      val viaInterp = docs
+        .collect()
+        .map { r =>
+          val out = graft.plans.PhashBandCodes.compute(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(r.getAs[String]("text")), 256, 4, 64)
+          r.getAs[Long]("doc_id") -> out.toSeq
+        }
+        .toMap
+      assert(viaCodegen === viaInterp)
+    } finally spark.conf.set("spark.sql.codegen.fallback", was)
+  }
+
+  /** Code-point reference for a single doc — the ORACLE's semantics
+    * (DuckDB `ord(text[j:j])` = code point of the jth character),
+    * written longhand over `String.codePoints`. */
+  private def refCodes(text: String, segs: Int, bands: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val p = new Array[Long](segs)
+    cps.zipWithIndex.foreach { case (cp, i) =>
+      p(((segs.toLong * i + segs - 1) / n).toInt) += cp
+    }
+    val mean = p.sum.toDouble / segs
+    val bandBits = segs / bands
+    (0 until bands).map { b =>
+      (0 until bandBits).foldLeft(0L)((acc, j) =>
+        if (p(b * bandBits + j).toDouble > mean) acc | (1L << j) else acc)
+    }
+  }
+
+  test("native pHash codes handle empty / short / multi-byte text per the oracle") {
+    // Edges: empty text (all-zero code — the row the exploded form's
+    // left join reinstated), a doc shorter than the segment count
+    // (most segments empty), and 2/3/4-byte UTF-8 code points. The
+    // reference is the ORACLE's ord() = code point semantics; note the
+    // exploded baseline is NOT the reference off-ASCII (Spark's
+    // ascii() returns the first BYTE, which diverges from ord() on
+    // multi-byte chars — the fixture-is-ASCII spec above pins the
+    // regime where all three agree).
+    val docs = Seq(
+      (1L, ""),
+      (2L, "a"),
+      (3L, "ab"),
+      (4L, "café naïve"), // 2-byte
+      (5L, "€€ plain 世界"), // 3-byte
+      (6L, new String(Character.toChars(0x1f600)) + "x" +
+        new String(Character.toChars(0x1d11e))), // 4-byte
+      (7L, "z" * 553)
+    )
+    val df = docs.toDF("doc_id", "text")
+    for ((segs, bands) <- Seq((64, 4), (256, 4))) {
+      val native = codesMap(Multimodal.phashBandCodes(df, segs, bands), bands)
+      val expect = docs.map { case (id, t) =>
+        id -> (if (t.isEmpty) Seq.fill(bands)(0L) else refCodes(t, segs, bands))
+      }.toMap
+      assert(native === expect, s"dial ${segs}bit/${bands}bands")
+    }
+  }
+
+  test("native pHash pixel stage plans with zero exchanges before the codes") {
+    // The point of the native expression: codes materialize in the
+    // scan stage itself. The band-codes sub-plan must contain NO
+    // shuffle exchange (the exploded baseline had the Θ(chars)
+    // explode → groupBy(doc, seg) exchange here).
+    val plan = Multimodal
+      .phashBandCodes(Tables.documents(spark, sf), 256, 4)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
 }
