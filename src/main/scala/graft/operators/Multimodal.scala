@@ -314,30 +314,42 @@ object Multimodal {
            |ORDER BY d1, d2""".stripMargin
       }
     ) { (s, d) =>
-      import s.implicits._
-      val bands0 = phashBandCodes(Tables.documents(s, d), segs, bands)
-      val bandCols = (0 until bands).map(b => col(s"b$b"))
-      val exploded = bands0.select(
-        $"doc_id" +: bandCols :+
-          posexplode(array(bandCols: _*)).as(Seq("bi", "bv")): _*)
-      val left = exploded.toDF(
-        (("d1" +: (0 until bands).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
-      val right = exploded.toDF(
-        (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
-      val ham = (0 until bands)
-        .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
-        .reduce(_ + _)
-      left
-        .join(right, Seq("bi", "bv"))
-        .filter($"d1" < $"d2")
-        .select($"d1" +: $"d2" +:
-          ((0 until bands).map(b => col(s"a$b")) ++
-            (0 until bands).map(b => col(s"c$b"))): _*)
-        .distinct()
-        .select($"d1", $"d2", ham.cast("long").as("hamming"))
-        .filter($"hamming" <= radius)
-        .orderBy($"d1", $"d2")
+      phashPairs(Tables.documents(s, d), segs, bands, radius)
+        .orderBy(col("d1"), col("d2"))
     }
+  }
+
+  /** The near-dup pair dataflow at a (segs, bands) dial: banded
+    * self-join on any agreeing band, Hamming verify at `radius`. Each
+    * colliding pair is emitted exactly once via its FIRST matching band
+    * (a pair joins at band j iff a_j = c_j, so keeping only the row
+    * where every earlier band differs is equivalent to a distinct over
+    * the join output) — a codegen'd FILTER in place of the prior
+    * distinct, whose exchange of the data-quadratic candidate stream
+    * was the measured x1000 scratch bound (r11e probe: ENOSPC in the
+    * distinct's shuffle write at 536 s; the filter form never shuffles
+    * a candidate row — join output flows straight into the verify). */
+  private[graft] def phashPairs(docs: org.apache.spark.sql.DataFrame,
+      segs: Int, bands: Int, radius: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bands0 = phashBandCodes(docs, segs, bands)
+    val bandCols = (0 until bands).map(b => col(s"b$b"))
+    val exploded = bands0.select(
+      $"doc_id" +: bandCols :+
+        posexplode(array(bandCols: _*)).as(Seq("bi", "bv")): _*)
+    val left = exploded.toDF(
+      (("d1" +: (0 until bands).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
+    val right = exploded.toDF(
+      (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
+    val ham = (0 until bands)
+      .map(b => bit_count(col(s"a$b").bitwiseXOR(col(s"c$b"))))
+      .reduce(_ + _)
+    left
+      .join(right, Seq("bi", "bv"))
+      .filter($"d1" < $"d2" && firstMatchingBand(bands))
+      .select($"d1", $"d2", ham.cast("long").as("hamming"))
+      .filter($"hamming" <= radius)
   }
 
   /** Per-doc band codes for a (segs, bands) pHash dial: (doc_id,
@@ -411,6 +423,20 @@ object Multimodal {
           coalesce(col(s"b$b"), lit(0L)).as(s"b$b")): _*)
   }
 
+  /** First-matching-band predicate over the exploded banded self-join:
+    * true iff the current row's band index `bi` is the SMALLEST band on
+    * which the two codes agree (all earlier bands differ). The join on
+    * (bi, bv) already guarantees a_bi = c_bi, so filtering on this emits
+    * every colliding pair exactly once — same pair set as a distinct
+    * over the join output, with zero exchange of the (data-quadratic)
+    * candidate stream. */
+  private def firstMatchingBand(bands: Int): org.apache.spark.sql.Column =
+    (0 until bands).map { b =>
+      (col("bi") === b) && (0 until b)
+        .map(j => col(s"a$j") =!= col(s"c$j"))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+
   /** Banded candidate count at a (segs, bands) dial — the probe surface
     * for the code-length analysis: one row (dial, n_docs, n_candidates).
     * Candidates = distinct doc pairs agreeing on ≥ 1 band (exactly what
@@ -433,10 +459,12 @@ object Multimodal {
     val right = exploded.toDF(
       (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
     val n = codes.count()
+    // first-matching-band emission (see [[firstMatchingBand]]): the
+    // count is a filter + partial agg over the join output — no distinct,
+    // so the data-quadratic candidate stream is never exchanged (the
+    // prior distinct's shuffle write was the measured x1000 ENOSPC)
     left.join(right, Seq("bi", "bv"))
-      .filter($"d1" < $"d2")
-      .select($"d1", $"d2")
-      .distinct()
+      .filter($"d1" < $"d2" && firstMatchingBand(bands))
       .agg(count(lit(1)).as("n_candidates"))
       .select(lit(s"${segs}bit/${bands}bands").as("dial"),
         lit(n).as("n_docs"), $"n_candidates")

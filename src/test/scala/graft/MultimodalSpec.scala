@@ -150,6 +150,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("first-matching-band emission equals distinct over the banded join") {
+    // The candidate join emits a colliding pair once per AGREEING band;
+    // r11's first-band filter must keep exactly one row per pair — the
+    // same set a distinct over the join output produced (the distinct's
+    // exchange of the data-quadratic candidate stream was the measured
+    // x1000 ENOSPC). Exercised where it matters: docs with MULTI-band
+    // agreement (identical texts collide on all four bands) alongside
+    // partial collisions from near-identical texts.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val base = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text"))
+    val clones = base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text")) // full 4-band collisions with their originals
+    val docs = base.unionAll(clones)
+    for ((segs, bands, radius) <- Seq((64, 4, 10), (256, 4, 40))) {
+      // reference pair set: explode → join → distinct(d1, d2)
+      val codes = Multimodal.phashBandCodes(docs, segs, bands)
+      val bandCols = (0 until bands).map(b => col(s"b$b"))
+      val exploded = codes.select(
+        col("doc_id") +: bandCols :+
+          org.apache.spark.sql.functions
+            .posexplode(org.apache.spark.sql.functions.array(bandCols: _*))
+            .as(Seq("bi", "bv")): _*)
+      val l = exploded.toDF(
+        (("d1" +: (0 until bands).map(b => s"a$b")) ++ Seq("bi", "bv")): _*)
+      val r = exploded.toDF(
+        (("d2" +: (0 until bands).map(b => s"c$b")) ++ Seq("bi", "bv")): _*)
+      val refPairs = l.join(r, Seq("bi", "bv"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      val nRef = refPairs.count()
+      // the production count (first-band emission, no distinct)
+      val nNew = Multimodal.phashCandidateCount(docs, segs, bands)
+        .select(col("n_candidates")).head.getLong(0)
+      assert(nNew === nRef, s"dial ${segs}bit/${bands}bands")
+      assert(nRef >= clones.count(), "clone pairs must collide")
+      // and the full query emits each qualifying pair exactly once
+      val full = Multimodal
+        .phashPairs(docs, segs, bands, radius)
+      val dup = full.groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      assert(dup === 0L)
+    }
+  }
+
   test("native pHash pixel stage plans with zero exchanges before the codes") {
     // The point of the native expression: codes materialize in the
     // scan stage itself. The band-codes sub-plan must contain NO
