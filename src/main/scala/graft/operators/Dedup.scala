@@ -1122,7 +1122,14 @@ object Dedup {
     * -r11b). This variant caps CANDIDATES per left doc to the
     * [[PrefixSampleK]] smallest d2 (a deterministic, oracle-replayable
     * order) BEFORE verification, so verify work per doc is bounded by
-    * K'·|shingles| on ANY clique size. SEMANTICS ARE SAMPLING, stated
+    * K'·|shingles| on ANY clique size. The cap itself is the
+    * bounded-partial-state [[graft.plans.SmallestKAgg]] (not a
+    * window): map-side combine bounds the exchange at ≤ K' longs per
+    * (d1, partition), so the pre-cap candidate stream — quadratic
+    * inside cliques — is streamed through the aggregate, never
+    * shuffled (late-r11; the window form's exchange of that stream was
+    * the dense-x1000 ENOSPC, scaleprobe-r11f.json). SEMANTICS ARE
+    * SAMPLING, stated
     * loudly: a qualifying partner outside the K'-smallest-d2 candidate
     * sample is never scored — on clique-heavy data that is the point
     * (any K partners of a clique member represent the clique), and the
@@ -1198,17 +1205,29 @@ object Dedup {
     val prefix = ranked
       .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
       .select($"doc_id", $"s", $"n")
-    val wSamp = Window.partitionBy($"d1").orderBy($"d2")
+    // The K'-smallest-d2 cap as a BOUNDED-PARTIAL-STATE aggregate
+    // (r11f finding): the prior distinct + row_number form exchanged
+    // the whole pre-cap candidate stream — data-quadratic on clique
+    // corpora, the measured dense-x1000 ENOSPC at 541 s. smallestK's
+    // map-side combine collapses each partition's candidates per d1 to
+    // ≤ K' longs BEFORE the exchange, so the quadratic stream is
+    // CPU-streamed, never shuffled (the pHash first-matching-band
+    // lesson applied to a top-K cap). Same sample set: K' smallest
+    // DISTINCT d2 per d1. n2 is re-attached from the per-doc shingle
+    // counts — a corpus-sized (linear) join on the capped pairs.
+    val docN = prefix.select($"doc_id", $"n").distinct()
     val samp = prefix.as("a")
       .join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
           $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.n".as("n1"), $"b.n".as("n2"))
-      .distinct()
-      .withColumn("cr", row_number().over(wSamp))
-      .filter($"cr" <= PrefixSampleK)
-      .drop("cr")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"), $"a.n".as("n1"))
+      .groupBy($"d1", $"n1")
+      .agg(graft.plans.SmallestKAgg.smallestK($"d2", PrefixSampleK)
+        .as("d2s"))
+      .select($"d1", $"n1", explode($"d2s").as("d2"))
+      .join(docN.select($"doc_id".as("d2key"), $"n".as("n2")),
+        $"d2" === $"d2key")
+      .select($"d1", $"d2", $"n1", $"n2")
     val jac = samp
       .join(posts.as("p1"), $"d1" === $"p1.doc_id")
       .join(posts.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")

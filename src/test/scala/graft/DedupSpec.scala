@@ -320,4 +320,83 @@ class DedupSpec extends SparkSpec {
     }
     assert(sampled.nonEmpty, "fixture must contain near-dup pairs")
   }
+
+  test("smallestK aggregate equals distinct-sort-take-k at any partitioning") {
+    // The bounded-partial-state cap behind the sampled emission
+    // (r11f): the result must be a pure function of the value SET —
+    // identical under map-side combine, any partition count, and
+    // duplicate-heavy input (clique candidates repeat once per shared
+    // prefix shingle).
+    import graft.plans.SmallestKAgg.smallestK
+    val rows = for {
+      g <- 0L until 7L
+      v <- Seq(5L, 3L, 9L, 3L, 11L, 2L, 5L, 7L, 2L, 13L, 1L).map(_ + g)
+      _ <- 0 until 3 // duplicates
+    } yield (g, v)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy($"g").agg(smallestK($"v", 4).as("ks"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).distinct.sorted.take(4)
+      }
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
+  test("sampled emission equals the window-cap form on a clique corpus") {
+    // The aggregate cap must reproduce the pre-r11f window form's
+    // sample EXACTLY (K' smallest distinct d2 per d1) where it
+    // matters: many docs per clique, so candidates repeat across
+    // shared prefix shingles and some d1 exceed the sample size.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf).limit(8)
+      .select($"doc_id", $"text")
+    val clique = (0 until 30).map { k =>
+      // one-word swap per replica — same shape as the dense blow-up
+      docs.select(($"doc_id" + lit(k.toLong * 1000)).as("doc_id"),
+        when(lit(k) === 0, $"text").otherwise(
+          concat_ws(" ",
+            slice(split($"text", " "), 1, 3),
+            lit(s"swap$k"),
+            slice(split($"text", " "), 5, 100000))).as("text"))
+    }.reduce(_.unionAll(_))
+    val posts = clique
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+    val dfs = posts.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val ranked = posts.join(dfs, "s")
+      .select($"doc_id", $"s",
+        row_number().over(byDoc.orderBy($"df", $"s")).as("r"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .select($"doc_id", $"s", $"n")
+    val joined = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+    // window form (the old implementation)
+    val wSamp = Window.partitionBy($"d1").orderBy($"d2")
+    val viaWindow = joined
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+      .withColumn("cr", row_number().over(wSamp))
+      .filter($"cr" <= Dedup.PrefixSampleK)
+      .select($"d1", $"d2")
+      .as[(Long, Long)].collect().toSet
+    // aggregate form (the production implementation)
+    val viaAgg = joined
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .groupBy($"d1")
+      .agg(graft.plans.SmallestKAgg
+        .smallestK($"d2", Dedup.PrefixSampleK).as("d2s"))
+      .select($"d1", explode($"d2s").as("d2"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+    // the clique must actually exercise the cap
+    assert(viaAgg.groupBy(_._1).values.map(_.size).max ===
+      Dedup.PrefixSampleK)
+  }
 }
