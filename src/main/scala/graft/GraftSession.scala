@@ -33,6 +33,20 @@ object GraftSession {
       // reader cannot represent natively; read as epoch-nanos BIGINT and
       // convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bounded-partial-state aggregates (SmallestKAgg & the sketch
+      // family) rely on MAP-SIDE combine to keep data-quadratic streams
+      // out of the shuffle. Spark's ObjectHashAggregate abandons hashing
+      // after 128 distinct keys by default and SORTS the remaining input
+      // — for a quadratic candidate stream that re-creates the very
+      // spill the bounded buffer exists to avoid (measured: the dense
+      // x1000 sampled-emission leg ENOSPC'd in exactly that sort,
+      // scaleprobe-r11h2). Each entry is one grouping key + one capped
+      // buffer (~300 B at k=20), so keys/task × 300 B is the real bound:
+      // 2^24 keys ≈ 5 GB/task worst case, sized for this box's 96 GB
+      // probe heap; on a cluster, keys per task shrink with partition
+      // count while aggregate memory grows with executors.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 24).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

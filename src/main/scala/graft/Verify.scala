@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // map-side combine for bounded-buffer object aggregates must not
+      // fall back to sorting the (possibly quadratic) input stream —
+      // see GraftSession.get for the sizing note
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 24).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -474,7 +474,11 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(col(lw)), 4).as("log_importance"))
+        // + 0.0: a doc whose buckets balance target vs raw has avg(lw)
+        // ±1e-17 by summation order; DuckDB's round() keeps the sign
+        // (−0.0) while Spark emits +0.0 — the registry-wide signed-zero
+        // fence (caught live at sf0.1 by check_oracle's signbit gate)
+        (round(avg(col(lw)), 4) + lit(0.0)).as("log_importance"))
     val top = perDoc
       .orderBy(col("log_importance").desc, col(idCol))
       .limit(topK)

@@ -205,7 +205,7 @@ object Scoring {
       |  FROM bkt CROSS JOIN tot),
       |perdoc AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |         round(avg(lw), 4) AS log_importance
+      |         round(avg(lw), 4) + 0.0 AS log_importance
       |  FROM hb JOIN w USING (b) GROUP BY doc_id),
       |top AS (
       |  SELECT doc_id FROM perdoc

@@ -328,8 +328,12 @@ class DedupSpec extends SparkSpec {
     // duplicate-heavy input (clique candidates repeat once per shared
     // prefix shingle).
     import graft.plans.SmallestKAgg.smallestK
+    // 200 groups > the 128-key ObjectHashAggregate fallback threshold,
+    // so the sort-based partial-aggregation path is exercised too (the
+    // production sessions raise the threshold; the result must be
+    // identical either way)
     val rows = for {
-      g <- 0L until 7L
+      g <- 0L until 200L
       v <- Seq(5L, 3L, 9L, 3L, 11L, 2L, 5L, 7L, 2L, 13L, 1L).map(_ + g)
       _ <- 0 until 3 // duplicates
     } yield (g, v)
