@@ -99,20 +99,38 @@ object CorpusOps {
     val sigCols =
       MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
     val sigs = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = sigs.select(
-      $"doc_id",
-      posexplode(
+    // Each side carries ALL four band keys so the join output can be
+    // deduped by a FILTER instead of a distinct: a pair collides at
+    // band j iff the keys agree there, and keeping only the row where
+    // every earlier band differs emits each candidate pair exactly
+    // once. The prior distinct() EXCHANGED the banded join's output —
+    // harmless on a decorrelated corpus, data-quadratic inside
+    // duplicate cliques, the class the r11 pHash/sampled-cap probes
+    // measured as ENOSPC at x1000 (SCALE.md "pHash's third decade").
+    // The filter form never shuffles a candidate row; the pair set is
+    // identical, so the oracle's DISTINCT-based CTE is untouched.
+    val bands = sigs
+      .select(
+        $"doc_id",
         array((0 until 4).map { bnd =>
           concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
-        }: _*)).as(Seq("band", "bkey")))
+        }: _*).as("bkeys"))
+      .select($"doc_id", $"bkeys",
+        posexplode($"bkeys").as(Seq("band", "bkey")))
+    val firstBand = (0 until 4).map { j =>
+      ($"a.band" === j) && (0 until j)
+        .map(i => element_at($"a.bkeys", i + 1) =!=
+          element_at($"b.bkeys", i + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     bands
       .as("a")
       .join(
         bands.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
           $"a.doc_id" < $"b.doc_id")
+      .filter(firstBand)
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
   }
 
   /** Dedup-group labels for every row: connected components over the

@@ -321,6 +321,45 @@ class DedupSpec extends SparkSpec {
     assert(sampled.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("minhash candidate emission equals distinct over the banded join") {
+    // minhashCandidates moved from distinct() (which exchanged the
+    // banded join's pair stream) to first-matching-band emission; the
+    // pair SET must be unchanged. Clones collide on all four bands, so
+    // the multi-band dedup path is genuinely exercised.
+    import graft.operators.CorpusOps
+    val base = Tables.documents(spark, sf).limit(30)
+      .select($"doc_id", $"text")
+    val clones = base.select(($"doc_id" + 50000L).as("doc_id"), $"text")
+    val docs = base.unionAll(clones)
+    val got = CorpusOps.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val gotSet = got.toSet
+    assert(got.length === gotSet.size, "a pair was emitted twice")
+    assert(gotSet.size >= 30, "clone pairs must collide on every band")
+    // reference pair set: the pre-r11 dataflow — same signatures and
+    // banding, join + distinct() dedup — rebuilt longhand
+    val ds = docs
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+    val hashed = ds.select($"doc_id", minhashBase($"s").as("h"))
+    val sigCols =
+      MinhashPerms.indices.map(i => min(minhashPerm($"h", i)).as(s"sig_$i"))
+    val sigs = hashed.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(
+      $"doc_id",
+      posexplode(
+        array((0 until 4).map { bnd =>
+          concat_ws("-", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    val ref = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(gotSet === ref)
+  }
+
   test("smallestK aggregate equals distinct-sort-take-k at any partitioning") {
     // The bounded-partial-state cap behind the sampled emission
     // (r11f): the result must be a pure function of the value SET —
