@@ -1027,16 +1027,37 @@ object Dedup {
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         $"a.n".as("n1"), $"b.n".as("n2"))
       .distinct()
-    val full = posts
+    // Hash-array verify (r12, SCALE.md r11 residual #1): the common
+    // count used to come from joining candidates back to the string
+    // postings, so the pair stream crossed its exchange as
+    // (pair × common-shingle) STRING rows — Θ(pairs·ℓ·~40 B), the
+    // dense-probe scratch killer. Each doc's shingle set now travels
+    // ONCE as a sorted xxhash64 array (~8ℓ B/doc); the only pair-sized
+    // exchange carries one array per row and the count is a codegen'd
+    // sorted-merge (graft.plans.SortedLongIntersectCount). Hashing is
+    // engine-internal — the oracle still counts string shingles, and
+    // parity holds unless two distinct shingles in one pair's union
+    // collide at 64 bits (~ℓ²/2⁶⁵ per pair; accepted error term).
+    val hashed = docShingleHashes(posts)
     cands
-      .join(full.as("p1"), $"d1" === $"p1.doc_id")
-      .join(full.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")
-      .groupBy($"d1", $"d2", $"n1", $"n2")
-      .agg(count(lit(1)).as("common"))
+      .join(hashed.as("h1"), $"d1" === $"h1.doc_id")
+      .join(hashed.as("h2"), $"d2" === $"h2.doc_id")
+      .select($"d1", $"d2", $"n1", $"n2",
+        graft.plans.SortedIntersect.count($"h1.sh", $"h2.sh").as("common"))
       .withColumn("jac",
         $"common" * lit(1.0) / ($"n1" + $"n2" - $"common"))
       .filter($"jac" >= 0.8)
       .select($"d1", $"d2", round($"jac", 4).as("jaccard"))
+  }
+
+  /** One sorted 64-bit shingle-hash array per doc — the verify-side
+    * representation of the postings (see [[prefixFilterPairs]]). */
+  private def docShingleHashes(
+      posts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = posts.sparkSession
+    import s.implicits._
+    posts.groupBy($"doc_id")
+      .agg(sort_array(collect_list(xxhash64($"s"))).as("sh"))
   }
 
   /** Per-doc emission cap for [[qPrefixFilterCapped]]. */
@@ -1228,11 +1249,18 @@ object Dedup {
       .join(docN.select($"doc_id".as("d2key"), $"n".as("n2")),
         $"d2" === $"d2key")
       .select($"d1", $"d2", $"n1", $"n2")
+    // Hash-array verify (r12): same rewrite as [[prefixFilterPairs]] —
+    // the capped candidates attach one sorted shingle-hash array per
+    // side and the common count is the codegen'd sorted-merge, so the
+    // verify's pair-sized exchange carries ~8ℓ B/row instead of the
+    // (pair × common-shingle) string stream that was the dense-x1000
+    // ~500 GB intermediate (SCALE.md r11 residual #1).
+    val hashed = docShingleHashes(posts)
     val jac = samp
-      .join(posts.as("p1"), $"d1" === $"p1.doc_id")
-      .join(posts.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")
-      .groupBy($"d1", $"d2", $"n1", $"n2")
-      .agg(count(lit(1)).as("common"))
+      .join(hashed.as("h1"), $"d1" === $"h1.doc_id")
+      .join(hashed.as("h2"), $"d2" === $"h2.doc_id")
+      .select($"d1", $"d2", $"n1", $"n2",
+        graft.plans.SortedIntersect.count($"h1.sh", $"h2.sh").as("common"))
       .withColumn("jac",
         $"common" * lit(1.0) / ($"n1" + $"n2" - $"common"))
       .filter($"jac" >= 0.8)

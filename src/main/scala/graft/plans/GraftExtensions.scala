@@ -93,6 +93,10 @@ object GraftExtensions {
     "pq_adc_sum" -> { args =>
       require(args.length == 2, "pq_adc_sum expects (codes, lut)")
       PqAdcSum(args(0), args(1))
+    },
+    "sorted_intersect_count" -> { args =>
+      require(args.length == 2, "sorted_intersect_count expects 2 arguments")
+      SortedLongIntersectCount(args(0), args(1))
     })
 
   /** Register on an already-built session (withExtensions only applies

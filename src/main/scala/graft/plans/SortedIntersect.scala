@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Count of DISTINCT common values between two ascending-sorted
+  * LONG arrays — the verify kernel of the prefix-filter dedup family.
+  *
+  * Why it exists (SCALE.md r11 residual #1): the exact-Jaccard verify
+  * used to join each candidate pair back to the full shingle postings,
+  * so the pair stream crossed its exchange as (pair × common-shingle)
+  * STRING rows — Θ(pairs · ℓ · bytes(shingle)) of shuffle, the stage
+  * that exceeded one box's scratch on the dense x1000 probe. Carrying
+  * each doc's shingle set once as a sorted 64-bit-hash array (~8ℓ B
+  * per DOC instead of ~40ℓ B per PAIR) and counting the intersection
+  * row-local shrinks that exchange ~7× at the fixture's ℓ≈52.
+  *
+  * The composable alternative `size(array_intersect(a, b))` allocates
+  * and populates a hash set per ROW; this expression is a branch-only
+  * merge scan over the two sorted arrays (no allocation, no boxing)
+  * and stays inside whole-stage codegen.
+  *
+  * Duplicate runs on either side count once (set semantics), so the
+  * result equals `size(array_intersect(a, b))` for any sorted inputs —
+  * pinned by SortedIntersectSpec's property test. Inputs MUST be
+  * ascending-sorted (`sort_array`); unsorted inputs undercount.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        c += 1
+        while (i < n && x.getLong(i) == xv) i += 1
+        while (j < m && y.getLong(j) == yv) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $c++;
+         |    while ($i < $n && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $m && $b.getLong($j) == $yv) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersect {
+  /** Column wrapper for [[SortedLongIntersectCount]]. */
+  def count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

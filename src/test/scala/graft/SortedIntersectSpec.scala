@@ -1,0 +1,95 @@
+package graft
+
+import graft.plans.SortedIntersect
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.plans.SortedLongIntersectCount]] — the verify kernel
+  * behind the prefix-filter dedup family's hash-array rewrite (r12):
+  * set semantics identical to `size(array_intersect)`, codegen and
+  * interpreted paths agree, and the rewritten verify produces the
+  * same common counts as the string-postings join it replaced. */
+class SortedIntersectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches size(array_intersect) on random sorted arrays with duplicates") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(300) {
+      // small value domain so overlaps AND duplicate runs are common
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong).sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong).sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      SortedIntersect.count($"a", $"b").as("got"),
+      size(array_intersect($"a", $"b")).cast("long").as("want"))
+    assert(df.filter($"got" =!= $"want").count() === 0)
+  }
+
+  test("empty and disjoint arrays count 0; null yields null") {
+    val df = Seq(
+      (Some(Array.empty[Long]), Some(Array.empty[Long])),
+      (Some(Array(1L, 2L, 3L)), Some(Array(4L, 5L))),
+      (Some(Array(1L, 2L, 3L)), None: Option[Array[Long]]))
+      .toDF("a", "b")
+      .select(SortedIntersect.count($"a", $"b").as("c"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === 0L)
+    assert(rows(1).getLong(0) === 0L)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("duplicate runs on either side count once (set semantics)") {
+    val got = Seq((Array(1L, 1L, 2L, 2L, 2L, 5L), Array(1L, 2L, 2L, 3L)))
+      .toDF("a", "b")
+      .select(SortedIntersect.count($"a", $"b"))
+      .head().getLong(0)
+    assert(got === 2L)
+  }
+
+  test("expression survives both codegen and interpreted paths") {
+    val df = Seq((Array(1L, 3L, 7L, 9L), Array(3L, 4L, 9L, 11L)))
+      .toDF("a", "b")
+      .select(SortedIntersect.count($"a", $"b").as("c"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(df.head().getLong(0) === 2L)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(df.head().getLong(0) === 2L)
+  }
+
+  test("SQL plane: sorted_intersect_count is registered") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark
+      .sql("SELECT sorted_intersect_count(array(1L, 2L, 8L), array(2L, 8L, 9L)) AS c")
+      .head().getLong(0)
+    assert(got === 2L)
+  }
+
+  test("hash-array verify counts equal the string-postings join on fixture docs") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf).limit(400)
+    val posts = docs
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
+    // all cross pairs over a small slice: common counted two ways
+    val ids = posts.select($"doc_id").distinct().limit(40)
+    val pairs = ids.as("x").join(ids.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+    val byString = pairs
+      .join(posts.as("p1"), $"d1" === $"p1.doc_id")
+      .join(posts.as("p2"), $"d2" === $"p2.doc_id" && $"p1.s" === $"p2.s")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("common"))
+    val hashed = posts.groupBy($"doc_id")
+      .agg(sort_array(collect_list(xxhash64($"s"))).as("sh"))
+    val byHash = pairs
+      .join(hashed.as("h1"), $"d1" === $"h1.doc_id")
+      .join(hashed.as("h2"), $"d2" === $"h2.doc_id")
+      .select($"d1", $"d2",
+        SortedIntersect.count($"h1.sh", $"h2.sh").as("common"))
+      .filter($"common" > 0)
+    assert(byString.except(byHash).count() === 0)
+    assert(byHash.except(byString).count() === 0)
+    // and the overlap is non-trivial on the fixture slice
+    assert(byHash.count() > 0)
+  }
+}
