@@ -896,7 +896,163 @@ object GraphOps {
     (lab, changed == 0L)
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // ORACLE-GATED fixpoint rows (r12). The three converged twins above
+  // were spec-gated only; these registry queries run them on a DEEP
+  // fixture graph — deeper than every unrolled constant (BfsRounds=8,
+  // KCoreRounds=6, LpaRounds=5) — so the run-to-fixpoint loops are what
+  // the DuckDB oracle checks, not the unrolled forms. Fixture: the
+  // "deep chain" — a path through the DeepGraphN smallest distinct
+  // o_custkey values in ascending key order, plus one chord closing a
+  // triangle at the head. Measured dynamics (identical at sf0.001/
+  // 0.01/0.1 — the smallest keys are 0..11 at all three): BFS reaches
+  // its fixpoint in 11 rounds (max distance 10), the k=2 core peels
+  // the tail one free end per round (10 rounds; the triangle survives),
+  // and synchronous LPA floods the triangle's min label down the chain
+  // in 11 rounds (a chord-closed head breaks the bipartite 2-cycle a
+  // bare path could enter). The oracle unrolls a FIXED round count past
+  // each fixpoint (16 peels / 20 label rounds / a recursive CTE for
+  // BFS) — extra rounds are no-ops at a fixpoint, so row equality gates
+  // exactly "the engine's converged answer = the true fixpoint".
+  // Round CTEs that reference the previous round TWICE must be
+  // MATERIALIZED or DuckDB's inliner expands 2^rounds copies of the
+  // base scan (measured: "Too many open files" at 16 rounds).
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Node budget of the deep fixture graph (diameter ≈ DeepGraphN − 2,
+    * chosen > every unrolled round constant with margin while keeping
+    * the per-round job cost bench-friendly). */
+  val DeepGraphN = 12
+
+  /** Shared oracle prologue: the deep chain graph as DuckDB CTEs,
+    * ending in `sym(src, dst)` (both edge directions). */
+  private def deepGraphSql: String =
+    s"""keys AS (
+       |  SELECT DISTINCT o_custkey AS k FROM orders ORDER BY k LIMIT $DeepGraphN),
+       |idx AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS i FROM keys),
+       |chain AS (
+       |  SELECT a.k AS src, b.k AS dst FROM idx a JOIN idx b ON b.i = a.i + 1
+       |  UNION ALL
+       |  SELECT a.k, b.k FROM idx a JOIN idx b ON a.i = 0 AND b.i = 2),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM chain
+       |  UNION ALL SELECT dst AS src, src AS dst FROM chain)""".stripMargin
+
+  /** The deep chain graph, Spark side: symmetric (src, dst), one row
+    * per directed edge. Deterministic at every SF: orderBy+limit is
+    * TakeOrderedAndProject, and the rank comes from a ≤N²-row
+    * self-join count (i = |{k' ≤ k}| − 1) rather than a partition-less
+    * row_number window — the registry-wide PlanSpec guard (no
+    * all-to-one window funnels) holds for fixture spines too. */
+  private[graft] def deepGraph(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.orders(s, d)
+      .select($"o_custkey".as("k")).distinct()
+      .orderBy($"k").limit(DeepGraphN)
+    val idx = keys.as("ka").join(keys.as("kb"), $"kb.k" <= $"ka.k")
+      .groupBy($"ka.k".as("k")).agg((count(lit(1)) - 1).as("i"))
+    val chain = idx.as("a").join(idx.as("b"), $"b.i" === $"a.i" + 1)
+      .select($"a.k".as("src"), $"b.k".as("dst"))
+      .unionAll(
+        idx.as("a").join(idx.as("b"), $"a.i" === 0 && $"b.i" === 2)
+          .select($"a.k".as("src"), $"b.k".as("dst")))
+    chain.unionAll(chain.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  /** [[bfsDistancesConverged]] oracle-gated on the deep chain: hop
+    * distances from the minimum node, run to the 11-round fixpoint the
+    * 8-round unrolled [[qGraphBfs]] would truncate. The oracle is a
+    * recursive CTE (UNION-distinct bounds the walk state at
+    * nodes × the 64-hop guard even through the head cycle). */
+  val qGraphBfsConverged = QueryDef.sql(
+    "q_graph_bfs_converged",
+    s"""WITH RECURSIVE $deepGraphSql,
+       |seed AS (SELECT min(src) AS s FROM sym),
+       |walk(node, dist) AS (
+       |  SELECT s, CAST(0 AS BIGINT) FROM seed
+       |  UNION
+       |  SELECT sym.dst, walk.dist + 1
+       |  FROM walk JOIN sym ON sym.src = walk.node
+       |  WHERE walk.dist < 64)
+       |SELECT node, min(dist) AS dist FROM walk GROUP BY node
+       |ORDER BY node""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    bfsDistancesConverged(deepGraph(s, d)).orderBy($"node")
+  }
+
+  /** [[kcoreConverged]] oracle-gated on the deep chain: the k=2 core
+    * (the head triangle) after a 10-round peel — one degree-1 free end
+    * per round, deeper than the 6-round unrolled [[qKcore]]. Output is
+    * every node with its core membership flag. */
+  val qKcoreConverged = QueryDef.sql(
+    "q_kcore_converged", {
+      val rounds = (1 to 16).map { i =>
+        s"""surv$i AS MATERIALIZED (
+           |  SELECT sym.src AS node FROM sym
+           |    JOIN surv${i - 1} a ON a.node = sym.src
+           |    JOIN surv${i - 1} b ON b.node = sym.dst
+           |  GROUP BY sym.src HAVING count(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $deepGraphSql,
+         |surv0 AS (SELECT DISTINCT src AS node FROM sym),
+         |$rounds
+         |SELECT s0.node, (c.node IS NOT NULL) AS in_core
+         |FROM surv0 s0 LEFT JOIN surv16 c ON c.node = s0.node
+         |ORDER BY s0.node""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val sym = deepGraph(s, d)
+    val surv = kcoreConverged(sym, 2)
+    sym.select($"src".as("node")).distinct()
+      .join(surv.select($"node".as("cn")), $"cn" === $"node", "left")
+      .select($"node", $"cn".isNotNull.as("in_core"))
+      .orderBy($"node")
+  }
+
+  /** [[lpaStable]] oracle-gated on the deep chain: synchronous label
+    * propagation run to its 11-round fixpoint (the 5-round unrolled
+    * [[qLpaCommunities]] freezes mid-flood on this graph), plus the
+    * honest convergence flag. The oracle unrolls 20 rounds and derives
+    * `converged` by comparing the last two — at a fixpoint both equal
+    * the engine's stable labelling. */
+  val qLpaConverged = QueryDef.sql(
+    "q_lpa_converged", {
+      val L = 20
+      val rounds = (1 to L).map { i =>
+        s"""cnt$i AS (
+           |  SELECT sym.dst AS node, l.lab, count(*) AS c
+           |  FROM sym JOIN lab${i - 1} l ON l.node = sym.src
+           |  GROUP BY 1, 2),
+           |best$i AS (
+           |  SELECT node, lab FROM cnt$i
+           |  QUALIFY row_number() OVER (PARTITION BY node
+           |                             ORDER BY c DESC, lab) = 1),
+           |lab$i AS MATERIALIZED (
+           |  SELECT l.node, coalesce(b.lab, l.lab) AS lab
+           |  FROM lab${i - 1} l LEFT JOIN best$i b USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $deepGraphSql,
+         |lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         |$rounds,
+         |delta AS (
+         |  SELECT count(*) AS ch
+         |  FROM lab$L a JOIN lab${L - 1} b USING (node)
+         |  WHERE a.lab <> b.lab)
+         |SELECT a.node, a.lab, (d.ch = 0) AS converged
+         |FROM lab$L a CROSS JOIN delta d
+         |ORDER BY a.node""".stripMargin
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val (lab, conv) = lpaStable(deepGraph(s, d), 64)
+    lab.select($"node", $"lab", lit(conv).as("converged")).orderBy($"node")
+  }
+
   def defs: Seq[QueryDef] =
     Seq(qPagerank, qTextrankKeywords, qTriangleCount, qGraphBfs,
-      qLpaCommunities, qAssortativity, qKcore)
+      qLpaCommunities, qAssortativity, qKcore,
+      qGraphBfsConverged, qKcoreConverged, qLpaConverged)
 }
