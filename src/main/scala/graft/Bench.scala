@@ -5,18 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map-side combine for bounded-buffer object aggregates must not
-      // fall back to sorting the (possibly quadratic) input stream —
-      // see GraftSession.get for the sizing note
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .config("spark.ui.enabled", "false")
+    // shared graft config set (incl. the heap-derived object-agg
+    // fallback threshold) — see GraftSession.tunedBuilder
+    val spark = GraftSession.tunedBuilder(cpus.toInt, "graft-bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/file-index paths so the first timed query

@@ -11,18 +11,8 @@ object BenchOne {
     val n = if (args.length > 1) args(1).toInt else 4
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map-side combine for bounded-buffer object aggregates must not
-      // fall back to sorting the (possibly quadratic) input stream —
-      // see GraftSession.get for the sizing note
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .config("spark.ui.enabled", "false")
+    // shared graft config set — see GraftSession.tunedBuilder
+    val spark = GraftSession.tunedBuilder(cpus.toInt, "graft-benchone")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)

@@ -12,14 +12,42 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Build (or reuse) a SparkSession with graft defaults.
+  /** ObjectHashAggregate sort-fallback threshold, derived from the JVM
+    * heap instead of a constant (r11 ADVICE: the old hard-coded 2^24
+    * assumed this box's 96 GB probe heap and could OOM a small
+    * deployment where the default would have spilled).
     *
-    * @param cores parallelism for local mode; shuffle partitions follow it
-    *              (on a real cluster you'd size shuffle partitions to
-    *              ~2-3x total executor cores instead of the default 200).
-    */
-  def get(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    * Why raise it at all: bounded-partial-state aggregates (SmallestKAgg
+    * & the sketch family) rely on MAP-SIDE combine to keep
+    * data-quadratic streams out of the shuffle. Spark's
+    * ObjectHashAggregate abandons hashing after 128 distinct keys by
+    * default and SORTS the remaining input — for a quadratic candidate
+    * stream that re-creates the very spill the bounded buffer exists to
+    * avoid (measured: the dense x1000 sampled-emission leg ENOSPC'd in
+    * exactly that sort, scaleprobe-r11h2).
+    *
+    * Sizing: each map entry is one grouping key + one capped buffer
+    * (~300 B at k=20), and up to `cores` tasks aggregate concurrently,
+    * so budget a quarter of the heap across them: keys =
+    * heap / cores / 4 / 300 B, floored at Spark's 128 default, capped
+    * at 2^26. The 96 GB probe heap lands at ~2.5 M keys (the dense
+    * x1000 probe's real per-task group count is ~160 k — 15× headroom);
+    * sbt's default 8 g lands at ~200 k (still 1000× the stock 128); a
+    * 2 g toy heap gets ~55 k and spills instead of OOMing. Override via
+    * SPARK_GRAFT_OBJ_AGG_KEYS. */
+  def objAggFallbackKeys(cores: Int): Long =
+    sys.env.get("SPARK_GRAFT_OBJ_AGG_KEYS").map(_.toLong).getOrElse {
+      val heap = Runtime.getRuntime.maxMemory()
+      math.min(math.max(heap / math.max(cores, 1) / 4 / 300, 128L), 1L << 26)
+    }
+
+  /** The one shared builder behind every graft entry point (GraftSession,
+    * Verify, Bench, BenchOne, Probe, ScaleProbe, tools) — r11 ADVICE:
+    * the threshold/config block was duplicated six times and drifted
+    * (tools/PhashCands had been skipped). Entry points layer only their
+    * master/app specifics on top. */
+  def tunedBuilder(cores: Int, appName: String = "graft"): SparkSession.Builder =
+    SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -33,21 +61,20 @@ object GraftSession {
       // reader cannot represent natively; read as epoch-nanos BIGINT and
       // convert explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Bounded-partial-state aggregates (SmallestKAgg & the sketch
-      // family) rely on MAP-SIDE combine to keep data-quadratic streams
-      // out of the shuffle. Spark's ObjectHashAggregate abandons hashing
-      // after 128 distinct keys by default and SORTS the remaining input
-      // — for a quadratic candidate stream that re-creates the very
-      // spill the bounded buffer exists to avoid (measured: the dense
-      // x1000 sampled-emission leg ENOSPC'd in exactly that sort,
-      // scaleprobe-r11h2). Each entry is one grouping key + one capped
-      // buffer (~300 B at k=20), so keys/task × 300 B is the real bound:
-      // 2^24 keys ≈ 5 GB/task worst case, sized for this box's 96 GB
-      // probe heap; on a cluster, keys per task shrink with partition
-      // count while aggregate memory grows with executors.
+      // map-side combine for bounded-buffer object aggregates must not
+      // fall back to sorting the (possibly quadratic) input stream —
+      // see objAggFallbackKeys' sizing note
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .getOrCreate()
+        objAggFallbackKeys(cores).toString)
+
+  /** Build (or reuse) a SparkSession with graft defaults.
+    *
+    * @param cores parallelism for local mode; shuffle partitions follow it
+    *              (on a real cluster you'd size shuffle partitions to
+    *              ~2-3x total executor cores instead of the default 200).
+    */
+  def get(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = tunedBuilder(cores, appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -13,19 +13,8 @@ object Probe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map-side combine for bounded-buffer object aggregates must not
-      // fall back to sorting the (possibly quadratic) input stream —
-      // see GraftSession.get for the sizing note
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared graft config set — see GraftSession.tunedBuilder
+    val spark = GraftSession.tunedBuilder(32, "graft-probe").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     (1 to iters).foreach { i =>

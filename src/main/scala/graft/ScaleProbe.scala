@@ -262,18 +262,8 @@ object ScaleProbe {
       .split(",").map(_.trim.toInt).toSeq
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map-side combine for bounded-buffer object aggregates must not
-      // fall back to sorting the (possibly quadratic) input stream —
-      // see GraftSession.get for the sizing note
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .config("spark.ui.enabled", "false")
+    // shared graft config set — see GraftSession.tunedBuilder
+    val spark = GraftSession.tunedBuilder(cpus.toInt, "graft-scaleprobe")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

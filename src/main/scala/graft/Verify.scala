@@ -11,18 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // map-side combine for bounded-buffer object aggregates must not
-      // fall back to sorting the (possibly quadratic) input stream —
-      // see GraftSession.get for the sizing note
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 24).toString)
-      .config("spark.ui.enabled", "false")
+    // shared graft config set — see GraftSession.tunedBuilder
+    val spark = GraftSession.tunedBuilder(cpus.toInt, "graft-verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))

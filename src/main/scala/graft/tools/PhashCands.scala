@@ -12,12 +12,10 @@ import org.apache.spark.sql.SparkSession
 object PhashCands {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // shared graft config set (this builder had been skipped when the
+    // fallback threshold was raised — r11 ADVICE) — see
+    // GraftSession.tunedBuilder
+    val spark = graft.GraftSession.tunedBuilder(cpus.toInt, "graft-phashcands")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val withTruth = sys.env.get("PHASH_CANDS_TRUTH").contains("1")

@@ -387,6 +387,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("smallestK at k = 1 degenerates to min (Buffer's untested floor)") {
+    // SmallestKAgg permits k >= 1 but reuses KmvAgg.Buffer, whose other
+    // consumer requires k >= 2 (r11 ADVICE): pin the k = 1 path of
+    // Buffer.add/mergeWith across partitionings and duplicate input.
+    import graft.plans.SmallestKAgg.smallestK
+    val rows = for {
+      g <- 0L until 150L
+      v <- Seq(9L, 4L, 17L, 4L, 6L).map(_ + g)
+      _ <- 0 until 2
+    } yield (g, v)
+    for (parts <- Seq(1, 5, 32)) {
+      val got = rows.toDF("g", "v").repartition(parts)
+        .groupBy($"g").agg(smallestK($"v", 1).as("ks"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> Seq(vs.map(_._2).min)
+      }
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("sampled emission equals the window-cap form on a clique corpus") {
     // The aggregate cap must reproduce the pre-r11f window form's
     // sample EXACTLY (K' smallest distinct d2 per d1) where it
