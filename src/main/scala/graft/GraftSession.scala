@@ -34,12 +34,20 @@ object GraftSession {
     * x1000 probe's real per-task group count is ~160 k — 15× headroom);
     * sbt's default 8 g lands at ~200 k (still 1000× the stock 128); a
     * 2 g toy heap gets ~55 k and spills instead of OOMing. Override via
-    * SPARK_GRAFT_OBJ_AGG_KEYS. */
-  def objAggFallbackKeys(cores: Int): Long =
-    sys.env.get("SPARK_GRAFT_OBJ_AGG_KEYS").map(_.toLong).getOrElse {
-      val heap = Runtime.getRuntime.maxMemory()
-      math.min(math.max(heap / math.max(cores, 1) / 4 / 300, 128L), 1L << 26)
-    }
+    * SPARK_GRAFT_OBJ_AGG_KEYS — the override rides through the same
+    * 128..2^26 clamp as the derived value, and a non-numeric value
+    * falls back to the derivation (r12 ADVICE: unclamped, a value above
+    * Int.MaxValue threw when Spark parsed the int conf). */
+  def objAggFallbackKeys(cores: Int): Long = {
+    val requested = sys.env
+      .get("SPARK_GRAFT_OBJ_AGG_KEYS")
+      .flatMap(_.toLongOption)
+      .getOrElse {
+        val heap = Runtime.getRuntime.maxMemory()
+        heap / math.max(cores, 1) / 4 / 300
+      }
+    math.min(math.max(requested, 128L), 1L << 26)
+  }
 
   /** The one shared builder behind every graft entry point (GraftSession,
     * Verify, Bench, BenchOne, Probe, ScaleProbe, tools) — r11 ADVICE:

@@ -900,26 +900,39 @@ object Dedup {
         MinhashPerms.zipWithIndex.tail.map { case (_, i) =>
           min(minhashPerm($"base", i)).as(s"m$i")
         }: _*)
+    // Each side carries the cfg's FULL band-key array so the banded
+    // join's multi-emissions dedup by a first-matching-band FILTER
+    // instead of a distinct() — the same emission rule as
+    // minhashCandidates, generalized to variable band widths via
+    // slice/zip_with (r13: CandidateStreamSpec's registry walker caught
+    // the sweep as the one remaining distinct-over-banded-join; the
+    // filter form never exchanges a candidate row, and the per-cfg
+    // counts below become plain map-side-combined counts).
     val bk = BandConfigs
       .map { case (nb, r) =>
-        sig.select($"doc_id",
-          explode(array((0 until nb).map { j =>
-            struct(
-              lit(s"${nb}x$r").as("cfg"), lit(j).as("bj"),
-              concat_ws("|",
-                (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
-                .as("bkey"))
-          }: _*)).as("b"))
-          .select($"doc_id", $"b.cfg", $"b.bj", $"b.bkey")
+        val keys = (0 until nb).map { j =>
+          concat_ws("|",
+            (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
+        }
+        sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
+            array(keys: _*).as("allk"))
+          .select($"doc_id", $"cfg", $"allk",
+            posexplode($"allk").as(Seq("bj", "bkey")))
       }
       .reduce(_.unionAll(_))
     val cand = bk
-      .select($"cfg", $"bj", $"bkey", $"doc_id".as("d1"))
-      .join(bk.select($"cfg", $"bj", $"bkey", $"doc_id".as("d2")),
+      .select($"cfg", $"bj", $"bkey", $"allk".as("ak1"), $"doc_id".as("d1"))
+      .join(
+        bk.select($"cfg", $"bj", $"bkey", $"allk".as("ak2"),
+          $"doc_id".as("d2")),
         Seq("cfg", "bj", "bkey"))
-      .filter($"d1" < $"d2")
+      .filter($"d1" < $"d2" &&
+        // first matching band: every band before bj differs
+        forall(
+          zip_with(slice($"ak1", lit(1), $"bj"), slice($"ak2", lit(1), $"bj"),
+            (x, y) => x =!= y),
+          z => z))
       .select($"cfg", $"d1", $"d2")
-      .distinct()
     val truth = ngramJaccardAllPairs(docs)
       .filter(round($"jac", 4) >= 0.7)
       .select($"d1".as("t1"), $"d2".as("t2"))
@@ -1037,7 +1050,12 @@ object Dedup {
     // sorted-merge (graft.plans.SortedLongIntersectCount). Hashing is
     // engine-internal — the oracle still counts string shingles, and
     // parity holds unless two distinct shingles in one pair's union
-    // collide at 64 bits (~ℓ²/2⁶⁵ per pair; accepted error term).
+    // collide at 64 bits (~ℓ²/2⁶⁵ per pair; accepted error term that
+    // scales with pair count on dense fixtures). The failure mode's
+    // SHAPE is pinned by SortedIntersectSpec "a forced 64-bit
+    // collision inflates common by exactly one": a collision adds one
+    // to `common`, which can only push jac UP across the threshold —
+    // a false merge, never a false split.
     val hashed = docShingleHashes(posts)
     cands
       .join(hashed.as("h1"), $"d1" === $"h1.doc_id")

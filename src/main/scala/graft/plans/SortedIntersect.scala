@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * result equals `size(array_intersect(a, b))` for any sorted inputs —
   * pinned by SortedIntersectSpec's property test. Inputs MUST be
   * ascending-sorted (`sort_array`); unsorted inputs undercount.
+  *
+  * NULL ELEMENTS are skipped — SQL equality semantics, a null never
+  * equals anything (unlike `array_intersect`, which matches null to
+  * null; r12 ADVICE: the old kernel called getLong unconditionally and
+  * silently miscounted nullable arrays reaching the registered SQL
+  * function). The internal pipeline's arrays come
+  * from `collect_list(xxhash64(...))` whose element type is
+  * non-nullable, so codegen specializes: only a containsNull=true
+  * input type pays the per-element null branch; the hot dedup-verify
+  * path keeps the branch-free scan.
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,23 +55,34 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
           s"expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got $other")
     }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xn = elemNullable(left)
+    val yn = elemNullable(right)
     val n = x.numElements()
     val m = y.numElements()
     var i = 0
     var j = 0
     var c = 0L
     while (i < n && j < m) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv < yv) i += 1
-      else if (xv > yv) j += 1
+      if (xn && x.isNullAt(i)) i += 1
+      else if (yn && y.isNullAt(j)) j += 1
       else {
-        c += 1
-        while (i < n && x.getLong(i) == xv) i += 1
-        while (j < m && y.getLong(j) == yv) j += 1
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else {
+          c += 1
+          while (i < n && !(xn && x.isNullAt(i)) && x.getLong(i) == xv) i += 1
+          while (j < m && !(yn && y.isNullAt(j)) && y.getLong(j) == yv) j += 1
+        }
       }
     }
     c
@@ -76,6 +97,16 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val c = ctx.freshName("c")
+      // specialize: non-nullable element types (the internal
+      // collect_list(xxhash64) pipeline) compile the null branches away
+      val skipNullX =
+        if (elemNullable(left)) s"if ($a.isNullAt($i)) { $i++; continue; }"
+        else ""
+      val skipNullY =
+        if (elemNullable(right)) s"if ($b.isNullAt($j)) { $j++; continue; }"
+        else ""
+      val xNotNull = if (elemNullable(left)) s"!$a.isNullAt($i) && " else ""
+      val yNotNull = if (elemNullable(right)) s"!$b.isNullAt($j) && " else ""
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -83,14 +114,16 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |int $j = 0;
          |long $c = 0L;
          |while ($i < $n && $j < $m) {
+         |  $skipNullX
+         |  $skipNullY
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }
          |  else {
          |    $c++;
-         |    while ($i < $n && $a.getLong($i) == $xv) { $i++; }
-         |    while ($j < $m && $b.getLong($j) == $yv) { $j++; }
+         |    while ($i < $n && $xNotNull$a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $m && $yNotNull$b.getLong($j) == $yv) { $j++; }
          |  }
          |}
          |${ev.value} = $c;

@@ -1,10 +1,18 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.FilterExec
-import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, And, AttributeSet, BinaryComparison, Expression, IsNotNull,
+  Murmur3Hash, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.execution.{
+  ExpandExec, FilterExec, GenerateExec, ProjectExec, SparkPlan, UnionExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{
+  BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeExec,
+  ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
 /** Structural enforcement of the r11 scale rule: a data-quadratic
@@ -17,37 +25,119 @@ import org.apache.spark.sql.functions._
   * caps it through a bounded-partial-state aggregate
   * ([[graft.plans.SmallestKAgg]]) — never a `distinct()` or a window,
   * both of which shuffle the raw (clique-quadratic) join output and
-  * were the measured dense-x1000 ENOSPCs (scaleprobe-r11e/f). This
-  * spec makes the audit structural: it walks each candidate producer's
-  * physical plan from the root down to the FIRST binary node (the
-  * banded self-join) and asserts every shuffle exchange on that path
-  * is legitimized before the join by either
+  * were the measured dense-x1000 ENOSPCs (scaleprobe-r11e/f).
+  *
+  * Two layers of enforcement (r12 VERDICT task #1 — the r12 spec
+  * guarded four producers by hand-enumeration; a new banded join
+  * landing outside that list was unguarded until someone remembered to
+  * register it):
+  *
+  *  1. The HAND LIST (minimum coverage): each known candidate
+  *     producer's plan is walked root→first-binary-node and every
+  *     shuffle on that path must be legitimized. This layer also
+  *     covers the prefix-filter family, whose self-join keys are raw
+  *     shingle STRINGS the hash-taint discovery below cannot see.
+  *  2. AUTO-DISCOVERY (the whole registry): every `SparkEntry.allDefs`
+  *     plan is prepared (AQE off, auto-broadcast off so fixture-sized
+  *     stats cannot hide the at-scale shuffle structure; explicit
+  *     `broadcast()` hints — the adjudicated linear ANN query-side
+  *     class — survive and are excluded) and scanned for equi-joins
+  *     whose keys derive, through any chain of projections /
+  *     aggregates / generators / windows / expands, from a band or
+  *     bucket hash (xxhash64, murmur3, [[graft.plans.StableHash60]],
+  *     [[graft.plans.HyperplaneBuckets]], [[graft.plans.PhashBandCodes]]).
+  *     Every such banded join must have no unlegitimized shuffle
+  *     between it and the plan root segment above it. A NEW banded
+  *     self-join landing anywhere in the registry is guarded the day
+  *     it lands.
+  *
+  * Legitimizers between a banded join and a shuffle above it:
+  *  - a Filter with at least one REAL predicate (r12 ADVICE: a filter
+  *    whose condition is solely IsNotNull conjuncts — the shape the
+  *    planner inserts for null-intolerant keys — does NOT legitimize;
+  *    the emission filters this rule exists for always carry a
+  *    comparison);
   *  - a graft.plans bounded-state aggregate partial (≤ k rows per
-  *    group cross the wire), or
-  *  - a Filter (the exchanged stream is then a verified/deduped
-  *    derivative, not the raw multi-emission join output).
-  * Reverting minhashCandidates (or phashPairs, or the sampled cap) to
-  * a `distinct()` IN PLACE OF its emission filter / bounded aggregate
-  * inserts HashAggregate→Exchange→HashAggregate above the join with
-  * neither legitimizer — this spec goes red. (A distinct DOWNSTREAM of
-  * an emission filter passes: that stream is already once-per-pair,
-  * the adjudicated output-sized class — SCALE.md:1088.)
+  *    group cross the wire);
+  *  - a global (no-grouping) aggregate partial (one row per partition).
+  * A grouped aggregate partial is deliberately NOT a legitimizer: for
+  * a pair-grouped stream its state is pair-sized — that is exactly the
+  * `distinct()` failure mode.
   */
 class CandidateStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Walks root→first-binary-node; fails on an unlegitimized shuffle. */
-  private def assertStreamedNotExchanged(df: DataFrame, what: String): Unit = {
-    // the PREPARED physical plan (post-EnsureRequirements — sparkPlan
-    // has no Exchange nodes yet), with AQE off so the tree is a plain
-    // SparkPlan instead of an adaptive wrapper; structure only, no
-    // execution needed
-    val root = {
-      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  /** r12 ADVICE #4: a condition that is nothing but IsNotNull
+    * conjuncts is planner null-intolerance plumbing, not an emission
+    * filter — it must not clear a pending exchange. */
+  private def isNullGuardOnly(cond: Expression): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
     }
+    conjuncts(cond).forall {
+      case IsNotNull(_) => true
+      case _ => false
+    }
+  }
+
+  /** Does this node legitimize the stream for exchanges ABOVE it?
+    * (Shared by the hand walker and the registry discovery walker.)
+    *
+    * Aggregates: what crosses the wire above an aggregate partial is
+    * one buffer per (partition, group), so the class of the BUFFER
+    * decides:
+    *  - graft.plans bounded-state aggs (SmallestKAgg, sketches): ≤ k
+    *    values per group by construction — legitimize;
+    *  - declarative aggs (count/sum/min/max/avg): constant-width
+    *    per-group state, and a pair-KEYED aggregate with real functions
+    *    is computing the pair relation the query declares as output —
+    *    the adjudicated output-sized class (q_winnow_pairs,
+    *    q_dedup_ngram_jaccard common counts; SCALE.md:1088) —
+    *    legitimize;
+    *  - an aggregate with NO functions is a `distinct()` — pure
+    *    multi-emission dedup, always expressible as an emission filter,
+    *    the measured r11e ENOSPC — does NOT legitimize;
+    *  - non-graft imperative collectors (collect_list & friends) carry
+    *    group-size-proportional state — the unbounded-buffer trap
+    *    SmallestKAgg exists to avoid (r11f) — do NOT legitimize. */
+  private def legitimizes(n: SparkPlan): Boolean = n match {
+    case f: FilterExec => !isNullGuardOnly(f.condition)
+    case a: BaseAggregateExec =>
+      (a.groupingExpressions.isEmpty && a.aggregateExpressions.nonEmpty) ||
+      (a.aggregateExpressions.nonEmpty && a.aggregateExpressions.forall { ae =>
+        ae.aggregateFunction match {
+          case f if f.getClass.getName.startsWith("graft.plans.") => true
+          case _: DeclarativeAggregate => true
+          case _ => false
+        }
+      })
+    case _ => false
+  }
+
+  /** Prepared physical plan: post-EnsureRequirements (sparkPlan has no
+    * Exchange nodes — a guard on it is vacuous), AQE off (else the tree
+    * is an adaptive wrapper), auto-broadcast off (fixture-sized stats
+    * would otherwise plan the at-scale shuffled self-joins as broadcast
+    * and hide their shuffle structure; explicit broadcast() hints are
+    * design intent and survive the -1 threshold). */
+  private def preparedPlan(df: DataFrame): SparkPlan = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try df.queryExecution.executedPlan
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  /** Walks root→first-binary-node; fails on an unlegitimized shuffle.
+    * The hand-list walker: it needs no key taint, so it also guards
+    * string-keyed self-joins (the prefix-filter family). */
+  private def assertStreamedNotExchanged(df: DataFrame, what: String): Unit = {
+    val root = preparedPlan(df)
     var sawJoin = false
     def walk(n: SparkPlan, pendingExchange: Boolean): Unit = {
       if (n.children.size == 2) {
@@ -61,16 +151,7 @@ class CandidateStreamSpec extends SparkSpec {
       } else {
         val pending = n match {
           case _: ShuffleExchangeLike => true
-          case f: FilterExec => false
-          case o: ObjectHashAggregateExec
-              if o.aggregateExpressions.exists(
-                _.aggregateFunction.getClass.getName
-                  .startsWith("graft.plans.")) =>
-            false // bounded partial state: ≤ k values per group exchanged
-          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-              if a.groupingExpressions.isEmpty &&
-                a.aggregateExpressions.nonEmpty =>
-            false // global aggregate partial: one row per partition
+          case x if legitimizes(x) => false
           case _ => pendingExchange
         }
         n.children.foreach(walk(_, pending))
@@ -78,6 +159,142 @@ class CandidateStreamSpec extends SparkSpec {
     }
     walk(root, pendingExchange = false)
     assert(sawJoin, s"$what: no join found — guard is vacuous\n${root.treeString}")
+  }
+
+  // ---------------------------------------------------------------------
+  // Registry-wide auto-discovery (r12 VERDICT task #1)
+  // ---------------------------------------------------------------------
+
+  /** Band/bucket hash sources. NOT the whole graft.plans package: the
+    * bounded-state aggregates (SmallestKAgg) output plain doc ids and
+    * must not taint them. */
+  private def isBandMarker(e: Expression): Boolean = e.exists {
+    case _: XxHash64 | _: Murmur3Hash => true
+    case _: graft.plans.StableHash60 => true
+    case _: graft.plans.HyperplaneBuckets => true
+    case _: graft.plans.PhashBandCodes => true
+    case _ => false
+  }
+
+  private def taintedBy(e: Expression, t: AttributeSet): Boolean =
+    isBandMarker(e) || e.references.exists(t.contains)
+
+  /** One combined pass over a prepared plan: band-hash taint flows
+    * BOTTOM-UP through projections/aggregates/generators/windows/
+    * expands/unions; the pending-exchange flag flows TOP-DOWN with the
+    * shared legitimizer rules. At every non-broadcast equi-join whose
+    * keys are tainted (a banded join), a pending exchange is a
+    * violation: the raw candidate stream would cross the wire.
+    * Returns (violations, banded-join hit count). */
+  private def scanBandedJoins(root: SparkPlan): (Seq[String], Int) = {
+    val violations = Seq.newBuilder[String]
+    var hits = 0
+    def go(n: SparkPlan, pending: Boolean): AttributeSet = n match {
+      case j: BaseJoinExec =>
+        // below a join each side is its own (pre-join, linear) stream
+        val t = j.children.map(go(_, false)).reduceLeft(_ ++ _)
+        val keys = j.leftKeys ++ j.rightKeys
+        val banded = keys.nonEmpty && keys.exists(taintedBy(_, t))
+        // an explicit broadcast() hint survived the -1 threshold: the
+        // adjudicated linear class (ANN query-side, centroid sidecars)
+        val hinted = j.isInstanceOf[BroadcastHashJoinExec]
+        // EMISSION/VERIFY AT THE JOIN: the optimizer pushes post-join
+        // filters into the residual condition, so the first-matching-
+        // band predicate (q_media_phash_neardup) or the similarity
+        // threshold (q_embed_neardup_lsh's cos_sim > 0.45) may live
+        // HERE instead of in a FilterExec above — the join's output is
+        // then already the emitted/verified (output-sized) stream.
+        // Discriminators (either suffices):
+        //  - the residual references TAINTED band columns beyond the
+        //    equi keys (first-matching-band tests over the band-key
+        //    arrays, whether literal band-index compares or
+        //    forall/zip_with lambdas — q_media_phash_neardup,
+        //    q_lsh_band_sweep), or
+        //  - a residual comparison against a LITERAL (a similarity
+        //    threshold over untainted payload columns —
+        //    q_embed_neardup_lsh's cos_sim > 0.45).
+        // A pure attr-vs-attr residual over untainted columns (the
+        // d1 < d2 pair-ordering) halves the raw stream but leaves it
+        // quadratic and does NOT self-legitimize. If a refactor makes
+        // the emission/verify predicate non-pushable, the plan
+        // genuinely regresses to a raw-stream exchange and this guard
+        // goes red.
+        val verifyAtJoin = j.condition.exists(c =>
+          c.references.exists(t.contains) || c.exists {
+            case b: BinaryComparison => b.left.foldable || b.right.foldable
+            case _ => false
+          })
+        if (banded && !hinted) {
+          hits += 1
+          if (pending && !verifyAtJoin) {
+            violations += s"banded self-join (${keys.mkString(", ")}) under " +
+              s"an unlegitimized shuffle exchange:\n${j.treeString}"
+          }
+        }
+        t
+      case e: ShuffleExchangeLike => go(e.children.head, pending = true)
+      case b: BroadcastExchangeLike => go(b.children.head, pending = false)
+      // Taint accumulation is MONOTONE — sets are never filtered down to
+      // a node's output. ExprIds are globally unique, so out-of-scope
+      // entries are inert, and keeping them is load-bearing: a FINAL-
+      // mode aggregate's expressions still reference the ORIGINAL input
+      // attribute (not the partial buffer attr), which only exists in
+      // the taint gathered below the partial agg.
+      case r: ReusedExchangeExec =>
+        val t = go(r.child, pending)
+        t ++ AttributeSet(r.output.zip(r.child.output).collect {
+          case (o, c) if t.contains(c) => o
+        })
+      case p: ProjectExec =>
+        val t = go(p.child, pending)
+        t ++ AttributeSet(p.projectList.collect {
+          case a: Alias if taintedBy(a.child, t) => a.toAttribute
+        })
+      case a: BaseAggregateExec =>
+        val t = go(a.child, if (legitimizes(a)) false else pending)
+        val childOut = AttributeSet(a.child.output)
+        val fresh = a.output.filterNot(childOut.contains)
+        val srcs: Seq[Expression] =
+          a.aggregateExpressions.map(_.aggregateFunction) ++ a.groupingExpressions
+        if (srcs.exists(taintedBy(_, t))) t ++ AttributeSet(fresh) else t
+      case g: GenerateExec =>
+        val t = go(g.child, pending)
+        if (taintedBy(g.generator, t)) t ++ AttributeSet(g.generatorOutput)
+        else t
+      case w: WindowExec =>
+        val t = go(w.child, pending)
+        t ++ AttributeSet(w.windowExpression.collect {
+          case a: Alias if taintedBy(a.child, t) => a.toAttribute
+        })
+      case ex: ExpandExec =>
+        val t = go(ex.child, pending)
+        t ++ AttributeSet(ex.output.indices.collect {
+          case i if ex.projections.exists(p => taintedBy(p(i), t)) =>
+            ex.output(i)
+        })
+      case u: UnionExec =>
+        // tuple-preserving: an exchange above a union still carries the
+        // children's streams, so pending flows through
+        val ts = u.children.map(go(_, pending))
+        val all = ts.reduceLeft(_ ++ _)
+        all ++ AttributeSet(u.output.indices.collect {
+          case i if ts.zip(u.children).exists { case (t, c) =>
+            i < c.output.size && t.contains(c.output(i))
+          } => u.output(i)
+        })
+      case f: FilterExec =>
+        go(f.child, if (legitimizes(f)) false else pending)
+      case other =>
+        // unknown binary nodes start fresh streams below; unary
+        // tuple-preserving nodes (Sort, codegen wrappers, limits,
+        // InputAdapter) pass both taint and pending through
+        val childPending = if (other.children.size >= 2) false else pending
+        if (other.children.isEmpty) AttributeSet.empty
+        else other.children.map(go(_, childPending)).reduceLeft(_ ++ _)
+    }
+    val t = go(root, pending = false)
+    val _ = t
+    (violations.result(), hits)
   }
 
   // NO limit(): GlobalLimit outputs SinglePartition, which satisfies
@@ -135,6 +352,34 @@ class CandidateStreamSpec extends SparkSpec {
     assertStreamedNotExchanged(samp, "sampled prefix cap")
   }
 
+  test("auto-discovery: every banded join in the registry streams, not exchanges") {
+    // r12 VERDICT task #1: the whole registry, not a hand list. Plans
+    // are only PREPARED (never executed), but queries that converge
+    // driver-side (fixpoint graphs, k-means) run their construction
+    // jobs — sf0.001 keeps that cheap.
+    val results = SparkEntry.allDefs.map { d =>
+      val (viol, hits) =
+        try scanBandedJoins(preparedPlan(d.fn(spark, sf)))
+        catch {
+          case e: Throwable =>
+            fail(s"${d.name}: plan preparation failed: ${e.getMessage}", e)
+        }
+      (d.name, viol, hits)
+    }
+    val violations = results.filter(_._2.nonEmpty)
+    assert(violations.isEmpty,
+      violations.map { case (n, v, _) => s"$n:\n${v.mkString("\n")}" }
+        .mkString("\n\n"))
+    // non-vacuity: the known banded families must be discovered as hits
+    val hitNames = results.filter(_._3 > 0).map(_._1).toSet
+    val expected = Seq("q_dedup_minhash_lsh", "q_lsh_band_sweep",
+      "q_media_phash_neardup", "q_media_phash_neardup_256")
+    val missed = expected.filterNot(hitNames)
+    assert(missed.isEmpty,
+      s"discovery no longer sees known banded joins: $missed — taint " +
+        s"tracking broke (hits found in: ${hitNames.toSeq.sorted.mkString(", ")})")
+  }
+
   test("the guard itself goes red on a distinct() over a banded join") {
     // Self-test: the pre-r11 reverted shape the rule exists to catch —
     // a banded self-join whose output is deduped by distinct() INSTEAD
@@ -151,5 +396,38 @@ class CandidateStreamSpec extends SparkSpec {
       assertStreamedNotExchanged(bad, "reverted distinct form")
     }
     assert(caught.getMessage.contains("shuffle exchange above"))
+  }
+
+  test("auto-discovery catches a NEW banded query no hand list mentions") {
+    // The point of task #1: a synthetic bad query — banded self-join,
+    // distinct() instead of an emission filter — registered NOWHERE in
+    // this spec must still be flagged by the registry scanner's walker.
+    val t = docs.select($"doc_id", pmod(xxhash64($"text"), lit(16)).as("bkey"))
+    val bad = t.as("a").join(t.as("b"), $"a.bkey" === $"b.bkey")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val badDef = QueryDef.rowsOnly("q_synthetic_bad_banded")((s, _) => bad)
+    val (viol, hits) = scanBandedJoins(preparedPlan(badDef.fn(spark, sf)))
+    assert(hits >= 1, "synthetic banded join not discovered — taint broke")
+    assert(viol.nonEmpty, "synthetic distinct-over-banded-join not flagged")
+  }
+
+  test("a planner-style IsNotNull-only filter does not legitimize (r12 ADVICE)") {
+    // Narrowing red-test: insert a null-intolerance FilterExec directly
+    // under the bad plan's shuffle — the pre-narrowing rule would have
+    // green-lit it (any FilterExec cleared pending); the narrowed rule
+    // must still flag the exchange.
+    val t = docs.select($"doc_id", pmod(xxhash64($"text"), lit(16)).as("bkey"))
+    val bad = t.as("a").join(t.as("b"), $"a.bkey" === $"b.bkey")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val patched = preparedPlan(bad).transformUp {
+      case e: ShuffleExchangeExec =>
+        e.copy(child = FilterExec(IsNotNull(e.child.output.head), e.child))
+    }
+    val (viol, hits) = scanBandedJoins(patched)
+    assert(hits >= 1)
+    assert(viol.nonEmpty,
+      s"IsNotNull-only filter legitimized the exchange:\n${patched.treeString}")
   }
 }

@@ -57,6 +57,52 @@ class SortedIntersectSpec extends SparkSpec {
     assert(df.head().getLong(0) === 2L)
   }
 
+  test("null ELEMENTS are skipped, both eval paths (r12 ADVICE)") {
+    // SQL equality semantics: a null element never matches anything
+    // (array_intersect would match null to null — deliberately NOT
+    // parity here). sort_array places nulls first; the kernel must
+    // also survive a null mid-run (stops the duplicate-run advance).
+    val df = Seq(
+      (Seq[Option[Long]](None, Some(1L), Some(3L), Some(7L)),
+        Seq[Option[Long]](None, None, Some(3L), Some(7L), Some(9L))),
+      (Seq[Option[Long]](Some(1L), Some(1L), None, Some(2L)),
+        Seq[Option[Long]](Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(graft.plans.SortedIntersect.count($"a", $"b").as("c"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 2L))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 2L))
+  }
+
+  test("SQL plane: null elements in a nullable array do not miscount") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark
+      .sql("""SELECT sorted_intersect_count(
+             |  array(CAST(NULL AS BIGINT), 2L, 8L), array(2L, 8L, 9L)) AS c""".stripMargin)
+      .head().getLong(0)
+    assert(got === 2L)
+  }
+
+  test("a forced 64-bit collision inflates common by exactly one (r12 VERDICT #5)") {
+    // The hash-array verify's accepted ~ℓ²/2⁶⁵ error term
+    // (Dedup.scala prefixFilterPairs): two DISTINCT shingles whose
+    // xxhash64 values collide become one shared array value. Construct
+    // the collision directly — doc A's shingles hash to {5,10,20},
+    // doc B's to {10,30}, where 10 stands for two DIFFERENT strings —
+    // and pin the shape: count = true string-level common (0) + 1.
+    // The error is one-sided: common (and so jaccard) can only
+    // inflate, i.e. a false MERGE across the 0.8 threshold, never a
+    // false split.
+    val got = Seq((Array(5L, 10L, 20L), Array(10L, 30L)))
+      .toDF("a", "b")
+      .select(graft.plans.SortedIntersect.count($"a", $"b"))
+      .head().getLong(0)
+    val trueStringCommon = 0L
+    assert(got === trueStringCommon + 1L)
+  }
+
   test("SQL plane: sorted_intersect_count is registered") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark
