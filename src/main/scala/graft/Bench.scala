@@ -13,6 +13,38 @@ object Bench {
     // warm up the JVM/codegen/file-index paths so the first timed query
     // doesn't absorb cold-start costs
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // FIXED-COST CANARIES (r12 VERDICT task #2): three queries whose cost
+    // is independent of the registry and of SPARK_GRAFT_SF_DIR, timed
+    // before and after the registry passes. A round-over-round shift in
+    // the canaries is the box, not the code — the r12 ambient slowdown
+    // (median carried-query ratio 1.105×) had to be INFERRED from 266
+    // carried queries; these measure it directly. min-of-2 each so a JIT
+    // or GC hiccup doesn't masquerade as ambient drift.
+    def canaryPass(): Map[String, Double] = {
+      import org.apache.spark.sql.functions._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def min2(f: => Unit): Double = {
+        def t(): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        math.min(t(), t())
+      }
+      Map(
+        // pure whole-stage-codegen CPU: no IO, no shuffle (pmod keeps
+        // the ANSI-mode sum far from Long overflow at any row count)
+        "cpu" -> min2(noop(spark.range(1000000000L)
+          .select(sum(pmod(xxhash64(col("id")), lit(1000)))))),
+        // one fixed-size shuffle: 100M rows into 4096 groups
+        "shuffle" -> min2(noop(spark.range(100000000L)
+          .select(pmod(col("id"), lit(4096)).as("k"), col("id"))
+          .groupBy(col("k"))
+          .agg(sum(col("id")), count(lit(1))))),
+        // a pinned parquet scan — the SAME file at every SF dial
+        "scan" -> min2(noop(
+          spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"))))
+    }
+    val canaryFirst = canaryPass()
     // time a FULL materialization via the noop sink: under a bare count()
     // Catalyst prunes unreferenced projections, so projection-heavy
     // queries would look artificially cheap
@@ -39,6 +71,7 @@ object Bench {
     val nPasses =
       math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val passes = (1 to nPasses).map(_ => runPass())
+    val canaryLast = canaryPass()
     val names = passes.head.keys.toSeq.sorted
     // min over the passes where the query SUCCEEDED; all-failed stays
     // negative so a swallowed failure can't read as a fast timing
@@ -57,6 +90,10 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     val total1 = passes.head.values.filter(_ > 0).sum
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def canaryJson(c: Map[String, Double]): String =
+      c.toSeq.sorted
+        .map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}")
     // durable machine-readable artifact with EVERY pass, immune to the
     // harness's stdout tail truncation (r1-r3 totals were lost to it)
     val artifact = names
@@ -67,7 +104,7 @@ object Bench {
         s""""$n":{$per,"min":${f3(results(n))}}"""
       }
       .mkString(
-        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"stat":"min-of-$nPasses","unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"queries":{""",
+        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"stat":"min-of-$nPasses","unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"canary_first":${canaryJson(canaryFirst)},"canary_last":${canaryJson(canaryLast)},"queries":{""",
         ",",
         "}}")
     val out = java.nio.file.Paths.get(outPath)

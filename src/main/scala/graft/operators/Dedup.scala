@@ -900,14 +900,23 @@ object Dedup {
         MinhashPerms.zipWithIndex.tail.map { case (_, i) =>
           min(minhashPerm($"base", i)).as(s"m$i")
         }: _*)
-    // Each side carries the cfg's FULL band-key array so the banded
-    // join's multi-emissions dedup by a first-matching-band FILTER
-    // instead of a distinct() — the same emission rule as
-    // minhashCandidates, generalized to variable band widths via
-    // slice/zip_with (r13: CandidateStreamSpec's registry walker caught
-    // the sweep as the one remaining distinct-over-banded-join; the
-    // filter form never exchanges a candidate row, and the per-cfg
-    // counts below become plain map-side-combined counts).
+    // Each side carries the cfg's band keys so the banded join's
+    // multi-emissions dedup by a first-matching-band FILTER instead of
+    // a distinct() — the same emission rule as minhashCandidates,
+    // generalized to variable band widths (r13: CandidateStreamSpec's
+    // registry walker caught the sweep as the one remaining
+    // distinct-over-banded-join; the filter form never exchanges a
+    // candidate row, and the per-cfg counts below become plain
+    // map-side-combined counts). The carried array holds xxhash64 of
+    // each band key, not the key strings: the extra banding-exchange
+    // bytes are corpus-LINEAR (Σ nb² · 8 B per doc ≈ 2.7 kB) but the
+    // string form measured 1.14× on the sf0.1 fixture — hashing buys
+    // that back ~3×. The join key itself stays the exact string; only
+    // the earlier-band-differs test uses hashes, so the sole failure
+    // mode is a pair whose true first match is suppressed by an
+    // earlier-band 64-bit collision while no other band catches it —
+    // one-sided loss, ~(nb²/2)/2⁶⁴ per pair, the same accepted class
+    // as the verify arrays (oracle parity certifies none fired).
     val bk = BandConfigs
       .map { case (nb, r) =>
         val keys = (0 until nb).map { j =>
@@ -915,23 +924,27 @@ object Dedup {
             (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
         }
         sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
-            array(keys: _*).as("allk"))
-          .select($"doc_id", $"cfg", $"allk",
-            posexplode($"allk").as(Seq("bj", "bkey")))
+            array(keys.map(xxhash64(_)): _*).as("allkh"),
+            posexplode(array(keys: _*)).as(Seq("bj", "bkey")))
       }
       .reduce(_.unionAll(_))
+    // first matching band: every band before bj differs — the same
+    // element_at OR-chain as minhashCandidates (codegen-friendly, no
+    // per-row slice/zip_with array allocation), widened to the largest
+    // cfg's band count; for narrower cfgs the higher-j branches die on
+    // the bj test before any out-of-range element_at evaluates
+    val firstMatch = (0 until BandConfigs.map(_._1).max).map { j =>
+      ($"bj" === j) && (0 until j)
+        .map(i => element_at($"ak1", i + 1) =!= element_at($"ak2", i + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = bk
-      .select($"cfg", $"bj", $"bkey", $"allk".as("ak1"), $"doc_id".as("d1"))
+      .select($"cfg", $"bj", $"bkey", $"allkh".as("ak1"), $"doc_id".as("d1"))
       .join(
-        bk.select($"cfg", $"bj", $"bkey", $"allk".as("ak2"),
+        bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak2"),
           $"doc_id".as("d2")),
         Seq("cfg", "bj", "bkey"))
-      .filter($"d1" < $"d2" &&
-        // first matching band: every band before bj differs
-        forall(
-          zip_with(slice($"ak1", lit(1), $"bj"), slice($"ak2", lit(1), $"bj"),
-            (x, y) => x =!= y),
-          z => z))
+      .filter($"d1" < $"d2" && firstMatch)
       .select($"cfg", $"d1", $"d2")
     val truth = ngramJaccardAllPairs(docs)
       .filter(round($"jac", 4) >= 0.7)
