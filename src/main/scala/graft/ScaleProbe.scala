@@ -72,6 +72,24 @@ object ScaleProbe {
       val permille = math.max(1, 1000 / f)
       operators.Dedup.lshBandSweepMeasured(s, d, permille)
     },
+    // the sweep's CANDIDATE stage in isolation, both dedup shapes, for
+    // the dense decades (r13): @cands_emit is the production
+    // first-matching-band emission (candidates streamed, only 4 counts
+    // exchanged); @cands_distinct is the pre-r13 distinct() the
+    // registry walker now forbids (pair-sized partial state + exchange,
+    // clique-quadratic on dense corpora). The truth side is excluded on
+    // purpose — it is the data's own quadratic output (r12b1) and would
+    // mask the candidate-stage A/B this probe exists to measure.
+    "q_lsh_sweep@cands_emit" -> { (s, d, _) =>
+      operators.Dedup
+        .lshSweepCandidates(Tables.documents(s, d), emission = true)
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
+    },
+    "q_lsh_sweep@cands_distinct" -> { (s, d, _) =>
+      operators.Dedup
+        .lshSweepCandidates(Tables.documents(s, d), emission = false)
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
+    },
     // structure-varying graph decades (r10): the registry graph queries
     // run on the ≤25-node strong-trade graph, so a volume blow-up never
     // changes their GRAPH SHAPE — these adapters blow up the shape

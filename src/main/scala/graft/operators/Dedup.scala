@@ -874,17 +874,38 @@ object Dedup {
     * its full-corpus value). Default 1000 = the full fixture-scale
     * gate ([[qLshBandSweep]]); a 100 TB run reads the same table from
     * a permille-sized slice. */
-  private[graft] def lshBandSweepMeasured(
-      s: org.apache.spark.sql.SparkSession,
-      d: String,
-      truthSamplePermille: Int = 1000): org.apache.spark.sql.DataFrame = {
+  /** The sweep's candidate relation, (cfg, d1, d2), one row per pair per
+    * band layout — factored out so the ScaleProbe can run the two
+    * dedup shapes head-to-head on the dense blow-ups.
+    *
+    * `emission = true` (the production path, r13): each side carries
+    * the cfg's band keys so the banded join's multi-emissions dedup by
+    * a first-matching-band FILTER instead of a distinct() —
+    * CandidateStreamSpec's registry walker caught the sweep as the one
+    * remaining distinct-over-banded-join; the filter form never
+    * exchanges a candidate row, and the per-cfg counts become plain
+    * map-side-combined counts. The carried array holds xxhash64 of
+    * each band key, not the key strings: the extra banding-exchange
+    * bytes are corpus-LINEAR (Σ nb² · 8 B per doc ≈ 2.7 kB) but the
+    * string form measured 1.14× on the sf0.1 fixture — hashing buys
+    * that back ~3×. The join key itself stays the exact string; only
+    * the earlier-band-differs test uses hashes, so the sole failure
+    * mode is a pair whose true first match is suppressed by an
+    * earlier-band 64-bit collision while no other band catches it —
+    * one-sided loss, ~(nb²/2)/2⁶⁴ per pair, the same accepted class
+    * as the verify arrays (oracle parity certifies none fired).
+    *
+    * `emission = false` (PROBE-ONLY — the pre-r13 shape the scale rule
+    * forbids): dedup by `distinct()`, whose partial state and exchange
+    * are pair-sized — clique-quadratic on dense corpora. Kept solely so
+    * the ScaleProbe can measure what the rule prevents; never reachable
+    * from the registry. */
+  private[graft] def lshSweepCandidates(
+      docs: org.apache.spark.sql.DataFrame,
+      emission: Boolean): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import graft.functions.TextFunctions._
-    val docs0 = Tables.documents(s, d)
-    val docs =
-      if (truthSamplePermille >= 1000) docs0
-      else docs0.filter(
-        CorpusOps.sampleHash(col("doc_id"), "tr") < truthSamplePermille)
     val bh = docs
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
@@ -900,52 +921,68 @@ object Dedup {
         MinhashPerms.zipWithIndex.tail.map { case (_, i) =>
           min(minhashPerm($"base", i)).as(s"m$i")
         }: _*)
-    // Each side carries the cfg's band keys so the banded join's
-    // multi-emissions dedup by a first-matching-band FILTER instead of
-    // a distinct() — the same emission rule as minhashCandidates,
-    // generalized to variable band widths (r13: CandidateStreamSpec's
-    // registry walker caught the sweep as the one remaining
-    // distinct-over-banded-join; the filter form never exchanges a
-    // candidate row, and the per-cfg counts below become plain
-    // map-side-combined counts). The carried array holds xxhash64 of
-    // each band key, not the key strings: the extra banding-exchange
-    // bytes are corpus-LINEAR (Σ nb² · 8 B per doc ≈ 2.7 kB) but the
-    // string form measured 1.14× on the sf0.1 fixture — hashing buys
-    // that back ~3×. The join key itself stays the exact string; only
-    // the earlier-band-differs test uses hashes, so the sole failure
-    // mode is a pair whose true first match is suppressed by an
-    // earlier-band 64-bit collision while no other band catches it —
-    // one-sided loss, ~(nb²/2)/2⁶⁴ per pair, the same accepted class
-    // as the verify arrays (oracle parity certifies none fired).
-    val bk = BandConfigs
-      .map { case (nb, r) =>
-        val keys = (0 until nb).map { j =>
-          concat_ws("|",
-            (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
-        }
-        sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
-            array(keys.map(xxhash64(_)): _*).as("allkh"),
-            posexplode(array(keys: _*)).as(Seq("bj", "bkey")))
+    def bandKeys(nb: Int, r: Int): Seq[org.apache.spark.sql.Column] =
+      (0 until nb).map { j =>
+        concat_ws("|",
+          (0 until r).map(k => col(s"m${j * r + k}").cast("string")): _*)
       }
-      .reduce(_.unionAll(_))
-    // first matching band: every band before bj differs — the same
-    // element_at OR-chain as minhashCandidates (codegen-friendly, no
-    // per-row slice/zip_with array allocation), widened to the largest
-    // cfg's band count; for narrower cfgs the higher-j branches die on
-    // the bj test before any out-of-range element_at evaluates
-    val firstMatch = (0 until BandConfigs.map(_._1).max).map { j =>
-      ($"bj" === j) && (0 until j)
-        .map(i => element_at($"ak1", i + 1) =!= element_at($"ak2", i + 1))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    val cand = bk
-      .select($"cfg", $"bj", $"bkey", $"allkh".as("ak1"), $"doc_id".as("d1"))
-      .join(
-        bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak2"),
-          $"doc_id".as("d2")),
-        Seq("cfg", "bj", "bkey"))
-      .filter($"d1" < $"d2" && firstMatch)
-      .select($"cfg", $"d1", $"d2")
+    if (emission) {
+      val bk = BandConfigs
+        .map { case (nb, r) =>
+          val keys = bandKeys(nb, r)
+          sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
+              array(keys.map(xxhash64(_)): _*).as("allkh"),
+              posexplode(array(keys: _*)).as(Seq("bj", "bkey")))
+        }
+        .reduce(_.unionAll(_))
+      // first matching band: bj is the FIRST index where the two hash
+      // arrays agree. NOT the element_at OR-chain minhashCandidates
+      // uses at 4 bands: widened to 16 bands that condition is ~136
+      // comparisons, which blows the generated join-condition method
+      // past the JIT limit and the whole SMJ drops to interpreted
+      // eval — measured 47 µs/matched-row on the dense x100 probe
+      // (982 s) vs this compact form (one zip_with + array_position
+      // per row; the HOF itself is interpreted but the expression is
+      // three nodes, so the join stays codegen'd).
+      val firstMatch =
+        array_position(zip_with($"ak1", $"ak2", (x, y) => x === y),
+          lit(true)) === $"bj" + 1
+      bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak1"),
+          $"doc_id".as("d1"))
+        .join(
+          bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak2"),
+            $"doc_id".as("d2")),
+          Seq("cfg", "bj", "bkey"))
+        .filter($"d1" < $"d2" && firstMatch)
+        .select($"cfg", $"d1", $"d2")
+    } else {
+      val bk = BandConfigs
+        .map { case (nb, r) =>
+          sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
+            posexplode(array(bandKeys(nb, r): _*)).as(Seq("bj", "bkey")))
+        }
+        .reduce(_.unionAll(_))
+      bk.select($"cfg", $"bj", $"bkey", $"doc_id".as("d1"))
+        .join(bk.select($"cfg", $"bj", $"bkey", $"doc_id".as("d2")),
+          Seq("cfg", "bj", "bkey"))
+        .filter($"d1" < $"d2")
+        .select($"cfg", $"d1", $"d2")
+        .distinct()
+    }
+  }
+
+  private[graft] def lshBandSweepMeasured(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      truthSamplePermille: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val docs0 = Tables.documents(s, d)
+    val docs =
+      if (truthSamplePermille >= 1000) docs0
+      else docs0.filter(
+        CorpusOps.sampleHash(col("doc_id"), "tr") < truthSamplePermille)
+    val cand = lshSweepCandidates(docs, emission = true)
     val truth = ngramJaccardAllPairs(docs)
       .filter(round($"jac", 4) >= 0.7)
       .select($"d1".as("t1"), $"d2".as("t2"))
