@@ -3,10 +3,17 @@
 # DENSE blow-ups (the corpus class the streamed-not-exchanged rule exists
 # for). r13 removed the sweep's distinct-over-banded-join after the
 # registry walker flagged it; this battery measures what that bought:
-#  a1) emission form, dense 1,10,100 — candidates streamed, 4 counts out.
+#  a1) emission form (string-lambda variant, as of commit 88218e5),
+#      dense 1,10,100 — candidates streamed, 4 counts out.
 #  a2) distinct form (probe-only reconstruction of the pre-r13 shape),
 #      dense 1,10,100 — pair-sized partial state + exchange per cfg.
-#  a3) emission form, dense x1000 — 5M docs in 1000-cliques, single pass.
+#  a4) emission form, FINAL array_position variant, dense 1,10 min-of-2.
+#  a5) emission form, FINAL array_position variant, dense x100 single
+#      pass — the 160.4 s headline vs a2's 558.7 s distinct.
+# (A planned x1000 emission leg — the old a3 — was dropped: the r12
+# adjudication stands that the uncapped dense x1000 candidate relation
+# is the data's own quadratic and the @sampled adapter is the answer;
+# no scaleprobe-r13a3.json exists.)
 set -u
 cd /root/repo
 export SPARK_DRIVER_MEM=96g
@@ -36,12 +43,20 @@ run_leg a2 env \
   SPARK_GRAFT_SCALE_TIMEOUT_SEC=1800 \
   SPARK_GRAFT_SCALE_OUT=bench_results/scaleprobe-r13a2.json
 
-run_leg a3 env \
+run_leg a4 env \
   SPARK_GRAFT_SCALE_MODE=dense \
   SPARK_GRAFT_SCALE_QUERIES=q_lsh_sweep@cands_emit \
-  SPARK_GRAFT_SCALE_FACTORS=1000 \
+  SPARK_GRAFT_SCALE_FACTORS=1,10 \
+  SPARK_GRAFT_SCALE_PASSES=2 \
+  SPARK_GRAFT_SCALE_TIMEOUT_SEC=1800 \
+  SPARK_GRAFT_SCALE_OUT=bench_results/scaleprobe-r13a4.json
+
+run_leg a5 env \
+  SPARK_GRAFT_SCALE_MODE=dense \
+  SPARK_GRAFT_SCALE_QUERIES=q_lsh_sweep@cands_emit \
+  SPARK_GRAFT_SCALE_FACTORS=100 \
   SPARK_GRAFT_SCALE_PASSES=1 \
-  SPARK_GRAFT_SCALE_TIMEOUT_SEC=3600 \
-  SPARK_GRAFT_SCALE_OUT=bench_results/scaleprobe-r13a3.json
+  SPARK_GRAFT_SCALE_TIMEOUT_SEC=1800 \
+  SPARK_GRAFT_SCALE_OUT=bench_results/scaleprobe-r13a5.json
 
 echo "PROBE r13 DONE"

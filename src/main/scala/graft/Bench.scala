@@ -20,31 +20,43 @@ object Bench {
     // (median carried-query ratio 1.105×) had to be INFERRED from 266
     // carried queries; these measure it directly. min-of-2 each so a JIT
     // or GC hiccup doesn't masquerade as ambient drift.
-    def canaryPass(): Map[String, Double] = {
+    object canary {
       import org.apache.spark.sql.functions._
-      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      private def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
-      def min2(f: => Unit): Double = {
+      private def min2(f: => Unit): Double = {
         def t(): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }
         math.min(t(), t())
       }
-      Map(
-        // pure whole-stage-codegen CPU: no IO, no shuffle (pmod keeps
-        // the ANSI-mode sum far from Long overflow at any row count)
-        "cpu" -> min2(noop(spark.range(1000000000L)
-          .select(sum(pmod(xxhash64(col("id")), lit(1000)))))),
+      // pure whole-stage-codegen CPU: no IO, no shuffle (pmod keeps
+      // the ANSI-mode sum far from Long overflow at any row count).
+      // Also run ALONE between registry passes (r13 VERDICT #3): the
+      // end-only canaries missed a mid-run ambient burst (r13-final2's
+      // 17.6 s sweep pass), so the cheapest canary now samples the
+      // window each pass boundary sits in.
+      def cpu(): Double = min2(noop(spark.range(1000000000L)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000))))))
+      // a pinned parquet scan — the SAME file at every SF dial. Path is
+      // env-overridable and guarded (r13 ADVICE: the hardcoded path made
+      // every bench abort on any other layout); -1 records "absent"
+      // without failing the run or masquerading as a timing.
+      private val scanPath = sys.env.getOrElse(
+        "SPARK_GRAFT_CANARY_PARQUET", "/root/testdata/sf0.1/lineitem.parquet")
+      def full(): Map[String, Double] = Map(
+        "cpu" -> cpu(),
         // one fixed-size shuffle: 100M rows into 4096 groups
         "shuffle" -> min2(noop(spark.range(100000000L)
           .select(pmod(col("id"), lit(4096)).as("k"), col("id"))
           .groupBy(col("k"))
           .agg(sum(col("id")), count(lit(1))))),
-        // a pinned parquet scan — the SAME file at every SF dial
-        "scan" -> min2(noop(
-          spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet"))))
+        "scan" -> (if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(scanPath)))
+          min2(noop(spark.read.parquet(scanPath)))
+        else -1.0))
     }
-    val canaryFirst = canaryPass()
+    val canaryFirst = canary.full()
     // time a FULL materialization via the noop sink: under a bare count()
     // Catalyst prunes unreferenced projections, so projection-heavy
     // queries would look artificially cheap
@@ -70,8 +82,16 @@ object Bench {
     // shorter than the whole run, so round-over-round deltas are signal
     val nPasses =
       math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val passes = (1 to nPasses).map(_ => runPass())
-    val canaryLast = canaryPass()
+    // a cpu canary fires BETWEEN registry passes (nPasses-1 samples), so
+    // a burst confined to one pass shows up next to that pass's totals
+    // instead of hiding between the end canaries
+    val midCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = (1 to nPasses).map { i =>
+      val p = runPass()
+      if (i < nPasses) midCpu += canary.cpu()
+      p
+    }
+    val canaryLast = canary.full()
     val names = passes.head.keys.toSeq.sorted
     // min over the passes where the query SUCCEEDED; all-failed stays
     // negative so a swallowed failure can't read as a fast timing
@@ -104,7 +124,7 @@ object Bench {
         s""""$n":{$per,"min":${f3(results(n))}}"""
       }
       .mkString(
-        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"stat":"min-of-$nPasses","unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"canary_first":${canaryJson(canaryFirst)},"canary_last":${canaryJson(canaryLast)},"queries":{""",
+        s"""{"metric":"total","value":${f3(total)},"pass1_total":${f3(total1)},"stat":"min-of-$nPasses","unit":"sec","nq":${results.size},"sf":"$sfDir","failed":$failedJson,"canary_first":${canaryJson(canaryFirst)},"canary_mid_cpu":${midCpu.map(f3).mkString("[", ",", "]")},"canary_last":${canaryJson(canaryLast)},"queries":{""",
         ",",
         "}}")
     val out = java.nio.file.Paths.get(outPath)
@@ -117,7 +137,12 @@ object Bench {
     // 1-3). Emit the slowest queries individually and fold the long cheap
     // tail into one "other" bucket so the line always fits.
     val byTime = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
-    val budget = 1400 // chars for the per-query map
+    // the ambient factor must be readable from BENCH_rN.json ALONE
+    // (r13 VERDICT #3): ~170 chars of canary trade against the query
+    // map's budget so the whole line stays under the ~1.9k beheading
+    val canarySummary =
+      s""""canary":{"first":${canaryJson(canaryFirst)},"mid_cpu":${midCpu.map(f3).mkString("[", ",", "]")},"last":${canaryJson(canaryLast)}}"""
+    val budget = 1400 - canarySummary.length // chars for the per-query map
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + f3(v) }
     // kept entries are a strict PREFIX of byTime (stop at the first entry
     // that doesn't fit), so drop(kept) is exactly the non-kept remainder —
@@ -135,7 +160,7 @@ object Bench {
     val qs = detailed.mkString("{", ",", "}")
     // "timing" documents the method: noop-sink full materialization,
     // per-query MIN over the in-JVM passes; all passes live in the artifact
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,"timing":"noop-sink full materialization, per-query min of $nPasses in-JVM passes; slowest listed, rest in _other; full per-pass artifact at $outPath"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir","failed":$failedJson,$canarySummary,"timing":"noop-sink full materialization, per-query min of $nPasses in-JVM passes; slowest listed, rest in _other; full per-pass artifact at $outPath"}""")
     spark.stop()
   }
 }

@@ -90,6 +90,24 @@ object ScaleProbe {
         .lshSweepCandidates(Tables.documents(s, d), emission = false)
         .groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
     },
+    // the prefix-filter CANDIDATE stage in isolation, both dedup shapes
+    // (r14): @cands_emit is the production first-common-hash emission
+    // (pairs filtered row-local, nothing pair-sized exchanged);
+    // @cands_distinct is the pre-r14 string-keyed join + distinct()
+    // the walker's string-taint mode now forbids (pair-sized partial
+    // state + exchange). Verify excluded on purpose, as with the sweep
+    // probes: its pair-sized exchange is the same in both shapes and
+    // would mask the candidate-stage A/B.
+    "q_prefix_filter@cands_emit" -> { (s, d, _) =>
+      operators.Dedup
+        .prefixCandidates(Tables.documents(s, d), emission = true)
+        .agg(count(lit(1)).as("n_candidates"))
+    },
+    "q_prefix_filter@cands_distinct" -> { (s, d, _) =>
+      operators.Dedup
+        .prefixCandidates(Tables.documents(s, d), emission = false)
+        .agg(count(lit(1)).as("n_candidates"))
+    },
     // structure-varying graph decades (r10): the registry graph queries
     // run on the ≤25-node strong-trade graph, so a volume blow-up never
     // changes their GRAPH SHAPE — these adapters blow up the shape

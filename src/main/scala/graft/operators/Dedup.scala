@@ -874,26 +874,53 @@ object Dedup {
     * its full-corpus value). Default 1000 = the full fixture-scale
     * gate ([[qLshBandSweep]]); a 100 TB run reads the same table from
     * a permille-sized slice. */
+  /** First-matching-band emission predicate: true iff 0-based band
+    * index `bj` is the FIRST position where the two carried band-hash
+    * arrays agree — each agreeing pair survives at exactly one band.
+    * NOT the element_at OR-chain minhashCandidates uses at 4 bands:
+    * widened to 16 bands that condition is ~136 comparisons, which
+    * blows the generated join-condition method past the JIT limit and
+    * the whole SMJ drops to interpreted eval — measured 47 µs/matched-
+    * row on the dense x100 probe (982 s) vs this compact form (one
+    * zip_with + array_position per row; the HOF itself is interpreted
+    * but the expression is three nodes, so the join stays codegen'd).
+    * Shared with DedupSpec's forced-collision pin (r13 VERDICT #4). */
+  private[graft] def firstMatchingBand(
+      ak1: org.apache.spark.sql.Column,
+      ak2: org.apache.spark.sql.Column,
+      bj: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_position(zip_with(ak1, ak2, (x, y) => x === y), lit(true)) ===
+      bj + 1
+
   /** The sweep's candidate relation, (cfg, d1, d2), one row per pair per
     * band layout — factored out so the ScaleProbe can run the two
     * dedup shapes head-to-head on the dense blow-ups.
     *
-    * `emission = true` (the production path, r13): each side carries
-    * the cfg's band keys so the banded join's multi-emissions dedup by
-    * a first-matching-band FILTER instead of a distinct() —
-    * CandidateStreamSpec's registry walker caught the sweep as the one
-    * remaining distinct-over-banded-join; the filter form never
-    * exchanges a candidate row, and the per-cfg counts become plain
-    * map-side-combined counts. The carried array holds xxhash64 of
-    * each band key, not the key strings: the extra banding-exchange
-    * bytes are corpus-LINEAR (Σ nb² · 8 B per doc ≈ 2.7 kB) but the
-    * string form measured 1.14× on the sf0.1 fixture — hashing buys
-    * that back ~3×. The join key itself stays the exact string; only
-    * the earlier-band-differs test uses hashes, so the sole failure
-    * mode is a pair whose true first match is suppressed by an
-    * earlier-band 64-bit collision while no other band catches it —
-    * one-sided loss, ~(nb²/2)/2⁶⁴ per pair, the same accepted class
-    * as the verify arrays (oracle parity certifies none fired).
+    * `emission = true` (the production path, r13; join key hashed
+    * r14): each side carries the cfg's band-key hashes so the banded
+    * join's multi-emissions dedup by a first-matching-band FILTER
+    * instead of a distinct() — CandidateStreamSpec's registry walker
+    * caught the sweep as the one remaining distinct-over-banded-join;
+    * the filter form never exchanges a candidate row, and the per-cfg
+    * counts become plain map-side-combined counts. The carried array
+    * holds xxhash64 of each band key, not the key strings: the extra
+    * banding-exchange bytes are corpus-LINEAR (Σ nb² · 8 B per doc
+    * ≈ 2.7 kB) but the string form measured 1.14× on the sf0.1
+    * fixture — hashing buys that back ~3×. The JOIN KEY is that same
+    * hash (r14): the r13 form joined on the exact band-key string
+    * while the first-match test read hashes, so an earlier-band 64-bit
+    * collision strictly before a pair's first TRUE match pointed
+    * array_position at a band with no join row and silently LOST the
+    * pair — no later band could catch it (the first hash agreement
+    * precedes every later true match by construction). With the hash
+    * as the join key the first hash-agreeing band always HAS a join
+    * row, so a pair with any truly matching band is emitted exactly
+    * once, never zero; the sole failure mode left is a pair with NO
+    * true band match whose hashes collide somewhere — a one-sided
+    * false MERGE, ≤ nb/2⁶⁴ per pair, the same accepted class as the
+    * verify arrays (oracle parity certifies none fired; shape pinned
+    * by DedupSpec's "forced earlier-band hash agreement" case, r13
+    * VERDICT #4).
     *
     * `emission = false` (PROBE-ONLY — the pre-r13 shape the scale rule
     * forbids): dedup by `distinct()`, whose partial state and exchange
@@ -929,31 +956,19 @@ object Dedup {
     if (emission) {
       val bk = BandConfigs
         .map { case (nb, r) =>
-          val keys = bandKeys(nb, r)
           sig.select($"doc_id", lit(s"${nb}x$r").as("cfg"),
-              array(keys.map(xxhash64(_)): _*).as("allkh"),
-              posexplode(array(keys: _*)).as(Seq("bj", "bkey")))
+              array(bandKeys(nb, r).map(xxhash64(_)): _*).as("allkh"))
+            .select($"doc_id", $"cfg", $"allkh",
+              posexplode($"allkh").as(Seq("bj", "kh")))
         }
         .reduce(_.unionAll(_))
-      // first matching band: bj is the FIRST index where the two hash
-      // arrays agree. NOT the element_at OR-chain minhashCandidates
-      // uses at 4 bands: widened to 16 bands that condition is ~136
-      // comparisons, which blows the generated join-condition method
-      // past the JIT limit and the whole SMJ drops to interpreted
-      // eval — measured 47 µs/matched-row on the dense x100 probe
-      // (982 s) vs this compact form (one zip_with + array_position
-      // per row; the HOF itself is interpreted but the expression is
-      // three nodes, so the join stays codegen'd).
-      val firstMatch =
-        array_position(zip_with($"ak1", $"ak2", (x, y) => x === y),
-          lit(true)) === $"bj" + 1
-      bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak1"),
+      bk.select($"cfg", $"bj", $"kh", $"allkh".as("ak1"),
           $"doc_id".as("d1"))
         .join(
-          bk.select($"cfg", $"bj", $"bkey", $"allkh".as("ak2"),
+          bk.select($"cfg", $"bj", $"kh", $"allkh".as("ak2"),
             $"doc_id".as("d2")),
-          Seq("cfg", "bj", "bkey"))
-        .filter($"d1" < $"d2" && firstMatch)
+          Seq("cfg", "bj", "kh"))
+        .filter($"d1" < $"d2" && firstMatchingBand($"ak1", $"ak2", $"bj"))
         .select($"cfg", $"d1", $"d2")
     } else {
       val bk = BandConfigs
@@ -1061,16 +1076,55 @@ object Dedup {
     prefixFilterPairs(Tables.documents(s, d)).orderBy($"d1", $"d2")
   }
 
-  /** The prefix-filtered join body behind [[qPrefixFilterJoin]] —
-    * returns (d1, d2, jaccard) for exact Jaccard ≥ 0.8, d1 < d2. */
-  private[graft] def prefixFilterPairs(
+  /** Shared prefix-filter postings: one distinct (doc_id, shingle) row
+    * per doc, hash-partitioned on the shingle — the one exchange the
+    * df count, the rarity ranking and the verify arrays all reuse. */
+  private[graft] def prefixPosts(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val posts = docs
+    docs
       .select($"doc_id", words($"text").as("w"))
       .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("s"))
       .repartition(col("s"))
+  }
+
+  /** The prefix-filtered CANDIDATE relation (d1, d2, n1, n2) — factored
+    * out so the ScaleProbe can A/B the two dedup shapes on the dense
+    * blow-ups, mirroring [[lshSweepCandidates]].
+    *
+    * `emission = true` (the production path, r14): FIRST-COMMON-HASH
+    * EMISSION. The candidate pair meets once per shared prefix
+    * shingle, and this multi-emission used to be deduped by
+    * distinct() — a pair-sized exchange with pair-keyed partial maps,
+    * the r11e class the LSH sweep already abandoned; the r13 walker's
+    * string-taint extension (CandidateStreamSpec) flagged it on its
+    * first registry-wide run. Now each doc carries its sorted
+    * prefix-HASH array once (~8·ℓ/5 B), the self-join runs on the
+    * 64-bit hash, and a stateless FILTER keeps only the row whose hash
+    * is the first common element of the two arrays
+    * ([[graft.plans.SortedLongFirstCommon]]): exactly one emission per
+    * pair, nothing pair-sized ever exchanged before the verify. The
+    * join key BEING the tested hash means the first common element
+    * always has a join row, so no pair sharing a true prefix shingle
+    * can be lost (the sweep's r14 lesson); a cross-doc collision can
+    * only ADD a candidate, which the verify scores with the same hash
+    * arrays — folding into its existing one-sided false-merge term
+    * (~ℓ²/2⁶⁵ per pair). Within-doc collisions are deduped by
+    * array_distinct, keeping the exploded hash unique per doc. The
+    * hash join key is also 8 B against the ~40 B shingle string the
+    * r13 join exchanged.
+    *
+    * `emission = false` (PROBE-ONLY — the pre-r14 string-keyed join +
+    * distinct() shape the scale rule forbids; kept solely so the
+    * ScaleProbe can measure what the rule prevents, never reachable
+    * from the registry). */
+  private[graft] def prefixCandidates(
+      docs: org.apache.spark.sql.DataFrame,
+      emission: Boolean): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val posts = prefixPosts(docs)
     val dfs = posts.groupBy($"s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     val rarity = byDoc.orderBy($"df", $"s")
@@ -1083,13 +1137,39 @@ object Dedup {
       // integer div — see prefixLen's double-ceil trap
       .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
       .select($"doc_id", $"s", $"n")
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        $"a.n".as("n1"), $"b.n".as("n2"))
-      .distinct()
+    if (emission) {
+      val perDoc = prefix
+        .select($"doc_id", $"n", xxhash64($"s").as("kh"))
+        .groupBy($"doc_id")
+        .agg(sort_array(array_distinct(collect_list($"kh"))).as("ph"),
+          max($"n").as("n"))
+      val side = perDoc.select($"doc_id", $"n", $"ph", explode($"ph").as("kh"))
+      side.as("a")
+        .join(side.as("b"),
+          $"a.kh" === $"b.kh" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+        .filter($"a.kh" ===
+          graft.plans.SortedIntersect.firstCommon($"a.ph", $"b.ph"))
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.n".as("n1"), $"b.n".as("n2"))
+    } else {
+      prefix.as("a")
+        .join(prefix.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.n" * 5 >= $"b.n" * 4 && $"b.n" * 5 >= $"a.n" * 4)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          $"a.n".as("n1"), $"b.n".as("n2"))
+        .distinct()
+    }
+  }
+
+  /** The prefix-filtered join body behind [[qPrefixFilterJoin]] —
+    * returns (d1, d2, jaccard) for exact Jaccard ≥ 0.8, d1 < d2. */
+  private[graft] def prefixFilterPairs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cands = prefixCandidates(docs, emission = true)
     // Hash-array verify (r12, SCALE.md r11 residual #1): the common
     // count used to come from joining candidates back to the string
     // postings, so the pair stream crossed its exchange as
@@ -1106,7 +1186,7 @@ object Dedup {
     // collision inflates common by exactly one": a collision adds one
     // to `common`, which can only push jac UP across the threshold —
     // a false merge, never a false split.
-    val hashed = docShingleHashes(posts)
+    val hashed = docShingleHashes(prefixPosts(docs))
     cands
       .join(hashed.as("h1"), $"d1" === $"h1.doc_id")
       .join(hashed.as("h2"), $"d2" === $"h2.doc_id")

@@ -149,7 +149,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val ow = edges.groupBy($"src").agg(sum($"w").as("wout"))
@@ -304,7 +304,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val m = e.agg(avg($"w").as("mw"))
@@ -415,7 +415,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val m = e.agg(avg($"w").as("mw"))
@@ -525,7 +525,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val m = e.agg(avg($"w").as("mw"))
@@ -604,7 +604,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val m = e.agg(avg($"w").as("mw"))
@@ -696,7 +696,7 @@ object GraphOps {
       .lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
       .agg(count(lit(1)).as("w"))
     val m = e.agg(avg($"w").as("mw"))

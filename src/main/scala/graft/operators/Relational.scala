@@ -107,7 +107,7 @@ object Relational {
       .lineitem(s, d)
       .filter($"l_shipdate" > lit("1996-06-30 00:00:00").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy(
         $"l_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
@@ -119,8 +119,13 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style star join: every dimension broadcast, single shuffle
-    * for the orders⋈lineitem fact join + one for the final groupBy. */
+  /** TPC-H Q5-style star join: dimensions broadcast by stats/AQE (the
+    * catalog tables carry real sizes, so the planner broadcasts them
+    * wherever they genuinely fit — at SF where supplier no longer fits
+    * an executor, forcing it would OOM; explicit hints are reserved for
+    * computed sidecars the planner can't size, r13 VERDICT #5), single
+    * shuffle for the orders⋈lineitem fact join + one for the final
+    * groupBy. */
   val q5StarJoin = QueryDef.sql(
     "q5_star_join",
     """SELECT n_name,
@@ -148,11 +153,11 @@ object Relational {
       .join(ord, $"c_custkey" === $"o_custkey")
       .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
       .join(
-        broadcast(Tables.supplier(s, d)),
+        Tables.supplier(s, d),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey")
       .join(
-        broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        Tables.region(s, d).filter($"r_name" === "ASIA"),
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
       .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2)
@@ -552,7 +557,7 @@ object Relational {
       .agg(min($"s_acctbal").as("min_bal"))
     supp
       .join(minPerNation, $"s_nationkey" === $"nk" && $"s_acctbal" === $"min_bal")
-      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey")
       .select($"n_name", $"s_suppkey", $"s_name", round($"s_acctbal", 2).as("acctbal"))
       .orderBy($"n_name", $"s_suppkey")
   }
@@ -657,7 +662,7 @@ object Relational {
     import s.implicits._
     val b = Tables
       .lineitem(s, d)
-      .join(broadcast(graft.Tables.part(s, d)),
+      .join(graft.Tables.part(s, d),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("ok"), $"p_brand".as("brand"))
       .distinct()

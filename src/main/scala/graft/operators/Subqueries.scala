@@ -152,7 +152,7 @@ object Subqueries {
       .groupBy($"l_partkey".as("pk"))
       .agg((avg($"l_quantity") * 0.2).as("qty_cap"))
     li.join(
-        broadcast(Tables.part(s, d).filter($"p_brand" === "Brand#23")),
+        Tables.part(s, d).filter($"p_brand" === "Brand#23"),
         $"p_partkey" === $"l_partkey")
       .join(avgPerPart, $"l_partkey" === $"pk")
       .filter($"l_quantity" < $"qty_cap")

@@ -35,7 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * equals anything (unlike `array_intersect`, which matches null to
   * null; r12 ADVICE: the old kernel called getLong unconditionally and
   * silently miscounted nullable arrays reaching the registered SQL
-  * function). The internal pipeline's arrays come
+  * function). The duplicate-run advance steps over nulls as well, so a
+  * null interrupting a run ([1,null,1] on both sides) still counts the
+  * value once, matching the distinct-count contract even on the SQL
+  * plane where callers control element order (r13 ADVICE; spec-pinned).
+  * The internal pipeline's arrays come
   * from `collect_list(xxhash64(...))` whose element type is
   * non-nullable, so codegen specializes: only a containsNull=true
   * input type pays the per-element null branch; the hot dedup-verify
@@ -80,8 +84,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
         else if (xv > yv) j += 1
         else {
           c += 1
-          while (i < n && !(xn && x.isNullAt(i)) && x.getLong(i) == xv) i += 1
-          while (j < m && !(yn && y.isNullAt(j)) && y.getLong(j) == yv) j += 1
+          // the run advance also steps OVER nulls: a null interrupting a
+          // duplicate run ([1,null,1]) must not restart the run and count
+          // the value twice (r13 ADVICE; pinned by SortedIntersectSpec) —
+          // skipping it here is safe because the main loop skips nulls too
+          while (i < n && ((xn && x.isNullAt(i)) || x.getLong(i) == xv)) i += 1
+          while (j < m && ((yn && y.isNullAt(j)) || y.getLong(j) == yv)) j += 1
         }
       }
     }
@@ -105,8 +113,14 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       val skipNullY =
         if (elemNullable(right)) s"if ($b.isNullAt($j)) { $j++; continue; }"
         else ""
-      val xNotNull = if (elemNullable(left)) s"!$a.isNullAt($i) && " else ""
-      val yNotNull = if (elemNullable(right)) s"!$b.isNullAt($j) && " else ""
+      // run advance steps over nulls too (see nullSafeEval): null-OR-equal
+      // on nullable inputs, plain equality on the branch-free specialization
+      val xRun =
+        if (elemNullable(left)) s"($a.isNullAt($i) || $a.getLong($i) == $xv)"
+        else s"$a.getLong($i) == $xv"
+      val yRun =
+        if (elemNullable(right)) s"($b.isNullAt($j) || $b.getLong($j) == $yv)"
+        else s"$b.getLong($j) == $yv"
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -122,8 +136,8 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |  else if ($xv > $yv) { $j++; }
          |  else {
          |    $c++;
-         |    while ($i < $n && $xNotNull$a.getLong($i) == $xv) { $i++; }
-         |    while ($j < $m && $yNotNull$b.getLong($j) == $yv) { $j++; }
+         |    while ($i < $n && $xRun) { $i++; }
+         |    while ($j < $m && $yRun) { $j++; }
          |  }
          |}
          |${ev.value} = $c;
@@ -135,9 +149,114 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FIRST common value between two ascending-sorted LONG arrays (null
+  * when disjoint) — the exactly-once emission kernel of the
+  * prefix-filter candidate join (r14).
+  *
+  * Why it exists: the prefix-filter self-join emits a candidate pair
+  * once per shared prefix shingle; the r13 registry walker's
+  * string-taint extension caught that multi-emission being deduped by
+  * `distinct()` — a pair-sized exchange with pair-keyed partial maps,
+  * the same r11e class the LSH sweep abandoned. With each side
+  * carrying its sorted prefix-hash array, keeping only the join row
+  * whose key equals THIS expression's value turns the dedup into a
+  * stateless FILTER: the first common hash always has a join row
+  * (the join key is the hash), so no pair is ever lost.
+  *
+  * Same merge-scan contract as [[SortedLongIntersectCount]]: inputs
+  * ascending-sorted, null ELEMENTS skipped, branch-free codegen
+  * specialization for non-nullable element types. */
+case class SortedLongFirstCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got $other")
+    }
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xn = elemNullable(left)
+    val yn = elemNullable(right)
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      if (xn && x.isNullAt(i)) i += 1
+      else if (yn && y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else return xv
+      }
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val skipNullX =
+        if (elemNullable(left)) s"if ($a.isNullAt($i)) { $i++; continue; }"
+        else ""
+      val skipNullY =
+        if (elemNullable(right)) s"if ($b.isNullAt($j)) { $j++; continue; }"
+        else ""
+      // nullSafeCodeGen sets isNull=false before this block runs;
+      // disjoint arrays flip it back
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0;
+         |int $j = 0;
+         |${ev.isNull} = true;
+         |while ($i < $n && $j < $m) {
+         |  $skipNullX
+         |  $skipNullY
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { ${ev.isNull} = false; ${ev.value} = $xv; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongFirstCommon =
+    copy(left = newLeft, right = newRight)
+}
+
 object SortedIntersect {
   /** Column wrapper for [[SortedLongIntersectCount]]. */
   def count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for [[SortedLongFirstCommon]]. */
+  def firstCommon(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongFirstCommon(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

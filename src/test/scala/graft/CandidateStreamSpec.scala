@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Murmur3Hash, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.execution.{
-  ExpandExec, FilterExec, GenerateExec, ProjectExec, SparkPlan, UnionExec}
+  BaseLimitExec, ExpandExec, FilterExec, GenerateExec, LocalTableScanExec,
+  ProjectExec, RDDScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec,
+  UnionExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.{
   BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeExec,
@@ -14,6 +16,7 @@ import org.apache.spark.sql.execution.exchange.{
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Structural enforcement of the r11 scale rule: a data-quadratic
   * candidate stream may be STREAMED but never EXCHANGED (SCALE.md
@@ -34,22 +37,33 @@ import org.apache.spark.sql.functions._
   *
   *  1. The HAND LIST (minimum coverage): each known candidate
   *     producer's plan is walked root→first-binary-node and every
-  *     shuffle on that path must be legitimized. This layer also
-  *     covers the prefix-filter family, whose self-join keys are raw
-  *     shingle STRINGS the hash-taint discovery below cannot see.
+  *     shuffle on that path must be legitimized. Kept as a pin even
+  *     though discovery now covers all of its families (r13: the
+  *     string-keyed mode below closed the prefix-filter gap).
   *  2. AUTO-DISCOVERY (the whole registry): every `SparkEntry.allDefs`
   *     plan is prepared (AQE off, auto-broadcast off so fixture-sized
   *     stats cannot hide the at-scale shuffle structure; explicit
   *     `broadcast()` hints — the adjudicated linear ANN query-side
-  *     class — survive and are excluded) and scanned for equi-joins
-  *     whose keys derive, through any chain of projections /
-  *     aggregates / generators / windows / expands, from a band or
-  *     bucket hash (xxhash64, murmur3, [[graft.plans.StableHash60]],
-  *     [[graft.plans.HyperplaneBuckets]], [[graft.plans.PhashBandCodes]]).
-  *     Every such banded join must have no unlegitimized shuffle
-  *     between it and the plan root segment above it. A NEW banded
-  *     self-join landing anywhere in the registry is guarded the day
-  *     it lands.
+  *     class — survive, are excluded from the banded-join check, and
+  *     must instead pass the BOUNDED-LINEAGE broadcast guard below)
+  *     and scanned in two taint modes:
+  *      - [[HashTaint]]: equi-joins whose keys derive, through any
+  *        chain of projections / aggregates / generators / windows /
+  *        expands, from a band or bucket hash (xxhash64, murmur3,
+  *        [[graft.plans.StableHash60]],
+  *        [[graft.plans.HyperplaneBuckets]],
+  *        [[graft.plans.PhashBandCodes]]);
+  *      - [[GenStringTaint]] (r13 VERDICT #2): equi-joins whose keys
+  *        are generator-produced STRINGS (the prefix-filter family's
+  *        raw shingle keys, which hash taint cannot see). A
+  *        string-keyed join only counts as banded when NEITHER side
+  *        is key-unique: the postings×df-count join is string-keyed
+  *        but linear because the df side is grouped exactly on the
+  *        join key.
+  *     Every banded join must have no unlegitimized shuffle between
+  *     it and the plan root segment above it. A NEW banded self-join
+  *     landing anywhere in the registry — hash- or string-keyed — is
+  *     guarded the day it lands.
   *
   * Legitimizers between a banded join and a shuffle above it:
   *  - a Filter with at least one REAL predicate (r12 ADVICE: a filter
@@ -59,10 +73,21 @@ import org.apache.spark.sql.functions._
   *    comparison);
   *  - a graft.plans bounded-state aggregate partial (≤ k rows per
   *    group cross the wire);
-  *  - a global (no-grouping) aggregate partial (one row per partition).
-  * A grouped aggregate partial is deliberately NOT a legitimizer: for
-  * a pair-grouped stream its state is pair-sized — that is exactly the
-  * `distinct()` failure mode.
+  *  - a global (no-grouping) aggregate partial (one row per partition);
+  *  - a grouped aggregate whose functions are all declarative
+  *    (constant-width per-group state): a pair-KEYED such aggregate is
+  *    computing the pair relation the query declares as OUTPUT — the
+  *    adjudicated output-sized class (q_winnow_pairs, the ngram-Jaccard
+  *    common counts).
+  * The deliberate non-legitimizers: a function-less grouped aggregate
+  * (= `distinct()`, pure multi-emission dedup — the measured r11e
+  * ENOSPC) and imperative collectors (`collect_list` — unbounded
+  * buffers, r11f). Known loophole, accepted into SCALE.md residual
+  * #2's threat model (r13 ADVICE): `groupBy(d1,d2).agg(count(1))`
+  * carries pair-sized PARTIAL state exactly like distinct and passes —
+  * because for every current query that shape IS the declared output
+  * relation; a refactor that used it as a dedup step instead of a
+  * result would be shaped past this guard.
   */
 class CandidateStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -176,17 +201,64 @@ class CandidateStreamSpec extends SparkSpec {
     case _ => false
   }
 
-  private def taintedBy(e: Expression, t: AttributeSet): Boolean =
-    isBandMarker(e) || e.references.exists(t.contains)
+  /** Two discovery modes share one walker (r13 VERDICT #2):
+    * [[HashTaint]] seeds at band/bucket hash EXPRESSIONS; its join rule
+    * flags any tainted-key equi-join. [[GenStringTaint]] seeds at
+    * generator (explode) STRING outputs — the raw shingle keys of the
+    * prefix-filter family that hash taint cannot see; its join rule
+    * additionally requires BOTH sides non-key-unique, because a
+    * string-keyed join against a relation grouped exactly on the join
+    * key (the postings×df-count join) is linear, not a candidate
+    * blow-up. */
+  private sealed trait TaintMode
+  private case object HashTaint extends TaintMode
+  private case object GenStringTaint extends TaintMode
 
-  /** One combined pass over a prepared plan: band-hash taint flows
-    * BOTTOM-UP through projections/aggregates/generators/windows/
-    * expands/unions; the pending-exchange flag flows TOP-DOWN with the
-    * shared legitimizer rules. At every non-broadcast equi-join whose
-    * keys are tainted (a banded join), a pending exchange is a
-    * violation: the raw candidate stream would cross the wire.
+  /** Is this join side at-most-one-row-per-key by construction?
+    * Walking down from the join through unary tuple-preserving nodes,
+    * the first cardinality-changing node decides: a grouped aggregate
+    * whose grouping attrs are a subset of the side's join-key attrs
+    * (or a global aggregate) collapses to unique keys; a generator /
+    * expand / union / join below re-multiplies (conservative: treated
+    * as non-unique without looking further). */
+  private def keyUnique(side: SparkPlan, sideKeys: Seq[Expression]): Boolean = {
+    // key attrs are rewritten through Alias chains on the way down
+    // (aggregates collapse output renames into resultExpressions — a
+    // grouped-by-doc_id agg whose output aliases doc_id must still
+    // read as unique)
+    def remap(keys: AttributeSet,
+        named: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : AttributeSet =
+      AttributeSet(keys.toSeq.flatMap { a =>
+        named.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child.references.toSeq
+        }.getOrElse(Seq(a))
+      })
+    def down(n: SparkPlan, keys: AttributeSet): Boolean = n match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          AttributeSet(a.groupingExpressions.map(_.toAttribute))
+            .subsetOf(remap(keys, a.resultExpressions))
+      case p: ProjectExec => down(p.child, remap(keys, p.projectList))
+      case u if u.children.size == 1 => down(u.children.head, keys)
+      case _ => false
+    }
+    down(side, AttributeSet(sideKeys.flatMap(_.references)))
+  }
+
+  /** One combined pass over a prepared plan: taint flows BOTTOM-UP
+    * through projections/aggregates/generators/windows/expands/unions;
+    * the pending-exchange flag flows TOP-DOWN with the shared
+    * legitimizer rules. At every non-broadcast equi-join the mode
+    * declares banded, a pending exchange is a violation: the raw
+    * candidate stream would cross the wire.
     * Returns (violations, banded-join hit count). */
-  private def scanBandedJoins(root: SparkPlan): (Seq[String], Int) = {
+  private def scanBandedJoins(
+      root: SparkPlan, mode: TaintMode = HashTaint): (Seq[String], Int) = {
+    def taintedBy(e: Expression, t: AttributeSet): Boolean = mode match {
+      case HashTaint => isBandMarker(e) || e.references.exists(t.contains)
+      case GenStringTaint => e.references.exists(t.contains)
+    }
     val violations = Seq.newBuilder[String]
     var hits = 0
     def go(n: SparkPlan, pending: Boolean): AttributeSet = n match {
@@ -194,7 +266,14 @@ class CandidateStreamSpec extends SparkSpec {
         // below a join each side is its own (pre-join, linear) stream
         val t = j.children.map(go(_, false)).reduceLeft(_ ++ _)
         val keys = j.leftKeys ++ j.rightKeys
-        val banded = keys.nonEmpty && keys.exists(taintedBy(_, t))
+        val keyTainted = keys.nonEmpty && keys.exists(taintedBy(_, t))
+        val banded = mode match {
+          case HashTaint => keyTainted
+          case GenStringTaint =>
+            keyTainted &&
+              !keyUnique(j.left, j.leftKeys) &&
+              !keyUnique(j.right, j.rightKeys)
+        }
         // an explicit broadcast() hint survived the -1 threshold: the
         // adjudicated linear class (ANN query-side, centroid sidecars)
         val hinted = j.isInstanceOf[BroadcastHashJoinExec]
@@ -259,8 +338,21 @@ class CandidateStreamSpec extends SparkSpec {
         if (srcs.exists(taintedBy(_, t))) t ++ AttributeSet(fresh) else t
       case g: GenerateExec =>
         val t = go(g.child, pending)
-        if (taintedBy(g.generator, t)) t ++ AttributeSet(g.generatorOutput)
-        else t
+        mode match {
+          case HashTaint =>
+            if (taintedBy(g.generator, t)) t ++ AttributeSet(g.generatorOutput)
+            else t
+          case GenStringTaint =>
+            // every exploded string is a potential shingle key: taint
+            // seeds HERE (the mode has no expression-level marker);
+            // a tainted generator also propagates to non-string
+            // outputs (exploding a collected array of tainted hashes
+            // keeps the lineage — the prefix family's r14 shape)
+            val propagated =
+              if (taintedBy(g.generator, t)) g.generatorOutput else Nil
+            t ++ AttributeSet(propagated ++
+              g.generatorOutput.filter(_.dataType == StringType))
+        }
       case w: WindowExec =>
         val t = go(w.child, pending)
         t ++ AttributeSet(w.windowExpression.collect {
@@ -295,6 +387,45 @@ class CandidateStreamSpec extends SparkSpec {
     val t = go(root, pending = false)
     val _ = t
     (violations.result(), hits)
+  }
+
+  /** r13 VERDICT #5: every explicitly-broadcast side must have bounded
+    * lineage — the walker excludes `broadcast()` hints from the
+    * banded-join check (the adjudicated linear ANN query-side class),
+    * so without this a future corpus-sized broadcast() would sail
+    * through the guard AND OOM every executor at scale. Bounding
+    * nodes: TakeOrdered / limits, literal & parallelized relations,
+    * small literal ranges, aggregates (the centroid / codebook /
+    * vocab sidecar class — their group domains are model-sized
+    * constants), and literal point/range FILTERS (the adjudicated ANN
+    * query-side class: `vec_id < 3` selects a constant COUNT at any
+    * corpus size because ids are dense). Accepted residuals, same
+    * class as SCALE.md residual #2: a corpus-KEYED grouped aggregate
+    * or a constant-FRACTION literal filter (`lang = 'en'`) would pass
+    * — static analysis cannot tell a fraction from a count, so
+    * selectivity stays the author's responsibility and the repo rule
+    * is hints only on provably-constant relations (r14 dropped every
+    * hint on raw catalog scans — supplier/part/customer/nation — in
+    * favor of stats/AQE, which broadcast them wherever they truly
+    * fit). The raw-scan broadcast — the shape that actually OOMs — is
+    * caught by construction (red self-test below). Joins require ALL
+    * children bounded: an inner join's output is only bounded when
+    * both inputs are. */
+  private def boundedLineage(n: SparkPlan): Boolean = n match {
+    case _: TakeOrderedAndProjectExec => true
+    case _: BaseLimitExec => true
+    case _: LocalTableScanExec => true
+    case _: RDDScanExec => true
+    case r: RangeExec => r.numElements <= BigInt(1000000)
+    case _: BaseAggregateExec => true
+    case f: FilterExec if f.condition.exists {
+        case b: BinaryComparison => b.left.foldable || b.right.foldable
+        case _ => false
+      } => true
+    case r: ReusedExchangeExec => boundedLineage(r.child)
+    case j if j.children.size >= 2 => j.children.forall(boundedLineage)
+    case u if u.children.size == 1 => boundedLineage(u.children.head)
+    case _ => false
   }
 
   // NO limit(): GlobalLimit outputs SinglePartition, which satisfies
@@ -353,31 +484,55 @@ class CandidateStreamSpec extends SparkSpec {
   }
 
   test("auto-discovery: every banded join in the registry streams, not exchanges") {
-    // r12 VERDICT task #1: the whole registry, not a hand list. Plans
-    // are only PREPARED (never executed), but queries that converge
-    // driver-side (fixpoint graphs, k-means) run their construction
-    // jobs — sf0.001 keeps that cheap.
+    // r12 VERDICT task #1 (hash taint) + r13 VERDICT #2 (string taint)
+    // + r13 VERDICT #5 (bounded broadcasts): the whole registry, one
+    // preparation per plan, three checks on it. Plans are only
+    // PREPARED (never executed), but queries that converge driver-side
+    // (fixpoint graphs, k-means) run their construction jobs —
+    // sf0.001 keeps that cheap.
     val results = SparkEntry.allDefs.map { d =>
-      val (viol, hits) =
-        try scanBandedJoins(preparedPlan(d.fn(spark, sf)))
+      val plan =
+        try preparedPlan(d.fn(spark, sf))
         catch {
           case e: Throwable =>
             fail(s"${d.name}: plan preparation failed: ${e.getMessage}", e)
         }
-      (d.name, viol, hits)
+      val (hashViol, hashHits) = scanBandedJoins(plan, HashTaint)
+      val (strViol, strHits) = scanBandedJoins(plan, GenStringTaint)
+      val unboundedBc = plan.collect {
+        case b: BroadcastExchangeLike if !boundedLineage(b.children.head) =>
+          b.children.head.treeString.linesIterator.take(14).mkString("\n")
+      }
+      (d.name, hashViol ++ strViol, hashHits, strHits, unboundedBc)
     }
     val violations = results.filter(_._2.nonEmpty)
     assert(violations.isEmpty,
-      violations.map { case (n, v, _) => s"$n:\n${v.mkString("\n")}" }
+      violations.map { case (n, v, _, _, _) => s"$n:\n${v.mkString("\n")}" }
         .mkString("\n\n"))
-    // non-vacuity: the known banded families must be discovered as hits
-    val hitNames = results.filter(_._3 > 0).map(_._1).toSet
-    val expected = Seq("q_dedup_minhash_lsh", "q_lsh_band_sweep",
+    // non-vacuity: the known hash-banded families must be discovered
+    val hashHit = results.filter(_._3 > 0).map(_._1).toSet
+    val expectedHash = Seq("q_dedup_minhash_lsh", "q_lsh_band_sweep",
       "q_media_phash_neardup", "q_media_phash_neardup_256")
-    val missed = expected.filterNot(hitNames)
-    assert(missed.isEmpty,
-      s"discovery no longer sees known banded joins: $missed — taint " +
-        s"tracking broke (hits found in: ${hitNames.toSeq.sorted.mkString(", ")})")
+    val missedHash = expectedHash.filterNot(hashHit)
+    assert(missedHash.isEmpty,
+      s"discovery no longer sees known banded joins: $missedHash — taint " +
+        s"tracking broke (hits found in: ${hashHit.toSeq.sorted.mkString(", ")})")
+    // non-vacuity for the string mode (r13 VERDICT #2): the
+    // prefix-filter family must now be auto-discovered, not hand-listed
+    val strHit = results.filter(_._4 > 0).map(_._1).toSet
+    val expectedStr =
+      Seq("q_prefix_filter_join", "q_prefix_filter_sampled",
+        "q_dedup_ngram_jaccard")
+    val missedStr = expectedStr.filterNot(strHit)
+    assert(missedStr.isEmpty,
+      s"string-keyed discovery no longer sees the prefix family: " +
+        s"$missedStr (hits found in: ${strHit.toSeq.sorted.mkString(", ")})")
+    // bounded-broadcast guard (r13 VERDICT #5), registry-wide
+    val badBc = results.filter(_._5.nonEmpty)
+    assert(badBc.isEmpty,
+      badBc.map { case (n, _, _, _, b) =>
+        s"$n: unbounded broadcast side(s): ${b.mkString(", ")}"
+      }.mkString("\n"))
   }
 
   test("the guard itself goes red on a distinct() over a banded join") {
@@ -429,5 +584,58 @@ class CandidateStreamSpec extends SparkSpec {
     assert(hits >= 1)
     assert(viol.nonEmpty,
       s"IsNotNull-only filter legitimized the exchange:\n${patched.treeString}")
+  }
+
+  test("auto-discovery catches a string-keyed banded query too (r13 VERDICT #2)") {
+    // The prefix-filter family's failure shape, registered nowhere: a
+    // raw shingle-string self-join deduped by distinct(). Hash taint
+    // cannot see it (the keys are never hashed) — the GenStringTaint
+    // mode must discover AND flag it, and the linear postings×df join
+    // inside the real family must keep passing (asserted registry-wide
+    // above via zero violations + expectedStr hits).
+    import graft.functions.TextFunctions._
+    val posts = docs
+      .select($"doc_id",
+        explode(array_distinct(shingles(words($"text"), 3))).as("s"))
+    val bad = posts.as("a")
+      .join(posts.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val badDef = QueryDef.rowsOnly("q_synthetic_bad_string_banded")((s, _) => bad)
+    val plan = preparedPlan(badDef.fn(spark, sf))
+    val (viol, hits) = scanBandedJoins(plan, GenStringTaint)
+    assert(hits >= 1, s"string-keyed banded join not discovered\n${plan.treeString}")
+    assert(viol.nonEmpty, "string-keyed distinct-over-banded-join not flagged")
+    // and hash taint alone is blind to it — the reason the mode exists
+    val (_, hashHits) = scanBandedJoins(plan, HashTaint)
+    assert(hashHits === 0,
+      "hash taint unexpectedly sees raw string keys — mode split is stale")
+  }
+
+  test("broadcast guard goes red on an unbounded corpus broadcast (r13 VERDICT #5)") {
+    // A corpus-sized broadcast() would survive the banded-join walker's
+    // explicit-hint exclusion; the boundedness guard must catch it.
+    val bad = docs.as("a")
+      .join(broadcast(docs.as("b")), $"a.doc_id" === $"b.doc_id")
+    val badPlan = preparedPlan(bad)
+    val badBc = badPlan.collect {
+      case b: BroadcastExchangeLike if !boundedLineage(b.children.head) => b
+    }
+    assert(badBc.nonEmpty,
+      s"corpus-sized broadcast passed the boundedness guard:\n${badPlan.treeString}")
+    // while the legitimate shapes pass: a limited build side...
+    val okLimit = docs.as("a")
+      .join(broadcast(docs.limit(100).as("b")), $"a.doc_id" === $"b.doc_id")
+    // ...and an aggregate sidecar (the centroid/codebook class)
+    val okAgg = docs.as("a").join(
+      broadcast(docs.groupBy($"doc_id").agg(count(lit(1)).as("n")).as("g")),
+      $"a.doc_id" === $"g.doc_id")
+    Seq("limit" -> okLimit, "agg" -> okAgg).foreach { case (what, df) =>
+      val plan = preparedPlan(df)
+      val bcs = plan.collect { case b: BroadcastExchangeLike => b }
+      assert(bcs.nonEmpty, s"$what: no broadcast planned\n${plan.treeString}")
+      assert(bcs.forall(b => boundedLineage(b.children.head)),
+        s"$what: bounded broadcast side flagged as unbounded\n${plan.treeString}")
+    }
   }
 }

@@ -217,6 +217,22 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("prefix emission is exactly-once on a clone corpus (r14 first-common-hash)") {
+    // The r14 rewrite replaced the candidate distinct() with the
+    // first-common-hash emission filter (SortedLongFirstCommon over
+    // per-doc prefix-hash arrays). Clones share EVERY prefix shingle,
+    // so each clone pair meets once per prefix entry — the
+    // multi-emission path is maximally exercised; a double emission
+    // would surface as a duplicate verified output row.
+    val base = Tables.documents(spark, sf).limit(30)
+      .select($"doc_id", $"text")
+    val clones = base.select(($"doc_id" + 50000L).as("doc_id"), $"text")
+    val got = Dedup.prefixFilterPairs(base.unionAll(clones))
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === got.toSet.size, "a candidate pair was emitted twice")
+    assert(got.toSet.size >= 30, "clone pairs must survive the verify")
+  }
+
   test("prefix postings are a strict sliver of the full postings") {
     val full = postings.count()
     val pre = postings
@@ -462,5 +478,55 @@ class DedupSpec extends SparkSpec {
     // the clique must actually exercise the cap
     assert(viaAgg.groupBy(_._1).values.map(_.size).max ===
       Dedup.PrefixSampleK)
+  }
+  test("sweep emission: forced earlier-band hash agreement emits the pair there, exactly once (r13 VERDICT #4)") {
+    // The sweep's accepted error shape (Dedup.lshSweepCandidates,
+    // emission=true; r14 hash-keyed join). Real xxhash64 collisions are
+    // unconstructible from text, so — like SortedIntersectSpec's
+    // forced-collision case — build the carried band-hash arrays
+    // directly and drive the production join shape + the shared
+    // Dedup.firstMatchingBand predicate over them.
+    //
+    //   doc A: allkh = [42, 1, 7]     band 0's 42 stands for TWO
+    //   doc B: allkh = [42, 2, 7]     DIFFERENT band-key strings whose
+    //                                 hashes collide; band 2 is a TRUE
+    //                                 band match.
+    //
+    // Required behavior: the pair is emitted AT the colliding band
+    // (bj=0), count exactly 1, never 0 — the join key IS the hash the
+    // first-match test reads, so the first hash-agreeing band always
+    // has a join row. (The pre-r14 string-keyed join LOST this pair:
+    // array_position pointed at band 0, where no string-keyed join row
+    // existed — the exact loss precondition was "an earlier-band
+    // collision strictly before the first true match".) The loss class
+    // left is one-sided: a pair with NO true band match and a single
+    // collision is a false MERGE (second case), never a false split.
+    import spark.implicits._
+    def candidates(rows: Seq[(String, Array[Long])]) = {
+      val bk = rows.toDF("doc_id", "allkh")
+        .select($"doc_id", lit("3x1").as("cfg"), $"allkh",
+          posexplode($"allkh").as(Seq("bj", "kh")))
+      bk.select($"cfg", $"bj", $"kh", $"allkh".as("ak1"), $"doc_id".as("d1"))
+        .join(bk.select($"cfg", $"bj", $"kh", $"allkh".as("ak2"),
+            $"doc_id".as("d2")),
+          Seq("cfg", "bj", "kh"))
+        .filter($"d1" < $"d2" &&
+          Dedup.firstMatchingBand($"ak1", $"ak2", $"bj"))
+        .select($"bj", $"d1", $"d2")
+    }
+    val withTrueMatch = candidates(Seq(
+      ("A", Array(42L, 1L, 7L)), ("B", Array(42L, 2L, 7L)))).collect()
+    assert(withTrueMatch.length === 1,
+      "pair must be emitted exactly once per cfg (never 0: a true band match exists)")
+    assert(withTrueMatch.head.getInt(0) === 0,
+      "emission must happen at the first agreeing (here: colliding) band")
+    // no true match anywhere, one collision: emitted once = the
+    // accepted one-sided false merge (~nb/2^64 per pair)
+    val mergeOnly = candidates(Seq(
+      ("A", Array(42L, 1L, 7L)), ("B", Array(42L, 2L, 8L)))).collect()
+    assert(mergeOnly.length === 1 && mergeOnly.head.getInt(0) === 0)
+    // and no agreement at all emits nothing
+    assert(candidates(Seq(
+      ("A", Array(1L, 2L, 3L)), ("B", Array(4L, 5L, 6L)))).count() === 0)
   }
 }

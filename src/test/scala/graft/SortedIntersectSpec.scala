@@ -57,23 +57,53 @@ class SortedIntersectSpec extends SparkSpec {
     assert(df.head().getLong(0) === 2L)
   }
 
-  test("null ELEMENTS are skipped, both eval paths (r12 ADVICE)") {
+  test("null ELEMENTS are skipped, both eval paths (r12+r13 ADVICE)") {
     // SQL equality semantics: a null element never matches anything
     // (array_intersect would match null to null — deliberately NOT
-    // parity here). sort_array places nulls first; the kernel must
-    // also survive a null mid-run (stops the duplicate-run advance).
+    // parity here). sort_array places nulls first, but the function is
+    // registered on the SQL plane where callers control element order,
+    // so mid-run nulls must also hold: a null interrupting a duplicate
+    // run on BOTH sides ([1,null,1] vs [1,null,1]) must not restart the
+    // run and count the value twice (r13 ADVICE — the run advance now
+    // steps over nulls).
     val df = Seq(
       (Seq[Option[Long]](None, Some(1L), Some(3L), Some(7L)),
         Seq[Option[Long]](None, None, Some(3L), Some(7L), Some(9L))),
       (Seq[Option[Long]](Some(1L), Some(1L), None, Some(2L)),
-        Seq[Option[Long]](Some(1L), Some(2L))))
+        Seq[Option[Long]](Some(1L), Some(2L))),
+      (Seq[Option[Long]](Some(1L), None, Some(1L)),
+        Seq[Option[Long]](Some(1L), None, Some(1L))))
       .toDF("a", "b")
       .select(graft.plans.SortedIntersect.count($"a", $"b").as("c"))
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
-      assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 2L))
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L, 2L))
+    val want = Seq(2L, 2L, 1L)
+    // genuinely interpreted: wholeStage=false alone still compiles
+    // expressions through the FALLBACK codegen factory (r13 ADVICE) —
+    // NO_CODEGEN is what actually routes through nullSafeEval. Restore
+    // the prior conf values rather than hardcoding them.
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val fmKey = "spark.sql.codegen.factoryMode"
+    val ws0 = spark.conf.get(wsKey)
+    val fm0 = spark.conf.get(fmKey, "FALLBACK")
+    spark.conf.set(wsKey, "false")
+    spark.conf.set(fmKey, "NO_CODEGEN")
+    try assert(df.collect().map(_.getLong(0)).toSeq === want)
+    finally {
+      spark.conf.set(wsKey, ws0)
+      spark.conf.set(fmKey, fm0)
+    }
+    assert(df.collect().map(_.getLong(0)).toSeq === want)
+  }
+
+  test("mid-run null handled on the codegen nullable path too (r13 ADVICE)") {
+    // same rows as the interpreted pin, default confs (codegen path):
+    // the nullable-element specialization's run advance must skip nulls
+    val got = Seq(
+      (Seq[Option[Long]](Some(1L), None, Some(1L), Some(4L)),
+        Seq[Option[Long]](Some(1L), None, Some(1L), Some(9L))))
+      .toDF("a", "b")
+      .select(graft.plans.SortedIntersect.count($"a", $"b").as("c"))
+      .head().getLong(0)
+    assert(got === 1L)
   }
 
   test("SQL plane: null elements in a nullable array do not miscount") {
@@ -101,6 +131,43 @@ class SortedIntersectSpec extends SparkSpec {
       .head().getLong(0)
     val trueStringCommon = 0L
     assert(got === trueStringCommon + 1L)
+  }
+
+  test("firstCommon: first common value, null when disjoint (r14 prefix emission)") {
+    val df = Seq(
+      (Some(Array(1L, 3L, 7L)), Some(Array(2L, 3L, 9L))),
+      (Some(Array(5L, 8L)), Some(Array(1L, 2L))),
+      (Some(Array.empty[Long]), Some(Array(1L))),
+      (Some(Array(4L, 4L, 6L)), Some(Array(4L, 6L))),
+      (Some(Array(1L)), None: Option[Array[Long]]))
+      .toDF("a", "b")
+      .select(SortedIntersect.firstCommon($"a", $"b").as("c"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === 3L)
+    assert(rows(1).isNullAt(0), "disjoint arrays yield null")
+    assert(rows(2).isNullAt(0), "empty side yields null")
+    assert(rows(3).getLong(0) === 4L, "duplicates do not confuse the scan")
+    assert(rows(4).isNullAt(0), "null input yields null")
+  }
+
+  test("firstCommon: null elements skipped on both eval paths") {
+    val df = Seq(
+      (Seq[Option[Long]](None, Some(2L), Some(5L)),
+        Seq[Option[Long]](None, Some(2L), Some(9L))))
+      .toDF("a", "b")
+      .select(SortedIntersect.firstCommon($"a", $"b").as("c"))
+    assert(df.head().getLong(0) === 2L)
+    val wsKey = "spark.sql.codegen.wholeStage"
+    val fmKey = "spark.sql.codegen.factoryMode"
+    val ws0 = spark.conf.get(wsKey)
+    val fm0 = spark.conf.get(fmKey, "FALLBACK")
+    spark.conf.set(wsKey, "false")
+    spark.conf.set(fmKey, "NO_CODEGEN")
+    try assert(df.head().getLong(0) === 2L)
+    finally {
+      spark.conf.set(wsKey, ws0)
+      spark.conf.set(fmKey, fm0)
+    }
   }
 
   test("SQL plane: sorted_intersect_count is registered") {
