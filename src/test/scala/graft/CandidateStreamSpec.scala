@@ -82,12 +82,14 @@ import org.apache.spark.sql.types.StringType
   * The deliberate non-legitimizers: a function-less grouped aggregate
   * (= `distinct()`, pure multi-emission dedup — the measured r11e
   * ENOSPC) and imperative collectors (`collect_list` — unbounded
-  * buffers, r11f). Known loophole, accepted into SCALE.md residual
-  * #2's threat model (r13 ADVICE): `groupBy(d1,d2).agg(count(1))`
-  * carries pair-sized PARTIAL state exactly like distinct and passes —
-  * because for every current query that shape IS the declared output
-  * relation; a refactor that used it as a dedup step instead of a
-  * result would be shaped past this guard.
+  * buffers, r11f). The `groupBy(d1,d2).agg(count(1))` loophole (r13
+  * ADVICE) is narrower than it reads: using it as a DEDUP step means
+  * dropping the count downstream, and Catalyst column pruning then
+  * rewrites the node to a function-less aggregate, which this guard
+  * flags — measured by the "dedup-in-disguise" test below. What
+  * remains accepted (SCALE.md residual #2) is the shape that KEEPS
+  * the count in the declared output, i.e. the pair relation is the
+  * query's result — the adjudicated output-sized class.
   */
 class CandidateStreamSpec extends SparkSpec {
   import spark.implicits._
@@ -584,6 +586,31 @@ class CandidateStreamSpec extends SparkSpec {
     assert(hits >= 1)
     assert(viol.nonEmpty,
       s"IsNotNull-only filter legitimized the exchange:\n${patched.treeString}")
+  }
+
+  test("dedup-in-disguise: a pair agg whose count is DROPPED prunes to distinct and flags") {
+    // Residual #2's documented loophole: groupBy(d1,d2).agg(count(1))
+    // carries pair-sized partial state exactly like distinct() but
+    // passes the guard because its declarative function marks it as
+    // the output-sized class. This test measures the loophole's actual
+    // reach: if a refactor computes the count and then DROPS it — the
+    // only way the agg is a dedup step rather than a result — Catalyst
+    // column pruning removes the unused function, the node becomes a
+    // function-less grouped aggregate (= distinct), and the existing
+    // rule flags it. The loophole therefore requires keeping the count
+    // in the OUTPUT, at which point the pair relation is the declared
+    // result and the adjudication applies.
+    val t = docs.select($"doc_id", pmod(xxhash64($"text"), lit(16)).as("bkey"))
+    val bad = t.as("a").join(t.as("b"), $"a.bkey" === $"b.bkey")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("n"))
+      .select($"d1", $"d2") // the count is computed, then dropped
+    val plan = preparedPlan(bad)
+    val (viol, hits) = scanBandedJoins(plan)
+    assert(hits >= 1, s"banded join not discovered\n${plan.treeString}")
+    assert(viol.nonEmpty,
+      s"dropped-count pair agg was NOT pruned to a flagged distinct — " +
+        s"the disguise loophole is real, implement demand tracking\n${plan.treeString}")
   }
 
   test("auto-discovery catches a string-keyed banded query too (r13 VERDICT #2)") {
