@@ -639,6 +639,21 @@ class CandidateStreamSpec extends SparkSpec {
       "hash taint unexpectedly sees raw string keys — mode split is stale")
   }
 
+  test("catalog dims still broadcast at fixture scale WITHOUT hints (stats/AQE)") {
+    // r14 removed the explicit broadcast() hints on raw catalog scans
+    // (supplier/part/customer/nation) so a 100 TB planner can degrade
+    // them to shuffle joins instead of OOMing every executor. The
+    // trade must cost nothing locally: at fixture scale the planner
+    // still picks broadcast joins for the dimensions from file
+    // statistics alone (all are far under the 10 MB threshold). Uses
+    // DEFAULT confs — this is the one test here that must NOT disable
+    // auto-broadcast.
+    val plan = graft.operators.Relational.q5StarJoin.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins no longer broadcast at fixture scale:\n$plan")
+  }
+
   test("broadcast guard goes red on an unbounded corpus broadcast (r13 VERDICT #5)") {
     // A corpus-sized broadcast() would survive the banded-join walker's
     // explicit-hint exclusion; the boundedness guard must catch it.
