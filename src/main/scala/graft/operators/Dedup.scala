@@ -615,12 +615,21 @@ object Dedup {
         CorpusOps.sampleHash(col("doc_id"), "tr") < truthSamplePermille)
     val truth = ngramJaccardPairs(docs).select($"d1", $"d2")
     val cand = CorpusOps.minhashCandidates(docs, "doc_id", "text")
-    val truthN = truth.agg(count(lit(1)).as("n_truth"))
-    val candN = cand.agg(count(lit(1)).as("n_candidates"))
-    val hitN = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
-    truthN
-      .crossJoin(candN)
-      .crossJoin(hitN)
+    // ONE pass over each leg (r14 optimization, guide §2.4): the old
+    // shape consumed `truth` twice (its own count + the hit join) and
+    // `cand` twice — each consumer re-ran the exact-Jaccard self-join /
+    // the LSH banding join end to end. Both legs are DISTINCT pair
+    // sets, so a full-outer join on (d1, d2) preserves both counts:
+    // count(t) = |truth|, count(c) = |cand|, and rows where both sides
+    // matched are exactly the old inner-join hits.
+    val joined = truth
+      .withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("d1", "d2"), "full_outer")
+      .agg(
+        count($"t").as("n_truth"),
+        count($"c").as("n_candidates"),
+        count(when($"t".isNotNull && $"c".isNotNull, 1)).as("n_hit"))
+    joined
       .select(
         $"n_truth", $"n_candidates", $"n_hit",
         (floor($"n_hit" * lit(10000.0) / $"n_truth" + 0.5) / 10000.0)
@@ -1003,20 +1012,26 @@ object Dedup {
       .select($"d1".as("t1"), $"d2".as("t2"))
       .localCheckpoint()
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
-    val cc = cand.groupBy($"cfg").agg(count(lit(1)).as("n_candidates"))
-    val caught = cand
-      .join(truth, $"d1" === $"t1" && $"d2" === $"t2")
+    // ONE pass over the candidate stream for both per-cfg counts
+    // (r14 optimization, guide §2.4): the old shape consumed `cand`
+    // twice — a plain per-cfg count plus a separate truth-join count —
+    // recomputing the banded self-join (the scale-dominant term) end to
+    // end per consumer. `truth` is a distinct pair set, so a LEFT join
+    // preserves candidate multiplicity exactly: count(1) is the old
+    // n_candidates, count(t1) the old inner-join n_caught (0 for
+    // uncaught cfgs, matching the old left-join coalesce).
+    val cc = cand
+      .join(truth, $"d1" === $"t1" && $"d2" === $"t2", "left")
       .groupBy($"cfg")
-      .agg(count(lit(1)).as("n_caught"))
-    cc.join(caught, Seq("cfg"), "left")
-      .crossJoin(broadcast(nTrue))
+      .agg(count(lit(1)).as("n_candidates"), count($"t1").as("n_caught"))
+    cc.crossJoin(broadcast(nTrue))
       .select(
         $"cfg", $"n_candidates",
         $"n_true".cast("long").as("n_true"),
-        coalesce($"n_caught", lit(0L)).cast("long").as("n_caught"),
-        round(coalesce($"n_caught", lit(0L)) * lit(1.0) /
+        $"n_caught".cast("long").as("n_caught"),
+        round($"n_caught" * lit(1.0) /
           greatest($"n_true", lit(1L)), 4).as("recall"),
-        round(coalesce($"n_caught", lit(0L)) * lit(1.0) /
+        round($"n_caught" * lit(1.0) /
           greatest($"n_candidates", lit(1L)), 4).as("precision"))
       .orderBy($"cfg")
   }
