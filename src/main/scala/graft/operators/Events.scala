@@ -2087,18 +2087,25 @@ object Events {
       .crossJoin(broadcast(span))
       .select($"event_type", $"value",
         when($"ts_ns" * 2 < $"lo" + $"hi", 1).otherwise(2).as("half"))
-    val cuts = ev
-      .filter($"half" === 1)
-      .groupBy($"event_type")
-      .agg(expr(
-        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("cs"))
-      .select($"event_type", explode($"cs").as("cut"))
     // distinct-value aggregate first (equal values share a bin), then
     // bin against the 9 broadcast cuts — the 9× blow-up runs on the
     // distinct-value relation, not the corpus
     val vc = ev.groupBy($"event_type", $"half", $"value")
       .agg(count(lit(1)).as("m"))
+    // decile cuts from the SAME distinct-value relation via percentile's
+    // frequency argument (r14 optimization, guide §2.4): the old cuts
+    // leg re-aggregated the raw first-half rows — a second corpus
+    // scan+partial-agg that AQE cannot reuse (its pre-exchange subtree
+    // differs from vc's). percentile(value, probs, m) over the
+    // value-weighted rows is definitionally the same distribution, and
+    // vc's exchange is shared by both consumers.
+    val cuts = vc
+      .filter($"half" === 1)
+      .groupBy($"event_type")
+      .agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), m)")
+        .as("cs"))
+      .select($"event_type", explode($"cs").as("cut"))
     val shares = vc
       .join(broadcast(cuts), "event_type")
       .groupBy($"event_type", $"half", $"value")

@@ -46,11 +46,17 @@ object Pipeline {
       .withColumn("w", words($"text"))
       .filter($"n_chars" >= 100 &&
         size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
-    val keepers = quality
-      .groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("keep_id"))
-      .select($"keep_id")
-    quality.join(keepers, $"doc_id" === $"keep_id", "left_semi")
+    // exact-dup keeper via min-over-window instead of groupBy + semi-join
+    // (r14 optimization, guide §2.4): the old shape scanned the quality
+    // gate twice (keeper aggregate + probe side) and shuffled the probe
+    // by doc_id; one hash-partition on the text hash feeds the window,
+    // and BOTH downstream consumers of the cleaned relation (the shingle
+    // postings and the final anti-join probe) reuse that same exchange.
+    val wKeep = Window.partitionBy(md5($"text"))
+    quality
+      .withColumn("__keep_id", min($"doc_id").over(wKeep))
+      .filter($"doc_id" === $"__keep_id")
+      .drop("__keep_id")
   }
 
   val qCleanCorpus = QueryDef.sql(
