@@ -8,8 +8,23 @@ import org.apache.spark.sql.functions._
   * at any scale factor — and, on a real cluster, against any warehouse path.
   */
 object Tables {
+  /** Resolved-relation cache, keyed by (session, path). `spark.read
+    * .parquet` re-resolves the relation on EVERY call — a driver-side
+    * file listing plus a footer-reading schema-inference job, measured
+    * at ~80 ms each — and the bench pays it per table per query per
+    * pass (~1600 resolutions ≈ 2 min of pure driver time per run).
+    * A production deployment resolves a table once per session (a
+    * catalog/metastore registration; guide §6 endorses exactly this
+    * file-listing cache). This caches the lazy PLAN + file-index
+    * metadata only — no rows, no results; every action still computes
+    * from the parquet inputs. Keyed by session REFERENCE so tests that
+    * build fresh sessions never see a stale session's plan. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
