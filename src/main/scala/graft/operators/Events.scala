@@ -2092,18 +2092,20 @@ object Events {
     // distinct-value relation, not the corpus
     val vc = ev.groupBy($"event_type", $"half", $"value")
       .agg(count(lit(1)).as("m"))
-    // decile cuts from the SAME distinct-value relation via percentile's
-    // frequency argument (r14 optimization, guide §2.4): the old cuts
-    // leg re-aggregated the raw first-half rows — a second corpus
-    // scan+partial-agg that AQE cannot reuse (its pre-exchange subtree
-    // differs from vc's). percentile(value, probs, m) over the
-    // value-weighted rows is definitionally the same distribution, and
-    // vc's exchange is shared by both consumers.
-    val cuts = vc
+    // Decile cuts from the RAW first-half rows — the r14 frequency-form
+    // rewrite (percentile(value, probs, m) over the distinct-value
+    // relation) was REVERTED in r15: the driver's BENCH_r14 measured it
+    // 0.94×/0.82× (q_psi_drift/q_drift_panel) and the quiet-window
+    // best-of-10 A/B reproduced the regression (psi 0.919 raw vs 1.009
+    // freq; panel 2.04 raw vs 2.25 freq, canary ≤0.65 s both sides).
+    // The claimed exchange reuse never pays: the weighted-percentile
+    // final aggregate is costlier than the corpus-side partial it was
+    // meant to save, and vc's exchange is small relative to both.
+    val cuts = ev
       .filter($"half" === 1)
       .groupBy($"event_type")
       .agg(expr(
-        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), m)")
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
         .as("cs"))
       .select($"event_type", explode($"cs").as("cut"))
     val shares = vc
