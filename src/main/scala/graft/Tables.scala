@@ -18,13 +18,21 @@ object Tables {
     * file-listing cache). This caches the lazy PLAN + file-index
     * metadata only — no rows, no results; every action still computes
     * from the parquet inputs. Keyed by session REFERENCE so tests that
-    * build fresh sessions never see a stale session's plan. */
+    * build fresh sessions never see a stale session's plan.
+    *
+    * Entries of STOPPED sessions are purged on the next load from any
+    * session (r14 ADVICE: the map otherwise retains stopped sessions and
+    * their resolved plans for the JVM lifetime — a leak in the
+    * fresh-session-per-suite test JVM). Paths are assumed immutable for
+    * the life of a session, as with any catalog registration. */
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    resolved.keySet.removeIf(k => k._1.sparkContext.isStopped)
     resolved.computeIfAbsent((spark, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
