@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of re-logging it
+// with an "[info] " prefix: the bench/verify mains print one-line JSON
+// contracts that a line-level JSON parse must see verbatim (every
+// BENCH_rN.json through r14 carries parsed=null because the prefixed
+// line never parsed).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
