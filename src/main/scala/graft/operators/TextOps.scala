@@ -1784,9 +1784,18 @@ object TextOps {
     val vec = CorpusOps
       .boundedRank(vecTop, struct((-$"c").as("nc"), $"doc_id"), "vec_rnk")
       .select($"doc_id", $"vec_rnk".cast("long").as("vec_rnk"))
+    // materialize the two ≤20-row leg outputs (r15, guide §5
+    // localCheckpoint-to-truncate): the fusion feeds boundedRank, which
+    // references its input three times — un-checkpointed, each reference
+    // replays BOTH corpus legs (the r14 per-boundedRank checkpoint
+    // experiment failed because it cut INSIDE the legs and broke their
+    // cross-leg exchange reuse; cutting at the 20-row leg OUTPUTS keeps
+    // each leg's internal reuse and replays only tiny RDD scans).
+    // Matched best-of-10 A/B: 2.57 -> 2.24 / 2.82 -> 1.96 s.
+    val (lexF, vecF) = (lex.localCheckpoint(), vec.localCheckpoint())
     // fuse the two ≤20-row lists
-    val fused = lex
-      .join(vec, Seq("doc_id"), "full_outer")
+    val fused = lexF
+      .join(vecF, Seq("doc_id"), "full_outer")
       .select($"doc_id",
         coalesce($"lex_rnk", lit(0L)).as("lex_rnk"),
         coalesce($"vec_rnk", lit(0L)).as("vec_rnk"),
