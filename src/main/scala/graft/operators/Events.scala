@@ -1919,13 +1919,13 @@ object Events {
     val closed = pairs
       .join(broadcast(srcs.select($"a".as("bb"))), $"b" === $"bb", "left_semi")
     val tot = closed.groupBy($"a").agg(sum($"n").as("na"))
-    val pm = closed
+    val pm = Iterate.ckptRound(closed
       .join(broadcast(tot), "a")
       .select($"a", $"b", ($"n" * lit(1.0) / $"na").as("p"))
-      .coalesce(1).localCheckpoint()
+      .coalesce(1))
     val k = tot.count()
-    var pi = tot.select($"a".as("t"), lit(1.0 / k).as("pi"))
-      .coalesce(1).localCheckpoint()
+    var pi = Iterate.ckptRound(
+      tot.select($"a".as("t"), lit(1.0 / k).as("pi")).coalesce(1))
     (0 until MarkovRounds).foreach { i =>
       val next = pm
         .join(pi, pi("t") === pm("a"))
@@ -1934,7 +1934,7 @@ object Events {
         .select($"bt".as("t"), $"pi")
       pi =
         if (i % 3 == 2 || i == MarkovRounds - 1)
-          next.coalesce(1).localCheckpoint()
+          Iterate.ckptRound(next.coalesce(1))
         else next
     }
     val emp = Tables.events(s, d)

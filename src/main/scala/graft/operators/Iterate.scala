@@ -48,6 +48,32 @@ object Iterate {
     * queries and the bench's timed dataflows keep session AQE. */
   private val loopAqe = sys.env.get("SPARK_GRAFT_LOOP_AQE").contains("1")
 
+  /** Run `f` (an eager materialization) with AQE scoped off, restoring
+    * the session conf in a finally. Loop-safe: the bench/verify drivers
+    * execute queries sequentially on one thread. */
+  private def scopedNoAqe[T](spark: org.apache.spark.sql.SparkSession)(
+      f: => T): T =
+    if (loopAqe) f
+    else {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try f
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
+  /** `localCheckpoint()` under the same scoped-AQE-off policy as
+    * [[matObserve]]. Adopt PER CALL SITE on measurement only: it wins
+    * where every exchange in the checkpointed plan is aggregate-sized
+    * and broadcast decisions hold statically (q_markov_stationary,
+    * best-of-8 1.70 vs 2.85 s), but the nation-graph fixed-round loops
+    * REGRESSED with it (kcore 4.92 vs 2.25, lpa_communities 4.46 vs
+    * 2.69: their every-3rd-round cadence leaves two rounds of
+    * un-checkpointed lineage whose static join estimates force
+    * sort-merge plans AQE would have rewritten to broadcasts at
+    * runtime) — those keep plain localCheckpoint under session AQE. */
+  private[graft] def ckptRound(df: DataFrame): DataFrame =
+    scopedNoAqe(df.sparkSession)(df.localCheckpoint())
+
   /** Materialize `z` AND evaluate `metric` (an aggregate over `z`'s
     * rows, e.g. `count(when($"label" =!= $"old", lit(1)))`) in the SAME
     * Spark job; returns the checkpointed frame with `dropCols` removed,
@@ -56,15 +82,8 @@ object Iterate {
       dropCols: String*): (DataFrame, Long) = {
     val name = s"it_m_${seq.incrementAndGet()}"
     val obs = z.observe(name, metric.as("n"))
-    val c =
-      if (loopAqe) DatasetBridge.localCheckpointFreshStats(obs)
-      else {
-        val spark = z.sparkSession
-        val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try DatasetBridge.localCheckpointFreshStats(obs)
-        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-      }
+    val c = scopedNoAqe(z.sparkSession)(
+      DatasetBridge.localCheckpointFreshStats(obs))
     val n = obs.queryExecution.observedMetrics(name).getLong(0)
     (c.drop(dropCols: _*), n)
   }
