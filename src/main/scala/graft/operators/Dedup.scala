@@ -339,7 +339,11 @@ object Dedup {
     // tried and rejected — logical lineage through a round that
     // references `labels` three times grows the analyzed TREE 3^rounds,
     // OOMing the driver before any stats math starts).
-    import Iterate.matObserve
+    // KeepAqe variant: this loop's round joins are exactly the shape
+    // AQE's runtime broadcast conversion exists for (see the r10 A/B
+    // above); the graph fixpoints' pre-partitioned rounds use the
+    // AQE-off matObserve instead (r15 policy, Iterate.scaladoc).
+    import Iterate.{matObserveKeepAqe => matObserve}
     var changed = 1L
     var iter = 0
     val maxIter = 64

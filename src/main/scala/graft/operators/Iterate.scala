@@ -77,13 +77,37 @@ object Iterate {
   /** Materialize `z` AND evaluate `metric` (an aggregate over `z`'s
     * rows, e.g. `count(when($"label" =!= $"old", lit(1)))`) in the SAME
     * Spark job; returns the checkpointed frame with `dropCols` removed,
-    * and the metric value. */
+    * and the metric value.
+    *
+    * Runs the checkpoint with AQE scoped OFF (see [[ckptRound]]'s policy
+    * note) — correct for the graph fixpoints whose round joins run on a
+    * pre-partitioned persisted edge list and are never
+    * broadcast-eligible (kcore/lpa/bfs converged: jobs roughly halve,
+    * wall flat-to-better across five matched A/B alternations). Loops
+    * whose rounds RELY on AQE's runtime broadcast conversion — the CC
+    * star-contraction's label-chain self-joins, r10 adjudication in
+    * Dedup.connectedComponents — must use [[matObserveKeepAqe]]
+    * (re-measured r15: q_er_entity_clusters best-of-8 1.61 with AQE vs
+    * 3.54 without). */
   private[graft] def matObserve(z: DataFrame, metric: Column,
       dropCols: String*): (DataFrame, Long) = {
     val name = s"it_m_${seq.incrementAndGet()}"
     val obs = z.observe(name, metric.as("n"))
     val c = scopedNoAqe(z.sparkSession)(
       DatasetBridge.localCheckpointFreshStats(obs))
+    val n = obs.queryExecution.observedMetrics(name).getLong(0)
+    (c.drop(dropCols: _*), n)
+  }
+
+  /** [[matObserve]] under the SESSION's AQE setting — for loop rounds
+    * whose plans want runtime re-optimization (broadcast conversion of a
+    * shrinking relation, post-shuffle coalescing of un-pre-partitioned
+    * joins). */
+  private[graft] def matObserveKeepAqe(z: DataFrame, metric: Column,
+      dropCols: String*): (DataFrame, Long) = {
+    val name = s"it_m_${seq.incrementAndGet()}"
+    val obs = z.observe(name, metric.as("n"))
+    val c = DatasetBridge.localCheckpointFreshStats(obs)
     val n = obs.queryExecution.observedMetrics(name).getLong(0)
     (c.drop(dropCols: _*), n)
   }
